@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Q9–Q11 (SURVEY.md §2.3): distinct (exact + HLL sketch), set operations,
+  * grouping sets / rollup.
+  *
+  * Scale notes: exact distinct is a two-phase hash (partial distinct
+  * map-side); approx_count_distinct (q9b) is the 100 TB path — a mergeable
+  * HLL sketch, one pass, constant memory. Set ops run as shuffled distinct
+  * unions/joins; rollup computes all grouping sets in one shuffle via
+  * Expand, not one pass per level.
+  */
+object Analytics {
+  import Tables._
+
+  /** q9: exact multi-column distinct counts per group. */
+  def q9Distinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q9b: HLL approximate distinct — the sketch path that survives 100 TB.
+    * No SQL oracle (approximate); correctness bounded in AnalyticsSpec
+    * against the exact counts (rsd 0.05). */
+  def q9bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_part"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supp"))
+      .orderBy("l_returnflag")
+
+  /** q10: union / intersect / except over yearly customer key sets. */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+    val a = o.filter(col("y") === 1995).select("o_custkey").distinct()
+    val b = o.filter(col("y") === 1996).select("o_custkey").distinct()
+    val u = a.union(b).distinct().withColumn("kind", lit("union"))
+    val i = a.intersect(b).withColumn("kind", lit("intersect"))
+    val e = a.except(b).withColumn("kind", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .select(col("kind"), col("o_custkey"))
+      .orderBy("kind", "o_custkey")
+  }
+
+  /** q11: rollup with coalesced group labels (no nulls in output → identical
+    * sort order in Spark and DuckDB). */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_distinct" -> q9Distinct,
+    "q9b_approx_distinct" -> q9bApproxDistinct,
+    "q10_setops" -> q10SetOps,
+    "q11_rollup" -> q11Rollup)
+
+  val oracle: Map[String, String] = Map(
+    "q9_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q9b intentionally has no oracle: HLL estimates are engine-specific.
+    "q10_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'union' AS kind, o_custkey FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS kind, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS kind, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY kind, o_custkey""".stripMargin,
+    "q11_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin)
+}

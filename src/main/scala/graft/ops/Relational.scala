@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Q1–Q6 + Q15 (SURVEY.md §2.3): the relational operator core for querying
+  * synchronized state over the TPC-H-ish tables. The reference's own query
+  * surface is only MIN/COUNT/point-lookup (`WalConsumer.java:215-217,245-246,
+  * 325-326`); this is the operator set a user needs once the WAL is
+  * materialized into tables.
+  *
+  * Scale notes: q3 broadcasts the dimension chain (region→nation→customer is
+  * tiny at any SF); q4 is the canonical shuffle join on the fact keys — AQE
+  * picks sort-merge vs shuffled-hash at runtime; q15's bucket side is a
+  * 12-row broadcast so the range join is a broadcast-nested-loop, never a
+  * cartesian shuffle. All money aggregates go through integer cents
+  * (Tables.cents) so results are partitioning-invariant.
+  */
+object Relational {
+  import Tables._
+
+  /** q1: parquet scan + filter + projection. Predicate/column pushdown must
+    * reach the scan (verified via explain in RelationalSpec). */
+  def q1ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_quantity") > 25 && col("l_shipdate") >= lit("1995-07-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q2: hash aggregation, TPC-H Q1 shape. */
+  def q2HashAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q3: broadcast equi-join over the dimension chain. */
+  def q3JoinBcast(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("acctbal_c"))
+      .orderBy("r_name")
+
+  /** q4: shuffle (sort-merge / AQE-chosen) equi-join on the fact keys. */
+  def q4JoinShuffle(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy("o_orderpriority")
+
+  /** q5: semi + anti join (EXISTS / NOT EXISTS), both shapes in one result. */
+  def q5JoinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val ok = orders(spark, dir).select(col("o_custkey"))
+    val semi = c.join(ok, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val anti = c.join(ok, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("without_orders"))
+    semi.unionByName(anti).select(col("kind"), col("c_mktsegment"), col("n"))
+      .orderBy("kind", "c_mktsegment")
+  }
+
+  /** q6: global sort + limit — planned as TakeOrderedAndProject, so no
+    * single-partition global sort materializes at scale. */
+  def q6SortLimit(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q15: non-equi range join — orders binned into broadcast price buckets. */
+  def q15RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = spark.range(0, 12)
+      .select((col("id") * 50000L).as("lo"), ((col("id") + 1) * 50000L).as("hi"))
+    orders(spark, dir)
+      .join(broadcast(buckets), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("lo"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+      .orderBy("lo")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_scan_filter" -> q1ScanFilter,
+    "q2_hash_agg" -> q2HashAgg,
+    "q3_join_bcast" -> q3JoinBcast,
+    "q4_join_shuffle" -> q4JoinShuffle,
+    "q5_join_semi_anti" -> q5JoinSemiAnti,
+    "q6_sort_limit" -> q6SortLimit,
+    "q15_range_join" -> q15RangeJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 25 AND l_shipdate >= TIMESTAMP '1995-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q2_hash_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+         |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_bcast" ->
+      s"""SELECT r_name, count(*) AS n_cust, CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS acctbal_c
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q4_join_shuffle" ->
+      s"""SELECT o_orderpriority,
+         |  count(DISTINCT o_orderkey) AS n_orders,
+         |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_join_semi_anti" ->
+      """SELECT 'with_orders' AS kind, c_mktsegment, count(*) AS n
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, c_mktsegment, count(*) AS n
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+    "q6_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q15_range_join" ->
+      s"""SELECT lo, count(*) AS n, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_c
+         |FROM (SELECT range * 50000 AS lo, (range + 1) * 50000 AS hi FROM range(0, 12)) b
+         |JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY lo ORDER BY lo""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Q7, Q8, Q16 (SURVEY.md §2.3): window functions — ranking, analytic
+  * frames, and the as-of join (a generalization of the reference's
+  * last-op-wins snapshot, `WalConsumerTest.java:112-127`).
+  *
+  * Scale notes: every Window here has a real partitionBy key (never empty
+  * — an empty partitionBy funnels 100 TB through one task). As-of (q16) is
+  * the running-max-over-frame formulation: one shuffle on the key, no
+  * self-join, no per-row point lookups.
+  */
+object Windows {
+  import Tables._
+
+  /** q7: ranking window functions — top 3 orders per customer by price.
+    * Ties broken by o_orderkey so ranks are deterministic. */
+  def q7WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q8: analytic frame — per-user running sum + lag over the event log. */
+  def q8WindowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(cents(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_c"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q16: as-of join — for each purchase, the latest prior 'view' event of
+    * the same user. Expressed as a running conditional max over an ordered
+    * frame: no self-join, single shuffle on user_id. */
+  def q16Asof(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("prior_view_id",
+        coalesce(max(when(col("event_type") === "view", col("event_id"))).over(w), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_view_id"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_window_rank" -> q7WindowRank,
+    "q8_window_frame" -> q8WindowFrame,
+    "q16_asof" -> q16Asof)
+
+  val oracle: Map[String, String] = Map(
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q8_window_frame" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(${centsSql("value")}) OVER (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c,
+         |  coalesce(lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS prev_event_id
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q16_asof" ->
+      """SELECT event_id, user_id, prior_view_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    coalesce(max(CASE WHEN event_type = 'view' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS prior_view_id
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}
