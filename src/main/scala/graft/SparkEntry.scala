@@ -19,7 +19,10 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Windows.queries, Windows.oracle),
       (Analytics.queries, Analytics.oracle),
-      (Scalars.queries, Scalars.oracle))
+      (Scalars.queries, Scalars.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (VectorOps.queries, VectorOps.oracle),
+      (Multimodal.queries, Multimodal.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.model.Tables
+
+/** A media row: opaque binary payload + typed metadata — the multimodal
+  * column pattern (image/audio/video as `binary` with a metadata struct). */
+case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+    width: Int, height: Int)
+
+/** Extracted per-media features (decode output). */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
+    byte_sum: Long, format: String)
+
+/** X15: multimodal column plumbing — the Spark-side machinery a media
+  * pipeline needs: a `binary` payload column with typed metadata, a typed
+  * `Dataset[MediaRow]`, and per-partition batch "decode"/feature-extract.
+  *
+  * The decode step is a DETERMINISTIC STUB (this container has no
+  * image/audio codecs): payload bytes are the UTF-8 text of the document,
+  * "features" are byte statistics. The plumbing — binary column, Encoder
+  * schema, mapPartitions batch shape, partition sizing — is real and is
+  * what a production decode (JNI codec / ONNX runtime per partition)
+  * plugs into.
+  *
+  * Scale notes: decode is per-partition (`mapPartitions`), so codec init
+  * happens once per task, not per row — the same shape as a Pandas-UDF
+  * `mapInPandas` batch in PySpark. Binary payloads stay columnar parquet;
+  * metadata predicates (format/width) push down without touching payload
+  * bytes.
+  */
+object Multimodal {
+  import Tables._
+
+  /** Build the media table: documents' text bytes as the opaque payload,
+    * deterministic fake metadata. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: in production this is the codec call; here it computes
+    * deterministic byte statistics so the pipeline is oracle-checkable. */
+  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+      MediaFeatures(r.doc_id, r.payload.length.toLong,
+        if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L, sum, r.format)
+    }
+
+  /** x15: media pipeline — binary payload → per-partition batch decode →
+    * features joined back to metadata. */
+  def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    val feats = media.mapPartitions(decodeBatch)
+    feats.join(media.select(col("doc_id"), col("width").cast(LongType).as("width")), "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("width"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_media_pipeline" -> x15MediaPipeline)
+
+  /** Oracle mirrors the stub decode arithmetically: byte_sum of UTF-8 text
+    * (corpus is ASCII) via per-character codepoint sum. */
+  val oracle: Map[String, String] = Map(
+    "x15_media_pipeline" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+        |  n_chars % 640 AS width
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.model.Tables
+
+/** X-series text operators (SURVEY.md §2.3 north-star extensions): the
+  * text-side of a large-scale training-data pipeline — exact dedup,
+  * n-gram-Jaccard near-dup, MinHash+LSH candidate generation, SimHash
+  * fingerprints, language ID, quality scoring, token counting, document
+  * fingerprinting, top-k terms, and text stats.
+  *
+  * Everything is built-in `functions._` (codegen'd) — md5 is the shared
+  * deterministic hash between Spark and the DuckDB oracle, so MinHash
+  * signatures (min of md5(seed:shingle)) are bit-identical across engines.
+  *
+  * Scale notes (100 TB posture):
+  *  - near-dup (x2) generates candidate pairs via a shared-shingle
+  *    equi-join, NOT an all-pairs cross join; cost is Σ_gram C(df,2). On the
+  *    driver data max df=25. On an open corpus you'd cap df (drop shingles
+  *    with df > K, they carry no dedup signal) — the standard pruning — and
+  *    fall back to x13's MinHash-LSH banding, whose candidate count is
+  *    tunable by (bands, rows-per-band).
+  *  - all aggregates are map-side-combinable (min/sum/count over exploded
+  *    shingles); no driver-side loops, no collect().
+  */
+object TextOps {
+  import Tables._
+
+  private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** tokens of `text` (corpus is single-space separated). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** distinct word 3-shingles of `text`. */
+  private def shingles(w: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+
+  /** doc_id → exploded distinct shingle rows; docs with <3 tokens dropped. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("w"))).as("gram"))
+
+  private val shingleRowsSql: String =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  /** x1: exact dedup via hash groupBy — keeper = min doc_id per text. */
+  def x1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** x2: near-dup detection by word-3-gram Jaccard ≥ 0.6, candidates from a
+    * shared-shingle join (no all-pairs). */
+  def x2DedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingleRows(spark, dir)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jac_s4", scaled4(col("inter") / (col("n1") + col("n2") - col("inter"))))
+      .filter(col("jac_s4") >= 6000)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jac_s4"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x13: MinHash (k=8, md5-based) + LSH banding (4 bands × 2 rows) —
+    * the scalable near-dup candidate generator. Pairs sharing ≥1 band. */
+  def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingleRows(spark, dir)
+    val mhAggs = (0 until 8).map(s => min(md5(concat(lit(s + ":"), col("gram")))).as(s"mh$s"))
+    val sig = g.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).cast(LongType).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("h"))
+    }.reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.
+    * Bit j of token t = (hex nibble j of md5(t)) >= 8; per-doc bit j is set
+    * when the ±1 contributions sum positive. */
+  def x7Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("nib", conv(col("h").substr(col("j") + 1, lit(1)), 16, 10).cast(LongType))
+      .withColumn("contrib", when(col("nib") >= 8, 1L).otherwise(-1L))
+    tok.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast(LongType)).otherwise(0L)).as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  /** x8: language ID by marker-token voting (structural stand-in: the
+    * marker lists are swappable for real per-language stopword lists). */
+  def x8LangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "and"), "de" -> Seq("data", "table", "row"),
+      "es" -> Seq("scan", "filter"), "fr" -> Seq("join", "merge"), "zh" -> Seq("spark", "query"))
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"), toks(col("text")).as("w"))
+    val counted = markers.toSeq.sortBy(_._1).foldLeft(d) { case (df, (l, ws)) =>
+      df.withColumn(s"c_$l", size(filter(col("w"), t => t.isInCollection(ws))).cast(LongType))
+    }
+    counted.withColumn("pred_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+             col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+                col("c_de") >= col("c_zh"), "de")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"), "es")
+          .when(col("c_fr") >= col("c_zh"), "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
+      .orderBy("doc_id")
+  }
+
+  /** x9: quality scoring — 4 × 25-point integer components (length band,
+    * lexical diversity, stopword presence, mean token length band). */
+  def x9Quality(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("w"))
+      .withColumn("n_tok", size(col("w")).cast(LongType))
+      .withColumn("n_uniq", size(array_distinct(col("w"))).cast(LongType))
+      .withColumn("n_stop", size(filter(col("w"), t => t.isInCollection(stopWords))).cast(LongType))
+      .withColumn("mean_len_x100", floor(lit(100) * (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).cast(LongType))
+      .withColumn("s_len", when(col("n_chars").between(100, 2000), 25L).otherwise(0L))
+      .withColumn("s_div", when(col("n_uniq") * 100 >= col("n_tok") * 30, 25L).otherwise(0L))
+      .withColumn("s_stop", when(col("n_stop") > 0, 25L).otherwise(0L))
+      .withColumn("s_tlen", when(col("mean_len_x100").between(300, 800), 25L).otherwise(0L))
+      .withColumn("quality", col("s_len") + col("s_div") + col("s_stop") + col("s_tlen"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
+        col("mean_len_x100"), col("quality"))
+      .orderBy("doc_id")
+
+  /** x10: token counting — whitespace, regex word, and BPE-ish (chars/4)
+    * estimators. */
+  def x10Tokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast(LongType).as("re_tokens"),
+        expr("(n_chars + 3) DIV 4").as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** x11: document fingerprinting — full-text md5 + order-invariant
+    * content fingerprint (md5 of sorted distinct tokens). */
+  def x11Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("fp_content"))
+      .orderBy("doc_id")
+
+  /** x4: per-document text stats. */
+  def x4TextStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), toks(col("text")).as("w"))
+      .withColumn("n_tok", size(col("w")).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tok"),
+        floor(lit(100) * (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).cast(LongType).as("mean_tok_len_x100"),
+        floor(lit(1000) * size(filter(col("w"), t => t.isInCollection(stopWords))) / col("n_tok")).cast(LongType).as("stop_per_1000"))
+      .orderBy("doc_id")
+
+  /** x5: top-k heavy-hitter terms. */
+  def x5TopkTerms(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> x1DedupExact,
+    "x2_dedup_near" -> x2DedupNear,
+    "x13_minhash_lsh" -> x13MinhashLsh,
+    "x7_simhash" -> x7Simhash,
+    "x8_lang_id" -> x8LangId,
+    "x9_quality" -> x9Quality,
+    "x10_tokens" -> x10Tokens,
+    "x11_fingerprint" -> x11Fingerprint,
+    "x4_text_stats" -> x4TextStats,
+    "x5_topk_terms" -> x5TopkTerms)
+
+  private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x2_dedup_near" ->
+      s"""WITH g AS ($shingleRowsSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  ${scaled4Sql("inter / (s1.n + s2.n - inter)")} AS jac_s4
+         |FROM p JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE ${scaled4Sql("inter / (s1.n + s2.n - inter)")} >= 6000
+         |ORDER BY d1, d2""".stripMargin,
+    "x13_minhash_lsh" -> {
+      val mhs = (0 until 8).map(s => s"min(md5('$s:' || gram)) AS mh$s").mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS h FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH g AS ($shingleRowsSql),
+         |sig AS (SELECT doc_id, $mhs FROM g GROUP BY doc_id),
+         |bands AS ($bandRows)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+    },
+    "x7_simhash" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN instr('0123456789abcdef', substring(h, CAST(j AS INT) + 1, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END AS contrib
+        |  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r),
+        |sums AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x8_lang_id" -> {
+      def cnt(l: String, ws: Seq[String]) =
+        s"CAST(len(list_filter(w, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS c_$l"
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  ${cnt("en", Seq("the", "a", "and"))},
+         |  ${cnt("de", Seq("data", "table", "row"))},
+         |  ${cnt("es", Seq("scan", "filter"))},
+         |  ${cnt("fr", Seq("join", "merge"))},
+         |  ${cnt("zh", Seq("spark", "query"))}
+         |FROM d)
+         |SELECT doc_id, lang,
+         |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+         |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+         |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+         |       WHEN c_fr >= c_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  c_en, c_de, c_es, c_fr, c_zh
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "x9_quality" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(w, t -> t IN $stopListSql)) AS BIGINT) AS n_stop
+         |FROM d)
+         |SELECT doc_id, n_tok, n_uniq, n_stop,
+         |  CAST(floor(100 * (n_chars - (n_tok - 1)) / n_tok) AS BIGINT) AS mean_len_x100,
+         |  CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 25 ELSE 0 END)
+         |     + (CASE WHEN n_uniq * 100 >= n_tok * 30 THEN 25 ELSE 0 END)
+         |     + (CASE WHEN n_stop > 0 THEN 25 ELSE 0 END)
+         |     + (CASE WHEN floor(100 * (n_chars - (n_tok - 1)) / n_tok) BETWEEN 300 AND 800
+         |             THEN 25 ELSE 0 END) AS BIGINT) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x10_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  (n_chars + 3) // 4 AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_full,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_content
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_text_stats" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_tok,
+         |  CAST(floor(100 * (n_chars - (len(w) - 1)) / len(w)) AS BIGINT) AS mean_tok_len_x100,
+         |  CAST(floor(1000 * len(list_filter(w, t -> t IN $stopListSql)) / len(w)) AS BIGINT) AS stop_per_1000
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "x5_topk_terms" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.model.Tables
+
+/** X-series vector operators: similarity search over
+  * `embeddings.embedding: array<float>` — brute-force cosine top-k as the
+  * correctness baseline, a sign-bit LSH-bucketed variant as the scale path,
+  * and bucket/exact cosine near-dup pair mining.
+  *
+  * All dot products are higher-order-function expressions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no MLlib dependency.
+  * Elements are cast float→double BEFORE arithmetic so Spark and the
+  * DuckDB oracle accumulate identical IEEE doubles; scores are emitted as
+  * 1e-4-scaled integers (Tables.scaled4) to be robust to last-ulp
+  * differences in accumulation order.
+  *
+  * Scale notes (100 TB posture): x3 broadcasts the single query vector —
+  * the scan stays embarrassingly parallel, and TakeOrderedAndProject keeps
+  * top-k per partition before the driver merge. x12's bucket key turns ANN
+  * into a pre-partitionable equi-join (a query touches 1/256 of the
+  * corpus); the same bucketing bounds x14's pair generation. For a real
+  * IVF you'd replace the sign-bit key with learned centroid ids — the
+  * plumbing (bucket column + co-partitioned join) is identical.
+  */
+object VectorOps {
+  import Tables._
+
+  /** element-wise double view of the embedding column. */
+  private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** cosine = dot / (|a| * |b|). */
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** 4-bit sign-bucket from dims 1,17,33,49 (1-indexed): bit j = sign of
+    * component 16j+1. 16 buckets — sized so buckets stay populated at the
+    * driver corpus size; at real scale you widen the key (more bits or
+    * learned IVF centroids) to keep ~constant bucket cardinality. */
+  private def signBucket(v: Column): Column =
+    (0 until 4).map { j =>
+      when(element_at(v, 16 * j + 1) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def signBucketSql(v: String): String =
+    (0 until 4).map { j =>
+      s"(CASE WHEN $v[${16 * j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** x3: brute-force cosine top-10 for query vector vec_id=0. */
+  def x3KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), vecd(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), scaled4(cosine(col("v"), col("qv"))).as("cos_s4"))
+      .orderBy(col("cos_s4").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** x12: LSH-bucketed ANN — candidates share the query's sign-bucket;
+    * top-5 by cosine within the bucket. */
+  def x12AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), vecd(col("embedding")).as("v"))
+      .withColumn("bucket", signBucket(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"), scaled4(cosine(col("v"), col("qv"))).as("cos_s4"))
+      .orderBy(col("cos_s4").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** x14: embedding-cosine near-dup pairs (cos ≥ 0.5). Exact all-pairs at
+    * this corpus size; the x12 bucket key is the blocker at scale. */
+  def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), vecd(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        scaled4(cosine(col("a.v"), col("b.v"))).as("cos_s4"))
+      .filter(col("cos_s4") >= 5000)
+      .orderBy("v1", "v2")
+  }
+
+  /** x6: multimodal struct bundling — documents × embeddings carry-through
+    * join (text modality + vector modality in one row). */
+  def x6Multimodal(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .join(embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        col("label").cast(LongType).as("label"),
+        col("n_chars"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        scaled4(element_at(col("embedding"), 1).cast("double")).as("e0_s4"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x3_knn_cosine" -> x3KnnCosine,
+    "x12_ann_lsh" -> x12AnnLsh,
+    "x14_cosine_neardup" -> x14CosineNeardup,
+    "x6_multimodal" -> x6Multimodal)
+
+  private val cosSql = (a: String, b: String) =>
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val oracle: Map[String, String] = Map(
+    "x3_knn_cosine" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "x12_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
+         |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
+         |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x14_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2, ${scaled4Sql(cosSql("a.v", "b.v"))} AS cos_s4
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${scaled4Sql(cosSql("a.v", "b.v"))} >= 5000
+         |ORDER BY v1, v2""".stripMargin,
+    "x6_multimodal" ->
+      s"""SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  ${scaled4Sql("CAST(embedding[1] AS DOUBLE)")} AS e0_s4
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin)
+}
