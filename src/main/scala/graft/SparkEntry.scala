@@ -22,7 +22,8 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracle),
       (TextOps.queries, TextOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
-      (Multimodal.queries, Multimodal.oracle))
+      (Multimodal.queries, Multimodal.oracle),
+      (StreamingBatch.queries, StreamingBatch.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

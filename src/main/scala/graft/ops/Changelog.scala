@@ -28,10 +28,10 @@ import graft.model.Tables
 object Changelog {
   import Tables._
 
-  /** c1: changelog → current state. Per key, last op wins; dropped if the
-    * last op is the DELETE-analog. */
-  def c1Snapshot(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+  /** Changelog → current state over any DataFrame with the events schema
+    * (user_id, event_id, event_type, value). Shared by the batch query (c1)
+    * and tests. */
+  def snapshotOf(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))
       .agg(max_by(struct(col("event_id"), col("event_type"), col("value")), col("event_id")).as("last"))
       .select(
@@ -41,7 +41,11 @@ object Changelog {
         col("last.value").as("last_value"))
       .filter(col("last_event_type") =!= "error")
       .orderBy("user_id")
-  }
+
+  /** c1: changelog → current state. Per key, last op wins; dropped if the
+    * last op is the DELETE-analog. */
+  def c1Snapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotOf(events(spark, dir))
 
   /** c2: WAL backlog count (`WalConsumer.java:326`). */
   def c2Backlog(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.io.IOException
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One WAL record — the streaming mirror of the reference's `WalEntity`
+  * (`/root/reference/src/main/java/ir/sahab/walconsumer/WalEntity.java:27-46`):
+  * `id` is the IDENTITY log sequence number (total order materialized in
+  * the data), `entityId` the key the mutation applies to, `operation` one
+  * of ADD/UPDATE/DELETE (`Operation.java:6-10`), `payload` the entity
+  * bytes (string here so tests stay readable). */
+case class WalRecord(id: Long, entityId: Long, operation: String, payload: String)
+
+/** Current state of one entity after applying the log. */
+case class EntityState(entityId: Long, payload: String, lastId: Long, deleted: Boolean)
+
+/** The sink SPI — mirror of `WalEntityConsumerCallback.syncEntity`
+  * (`/root/reference/src/main/java/ir/sahab/walconsumer/WalEntityConsumerCallback.java:10-17`):
+  * apply one record to the external target; return false when the record
+  * was already applied (idempotent replay detected); throw IOException on
+  * transient target failure (caller retries). */
+trait WalSink extends Serializable {
+  def syncEntity(r: WalRecord): Boolean
+}
+
+/** S1–S5 (SURVEY.md §2.3): the reference's consume loop
+  * (`WalConsumer.java:130-179`) re-expressed as Structured Streaming.
+  *
+  * Delivery-guarantee mapping (SURVEY.md §2.1 R3–R7): the reference holds a
+  * global `SELECT … FOR UPDATE` row lock so exactly one record is in flight
+  * across all consumers; Spark instead gives each micro-batch checkpointed
+  * offsets + single-writer `foreachBatch`, and we preserve the OBSERVABLE
+  * contract — per-entity ordered apply + at-least-once delivery into an
+  * idempotent sink = exactly-once effect. The global serialization itself is
+  * deliberately relaxed (it is the reference's scalability ceiling, one
+  * record per two RDBMS transactions; `WalConsumer.java:185-193`).
+  */
+object Streams {
+
+  /** S1: stateful changelog → current-state view. Keyed state via
+    * flatMapGroupsWithState; records within a batch are applied in id
+    * order; replays (id ≤ lastId) are ignored — the reference's
+    * "already done" detection (`WalConsumer.java:271-278`). Emits the
+    * post-batch state of each touched key (Update mode). */
+  def snapshotStream(records: Dataset[WalRecord]): Dataset[EntityState] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.entityId)
+      .flatMapGroupsWithState[EntityState, EntityState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[WalRecord], state: GroupState[EntityState]) =>
+          val sorted = recs.toSeq.sortBy(_.id)
+          var cur = state.getOption.getOrElse(EntityState(key, null, -1L, deleted = true))
+          sorted.foreach { r =>
+            if (r.id > cur.lastId) { // not a replay
+              cur = r.operation match {
+                case "DELETE" => EntityState(key, null, r.id, deleted = true)
+                case _        => EntityState(key, r.payload, r.id, deleted = false)
+              }
+            }
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
+  /** The consume loop body as a foreachBatch function: per-entity, in id
+    * order, at-least-once into the idempotent sink; transient IOException
+    * retried with backoff, forever (`WalConsumer.java:259-269`,
+    * sleepMillisOnIoFailure). Returns the writer to attach:
+    * `ds.writeStream.foreachBatch(foreachBatchSync(sink, retrySleepMs))`. */
+  def foreachBatchSync(sink: WalSink, retrySleepMs: Long = 1000L)
+      : (Dataset[WalRecord], Long) => Unit = { (batch, _) =>
+    batch
+      .repartition(col("entityId")) // co-locate each key; parallel across keys
+      .sortWithinPartitions(col("entityId"), col("id")) // ordered apply per key
+      .foreachPartition { (rows: Iterator[WalRecord]) =>
+        rows.foreach { r =>
+          var done = false
+          while (!done) {
+            try {
+              sink.syncEntity(r) // false = already done (replay) — just proceed
+              done = true
+            } catch {
+              case _: IOException => Thread.sleep(retrySleepMs) // retry forever
+            }
+          }
+        }
+      }
+  }
+
+  /** S2: tumbling 1-hour event-time window counts with a watermark. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("event_type"), col("n"))
+
+  /** S3: sliding 2-hour/1-hour windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("n"))
+
+  /** S3b: session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"), col("n_events"))
+
+  /** S5: replay suppression by id within the watermark — the streaming
+    * form of the reference's "already done" dedup. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.io.IOException
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Streaming semantics tests porting the reference's golden scenario
+  * (`/root/reference/src/test/java/ir/sahab/walconsumer/WalConsumerTest.java:62-79`):
+  * ADD(1,"name1") → ADD(2,"name2") already-done → UPDATE(1,"updated-name")
+  * → ADD(3,"name3") with one IOException retry → DELETE(3).
+  * Expected final state: {1→"updated-name", 2→"name2"}. */
+class StreamsSpec extends SparkTestBase {
+
+  test("s1: snapshotStream applies golden scenario with replay suppression") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[WalRecord]
+    val q = Streams.snapshotStream(ms.toDS())
+      .writeStream.format("memory").queryName("snap").outputMode("update").start()
+    try {
+      ms.addData(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"))
+      q.processAllAvailable()
+      // replay of id=1 (already done) + real update + add
+      ms.addData(WalRecord(1, 2, "ADD", "name2-replayed"),
+        WalRecord(2, 1, "UPDATE", "updated-name"), WalRecord(3, 3, "ADD", "name3"))
+      q.processAllAvailable()
+      ms.addData(WalRecord(4, 3, "DELETE", null))
+      q.processAllAvailable()
+      val finalState = s.table("snap").as[EntityState].collect()
+        .groupBy(_.entityId).map { case (k, vs) => k -> vs.maxBy(_.lastId) }
+      assert(finalState(1L).payload == "updated-name" && !finalState(1L).deleted)
+      assert(finalState(2L).payload == "name2" && !finalState(2L).deleted,
+        "replayed ADD must not overwrite state (already-done detection)")
+      assert(finalState(3L).deleted, "DELETE removes the entity")
+    } finally q.stop()
+  }
+
+  test("s1-sink: foreachBatchSync is idempotent and retries IOException") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    TestSink.reset()
+    // entity 2 pre-applied (the reference's already-done scenario)
+    TestSink.target.put(2L, "name2"); TestSink.appliedThru.put(2L, 1L)
+    TestSink.failOnceIds.put(3L, true) // id=3 throws IOException once
+    val ms = MemoryStream[WalRecord]
+    val q = ms.toDS().writeStream
+      .foreachBatch(Streams.foreachBatchSync(new TestSink, retrySleepMs = 1L))
+      .start()
+    try {
+      ms.addData(
+        WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"),
+        WalRecord(2, 1, "UPDATE", "updated-name"),
+        WalRecord(3, 3, "ADD", "name3"), WalRecord(4, 3, "DELETE", null))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(TestSink.target.asScala.toMap == Map(1L -> "updated-name", 2L -> "name2"),
+        s"reference golden state; got ${TestSink.target}")
+      assert(TestSink.alreadyDone.get() == 1, "exactly one replay detected (entity 2)")
+      assert(TestSink.retried.get() == 1, "exactly one IOException retry (id 3)")
+    } finally q.stop()
+  }
+
+  test("s2/s4: tumbling window with watermark drops too-late data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val ev = ms.toDS().toDF("ts", "event_type")
+    val q = Streams.tumblingCounts(ev, "10 minutes")
+      .writeStream.format("memory").queryName("tumble").outputMode("update").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 0), "view"), (t(2, 30), "view"))
+      q.processAllAvailable() // watermark advances to 02:20
+      ms.addData((t(0, 5), "view"), (t(2, 40), "click")) // 00:05 is beyond-late
+      q.processAllAvailable()
+      val starts = s.table("tumble").select("start_ms").as[Long].collect().toSet
+      val hour0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      assert(!starts.contains(hour0), "event older than watermark must be dropped")
+      assert(starts.contains(Timestamp.valueOf("2024-01-01 02:00:00").getTime))
+    } finally q.stop()
+  }
+
+  test("s5: dropDuplicatesWithinWatermark suppresses replayed ids") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val ev = ms.toDS().toDF("event_id", "ts")
+    val q = Streams.dedupStream(ev, "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 01:00:30")), // replay, in watermark
+        (2L, Timestamp.valueOf("2024-01-01 01:01:00")))
+      q.processAllAvailable()
+      val ids = s.table("dedup").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"replayed id must appear once; got $ids")
+    } finally q.stop()
+  }
+
+  test("s3: sliding windows emit 2 windows per event") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val ev = ms.toDS().toDF("ts", "event_type")
+    val q = Streams.slidingCounts(ev, "10 minutes")
+      .writeStream.format("memory").queryName("slide").outputMode("update").start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 05:30:00"), "view"))
+      q.processAllAvailable()
+      val starts = s.table("slide").select("start_ms").as[Long].collect().toSet
+      assert(starts == Set(
+        Timestamp.valueOf("2024-01-01 04:00:00").getTime,
+        Timestamp.valueOf("2024-01-01 05:00:00").getTime))
+    } finally q.stop()
+  }
+}
+
+/** Shared-state test sink (local mode: executor == driver JVM). Mirrors
+  * `WalEntityConsumerCallback.syncEntity` semantics. */
+class TestSink extends WalSink {
+  override def syncEntity(r: WalRecord): Boolean = {
+    if (r.id <= TestSink.appliedThru.getOrDefault(r.entityId, -1L)) {
+      TestSink.alreadyDone.incrementAndGet()
+      return false // already done — reference WalConsumer.java:271-278
+    }
+    if (TestSink.failOnceIds.replace(r.id, true, false)) {
+      TestSink.retried.incrementAndGet()
+      throw new IOException(s"transient failure for id ${r.id}")
+    }
+    r.operation match {
+      case "DELETE" => TestSink.target.remove(r.entityId)
+      case _        => TestSink.target.put(r.entityId, r.payload)
+    }
+    TestSink.appliedThru.put(r.entityId, r.id)
+    true
+  }
+}
+
+object TestSink {
+  val target = new ConcurrentHashMap[Long, String]()
+  val appliedThru = new ConcurrentHashMap[Long, Long]()
+  val failOnceIds = new ConcurrentHashMap[Long, Boolean]()
+  val alreadyDone = new AtomicInteger(0)
+  val retried = new AtomicInteger(0)
+  def reset(): Unit = { target.clear(); appliedThru.clear(); failOnceIds.clear()
+    alreadyDone.set(0); retried.set(0) }
+}
