@@ -4,18 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.model.Tables
+import graft.functions.VectorFunctions.{dotArr, normSqArr}
 
 /** X-series vector operators: similarity search over
   * `embeddings.embedding: array<float>` — brute-force cosine top-k as the
   * correctness baseline, a sign-bit LSH-bucketed variant as the scale path,
   * and bucket/exact cosine near-dup pair mining.
   *
-  * All dot products are higher-order-function expressions
-  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no MLlib dependency.
-  * Elements are cast float→double BEFORE arithmetic so Spark and the
-  * DuckDB oracle accumulate identical IEEE doubles; scores are emitted as
-  * 1e-4-scaled integers (Tables.scaled4) to be robust to last-ulp
-  * differences in accumulation order.
+  * Dot products use the native Catalyst expression
+  * graft.functions.DotProduct (codegen'd primitive loop — the
+  * higher-order-function formulation is interpreted and benched 70 s on
+  * the sf0.1 pair join; the native expression is ~50× cheaper). Elements
+  * widen float→double exactly as the DuckDB oracle's double-cast lists,
+  * and accumulate sequentially — identical IEEE doubles; scores are
+  * emitted as 1e-4-scaled integers (Tables.scaled4) to be robust to
+  * last-ulp differences. Per-row L2 norms are computed once (withNorm)
+  * and reused across every candidate pair.
   *
   * Scale notes (100 TB posture): x3 broadcasts the single query vector —
   * the scan stays embarrassingly parallel, and TakeOrderedAndProject keeps
@@ -28,18 +32,11 @@ import graft.model.Tables
 object VectorOps {
   import Tables._
 
-  /** element-wise double view of the embedding column. */
-  private def vecd(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
-
-  /** cosine = dot / (|a| * |b|). */
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+  /** embeddings with the L2 norm precomputed once per row — norms must
+    * never be recomputed per candidate pair. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(normSqArr(col("embedding"))).as("nrm"))
 
   /** 4-bit sign-bucket from dims 1,17,33,49 (1-indexed): bit j = sign of
     * component 16j+1. 16 buckets — sized so buckets stay populated at the
@@ -57,11 +54,12 @@ object VectorOps {
 
   /** x3: brute-force cosine top-10 for query vector vec_id=0. */
   def x3KnnCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), vecd(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), scaled4(cosine(col("v"), col("qv"))).as("cos_s4"))
+      .select(col("vec_id"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
       .orderBy(col("cos_s4").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -69,13 +67,12 @@ object VectorOps {
   /** x12: LSH-bucketed ANN — candidates share the query's sign-bucket;
     * top-5 by cosine within the bucket. */
   def x12AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), vecd(col("embedding")).as("v"))
-      .withColumn("bucket", signBucket(col("v")))
+    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", signBucket(col("v")))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
     e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= 0)
-      .select(col("vec_id"), col("bucket"), scaled4(cosine(col("v"), col("qv"))).as("cos_s4"))
+      .select(col("vec_id"), col("bucket"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
       .orderBy(col("cos_s4").desc, col("vec_id").asc)
       .limit(5)
   }
@@ -83,10 +80,10 @@ object VectorOps {
   /** x14: embedding-cosine near-dup pairs (cos ≥ 0.5). Exact all-pairs at
     * this corpus size; the x12 bucket key is the blocker at scale. */
   def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), vecd(col("embedding")).as("v"))
+    val e = withNorm(embeddings(spark, dir))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        scaled4(cosine(col("a.v"), col("b.v"))).as("cos_s4"))
+        scaled4(dotArr(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_s4"))
       .filter(col("cos_s4") >= 5000)
       .orderBy("v1", "v2")
   }
