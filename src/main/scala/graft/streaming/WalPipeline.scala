@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Consumer states — mirror of the reference's WalState enum
+  * (`/root/reference/src/main/java/ir/sahab/walconsumer/WalConsumer.java:354-359`). */
+object WalState extends Enumeration {
+  val NONE, EMPTY, NOT_EMPTY, INACCESSIBLE_IO_FAILURE = Value
+}
+
+/** Observability — mirror of the reference's metric set
+  * (`WalConsumer.java:49-54, 78-98`): `wal_state`, `wal_num_records` (per
+  * batch, replacing the 60 s cached COUNT gauge), `wal_not_empty_seconds`
+  * (lag-age proxy), `wal_num_synchronized` meter. Fed by a
+  * StreamingQueryListener instead of per-record RDBMS queries. */
+final class WalMetrics extends StreamingQueryListener with Serializable {
+  val numSynchronized = new AtomicLong(0)
+  val lastBatchRows = new AtomicLong(0)
+  val state = new AtomicReference[WalState.Value](WalState.NONE)
+  @volatile private var notEmptySinceMs: Long = -1L
+
+  def notEmptySeconds: Long =
+    if (notEmptySinceMs < 0) 0 else (System.currentTimeMillis() - notEmptySinceMs) / 1000
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    state.set(WalState.NONE)
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val rows = e.progress.numInputRows
+    lastBatchRows.set(rows)
+    if (rows > 0) {
+      numSynchronized.addAndGet(rows)
+      if (notEmptySinceMs < 0) notEmptySinceMs = System.currentTimeMillis()
+      state.set(WalState.NOT_EMPTY)
+    } else {
+      notEmptySinceMs = -1L
+      state.set(WalState.EMPTY)
+    }
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    state.set(WalState.NONE)
+}
+
+/** Lifecycle wrapper — the Spark form of the reference's consumer object
+  * (`WalConsumer.java:127-181` start / `:299-317` close):
+  *
+  *   reference                      | here
+  *   -------------------------------|----------------------------------
+  *   dedicated consumer thread      | StreamingQuery micro-batch loop
+  *   poll sleep 1000 ms when empty  | Trigger.ProcessingTime(pollMillis)
+  *   row-lock serialization         | checkpointed offsets, single writer
+  *   delete head + commit           | checkpoint commit after foreachBatch
+  *   close(): stop flag+interrupt   | query.stop()
+  *   metric unregister on close     | listener removed on close()
+  */
+final class WalPipeline(
+    records: Dataset[WalRecord],
+    sink: WalSink,
+    checkpointDir: String,
+    pollMillis: Long = 1000L,
+    retrySleepMs: Long = 1000L) {
+
+  val metrics = new WalMetrics
+  private var query: StreamingQuery = _
+
+  /** Start draining the WAL into the sink (at-least-once + idempotent
+    * sink = exactly-once effect). */
+  def start(): StreamingQuery = synchronized {
+    require(query == null, "already started")
+    records.sparkSession.streams.addListener(metrics)
+    query = records.writeStream
+      .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(pollMillis))
+      .start()
+    query
+  }
+
+  /** Drain everything currently in the WAL, then return (test/backfill
+    * convenience — the reference has no equivalent; its loop never ends). */
+  def processAllAvailable(): Unit = query.processAllAvailable()
+
+  def close(): Unit = synchronized {
+    if (query != null) {
+      query.stop()
+      records.sparkSession.streams.removeListener(metrics)
+      query = null
+    }
+  }
+}

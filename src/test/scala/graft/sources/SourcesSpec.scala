@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.streaming.{WalPipeline, WalRecord, WalState}
+
+class SourcesSpec extends SparkTestBase {
+
+  test("csv/json round-trip preserves the WAL schema") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-src").toString
+    val recs = Seq(
+      WalRecord(0, 1, "ADD", "p1"), WalRecord(1, 2, "ADD", "p2"),
+      WalRecord(2, 1, "DELETE", null))
+    val df = recs.toDF()
+    df.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    df.write.mode("overwrite").json(s"$tmp/json")
+    val backCsv = Sources.csv(spark, s"$tmp/csv", Sources.walSchema)
+    val backJson = Sources.json(spark, s"$tmp/json", Sources.walSchema)
+    assert(backCsv.count() == 3 && backJson.count() == 3)
+    assert(backCsv.schema.fieldNames.toSeq == Seq("id", "entityId", "operation", "payload"))
+  }
+
+  test("writePartitioned produces partition-pruned scans") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val ev = graft.model.Tables.events(spark, sf0001)
+    Sources.writePartitioned(ev, s"$tmp/events_by_type", Seq("event_type"), Seq("event_id"))
+    val back = Sources.parquet(spark, s"$tmp/events_by_type")
+    assert(back.count() == ev.count())
+    val plan = back.filter(col("event_type") === "purchase")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n$plan")
+  }
+
+  test("walFileStream + WalPipeline: lifecycle, metrics, exactly-once effect") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-wal").toString
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    // batch 1 lands in the WAL directory before the consumer starts
+    Seq(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"))
+      .toDF().write.mode("append").parquet(walDir)
+
+    graft.streaming.TestSink.reset()
+    val pipeline = new WalPipeline(
+      Sources.walFileStream(spark, walDir), new graft.streaming.TestSink,
+      s"$tmp/ckpt", pollMillis = 10L, retrySleepMs = 1L)
+    pipeline.start()
+    try {
+      pipeline.processAllAvailable()
+      // batch 2 arrives while running — including a replay of id=1
+      Seq(WalRecord(1, 2, "ADD", "name2-replay"),
+        WalRecord(2, 1, "UPDATE", "updated-name"), WalRecord(3, 3, "ADD", "name3"),
+        WalRecord(4, 3, "DELETE", null))
+        .toDF().write.mode("append").parquet(walDir)
+      pipeline.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(graft.streaming.TestSink.target.asScala.toMap ==
+        Map(1L -> "updated-name", 2L -> "name2"))
+      assert(graft.streaming.TestSink.alreadyDone.get() == 1,
+        "replayed record detected as already-done exactly once")
+      assert(pipeline.metrics.numSynchronized.get() == 6, "2 + 4 records observed")
+      assert(pipeline.metrics.state.get() == WalState.NOT_EMPTY ||
+        pipeline.metrics.state.get() == WalState.EMPTY)
+    } finally pipeline.close()
+  }
+}
