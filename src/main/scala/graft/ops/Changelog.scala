@@ -30,7 +30,16 @@ object Changelog {
 
   /** Changelog → current state over any DataFrame with the events schema
     * (user_id, event_id, event_type, value). Shared by the batch query (c1)
-    * and tests. */
+    * and tests.
+    *
+    * Plan shape (verified via explain): partial_max_by runs map-side, so
+    * each input partition collapses to ≤1 row per key BEFORE the exchange —
+    * at 100 TB the shuffle carries |keys|·|partitions| partial rows, not
+    * the log. The struct aggregation buffer forces SortAggregate (local
+    * Tungsten sort, spillable) instead of HashAggregate; the alternative
+    * argmax-join formulation (hash-agg max(event_id) + join back) would
+    * re-shuffle the full log when the key side is too big to broadcast, so
+    * max_by is the right plan at scale. */
   def snapshotOf(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))
       .agg(max_by(struct(col("event_id"), col("event_type"), col("value")), col("event_id")).as("last"))
