@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions hook exposing graft's custom Catalyst
+  * expressions to SQL users:
+  *
+  *   spark = SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions") ...
+  *   spark.sql("SELECT dot_arr(a.embedding, b.embedding) ...")
+  *
+  * For sessions created without the config, [[GraftExtensions.register]]
+  * installs the same functions imperatively. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_arr",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_arr"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+  /** Imperative registration for an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -52,6 +52,17 @@ object TextOps {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
+  /** Shingles reduced to ONE md5 per shingle, keyed by the first 8 hex
+    * chars (32-bit id): joins/minhashes run on the digest, never the
+    * string. Deterministic in both engines; hash collisions (≈9% chance of
+    * one colliding gram pair at 27k distinct shingles) affect Spark and
+    * the oracle identically. */
+  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir).select(col("doc_id"), md5(col("gram")).as("gh"))
+
+  private val shingleHashRowsSql: String =
+    s"SELECT doc_id, md5(gram) AS gh FROM ($shingleRowsSql)"
+
   /** x1: exact dedup via hash groupBy — keeper = min doc_id per text. */
   def x1DedupExact(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -63,10 +74,11 @@ object TextOps {
   /** x2: near-dup detection by word-3-gram Jaccard ≥ 0.6, candidates from a
     * shared-shingle join (no all-pairs). */
   def x2DedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleRows(spark, dir)
+    val g = shingleHashRows(spark, dir)
+      .select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -78,15 +90,18 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** x13: MinHash (k=8, md5-based) + LSH banding (4 bands × 2 rows) —
-    * the scalable near-dup candidate generator. Pairs sharing ≥1 band. */
+  /** x13: MinHash (k=8) + LSH banding (4 bands × 2 rows) — the scalable
+    * near-dup candidate generator; pairs sharing ≥1 band. One md5 per
+    * shingle: the k "permutations" are the 8 disjoint 4-hex-char slices of
+    * the digest (a standard one-hash minhash family), so signature
+    * building costs 1 hash + 8 substrings instead of 8 hashes. */
   def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleRows(spark, dir)
-    val mhAggs = (0 until 8).map(s => min(md5(concat(lit(s + ":"), col("gram")))).as(s"mh$s"))
+    val g = shingleHashRows(spark, dir)
+    val mhAggs = (0 until 8).map(s => min(substring(col("gh"), 4 * s + 1, 4)).as(s"mh$s"))
     val sig = g.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).cast(LongType).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("h"))
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("h"))
     }.reduce(_ unionByName _)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -210,10 +225,10 @@ object TextOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x2_dedup_near" ->
-      s"""WITH g AS ($shingleRowsSql),
+      s"""WITH g AS (SELECT doc_id, substring(gh, 1, 8) AS k FROM ($shingleHashRowsSql)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |      FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
          |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
          |  ${scaled4Sql("inter / (s1.n + s2.n - inter)")} AS jac_s4
@@ -221,11 +236,11 @@ object TextOps {
          |WHERE ${scaled4Sql("inter / (s1.n + s2.n - inter)")} >= 6000
          |ORDER BY d1, d2""".stripMargin,
     "x13_minhash_lsh" -> {
-      val mhs = (0 until 8).map(s => s"min(md5('$s:' || gram)) AS mh$s").mkString(", ")
+      val mhs = (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s").mkString(", ")
       val bandRows = (0 until 4).map(b =>
-        s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS h FROM sig")
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, mh${2 * b} || mh${2 * b + 1} AS h FROM sig")
         .mkString(" UNION ALL ")
-      s"""WITH g AS ($shingleRowsSql),
+      s"""WITH g AS ($shingleHashRowsSql),
          |sig AS (SELECT doc_id, $mhs FROM g GROUP BY doc_id),
          |bands AS ($bandRows)
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands

@@ -1,0 +1,34 @@
+package graft
+
+import graft.SparkTestBase
+
+class GraftExtensionsSpec extends SparkTestBase {
+  test("dot_arr is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_arr(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("dot_arr widens float arrays and respects codegen + interpreted paths") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_arr(cast(array(1.5, 2.5) AS array<float>),
+        |               cast(array(2.0, 4.0) AS array<float>)) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(r == 13.0)
+    // interpreted path (whole-stage codegen off)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r2 = spark.sql(
+        "SELECT dot_arr(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(r2 == 11.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
