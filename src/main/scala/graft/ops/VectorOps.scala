@@ -24,7 +24,7 @@ import graft.functions.VectorFunctions.{dotArr, normSqArr}
   * Scale notes (100 TB posture): x3 broadcasts the single query vector —
   * the scan stays embarrassingly parallel, and TakeOrderedAndProject keeps
   * top-k per partition before the driver merge. x12's bucket key turns ANN
-  * into a pre-partitionable equi-join (a query touches 1/256 of the
+  * into a pre-partitionable equi-join (a query touches one bucket of the
   * corpus); the same bucketing bounds x14's pair generation. For a real
   * IVF you'd replace the sign-bit key with learned centroid ids — the
   * plumbing (bucket column + co-partitioned join) is identical.

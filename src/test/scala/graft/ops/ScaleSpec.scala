@@ -28,6 +28,16 @@ class ScaleSpec extends SparkTestBase {
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Sources.writeBucketed(
       graft.model.Tables.orders(s, sf0001), "orders_b", "o_orderkey", 8)
     Sources.writeBucketed(
