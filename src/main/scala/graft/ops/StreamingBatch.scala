@@ -20,6 +20,14 @@ import graft.model.Tables
 object StreamingBatch {
   import Tables._
 
+  /** s1: the streaming stateful snapshot's batch equivalent — same
+    * last-op-wins semantics as c1 (the stream/batch parity property in
+    * StreamBatchParitySpec proves the streaming form
+    * graft.streaming.Streams.snapshotStream agrees with this on any
+    * micro-batch split). */
+  def s1StreamSnapshot(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Changelog.c1Snapshot(spark, dir)
+
   /** s2: tumbling 1-hour windows (Spark `window()` aligns to the epoch,
     * which for whole hours equals date_trunc). */
   def s2Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -73,6 +81,7 @@ object StreamingBatch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_snapshot" -> s1StreamSnapshot,
     "s2_tumbling" -> s2Tumbling,
     "s3_sliding" -> s3Sliding,
     "s3b_session" -> s3bSession,
@@ -80,6 +89,7 @@ object StreamingBatch {
     "s5_dedup_replay" -> s5DedupReplay)
 
   val oracle: Map[String, String] = Map(
+    "s1_stream_snapshot" -> graft.ops.Changelog.oracle("c1_snapshot"),
     "s2_tumbling" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS start_ms, event_type,
          |  count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c
