@@ -55,6 +55,41 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Generic two-table as-of join: for every left row, attach the latest
+    * right row with the same key and right.time ≤ left.time (ties: right
+    * wins, i.e. a right row AT the left timestamp is visible).
+    *
+    * Composition, not a custom operator (the preference order in the build
+    * brief): tag sides → union → one window over (key, time, side) → keep
+    * left rows. One shuffle on the key, no per-row lookups, no self-join —
+    * the plan a 100 TB as-of needs. `rightValues` are the right-side
+    * columns to carry (emitted as `asof_<name>`, null when no right row
+    * precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightValues: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValues.map(c => col(c).as(s"__rv_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc) // right row sorts before left at equal time
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        rightValues.map(c => last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
     "q8_window_frame" -> q8WindowFrame,
