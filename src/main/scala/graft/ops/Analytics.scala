@@ -62,8 +62,21 @@ object Analytics {
         col("qty_c"), col("n"))
       .orderBy("rf", "ls")
 
+  /** q11b: full cube over the same measures (4 grouping sets in one
+    * Expand+shuffle pass). */
+  def q11bCube(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
+    "q11b_cube" -> q11bCube,
     "q9b_approx_distinct" -> q9bApproxDistinct,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup)
@@ -87,5 +100,10 @@ object Analytics {
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "q11b_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c, count(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin)
 }

@@ -57,12 +57,33 @@ object Scalars {
         col("label").cast(LongType).as("label"))
       .orderBy("vec_id")
 
+  /** q13b: payload as a MAP — `from_json` to MapType + map higher-order
+    * surface (map_keys / element access), the dynamic-payload path when
+    * the JSON schema isn't fixed. */
+  def q13bMapOps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+        size(map_keys(col("m"))).cast(LongType).as("n_keys"),
+        element_at(col("m"), "k").cast(LongType).as("k_val"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_scalar_str_date" -> q12ScalarStrDate,
+    "q13b_map_ops" -> q13bMapOps,
     "q13_json_payload" -> q13JsonPayload,
     "q14_array_ops" -> q14ArrayOps)
 
   val oracle: Map[String, String] = Map(
+    "q13b_map_ops" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "q12_scalar_str_date" ->
       """SELECT o_orderkey,
         |  upper(substring(o_orderpriority, 1, 1)) AS prio_code,
