@@ -64,6 +64,26 @@ object VectorOps {
       .limit(10)
   }
 
+  /** x3b: batched kNN — top-3 neighbors for EACH of a set of query
+    * vectors in one plan: broadcast the query set, score all (query,
+    * candidate) pairs, rank per query with a window. This is the shape a
+    * production batch-scoring job takes (N queries amortize one corpus
+    * scan); per-query ranking shuffles on qid, never globally. */
+  def x3bKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_s4").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast(LongType).as("rn"), col("vec_id"), col("cos_s4"))
+      .orderBy("qid", "rn")
+  }
+
   /** x12: LSH-bucketed ANN — candidates share the query's sign-bucket;
     * top-5 by cosine within the bucket. */
   def x12AnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -102,6 +122,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> x3KnnCosine,
+    "x3b_knn_batch" -> x3bKnnBatch,
     "x12_ann_lsh" -> x12AnnLsh,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x6_multimodal" -> x6Multimodal)
@@ -116,6 +137,18 @@ object VectorOps {
          |SELECT vec_id, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "x3b_knn_batch" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
+         |  FROM e, q WHERE vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos_s4,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_s4 DESC, vec_id ASC) AS rn
+         |  FROM scored)
+         |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, cos_s4 FROM ranked
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "x12_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  ${signBucketSql("embedding")} AS bucket FROM embeddings),

@@ -107,6 +107,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s3b: session windows merge events within the gap (streaming)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val ev = ms.toDS().toDF("user_id", "ts")
+    val q = Streams.sessionCounts(ev, "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap (new session)
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 01:10:00")),
+        (1L, Timestamp.valueOf("2024-01-01 01:50:00")))
+      q.processAllAvailable()
+      val rows = s.table("sess")
+        .select("user_id", "session_start_ms", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00").getTime, 2L),
+        (1L, Timestamp.valueOf("2024-01-01 01:50:00").getTime, 1L)))
+    } finally q.stop()
+  }
+
   test("s3: sliding windows emit 2 windows per event") {
     val s = spark
     import s.implicits._
