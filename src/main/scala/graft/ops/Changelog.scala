@@ -87,16 +87,16 @@ object Changelog {
   def c5Idempotency(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val cutoff = ev.agg(floor(max(col("event_id")) / 2).cast("long").as("c"))
-    val applied = ev.crossJoin(broadcast(cutoff))
-      .filter(col("event_id") <= col("c"))
+    // One scan + one shuffle: per key, applied_thru = max(id ≤ c), and
+    // since nothing lies in (applied_thru, c], pending ≡ id > c and
+    // already ≡ id ≤ c. (The oracle keeps the join formulation — an
+    // independent derivation that must agree.)
+    ev.crossJoin(broadcast(cutoff))
       .groupBy(col("user_id"))
-      .agg(max(col("event_id")).as("applied_thru"))
-    ev.join(applied, Seq("user_id"), "left")
-      .withColumn("applied_thru", coalesce(col("applied_thru"), lit(-1L)))
-      .groupBy(col("user_id"), col("applied_thru"))
       .agg(
-        sum(when(col("event_id") > col("applied_thru"), 1L).otherwise(0L)).as("n_pending"),
-        sum(when(col("event_id") <= col("applied_thru"), 1L).otherwise(0L)).as("n_already"))
+        coalesce(max(when(col("event_id") <= col("c"), col("event_id"))), lit(-1L)).as("applied_thru"),
+        sum(when(col("event_id") > col("c"), 1L).otherwise(0L)).as("n_pending"),
+        sum(when(col("event_id") <= col("c"), 1L).otherwise(0L)).as("n_already"))
       .orderBy("user_id")
   }
 

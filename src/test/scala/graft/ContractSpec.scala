@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every oracle entry must have a query, and
+  * every query without an oracle must be a documented exception. */
+class ContractSpec extends AnyFunSuite {
+  test("oracleSql keys are a subset of queries keys") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle entries without a query: $dangling")
+  }
+
+  test("queries without an oracle are exactly the documented exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q9b_approx_distinct"),
+      s"rows-only-checked queries changed: $noOracle — document or add oracle")
+  }
+
+  test("entry runs on sf0.001 with rows") {
+    val spark = SparkTestBase.session
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
