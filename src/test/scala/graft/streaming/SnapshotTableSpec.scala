@@ -35,6 +35,42 @@ class SnapshotTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitioned sink rewrites only touched partitions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tmp = Files.createTempDirectory("graft-psnap").toString
+    val base = s"$tmp/table"
+    val nParts = 4
+    val ms = MemoryStream[WalRecord]
+    val q = ms.toDS().writeStream
+      .foreachBatch(SnapshotTable.partitionedSink(base, nParts))
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    def versionsOf(p: Long): Seq[String] = {
+      val d = new java.io.File(s"$base/p=$p")
+      if (!d.exists()) Seq.empty else d.listFiles().map(_.getName).toSeq.sorted
+    }
+    try {
+      // keys 0..7 → all 4 partitions
+      ms.addData((0L to 7L).map(k => WalRecord(k, k, "ADD", s"v$k")): _*)
+      q.processAllAvailable()
+      val v0 = (0L until 4L).map(versionsOf)
+      assert(v0.forall(_.contains("v=0")))
+
+      // second batch touches ONLY keys 1 and 5 (both hash to partition 1)
+      ms.addData(WalRecord(8, 1, "UPDATE", "v1b"), WalRecord(9, 5, "DELETE", null))
+      q.processAllAvailable()
+      assert(versionsOf(1).contains("v=1"), "touched partition advanced")
+      Seq(0L, 2L, 3L).foreach(p =>
+        assert(versionsOf(p) == v0(p.toInt), s"untouched partition $p must not be rewritten"))
+
+      val state = SnapshotTable.readPartitioned(s, base, nParts)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (0L to 7L).map(k => k -> s"v$k").toMap + (1L -> "v1b") - 5L
+      assert(state == expected)
+    } finally q.stop()
+  }
+
   test("merge is idempotent: re-applying a batch changes nothing") {
     val s = spark
     import s.implicits._
