@@ -87,6 +87,27 @@ object Sources {
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Compact a parquet directory to ~targetBytes files. Streaming sinks
+    * and partitioned merges accrete small files; scans then pay per-file
+    * open cost and lose row-group locality. Rewrites into
+    * ceil(total/target) files via coalesce (no shuffle) and swaps the
+    * directory atomically via rename. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).coalesce(nFiles).write
+      .mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Bucketed table sink: pre-shuffles on the bucket key once at write
     * time, so every later equi-join/agg on that key runs shuffle-free.
     * Requires saveAsTable (bucketing lives in the catalog). */

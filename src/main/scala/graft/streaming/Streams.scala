@@ -4,7 +4,8 @@ import java.io.IOException
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One WAL record — the streaming mirror of the reference's `WalEntity`
   * (`/root/reference/src/main/java/ir/sahab/walconsumer/WalEntity.java:27-46`):
@@ -24,6 +25,34 @@ case class EntityState(entityId: Long, payload: String, lastId: Long, deleted: B
   * transient target failure (caller retries). */
 trait WalSink extends Serializable {
   def syncEntity(r: WalRecord): Boolean
+}
+
+/** The keyed state machine of the snapshot view as a Spark 4
+  * StatefulProcessor (used by Streams.snapshotStreamTWS): apply a batch's
+  * records in id order, ignore replays, keep last state per key. */
+class SnapshotProcessor extends StatefulProcessor[Long, WalRecord, EntityState] {
+  @transient private var state: ValueState[EntityState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EntityState](
+      "entity", Encoders.product[EntityState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[WalRecord],
+      timers: TimerValues): Iterator[EntityState] = {
+    var cur =
+      if (state.exists()) state.get()
+      else EntityState(key, null, -1L, deleted = true)
+    rows.toSeq.sortBy(_.id).foreach { r =>
+      if (r.id > cur.lastId) {
+        cur = r.operation match {
+          case "DELETE" => EntityState(key, null, r.id, deleted = true)
+          case _        => EntityState(key, r.payload, r.id, deleted = false)
+        }
+      }
+    }
+    state.update(cur)
+    Iterator.single(cur)
+  }
 }
 
 /** S1–S5 (SURVEY.md §2.3): the reference's consume loop
@@ -65,6 +94,18 @@ object Streams {
           state.update(cur)
           Iterator.single(cur)
       }
+  }
+
+  /** S1 on the transformWithState API (Spark 4's successor to
+    * flatMapGroupsWithState): same semantics as [[snapshotStream]], state
+    * in a typed ValueState with the new operator's state-store layout —
+    * the recommended API for new stateful pipelines (per-state-variable
+    * schemas, TTL support, future state-schema evolution). */
+  def snapshotStreamTWS(records: Dataset[WalRecord]): Dataset[EntityState] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.entityId)
+      .transformWithState(new SnapshotProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** The consume loop body as a foreachBatch function: per-entity, in id

@@ -36,6 +36,21 @@ class SourcesSpec extends SparkTestBase {
       s"expected partition pruning in:\n$plan")
   }
 
+  test("compact merges small files and preserves data") {
+    val s = spark
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val ev = graft.model.Tables.events(s, sf0001)
+    ev.repartition(20).write.parquet(s"$tmp/ev") // 20 small files
+    val before = new java.io.File(s"$tmp/ev").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 20)
+    val n = Sources.compact(s, s"$tmp/ev", targetBytes = 512L * 1024 * 1024)
+    val after = new java.io.File(s"$tmp/ev").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n == 1 && after == 1)
+    assert(s.read.parquet(s"$tmp/ev").count() == ev.count())
+  }
+
   test("walFileStream + WalPipeline: lifecycle, metrics, exactly-once effect") {
     val s = spark
     import s.implicits._

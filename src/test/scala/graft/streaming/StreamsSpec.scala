@@ -41,6 +41,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s1-tws: transformWithState snapshot matches the golden scenario") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // transformWithState needs the RocksDB state store (multi-column-family)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[WalRecord]
+    val q = Streams.snapshotStreamTWS(ms.toDS())
+      .writeStream.format("memory").queryName("snaptws").outputMode("update").start()
+    try {
+      ms.addData(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"))
+      q.processAllAvailable()
+      ms.addData(WalRecord(1, 2, "ADD", "name2-replayed"),
+        WalRecord(2, 1, "UPDATE", "updated-name"), WalRecord(3, 3, "ADD", "name3"))
+      q.processAllAvailable()
+      ms.addData(WalRecord(4, 3, "DELETE", null))
+      q.processAllAvailable()
+      val finalState = s.table("snaptws").as[EntityState].collect()
+        .groupBy(_.entityId).map { case (k, vs) => k -> vs.maxBy(_.lastId) }
+      assert(finalState(1L).payload == "updated-name")
+      assert(finalState(2L).payload == "name2", "replay must not overwrite")
+      assert(finalState(3L).deleted)
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("s1-sink: foreachBatchSync is idempotent and retries IOException") {
     val s = spark
     import s.implicits._
