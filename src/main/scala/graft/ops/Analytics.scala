@@ -74,9 +74,45 @@ object Analytics {
         col("qty_c"), col("n"))
       .orderBy("rf", "ls")
 
+  /** q17: exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear interpolation on the sorted set). The
+    * approximate path at 100 TB is `approx_percentile` (KLL-like sketch,
+    * mergeable) — same call shape, no global sort. */
+  def q17Quantiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        cents(expr("percentile(l_quantity, 0.5)")).as("p50_c"),
+        cents(expr("percentile(l_quantity, 0.9)")).as("p90_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q18: statistical moments with INTEGER-EXACT internals — mean and
+    * sample variance derived from scaled-int power sums, so the result is
+    * partitioning-invariant (a naive stddev_samp over doubles is
+    * accumulation-order dependent and can't hash-match an oracle). */
+  def q18Stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = cents(col("l_quantity")) // exact cents
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(x).as("s1"),
+        sum(x * x).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        floor(col("s1") / col("n")).as("mean_c"),
+        // sample variance in cents²: (n*Σx² − (Σx)²) / (n(n−1)), floored
+        floor((col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n") * (col("n") - 1))).as("var_c2"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q11b_cube" -> q11bCube,
+    "q17_quantiles" -> q17Quantiles,
+    "q18_stats" -> q18Stats,
     "q9b_approx_distinct" -> q9bApproxDistinct,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup)
@@ -87,6 +123,23 @@ object Analytics {
         |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q9b intentionally has no oracle: HLL estimates are engine-specific.
+    "q17_quantiles" ->
+      s"""SELECT l_returnflag,
+         |  ${centsSql("quantile_cont(l_quantity, 0.5)")} AS p50_c,
+         |  ${centsSql("quantile_cont(l_quantity, 0.9)")} AS p90_c,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_stats" ->
+      s"""WITH s AS (SELECT l_returnflag,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS s1,
+         |  CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")}) AS BIGINT) AS s2,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  CAST(floor(s1 / n) AS BIGINT) AS mean_c,
+         |  CAST(floor((n * s2 - s1 * s1) / (n * (n - 1))) AS BIGINT) AS var_c2,
+         |  n
+         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q10_setops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
         |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
