@@ -108,11 +108,38 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** q19: pivot — event counts per user spread across event-type columns
+    * (fixed pivot value list, so the schema is static and plannable). */
+  def q19Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** q20: unpivot (melt) — wide lineitem measures to long (measure, value)
+    * rows, then aggregate per measure. */
+  def q20Unpivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        cents(col("l_quantity")).as("quantity_c"),
+        cents(col("l_extendedprice")).as("extendedprice_c"),
+        cents(col("l_discount")).as("discount_c"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity_c"), col("extendedprice_c"), col("discount_c")),
+        "measure", "value_c")
+      .groupBy(col("measure"))
+      .agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n"))
+      .orderBy("measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q11b_cube" -> q11bCube,
     "q17_quantiles" -> q17Quantiles,
     "q18_stats" -> q18Stats,
+    "q19_pivot" -> q19Pivot,
+    "q20_unpivot" -> q20Unpivot,
     "q9b_approx_distinct" -> q9bApproxDistinct,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup)
@@ -140,6 +167,21 @@ object Analytics {
          |  CAST(floor((n * s2 - s1 * s1) / (n * (n - 1))) AS BIGINT) AS var_c2,
          |  n
          |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_unpivot" -> {
+      def m(name: String) =
+        s"SELECT l_orderkey, '${name}_c' AS measure, ${centsSql(s"l_$name")} AS value_c FROM lineitem"
+      s"""WITH long AS (${m("quantity")} UNION ALL ${m("extendedprice")} UNION ALL ${m("discount")})
+         |SELECT measure, CAST(sum(value_c) AS BIGINT) AS total_c, count(*) AS n
+         |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+    },
     "q10_setops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
         |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
