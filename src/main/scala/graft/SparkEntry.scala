@@ -33,4 +33,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.map(_._2).reduce(_ ++ _)
+
+  /** Register every driver table as a temp view (plus graft's SQL
+    * functions), so the whole surface is usable from `spark.sql`. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => graft.model.Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    graft.model.Tables.events(spark, dir).createOrReplaceTempView("events")
+    GraftExtensions.register(spark)
+  }
 }

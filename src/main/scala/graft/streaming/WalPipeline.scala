@@ -42,7 +42,9 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    state.set(WalState.NONE)
+    // abnormal termination ≙ the reference's INACCESSIBLE_IO_FAILURE
+    // (`WalConsumer.java:137-142`); clean stop → NONE
+    state.set(if (e.exception.isDefined) WalState.INACCESSIBLE_IO_FAILURE else WalState.NONE)
 }
 
 /** Lifecycle wrapper — the Spark form of the reference's consumer object
