@@ -37,8 +37,7 @@ object SparkEntry {
   /** Register every driver table as a temp view (plus graft's SQL
     * functions), so the whole surface is usable from `spark.sql`. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
+    graft.model.Tables.plainNames
       .foreach(t => graft.model.Tables.table(spark, dir, t).createOrReplaceTempView(t))
     graft.model.Tables.events(spark, dir).createOrReplaceTempView("events")
     GraftExtensions.register(spark)

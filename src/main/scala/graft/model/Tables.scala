@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.LongType
   * pushed filters (`PushedFilters` in `.explain("formatted")`).
   */
 object Tables {
+  /** The driver table inventory (TESTDATA.md) minus `events`, which needs
+    * the timestamp normalization in [[events]]. Single source of truth for
+    * accessors and SQL view registration. */
+  val plainNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -112,25 +112,40 @@ object Streams {
     * order, at-least-once into the idempotent sink; transient IOException
     * retried with backoff, forever (`WalConsumer.java:259-269`,
     * sleepMillisOnIoFailure). Returns the writer to attach:
-    * `ds.writeStream.foreachBatch(foreachBatchSync(sink, retrySleepMs))`. */
-  def foreachBatchSync(sink: WalSink, retrySleepMs: Long = 1000L)
+    * `ds.writeStream.foreachBatch(foreachBatchSync(sink, retrySleepMs))`.
+    *
+    * The retry loop runs DRIVER-side around the whole batch, not inside
+    * the executor closure: a task stuck in an in-closure retry loop is
+    * invisible to the driver (no metrics, no accumulator flush, no
+    * cancellation), whereas a failed-and-replayed batch is safe because
+    * the sink contract makes re-applies detectable (`false` = already
+    * done). `onIoFailure`/`onRecovered` let the owner surface the outage
+    * (WalPipeline wires them to the INACCESSIBLE_IO_FAILURE gauge —
+    * reference state semantics, `WalConsumer.java:137-142, 354-359`). */
+  def foreachBatchSync(sink: WalSink, retrySleepMs: Long = 1000L,
+      onIoFailure: () => Unit = () => (), onRecovered: () => Unit = () => ())
       : (Dataset[WalRecord], Long) => Unit = { (batch, _) =>
-    batch
-      .repartition(col("entityId")) // co-locate each key; parallel across keys
-      .sortWithinPartitions(col("entityId"), col("id")) // ordered apply per key
-      .foreachPartition { (rows: Iterator[WalRecord]) =>
-        rows.foreach { r =>
-          var done = false
-          while (!done) {
-            try {
-              sink.syncEntity(r) // false = already done (replay) — just proceed
-              done = true
-            } catch {
-              case _: IOException => Thread.sleep(retrySleepMs) // retry forever
-            }
+    def isIo(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[IOException] || isIo(t.getCause))
+    var done = false
+    var failedBefore = false
+    while (!done) {
+      try {
+        batch
+          .repartition(col("entityId")) // co-locate each key; parallel across keys
+          .sortWithinPartitions(col("entityId"), col("id")) // ordered apply per key
+          .foreachPartition { (rows: Iterator[WalRecord]) =>
+            rows.foreach(sink.syncEntity(_)) // false = already done — proceed
           }
-        }
+        done = true
+        if (failedBefore) onRecovered()
+      } catch {
+        case e: Throwable if isIo(e) => // transient target outage: retry forever
+          failedBefore = true
+          onIoFailure()
+          Thread.sleep(retrySleepMs)
       }
+    }
   }
 
   /** S2: tumbling 1-hour event-time window counts with a watermark. */

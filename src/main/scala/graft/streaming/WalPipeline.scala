@@ -18,33 +18,59 @@ object WalState extends Enumeration {
   * StreamingQueryListener instead of per-record RDBMS queries. */
 final class WalMetrics extends StreamingQueryListener with Serializable {
   val numSynchronized = new AtomicLong(0)
+  val numIoFailures = new AtomicLong(0)
   val lastBatchRows = new AtomicLong(0)
   val state = new AtomicReference[WalState.Value](WalState.NONE)
   @volatile private var notEmptySinceMs: Long = -1L
+  /** Set by the owning pipeline; events from other queries on the same
+    * session are ignored (a session-wide listener would otherwise report
+    * a neighbor query's failure as this WAL's state). */
+  @volatile private[streaming] var queryId: java.util.UUID = _
+
+  private def mine(id: java.util.UUID): Boolean = queryId != null && queryId == id
 
   def notEmptySeconds: Long =
     if (notEmptySinceMs < 0) 0 else (System.currentTimeMillis() - notEmptySinceMs) / 1000
 
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    state.set(WalState.NONE)
+  /** Target outage begins/ends (wired into foreachBatchSync). */
+  private[streaming] def ioFailure(): Unit = {
+    numIoFailures.incrementAndGet()
+    state.set(WalState.INACCESSIBLE_IO_FAILURE)
+  }
+  private[streaming] def recovered(): Unit = state.set(WalState.NOT_EMPTY)
 
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val rows = e.progress.numInputRows
-    lastBatchRows.set(rows)
-    if (rows > 0) {
-      numSynchronized.addAndGet(rows)
-      if (notEmptySinceMs < 0) notEmptySinceMs = System.currentTimeMillis()
-      state.set(WalState.NOT_EMPTY)
-    } else {
-      notEmptySinceMs = -1L
-      state.set(WalState.EMPTY)
-    }
+  /** Called by the pipeline on close(): listener events are async, so the
+    * reference's unregister-on-close (`WalConsumer.java:299-317`) is done
+    * synchronously here, not in onQueryTerminated. */
+  private[streaming] def closed(): Unit = {
+    state.set(WalState.NONE)
+    notEmptySinceMs = -1L
   }
 
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    if (mine(e.id)) state.set(WalState.NONE)
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (mine(e.progress.id) && state.get() != WalState.INACCESSIBLE_IO_FAILURE) {
+      val rows = e.progress.numInputRows
+      lastBatchRows.set(rows)
+      if (rows > 0) {
+        numSynchronized.addAndGet(rows)
+        if (notEmptySinceMs < 0) notEmptySinceMs = System.currentTimeMillis()
+        state.set(WalState.NOT_EMPTY)
+      } else {
+        notEmptySinceMs = -1L
+        state.set(WalState.EMPTY)
+      }
+    }
+
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    // abnormal termination ≙ the reference's INACCESSIBLE_IO_FAILURE
-    // (`WalConsumer.java:137-142`); clean stop → NONE
-    state.set(if (e.exception.isDefined) WalState.INACCESSIBLE_IO_FAILURE else WalState.NONE)
+    if (mine(e.id)) {
+      // IO-caused death → the reference's INACCESSIBLE_IO_FAILURE
+      // (`WalConsumer.java:137-142`); clean stop or non-IO bug → NONE
+      val io = e.exception.exists(_.contains("IOException"))
+      state.set(if (io) WalState.INACCESSIBLE_IO_FAILURE else WalState.NONE)
+    }
 }
 
 /** Lifecycle wrapper — the Spark form of the reference's consumer object
@@ -75,10 +101,13 @@ final class WalPipeline(
     require(query == null, "already started")
     records.sparkSession.streams.addListener(metrics)
     query = records.writeStream
-      .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs))
+      .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs,
+        onIoFailure = () => metrics.ioFailure(),
+        onRecovered = () => metrics.recovered()))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(pollMillis))
       .start()
+    metrics.queryId = query.id
     query
   }
 
@@ -90,6 +119,7 @@ final class WalPipeline(
     if (query != null) {
       query.stop()
       records.sparkSession.streams.removeListener(metrics)
+      metrics.closed()
       query = null
     }
   }

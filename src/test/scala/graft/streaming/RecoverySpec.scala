@@ -60,10 +60,11 @@ class RecoverySpec extends SparkTestBase {
     s.streams.addListener(metrics)
     val q = ms.toDS().writeStream
       .foreachBatch { (_: org.apache.spark.sql.Dataset[WalRecord], _: Long) =>
-        throw new RuntimeException("target permanently unreachable")
+        throw new java.io.IOException("target unreachable and not retried here")
       }
       .option("checkpointLocation", Files.createTempDirectory("graft-fail").toString)
       .start()
+    metrics.queryId = q.id
     try {
       ms.addData(WalRecord(0, 1, "ADD", "x"))
       intercept[Exception] { q.processAllAvailable() }
