@@ -71,13 +71,69 @@ object Scalars {
         element_at(col("m"), "k").cast(LongType).as("k_val"))
       .orderBy("event_id")
 
+  /** q12b: wider string-function surface (regexp_replace, pads, trim,
+    * split_part, repeat/reverse/replace, prefix tests) — all codegen'd
+    * built-ins with identical semantics in the DuckDB oracle. */
+  def q12bStrings(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        regexp_replace(col("o_orderpriority"), "[0-9]+", "#").as("prio_masked"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("key_padded"),
+        rpad(col("o_orderstatus"), 3, ".").as("status_padded"),
+        trim(concat(lit("  "), col("o_orderstatus"), lit("  "))).as("status_trimmed"),
+        expr("split_part(o_orderpriority, '-', 2)").as("prio_word"),
+        reverse(col("o_orderstatus")).as("status_rev"),
+        repeat(col("o_orderstatus"), 2).as("status_x2"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_underscored"),
+        col("o_orderpriority").startsWith("1").cast("int").cast(LongType).as("is_top"),
+        col("o_orderpriority").contains("URGENT").cast("int").cast(LongType).as("is_urgent"))
+      .orderBy("o_orderkey")
+
+  /** q12c: wider date/time surface over event time. */
+  def q12cDates(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        quarter(col("ts")).cast(LongType).as("q"),
+        weekofyear(col("ts")).cast(LongType).as("woy"),
+        hour(col("ts")).cast(LongType).as("h"),
+        minute(col("ts")).cast(LongType).as("mi"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"),
+        unix_millis(last_day(col("ts")).cast("timestamp")).as("month_end_ms"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_scalar_str_date" -> q12ScalarStrDate,
+    "q12b_strings" -> q12bStrings,
+    "q12c_dates" -> q12cDates,
     "q13b_map_ops" -> q13bMapOps,
     "q13_json_payload" -> q13JsonPayload,
     "q14_array_ops" -> q14ArrayOps)
 
   val oracle: Map[String, String] = Map(
+    "q12b_strings" ->
+      """SELECT o_orderkey,
+        |  regexp_replace(o_orderpriority, '[0-9]+', '#') AS prio_masked,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+        |  rpad(o_orderstatus, 3, '.') AS status_padded,
+        |  trim('  ' || o_orderstatus || '  ') AS status_trimmed,
+        |  split_part(o_orderpriority, '-', 2) AS prio_word,
+        |  reverse(o_orderstatus) AS status_rev,
+        |  repeat(o_orderstatus, 2) AS status_x2,
+        |  regexp_replace(o_orderpriority, '-', '_') AS prio_underscored,
+        |  CAST(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END AS BIGINT) AS is_top,
+        |  CAST(CASE WHEN contains(o_orderpriority, 'URGENT') THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q12c_dates" ->
+      """SELECT event_id,
+        |  CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(weekofyear(ts) AS BIGINT) AS woy,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |  epoch_ms(CAST(last_day(ts) AS TIMESTAMP)) AS month_end_ms
+        |FROM events ORDER BY event_id""".stripMargin,
     "q13b_map_ops" ->
       """SELECT event_id,
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
