@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.model.Tables
 
 /** Q7, Q8, Q16 (SURVEY.md §2.3): window functions — ranking, analytic
@@ -29,6 +30,26 @@ object Windows {
         dense_rank().over(w).as("drk"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
+  }
+
+  /** q7b: distribution + navigation window functions (ntile,
+    * percent_rank, cume_dist, first/last/nth value, lead) per customer.
+    * percent_rank/cume_dist are single divisions of integers — bit-equal
+    * across engines; emitted 1e-4-scaled. */
+  def q7bWindowMore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        scaled4(percent_rank().over(w)).as("pr_s4"),
+        scaled4(cume_dist().over(w)).as("cd_s4"),
+        first(col("o_orderkey")).over(wf).as("best_order"),
+        last(col("o_orderkey")).over(wf).as("worst_order"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(wf), lit(-1L)).as("second_order"),
+        coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** q8: analytic frame — per-user running sum + lag over the event log. */
@@ -92,6 +113,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
+    "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
     "q16_asof" -> q16Asof)
 
@@ -103,6 +125,20 @@ object Windows {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q7b_window_more" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ${scaled4Sql("percent_rank() OVER w")} AS pr_s4,
+         |  ${scaled4Sql("cume_dist() OVER w")} AS cd_s4,
+         |  first_value(o_orderkey) OVER wf AS best_order,
+         |  last_value(o_orderkey) OVER wf AS worst_order,
+         |  coalesce(nth_value(o_orderkey, 2) OVER wf, -1) AS second_order,
+         |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q8_window_frame" ->
       s"""SELECT user_id, event_id,
          |  CAST(sum(${centsSql("value")}) OVER (PARTITION BY user_id ORDER BY event_id

@@ -20,4 +20,14 @@ class ContractSpec extends AnyFunSuite {
     val spark = SparkTestBase.session
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query plans a CartesianProduct") {
+    val spark = SparkTestBase.session
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded cartesian plans (broadcast the small side instead): $offenders")
+  }
 }

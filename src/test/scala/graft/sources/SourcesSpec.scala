@@ -79,6 +79,10 @@ class SourcesSpec extends SparkTestBase {
         Map(1L -> "updated-name", 2L -> "name2"))
       assert(graft.streaming.TestSink.alreadyDone.get() == 1,
         "replayed record detected as already-done exactly once")
+      // progress events are delivered async to the listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (pipeline.metrics.numSynchronized.get() < 6 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(pipeline.metrics.numSynchronized.get() == 6, "2 + 4 records observed")
       assert(pipeline.metrics.state.get() == WalState.NOT_EMPTY ||
         pipeline.metrics.state.get() == WalState.EMPTY)
