@@ -97,6 +97,36 @@ object VectorOps {
       .limit(5)
   }
 
+  /** x16: IVF ANN — inverted-file index with 16 coarse centroids
+    * (deterministically the vectors with vec_id < 16; a production build
+    * would k-means them, the index/probe plumbing is identical) and
+    * nprobe=2: every vector is assigned to its nearest centroid (the
+    * inverted lists), a query scores only the lists of its 2 nearest
+    * centroids. Rankings use 1e-4-scaled similarity with id tie-breaks so
+    * list assignment is cross-engine deterministic. */
+  def x16IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val sim = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
+    val ranked = sim.withColumn("rn", row_number().over(wAssign))
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2).select(col("cid"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))
+    assign.join(broadcast(probe), "cid")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
+      .orderBy(col("cos_s4").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
   /** x14: embedding-cosine near-dup pairs (cos ≥ 0.5). Exact all-pairs at
     * this corpus size; the x12 bucket key is the blocker at scale. */
   def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame = {
@@ -124,6 +154,7 @@ object VectorOps {
     "x3_knn_cosine" -> x3KnnCosine,
     "x3b_knn_batch" -> x3bKnnBatch,
     "x12_ann_lsh" -> x12AnnLsh,
+    "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x6_multimodal" -> x6Multimodal)
 
@@ -156,6 +187,20 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x16_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |sim AS (SELECT vec_id, cid, ${scaled4Sql(cosSql("v", "cv"))} AS sim_s4 FROM e CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, cid, sim_s4,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM sim),
+         |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+         |probe AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT a.vec_id, a.cid, ${scaled4Sql(cosSql("e.v", "q.qv"))} AS cos_s4
+         |FROM assign a JOIN probe p ON a.cid = p.cid
+         |JOIN e ON e.vec_id = a.vec_id, q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin,
     "x14_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT a.vec_id AS v1, b.vec_id AS v2, ${scaled4Sql(cosSql("a.v", "b.v"))} AS cos_s4
