@@ -69,12 +69,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** x15b: media transforms — the resize / frame-sample verbs of a media
+    * pipeline, stubbed deterministically over the opaque payload (resize ≙
+    * truncate-or-pad the byte buffer to a target length; frame-sample ≙
+    * take every k-th byte as a "frame"). The Spark-side shape (binary in,
+    * binary/array out, per-partition batches) is exactly what a real codec
+    * transform plugs into. */
+  def x15bMediaTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = 64
+    val stride = 16
+    mediaTable(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val resized = java.util.Arrays.copyOf(r.payload, target) // truncate/zero-pad
+          val frames = r.payload.indices.by(stride).map(i => r.payload(i) & 0xff)
+          (r.doc_id, resized.length.toLong,
+            resized.map(b => (b & 0xff).toLong).sum,
+            frames.length.toLong, frames.map(_.toLong).sum)
+        }
+      }
+      .toDF("doc_id", "resized_len", "resized_sum", "n_frames", "frame_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x15_media_pipeline" -> x15MediaPipeline)
+    "x15_media_pipeline" -> x15MediaPipeline,
+    "x15b_media_transform" -> x15bMediaTransform)
 
   /** Oracle mirrors the stub decode arithmetically: byte_sum of UTF-8 text
     * (corpus is ASCII) via per-character codepoint sum. */
   val oracle: Map[String, String] = Map(
+    "x15b_media_transform" ->
+      """SELECT doc_id,
+        |  CAST(64 AS BIGINT) AS resized_len,
+        |  CAST(list_sum(list_transform(string_split_regex(substring(text, 1, 64), ''), c -> ascii(c))) AS BIGINT) AS resized_sum,
+        |  (octet_length(encode(text)) + 15) // 16 AS n_frames,
+        |  CAST(list_sum(list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1, 16),
+        |       i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS frame_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_media_pipeline" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
