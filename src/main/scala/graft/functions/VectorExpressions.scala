@@ -43,7 +43,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException( // fail fast — the oracle's list_dot_product errors too
+        s"dot_arr: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var sum = 0.0
@@ -59,13 +62,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName: two DotProducts in one codegen scope (e.g. dot + normSq
+      // in a single projection) must not collide on local variable names
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
+      val xGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) { sum += ($xGet) * ($yGet); }
-         |${ev.value} = sum;
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_arr: dimension mismatch "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += ($xGet) * ($yGet); }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

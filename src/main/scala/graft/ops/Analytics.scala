@@ -90,21 +90,29 @@ object Analytics {
   /** q18: statistical moments with INTEGER-EXACT internals — mean and
     * sample variance derived from scaled-int power sums, so the result is
     * partitioning-invariant (a naive stddev_samp over doubles is
-    * accumulation-order dependent and can't hash-match an oracle). */
+    * accumulation-order dependent and can't hash-match an oracle).
+    * The n·Σx² − (Σx)² product exceeds Long around sf1, so the moment
+    * arithmetic runs in decimal(38,0) (the oracle side stays in DuckDB's
+    * native HUGEINT); the exact floor-division is (num − num % den) / den,
+    * whose quotient is integral and therefore exact in both engines. */
   def q18Stats(spark: SparkSession, dir: String): DataFrame = {
     val x = cents(col("l_quantity")) // exact cents
+    val dec = "decimal(38,0)"
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(x).as("s1"),
-        sum(x * x).as("s2"),
-        count(lit(1)).as("n"))
+        sum(x).cast(dec).as("s1"),
+        sum(x * x).cast(dec).as("s2"),
+        count(lit(1)).cast(dec).as("n"))
       .select(col("l_returnflag"),
-        floor(col("s1") / col("n")).as("mean_c"),
+        ((col("s1") - (col("s1") % col("n"))) / col("n")).cast("long").as("mean_c"),
         // sample variance in cents²: (n*Σx² − (Σx)²) / (n(n−1)), floored
-        floor((col("n") * col("s2") - col("s1") * col("s1")) /
-          (col("n") * (col("n") - 1))).as("var_c2"),
-        col("n"))
+        {
+          val num = col("n") * col("s2") - col("s1") * col("s1")
+          val den = col("n") * (col("n") - lit(1).cast(dec))
+          ((num - (num % den)) / den).cast("long").as("var_c2")
+        },
+        col("n").cast("long").as("n"))
       .orderBy("l_returnflag")
   }
 
@@ -158,14 +166,14 @@ object Analytics {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q18_stats" ->
       s"""WITH s AS (SELECT l_returnflag,
-         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS s1,
-         |  CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")}) AS BIGINT) AS s2,
+         |  sum(${centsSql("l_quantity")}) AS s1,
+         |  sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")}) AS s2,
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
-         |  CAST(floor(s1 / n) AS BIGINT) AS mean_c,
-         |  CAST(floor((n * s2 - s1 * s1) / (n * (n - 1))) AS BIGINT) AS var_c2,
-         |  n
+         |  CAST(s1 // n AS BIGINT) AS mean_c,
+         |  CAST((n * s2 - s1 * s1) // (n * (n - 1)) AS BIGINT) AS var_c2,
+         |  CAST(n AS BIGINT) AS n
          |FROM s ORDER BY l_returnflag""".stripMargin,
     "q19_pivot" ->
       """SELECT user_id,

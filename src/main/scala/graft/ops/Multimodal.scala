@@ -10,9 +10,10 @@ import graft.model.Tables
 case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
     width: Int, height: Int)
 
-/** Extracted per-media features (decode output). */
+/** Extracted per-media features (decode output); metadata (width) is
+  * carried through the decode batch rather than re-joined afterwards. */
 case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
-    byte_sum: Long, format: String)
+    byte_sum: Long, format: String, width: Long)
 
 /** X15: multimodal column plumbing — the Spark-side machinery a media
   * pipeline needs: a `binary` payload column with typed metadata, a typed
@@ -55,16 +56,16 @@ object Multimodal {
       var i = 0
       while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
       MediaFeatures(r.doc_id, r.payload.length.toLong,
-        if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else -1L, sum, r.format)
+        if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else 0L, // ascii('') = 0
+        sum, r.format, r.width.toLong)
     }
 
-  /** x15: media pipeline — binary payload → per-partition batch decode →
-    * features joined back to metadata. */
+  /** x15: media pipeline — binary payload → per-partition batch decode;
+    * metadata flows through the decode (one scan, no re-join). */
   def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, dir)
-    val feats = media.mapPartitions(decodeBatch)
-    feats.join(media.select(col("doc_id"), col("width").cast(LongType).as("width")), "doc_id")
+    mediaTable(spark, dir)
+      .mapPartitions(decodeBatch)
       .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("width"))
       .orderBy("doc_id")
   }
@@ -103,16 +104,16 @@ object Multimodal {
     "x15b_media_transform" ->
       """SELECT doc_id,
         |  CAST(64 AS BIGINT) AS resized_len,
-        |  CAST(list_sum(list_transform(string_split_regex(substring(text, 1, 64), ''), c -> ascii(c))) AS BIGINT) AS resized_sum,
+        |  CAST(coalesce(list_sum(list_transform(string_split_regex(substring(text, 1, 64), ''), c -> ascii(c))), 0) AS BIGINT) AS resized_sum,
         |  (octet_length(encode(text)) + 15) // 16 AS n_frames,
-        |  CAST(list_sum(list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1, 16),
-        |       i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS frame_sum
+        |  CAST(coalesce(list_sum(list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1, 16),
+        |       i -> ascii(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS frame_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_media_pipeline" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-        |  CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+        |  CAST(coalesce(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))), 0) AS BIGINT) AS byte_sum,
         |  n_chars % 640 AS width
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -68,7 +68,9 @@ object Scalars {
       .select(col("event_id"),
         array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
         size(map_keys(col("m"))).cast(LongType).as("n_keys"),
-        element_at(col("m"), "k").cast(LongType).as("k_val"))
+        // try_element_at: missing key → NULL (matches the oracle's
+        // json_extract_string) instead of ANSI NoSuchElementException
+        try_element_at(col("m"), lit("k")).cast(LongType).as("k_val"))
       .orderBy("event_id")
 
   /** q12b: wider string-function surface (regexp_replace, pads, trim,

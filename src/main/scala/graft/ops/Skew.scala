@@ -20,7 +20,9 @@ object Skew {
     * sum-aggregates; extend with min/max/etc. the same way. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
       buckets: Int = 32): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // monotonically_increasing_id already encodes (partitionId << 33 | offset),
+    // so pmod over it alone spreads a hot key across buckets
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
     salted
       .groupBy(key.as("k"), col("__salt"))
       .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_n"))
