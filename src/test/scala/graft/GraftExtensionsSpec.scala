@@ -11,6 +11,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r == 32.0)
   }
 
+  test("two dot_arr instances in one projection codegen without collision") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_arr(a, b) AS d1, dot_arr(a, a) AS d2 FROM
+        |(SELECT array(1.0D, 2.0D) AS a, array(3.0D, 4.0D) AS b)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+
+  test("dot_arr rejects dimension mismatch like the oracle") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_arr(array(1.0D), array(1.0D, 2.0D))").collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("dot_arr widens float arrays and respects codegen + interpreted paths") {
     GraftExtensions.register(spark)
     val r = spark.sql(
