@@ -96,14 +96,27 @@ object Sources {
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse Hive-partitioned layouts: a flat rewrite would destroy the
+    // partition directories (and their pruning); compact per leaf instead
+    val partitioned = fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path has partition directories — compact each leaf directory instead")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compact crashed mid-swap; recover it first")
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).coalesce(nFiles).write
       .mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    // two renames, checked: a crash between them leaves the data intact at
+    // __old (detected and refused by the guard above on the next run)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: failed to move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"compact: failed to install $tmp")
+    }
     fs.delete(old, true)
     nFiles
   }

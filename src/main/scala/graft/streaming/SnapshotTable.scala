@@ -82,18 +82,32 @@ object SnapshotTable {
       .drop("operation")
   }
 
-  /** foreachBatch function maintaining the table at `base`. */
-  def sink(base: String): (Dataset[WalRecord], Long) => Unit = { (batch, batchId) =>
-    val spark = batch.sparkSession
-    val next = merge(read(spark, base), batch)
-    val prevVersions = committedVersions(spark, base)
+  /** Write `next` as the successor version of `base` and prune old
+    * versions (retain the latest two — readers of v−1 may be in flight).
+    * The single commit protocol shared by the flat and partitioned sinks. */
+  private def commitVersion(next: DataFrame, base: String,
+      prevVersions: Seq[Long]): Long = {
+    val spark = next.sparkSession
     val v = prevVersions.lastOption.getOrElse(-1L) + 1
     next.write.mode(SaveMode.Overwrite)
       .parquet(versionDir(new Path(base), v).toString)
-    // retain only the latest two versions (readers of v-1 may be in flight)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     prevVersions.dropRight(1).foreach(old =>
       fs.delete(versionDir(new Path(base), old), true))
+    v
+  }
+
+  /** foreachBatch function maintaining the table at `base`. */
+  def sink(base: String): (Dataset[WalRecord], Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val prevVersions = committedVersions(spark, base)
+    val prev = prevVersions.lastOption match {
+      case Some(v) => spark.read.parquet(versionDir(new Path(base), v).toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
+    }
+    commitVersion(merge(prev, batch), base, prevVersions)
   }
 
   /** Attach to a WAL stream: records → materialized snapshot table. */
@@ -108,42 +122,92 @@ object SnapshotTable {
   //
   // The flat sink above rewrites the whole snapshot every batch — fine for
   // tests, wrong at 100 TB. Here the table is laid out as
-  // base/p=<hash(entityId) % nParts>/v=<n>/ with an independent version
-  // chain per partition: a micro-batch reads and rewrites ONLY the
-  // partitions its keys hash into (a batch touching 0.1% of keys rewrites
-  // ~0.1% of the table). This is the file-layout half of what Delta/Iceberg
-  // MERGE does; their transaction log would replace the _SUCCESS-gated
-  // version dirs.
+  // base/p=<hash(entityId) % nParts>/v=<n>/ and a MANIFEST file is the
+  // transaction log: it names the committed version of every partition
+  // (plus nParts). A micro-batch writes new version dirs for only the
+  // partitions its keys hash into, then swaps the manifest in last —
+  // readers resolve partitions through the manifest, so a crash between
+  // partition writes leaves the previous manifest (and a consistent
+  // cross-key view) intact. This is a miniature of the Delta/Iceberg
+  // commit protocol; their log adds history and concurrent-writer CAS.
 
   private def partOf(nParts: Int) = pmod(col("entityId"), lit(nParts.toLong))
 
-  /** Latest committed state of one hash partition. */
-  private def readPart(spark: SparkSession, base: String, p: Long): DataFrame =
-    read(spark, s"$base/p=$p")
+  private def manifestPath(base: String) = new Path(base, "MANIFEST")
 
-  /** Full snapshot view across partitions. */
-  def readPartitioned(spark: SparkSession, base: String, nParts: Int): DataFrame =
-    (0L until nParts.toLong).map(p => readPart(spark, base, p)).reduce(_ unionByName _)
+  /** Manifest = (nParts, partition → committed version). */
+  private[streaming] def readManifest(spark: SparkSession, base: String): Option[(Int, Map[Long, Long])] = {
+    val p = manifestPath(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val lines = text.trim.split("\n").toSeq
+      val n = lines.head.stripPrefix("nParts=").toInt
+      val vs = lines.tail.map { l =>
+        val Array(pp, vv) = l.split("=");
+        pp.toLong -> vv.toLong
+      }.toMap
+      Some((n, vs))
+    }
+  }
 
-  /** foreachBatch function: merge into touched partitions only. */
+  private def writeManifest(spark: SparkSession, base: String, nParts: Int,
+      versions: Map[Long, Long]): Unit = {
+    val p = manifestPath(base)
+    val tmp = new Path(base, s"MANIFEST.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write((s"nParts=$nParts\n" +
+      versions.toSeq.sorted.map { case (pp, vv) => s"$pp=$vv" }.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false) // HDFS rename won't overwrite; delete-then-rename is
+    if (!fs.rename(tmp, p)) // safe because readers fall back to nothing only
+      throw new java.io.IOException(s"manifest swap failed for $base") // if BOTH ops die
+  }
+
+  /** Full snapshot view across partitions, resolved via the manifest
+    * (empty before the first commit). */
+  def readPartitioned(spark: SparkSession, base: String): DataFrame =
+    readManifest(spark, base) match {
+      case Some((_, versions)) if versions.nonEmpty =>
+        versions.toSeq.sorted
+          .map { case (p, v) => spark.read.parquet(s"$base/p=$p/v=$v") }
+          .reduce(_ unionByName _)
+      case _ =>
+        import spark.implicits._
+        Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
+    }
+
+  /** foreachBatch function: merge into touched partitions only; the
+    * manifest swap at the end is the cross-partition commit point. */
   def partitionedSink(base: String, nParts: Int): (Dataset[WalRecord], Long) => Unit = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
     (batch, _) =>
       val spark = batch.sparkSession
+      val manifest = readManifest(spark, base)
+      manifest.foreach { case (n, _) =>
+        require(n == nParts,
+          s"table at $base was created with nParts=$n, sink configured with $nParts")
+      }
+      val versions = manifest.map(_._2).getOrElse(Map.empty[Long, Long])
       val cached = batch.cache()
       try {
         val touched = cached.select(partOf(nParts).as("p"))
           .distinct().collect().map(_.getLong(0)).sorted // ≤ nParts rows — bounded driver work
-        touched.foreach { p =>
+        val newVersions = touched.map { p =>
           import spark.implicits._
           val slice = cached.filter(partOf(nParts) === p).as[WalRecord]
-          val next = merge(readPart(spark, base, p), slice)
-          val partBase = s"$base/p=$p"
-          val prevVersions = committedVersions(spark, partBase)
-          val v = prevVersions.lastOption.getOrElse(-1L) + 1
-          next.write.mode(SaveMode.Overwrite).parquet(s"$partBase/v=$v")
-          val fs = new Path(partBase).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          prevVersions.dropRight(1).foreach(old => fs.delete(new Path(s"$partBase/v=$old"), true))
-        }
+          val prev = versions.get(p) match {
+            case Some(v) => spark.read.parquet(s"$base/p=$p/v=$v")
+            case None => Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
+          }
+          val prevVs = committedVersions(spark, s"$base/p=$p")
+          p -> commitVersion(merge(prev, slice), s"$base/p=$p", prevVs)
+        }.toMap
+        writeManifest(spark, base, nParts, versions ++ newVersions)
       } finally cached.unpersist()
   }
 }

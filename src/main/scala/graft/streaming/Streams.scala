@@ -28,8 +28,8 @@ trait WalSink extends Serializable {
 }
 
 /** The keyed state machine of the snapshot view as a Spark 4
-  * StatefulProcessor (used by Streams.snapshotStreamTWS): apply a batch's
-  * records in id order, ignore replays, keep last state per key. */
+  * StatefulProcessor (used by Streams.snapshotStreamTWS): same
+  * [[Streams.applyRecords]] semantics, state in a typed ValueState. */
 class SnapshotProcessor extends StatefulProcessor[Long, WalRecord, EntityState] {
   @transient private var state: ValueState[EntityState] = _
 
@@ -39,17 +39,8 @@ class SnapshotProcessor extends StatefulProcessor[Long, WalRecord, EntityState] 
 
   override def handleInputRows(key: Long, rows: Iterator[WalRecord],
       timers: TimerValues): Iterator[EntityState] = {
-    var cur =
-      if (state.exists()) state.get()
-      else EntityState(key, null, -1L, deleted = true)
-    rows.toSeq.sortBy(_.id).foreach { r =>
-      if (r.id > cur.lastId) {
-        cur = r.operation match {
-          case "DELETE" => EntityState(key, null, r.id, deleted = true)
-          case _        => EntityState(key, r.payload, r.id, deleted = false)
-        }
-      }
-    }
+    val cur = Streams.applyRecords(key,
+      if (state.exists()) Some(state.get()) else None, rows)
     state.update(cur)
     Iterator.single(cur)
   }
@@ -69,11 +60,35 @@ class SnapshotProcessor extends StatefulProcessor[Long, WalRecord, EntityState] 
   */
 object Streams {
 
-  /** S1: stateful changelog → current-state view. Keyed state via
-    * flatMapGroupsWithState; records within a batch are applied in id
-    * order; replays (id ≤ lastId) are ignored — the reference's
-    * "already done" detection (`WalConsumer.java:271-278`). Emits the
-    * post-batch state of each touched key (Update mode). */
+  /** The WAL-apply state machine, shared by every stateful form: apply a
+    * batch's records in id order; replays (id ≤ lastId) are ignored — the
+    * reference's "already done" detection (`WalConsumer.java:271-278`). */
+  def applyRecords(key: Long, prev: Option[EntityState],
+      recs: Iterator[WalRecord]): EntityState = {
+    var cur = prev.getOrElse(EntityState(key, null, -1L, deleted = true))
+    recs.toSeq.sortBy(_.id).foreach { r =>
+      if (r.id > cur.lastId) { // not a replay
+        cur = r.operation match {
+          case "DELETE" => EntityState(key, null, r.id, deleted = true)
+          case _        => EntityState(key, r.payload, r.id, deleted = false)
+        }
+      }
+    }
+    cur
+  }
+
+  /** S1: stateful changelog → current-state view via
+    * flatMapGroupsWithState. Emits the post-batch state of each touched
+    * key (Update mode).
+    *
+    * State-growth note: deleted keys keep a tombstone (lastId marker) so
+    * late replays stay detectable, and that state grows with every key
+    * ever deleted. Timer-based eviction (ProcessingTimeTimeout) turned
+    * out to busy-loop the micro-batch engine while timers are pending, so
+    * the supported mitigation at scale is periodic state re-bootstrap:
+    * stop the query, materialize current state with [[SnapshotTable]]
+    * (tombstones drop out of the merge), and restart the stream from the
+    * materialized snapshot + fresh checkpoint past the replay horizon. */
   def snapshotStream(records: Dataset[WalRecord]): Dataset[EntityState] = {
     import records.sparkSession.implicits._
     records
@@ -81,16 +96,7 @@ object Streams {
       .flatMapGroupsWithState[EntityState, EntityState](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, recs: Iterator[WalRecord], state: GroupState[EntityState]) =>
-          val sorted = recs.toSeq.sortBy(_.id)
-          var cur = state.getOption.getOrElse(EntityState(key, null, -1L, deleted = true))
-          sorted.foreach { r =>
-            if (r.id > cur.lastId) { // not a replay
-              cur = r.operation match {
-                case "DELETE" => EntityState(key, null, r.id, deleted = true)
-                case _        => EntityState(key, r.payload, r.id, deleted = false)
-              }
-            }
-          }
+          val cur = applyRecords(key, state.getOption, recs)
           state.update(cur)
           Iterator.single(cur)
       }

@@ -26,6 +26,10 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
     * session are ignored (a session-wide listener would otherwise report
     * a neighbor query's failure as this WAL's state). */
   @volatile private[streaming] var queryId: java.util.UUID = _
+  /** Highest batchId already absorbed — progress events race queryId
+    * assignment (the listener bus is async), so the pipeline replays
+    * query.recentProgress after assignment and this guard deduplicates. */
+  private val lastBatchId = new AtomicLong(-1L)
 
   private def mine(id: java.util.UUID): Boolean = queryId != null && queryId == id
 
@@ -50,9 +54,11 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
     if (mine(e.id)) state.set(WalState.NONE)
 
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-    if (mine(e.progress.id) && state.get() != WalState.INACCESSIBLE_IO_FAILURE) {
-      val rows = e.progress.numInputRows
+  /** Absorb one progress report exactly once (by batchId). */
+  private[streaming] def absorb(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+    val prev = lastBatchId.getAndUpdate(b => math.max(b, p.batchId))
+    if (p.batchId > prev && state.get() != WalState.INACCESSIBLE_IO_FAILURE) {
+      val rows = p.numInputRows
       lastBatchRows.set(rows)
       if (rows > 0) {
         numSynchronized.addAndGet(rows)
@@ -63,11 +69,19 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
         state.set(WalState.EMPTY)
       }
     }
+  }
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (mine(e.progress.id)) absorb(e.progress)
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
     if (mine(e.id)) {
       // IO-caused death → the reference's INACCESSIBLE_IO_FAILURE
-      // (`WalConsumer.java:137-142`); clean stop or non-IO bug → NONE
+      // (`WalConsumer.java:137-142`); clean stop or non-IO bug → NONE.
+      // Heuristic: the event only carries the exception STRING (no typed
+      // cause), so this substring test can mislabel a failure whose
+      // message merely mentions IOException — the foreachBatchSync
+      // ioFailure() path is the authoritative signal; this is a fallback.
       val io = e.exception.exists(_.contains("IOException"))
       state.set(if (io) WalState.INACCESSIBLE_IO_FAILURE else WalState.NONE)
     }
@@ -108,12 +122,21 @@ final class WalPipeline(
       .trigger(Trigger.ProcessingTime(pollMillis))
       .start()
     metrics.queryId = query.id
+    // progress events posted before the assignment above were dropped by
+    // the listener's scope filter; replay them (deduplicated by batchId)
+    query.recentProgress.foreach(metrics.absorb)
     query
   }
 
   /** Drain everything currently in the WAL, then return (test/backfill
     * convenience — the reference has no equivalent; its loop never ends). */
-  def processAllAvailable(): Unit = query.processAllAvailable()
+  def processAllAvailable(): Unit = {
+    val q = synchronized {
+      require(query != null, "pipeline not started")
+      query
+    }
+    q.processAllAvailable()
+  }
 
   def close(): Unit = synchronized {
     if (query != null) {

@@ -64,10 +64,18 @@ class SnapshotTableSpec extends SparkTestBase {
       Seq(0L, 2L, 3L).foreach(p =>
         assert(versionsOf(p) == v0(p.toInt), s"untouched partition $p must not be rewritten"))
 
-      val state = SnapshotTable.readPartitioned(s, base, nParts)
+      val state = SnapshotTable.readPartitioned(s, base)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val expected = (0L to 7L).map(k => k -> s"v$k").toMap + (1L -> "v1b") - 5L
       assert(state == expected)
+
+      // the manifest records nParts; a sink restarted with a different
+      // partition count must refuse instead of silently mis-hashing
+      val bad = intercept[Exception] {
+        SnapshotTable.partitionedSink(base, 2)(
+          Seq(WalRecord(10, 1, "UPDATE", "x")).toDS(), 99L)
+      }
+      assert(bad.getMessage.contains("nParts"))
     } finally q.stop()
   }
 
