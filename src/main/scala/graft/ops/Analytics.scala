@@ -141,11 +141,37 @@ object Analytics {
       .agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n"))
       .orderBy("measure")
 
+  /** q18b: Pearson correlation from exact decimal power sums — the same
+    * partitioning-invariant recipe as q18 (naive corr() over doubles is
+    * accumulation-order dependent). Only the final sqrt/division run in
+    * floating point, on exact integers, then 1e-4-scaled. */
+  def q18bCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = cents(col("l_quantity"))
+    val y = cents(col("l_extendedprice"))
+    val dec = "decimal(38,0)"
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(x).cast(dec).as("sx"), sum(y).cast(dec).as("sy"),
+        sum(x * y).cast(dec).as("sxy"),
+        sum(x * x).cast(dec).as("sxx"), sum(y * y).cast(dec).as("syy"),
+        count(lit(1)).cast(dec).as("n"))
+      .select(col("l_returnflag"),
+        scaled4(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("corr_s4"),
+        col("n").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q11b_cube" -> q11bCube,
     "q17_quantiles" -> q17Quantiles,
     "q18_stats" -> q18Stats,
+    "q18b_corr" -> q18bCorr,
     "q19_pivot" -> q19Pivot,
     "q20_unpivot" -> q20Unpivot,
     "q9b_approx_distinct" -> q9bApproxDistinct,
@@ -173,6 +199,19 @@ object Analytics {
          |SELECT l_returnflag,
          |  CAST(s1 // n AS BIGINT) AS mean_c,
          |  CAST((n * s2 - s1 * s1) // (n * (n - 1)) AS BIGINT) AS var_c2,
+         |  CAST(n AS BIGINT) AS n
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q18b_corr" ->
+      s"""WITH s AS (SELECT l_returnflag,
+         |  sum(${centsSql("l_quantity")}) AS sx,
+         |  sum(${centsSql("l_extendedprice")}) AS sy,
+         |  sum(${centsSql("l_quantity")} * ${centsSql("l_extendedprice")}) AS sxy,
+         |  sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")}) AS sxx,
+         |  sum(${centsSql("l_extendedprice")} * ${centsSql("l_extendedprice")}) AS syy,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  ${scaled4Sql("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")} AS corr_s4,
          |  CAST(n AS BIGINT) AS n
          |FROM s ORDER BY l_returnflag""".stripMargin,
     "q19_pivot" ->

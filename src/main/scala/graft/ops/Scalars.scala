@@ -116,14 +116,14 @@ object Scalars {
   val oracle: Map[String, String] = Map(
     "q12b_strings" ->
       """SELECT o_orderkey,
-        |  regexp_replace(o_orderpriority, '[0-9]+', '#') AS prio_masked,
+        |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
         |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
         |  rpad(o_orderstatus, 3, '.') AS status_padded,
         |  trim('  ' || o_orderstatus || '  ') AS status_trimmed,
         |  split_part(o_orderpriority, '-', 2) AS prio_word,
         |  reverse(o_orderstatus) AS status_rev,
         |  repeat(o_orderstatus, 2) AS status_x2,
-        |  regexp_replace(o_orderpriority, '-', '_') AS prio_underscored,
+        |  regexp_replace(o_orderpriority, '-', '_', 'g') AS prio_underscored,
         |  CAST(CASE WHEN starts_with(o_orderpriority, '1') THEN 1 ELSE 0 END AS BIGINT) AS is_top,
         |  CAST(CASE WHEN contains(o_orderpriority, 'URGENT') THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
         |FROM orders ORDER BY o_orderkey""".stripMargin,

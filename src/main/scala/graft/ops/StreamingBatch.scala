@@ -80,8 +80,27 @@ object StreamingBatch {
       .orderBy("user_id")
   }
 
+  /** s6: batch analogue of the stream-stream interval join — per purchase,
+    * the number of same-user views in the preceding hour (streaming form:
+    * graft.streaming.Streams.intervalJoin, watermark-bounded state). */
+  def s6IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("v_ts") <= col("p_ts"),
+        "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(sum(when(col("v_user").isNotNull, 1L).otherwise(0L)).as("n_views_1h"))
+      .orderBy("p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_snapshot" -> s1StreamSnapshot,
+    "s6_interval_join" -> s6IntervalJoin,
     "s2_tumbling" -> s2Tumbling,
     "s3_sliding" -> s3Sliding,
     "s3b_session" -> s3bSession,
@@ -90,6 +109,14 @@ object StreamingBatch {
 
   val oracle: Map[String, String] = Map(
     "s1_stream_snapshot" -> graft.ops.Changelog.oracle("c1_snapshot"),
+    "s6_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  CAST(sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_views_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p_id""".stripMargin,
     "s2_tumbling" ->
       s"""SELECT epoch_ms(date_trunc('hour', ts)) AS start_ms, event_type,
          |  count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c

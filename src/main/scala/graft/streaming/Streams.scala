@@ -179,6 +179,20 @@ object Streams {
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"), col("n_events"))
 
+  /** S6: stream-stream interval join — purchases matched to the same
+    * user's views within the preceding hour. Both sides carry watermarks
+    * so the join state is bounded: a buffered view can be evicted once
+    * the purchase-side watermark passes view.ts + 1h. */
+  def intervalJoin(purchases: org.apache.spark.sql.DataFrame,
+      views: org.apache.spark.sql.DataFrame,
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val v = views.withWatermark("v_ts", watermark)
+    p.join(v,
+      expr("""p_user = v_user AND
+              v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""))
+  }
+
   /** S5: replay suppression by id within the watermark — the streaming
     * form of the reference's "already done" dedup. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

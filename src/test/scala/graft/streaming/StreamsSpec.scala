@@ -161,6 +161,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s6: stream-stream interval join buffers and matches across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val pms = MemoryStream[(Long, Timestamp)]
+    val vms = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      pms.toDS().toDF("p_user", "p_ts"), vms.toDS().toDF("v_user", "v_ts"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      // view arrives first, purchase for the same user arrives a batch later
+      vms.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 01:05:00")))
+      q.processAllAvailable()
+      pms.addData((1L, Timestamp.valueOf("2024-01-01 01:30:00")), // within 1h of its view
+        (3L, Timestamp.valueOf("2024-01-01 01:30:00"))) // no view → no row
+      q.processAllAvailable()
+      val rows = s.table("ij").select("p_user").as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"only user 1 has a view within the hour; got $rows")
+    } finally q.stop()
+  }
+
   test("s3: sliding windows emit 2 windows per event") {
     val s = spark
     import s.implicits._
