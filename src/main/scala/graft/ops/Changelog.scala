@@ -110,8 +110,28 @@ object Changelog {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** x17: funnel analysis over the event log — users progressing through
+    * view → click → purchase in log order. Each stage is an aggregation
+    * joined back on the key (three shuffles on user_id, re-usable
+    * exchange), never a per-user driver loop. */
+  def x17Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_view"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("event_id") > col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_click"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("event_id") > col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_snapshot" -> c1Snapshot,
+    "x17_funnel" -> x17Funnel,
     "c2_backlog" -> c2Backlog,
     "c3_head" -> c3Head,
     "c4_apply_order" -> c4ApplyOrder,
@@ -119,6 +139,20 @@ object Changelog {
     "c6_lag" -> c6Lag)
 
   val oracle: Map[String, String] = Map(
+    "x17_funnel" ->
+      """WITH v AS (SELECT user_id, min(event_id) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.event_id) AS first_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.event_id > v.first_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.event_id) AS first_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.event_id > c.first_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
     "c1_snapshot" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
