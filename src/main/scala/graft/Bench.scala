@@ -1,14 +1,23 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.util.Json
 
 /** Benchmark main — runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
+  * Execution is a write to the `noop` DSv2 sink, not `.count()`: count
+  * collapses to Aggregate[count(1)], letting ColumnPruning delete every
+  * projected expression and EliminateSorts drop the ordering — a
+  * projection-heavy query would "benchmark" an empty-column scan. The
+  * noop sink materializes every output column.
+  *
   * A short warmup job runs first (untimed) so JVM/classloader/codegen
-  * startup cost doesn't land on whichever query happens to run first;
-  * queries then execute in sorted-key order for run-to-run comparability. */
+  * startup cost doesn't land on whichever query runs first; queries then
+  * execute in sorted-key order for run-to-run comparability. A failed
+  * query is reported with the sentinel time -1.0 (never silently folded
+  * into the total). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,13 +35,15 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

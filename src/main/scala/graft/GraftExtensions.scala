@@ -25,7 +25,12 @@ object GraftExtensions {
   private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_arr",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_arr"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_arr requires exactly 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }))
 
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit =

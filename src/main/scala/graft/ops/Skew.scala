@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * cannot do. */
 object Skew {
 
-  /** Exact salted sum/count per key. `aggs` are (inputColumn → alias)
-    * sum-aggregates; extend with min/max/etc. the same way. */
+  /** Exact salted sum+count per key, emitted as (k, total, n).
+    *
+    * The salt MUST be deterministic per row: a nondeterministic salt
+    * (rand, monotonically_increasing_id) re-routes rows differently when
+    * a shuffle map task is retried after executor loss, silently
+    * duplicating/losing partials (the SPARK-23207 failure class). Pass a
+    * stable discriminator column (an id, a timestamp) as `saltFrom`; by
+    * default the salt hashes the value column, which is retry-safe but
+    * collapses to one bucket if the hot key's values are all identical —
+    * prefer an explicit unique `saltFrom` when one exists. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
-      buckets: Int = 32): DataFrame = {
-    // monotonically_increasing_id already encodes (partitionId << 33 | offset),
-    // so pmod over it alone spreads a hot key across buckets
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+      buckets: Int = 32, saltFrom: Option[Column] = None): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(saltFrom.getOrElse(value)), lit(buckets.toLong)))
     salted
       .groupBy(key.as("k"), col("__salt"))
       .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_n"))

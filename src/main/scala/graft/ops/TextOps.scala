@@ -113,17 +113,25 @@ object TextOps {
 
   /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.
     * Bit j of token t = (hex nibble j of md5(t)) >= 8; per-doc bit j is set
-    * when the ±1 contributions sum positive. */
+    * when the ±1 contributions sum positive. The 16 bit-contributions are
+    * computed as 16 COLUMNS of each token row (one md5, 16 substrings), not
+    * an exploded (token × bit) row blow-up — 16× fewer rows through the
+    * shuffle, one aggregation instead of two. */
   def x7Simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"), explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("nib", conv(col("h").substr(col("j") + 1, lit(1)), 16, 10).cast(LongType))
-      .withColumn("contrib", when(col("nib") >= 8, 1L).otherwise(-1L))
-    tok.groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val contribs = (0 until 16).map { j =>
+      when(conv(substring(col("h"), j + 1, 1), 16, 10).cast(LongType) >= 8, 1L)
+        .otherwise(-1L).as(s"c$j")
+    }
+    val sums = (0 until 16).map(j => sum(col(s"c$j")).as(s"s$j"))
+    tok.select(col("doc_id") +: contribs: _*)
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast(LongType)).otherwise(0L)).as("simhash16"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash16"))
       .orderBy("doc_id")
   }
 
@@ -247,17 +255,19 @@ object TextOps {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
     },
-    "x7_simhash" ->
-      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
-        |bits AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN instr('0123456789abcdef', substring(h, CAST(j AS INT) + 1, 1)) - 1 >= 8
-        |         THEN 1 ELSE -1 END AS contrib
-        |  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r),
-        |sums AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x7_simhash" -> {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val fp = (0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "x8_lang_id" -> {
       def cnt(l: String, ws: Seq[String]) =
         s"CAST(len(list_filter(w, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS c_$l"

@@ -20,6 +20,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
   }
 
+  test("dot_arr rejects wrong arity with a clear message") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_arr(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
+  }
+
   test("dot_arr rejects dimension mismatch like the oracle") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

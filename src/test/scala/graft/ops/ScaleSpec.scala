@@ -14,13 +14,16 @@ class ScaleSpec extends SparkTestBase {
   test("salted two-phase aggregate is exact under a hot key") {
     val s = spark
     import s.implicits._
-    // 90% of rows on one hot key
+    // 90% of rows on one hot key; salt from the unique id (deterministic,
+    // retry-safe — see Skew scaladoc)
     val df = s.range(0, 100000)
-      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(0L).as("k"),
+      .select(col("id"),
+        when(col("id") % 10 === 0, col("id") % 7).otherwise(0L).as("k"),
         lit(1.0).as("v"))
     val direct = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
-    val salted = Skew.saltedSumCount(df, col("k"), col("v"), buckets = 8)
+    val salted = Skew.saltedSumCount(df, col("k"), col("v"), buckets = 8,
+        saltFrom = Some(col("id")))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
