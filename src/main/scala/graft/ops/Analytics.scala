@@ -110,7 +110,9 @@ object Analytics {
         {
           val num = col("n") * col("s2") - col("s1") * col("s1")
           val den = col("n") * (col("n") - lit(1).cast(dec))
-          ((num - (num % den)) / den).cast("long").as("var_c2")
+          // n=1 → variance undefined; sentinel -1 (never a valid variance)
+          when(col("n") <= 1, lit(-1L))
+            .otherwise(((num - (num % den)) / den).cast("long")).as("var_c2")
         },
         col("n").cast("long").as("n"))
       .orderBy("l_returnflag")
@@ -157,11 +159,14 @@ object Analytics {
         sum(x * x).cast(dec).as("sxx"), sum(y * y).cast(dec).as("syy"),
         count(lit(1)).cast(dec).as("n"))
       .select(col("l_returnflag"),
-        scaled4(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
-          .as("corr_s4"),
+        {
+          val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          // zero variance → correlation undefined; sentinel outside [-1e4,1e4]
+          when(vx * vy <= 0, lit(-10001L))
+            .otherwise(scaled4(cov / sqrt(vx * vy))).as("corr_s4")
+        },
         col("n").cast("long").as("n"))
       .orderBy("l_returnflag")
   }
@@ -198,7 +203,8 @@ object Analytics {
          |FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
          |  CAST(s1 // n AS BIGINT) AS mean_c,
-         |  CAST((n * s2 - s1 * s1) // (n * (n - 1)) AS BIGINT) AS var_c2,
+         |  CASE WHEN n <= 1 THEN -1
+         |       ELSE CAST((n * s2 - s1 * s1) // (n * (n - 1)) AS BIGINT) END AS var_c2,
          |  CAST(n AS BIGINT) AS n
          |FROM s ORDER BY l_returnflag""".stripMargin,
     "q18b_corr" ->
@@ -211,7 +217,8 @@ object Analytics {
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
-         |  ${scaled4Sql("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")} AS corr_s4,
+         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN -10001
+         |       ELSE ${scaled4Sql("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")} END AS corr_s4,
          |  CAST(n AS BIGINT) AS n
          |FROM s ORDER BY l_returnflag""".stripMargin,
     "q19_pivot" ->

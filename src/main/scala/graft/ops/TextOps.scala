@@ -63,6 +63,13 @@ object TextOps {
   private val shingleHashRowsSql: String =
     s"SELECT doc_id, md5(gram) AS gh FROM ($shingleRowsSql)"
 
+  /** mean token length ×100 = chars-excluding-separators / tokens (shared
+    * by x4 and x9 and their oracle twins — keep the four in sync). */
+  private def meanTokLenX100(nChars: org.apache.spark.sql.Column, nTok: org.apache.spark.sql.Column) =
+    floor(lit(100) * (nChars - (nTok - 1)) / nTok).cast(LongType)
+  private def meanTokLenX100Sql(nChars: String, nTok: String) =
+    s"CAST(floor(100 * ($nChars - ($nTok - 1)) / $nTok) AS BIGINT)"
+
   /** x1: exact dedup via hash groupBy — keeper = min doc_id per text. */
   def x1DedupExact(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -166,7 +173,7 @@ object TextOps {
       .withColumn("n_tok", size(col("w")).cast(LongType))
       .withColumn("n_uniq", size(array_distinct(col("w"))).cast(LongType))
       .withColumn("n_stop", size(filter(col("w"), t => t.isInCollection(stopWords))).cast(LongType))
-      .withColumn("mean_len_x100", floor(lit(100) * (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).cast(LongType))
+      .withColumn("mean_len_x100", meanTokLenX100(col("n_chars"), col("n_tok")))
       .withColumn("s_len", when(col("n_chars").between(100, 2000), 25L).otherwise(0L))
       .withColumn("s_div", when(col("n_uniq") * 100 >= col("n_tok") * 30, 25L).otherwise(0L))
       .withColumn("s_stop", when(col("n_stop") > 0, 25L).otherwise(0L))
@@ -201,7 +208,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_chars"), toks(col("text")).as("w"))
       .withColumn("n_tok", size(col("w")).cast(LongType))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tok"),
-        floor(lit(100) * (col("n_chars") - (col("n_tok") - 1)) / col("n_tok")).cast(LongType).as("mean_tok_len_x100"),
+        meanTokLenX100(col("n_chars"), col("n_tok")).as("mean_tok_len_x100"),
         floor(lit(1000) * size(filter(col("w"), t => t.isInCollection(stopWords))) / col("n_tok")).cast(LongType).as("stop_per_1000"))
       .orderBy("doc_id")
 
@@ -296,11 +303,11 @@ object TextOps {
          |  CAST(len(list_filter(w, t -> t IN $stopListSql)) AS BIGINT) AS n_stop
          |FROM d)
          |SELECT doc_id, n_tok, n_uniq, n_stop,
-         |  CAST(floor(100 * (n_chars - (n_tok - 1)) / n_tok) AS BIGINT) AS mean_len_x100,
+         |  ${meanTokLenX100Sql("n_chars", "n_tok")} AS mean_len_x100,
          |  CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 25 ELSE 0 END)
          |     + (CASE WHEN n_uniq * 100 >= n_tok * 30 THEN 25 ELSE 0 END)
          |     + (CASE WHEN n_stop > 0 THEN 25 ELSE 0 END)
-         |     + (CASE WHEN floor(100 * (n_chars - (n_tok - 1)) / n_tok) BETWEEN 300 AND 800
+         |     + (CASE WHEN ${meanTokLenX100Sql("n_chars", "n_tok")} BETWEEN 300 AND 800
          |             THEN 25 ELSE 0 END) AS BIGINT) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
     "x10_tokens" ->
@@ -316,7 +323,7 @@ object TextOps {
     "x4_text_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_tok,
-         |  CAST(floor(100 * (n_chars - (len(w) - 1)) / len(w)) AS BIGINT) AS mean_tok_len_x100,
+         |  ${meanTokLenX100Sql("n_chars", "len(w)")} AS mean_tok_len_x100,
          |  CAST(floor(1000 * len(list_filter(w, t -> t IN $stopListSql)) / len(w)) AS BIGINT) AS stop_per_1000
          |FROM d ORDER BY doc_id""".stripMargin,
     "x5_topk_terms" ->

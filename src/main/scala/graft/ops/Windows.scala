@@ -89,26 +89,33 @@ object Windows {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightValues: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val rstructType = org.apache.spark.sql.types.StructType(
+      rightValues.map(c => right.schema(c)))
+    // the right row travels as ONE struct: last(ignoreNulls) then skips
+    // left-row placeholders but keeps right rows whose individual VALUES
+    // are null, and can never mix columns from different right rows
     val l = left
       .withColumn("__side", lit(1))
-      .select(Seq(col(key), col(time), col("__side")) ++
-        leftCols.filterNot(c => c == key || c == time).map(col) ++
-        rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+      .withColumn("__r", lit(null).cast(rstructType))
+      .select(Seq(col(key), col(time), col("__side"), col("__r")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col): _*)
     val r = right
       .withColumn("__side", lit(0))
-      .select(Seq(col(key), col(time), col("__side")) ++
+      .withColumn("__r", struct(rightValues.map(col): _*))
+      .select(Seq(col(key), col(time), col("__side"), col("__r")) ++
         leftCols.filterNot(c => c == key || c == time)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValues.map(c => col(c).as(s"__rv_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // __r in the sort key totalizes the order among right rows that tie on
+    // (time): the greatest payload wins deterministically run-to-run
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc) // right row sorts before left at equal time
+      .orderBy(col(time).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((Seq(col(key), col(time), col("__side")) ++
-        leftCols.filterNot(c => c == key || c == time).map(col) ++
-        rightValues.map(c => last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(Seq(col(key), col(time)) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        rightValues.map(c => col(s"__last.$c").as(s"asof_$c")): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -31,6 +31,19 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("asofJoin keeps a latest right row whose value is NULL (no stale carry-forward)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "o1")).toDF("uid", "t", "order_id")
+    val right = Seq((1L, 5L, Some(100.0)), (1L, 8L, Option.empty[Double]))
+      .toDF("uid", "t", "price")
+    val row = Windows.asofJoin(left, right, "uid", "t", Seq("price"))
+      .select("uid", "asof_price").collect()(0)
+    // the latest right row (t=8) has price NULL — it must NOT be skipped in
+    // favor of the older t=5 row
+    assert(row.isNullAt(1), s"expected NULL from the t=8 row, got ${row.get(1)}")
+  }
+
   test("asofJoin on driver data matches brute force") {
     val s = spark
     val ev = graft.model.Tables.events(s, sf0001)
