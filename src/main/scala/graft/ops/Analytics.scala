@@ -37,15 +37,29 @@ object Analytics {
         approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supp"))
       .orderBy("l_returnflag")
 
-  /** q10: union / intersect / except over yearly customer key sets. */
+  /** q10: union / intersect / except over yearly customer key sets,
+    * computed as ONE aggregation: per customer, presence flags
+    * in95/in96 (max of year indicators — map-side combinable), then the
+    * three set kinds derived from the flags and exploded to labeled rows.
+    * Semantically identical to chained UNION/INTERSECT/EXCEPT (the oracle
+    * keeps that formulation as an independent derivation) but one scan +
+    * one shuffle instead of six scans and up to six shuffles — the shape
+    * that survives 100 TB of orders. */
   def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val o = orders(spark, dir).select(year(col("o_orderdate")).as("y"), col("o_custkey"))
-    val a = o.filter(col("y") === 1995).select("o_custkey").distinct()
-    val b = o.filter(col("y") === 1996).select("o_custkey").distinct()
-    val u = a.union(b).distinct().withColumn("kind", lit("union"))
-    val i = a.intersect(b).withColumn("kind", lit("intersect"))
-    val e = a.except(b).withColumn("kind", lit("except"))
-    u.unionByName(i).unionByName(e)
+    val o = orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+      .filter(col("y").isin(1995, 1996))
+    val none = array().cast("array<string>")
+    o.groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("y") === 1995, 1).otherwise(0)).as("in95"),
+        max(when(col("y") === 1996, 1).otherwise(0)).as("in96"))
+      .select(col("o_custkey"),
+        explode(concat(
+          array(lit("union")), // every flagged customer is in the union
+          when(col("in95") === 1 && col("in96") === 1, array(lit("intersect"))).otherwise(none),
+          when(col("in95") === 1 && col("in96") === 0, array(lit("except"))).otherwise(none)
+        )).as("kind"))
       .select(col("kind"), col("o_custkey"))
       .orderBy("kind", "o_custkey")
   }

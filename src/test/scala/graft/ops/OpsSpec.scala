@@ -60,6 +60,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x14: blocked near-dup pairs are a subset of all-pairs with identical scores") {
+    // sf0.01: the smallest SF with a ground-truth near-dup pair (sf0.001
+    // has none, so the blocked result there is correctly empty).
+    val sf001 = "/root/testdata/sf0.01"
+    val blocked = VectorOps.x14CosineNeardup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = VectorOps.x14AllPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(blocked.nonEmpty, "banding should surface at least one near-dup pair")
+    blocked.foreach { case (pair, cos) =>
+      assert(all.get(pair).contains(cos), s"pair $pair: blocked=$cos all=${all.get(pair)}")
+    }
+  }
+
+  test("x14: candidate generation is equi-join blocked (no nested-loop/cartesian)") {
+    val plan = VectorOps.x14CosineNeardup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x14 must not plan an all-pairs join:\n$plan")
+  }
+
+  test("x2: df cap drops hot shingles before the pair join") {
+    import spark.implicits._
+    // docs 1 and 2 share 20 rare grams (true near-dups); docs 1..100 all
+    // contain one boilerplate gram whose df=100 exceeds the cap. Without
+    // the cap the hot gram alone yields C(100,2)=4950 candidate pairs.
+    val hot = (1 to 100).map(d => (d.toLong, "f" * 32))
+    val shared = for (d <- 1 to 2; g <- 1 to 20) yield
+      (d.toLong, f"$g%08x" + "0" * 24)
+    val rows = (hot ++ shared).toDF("doc_id", "gh")
+    val out = TextOps.x2DedupNearOn(rows).collect()
+    assert(out.length == 1, s"expected only the (1,2) pair, got ${out.length}")
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    // Jaccard over the PRUNED gram set: 20/(20+20-20) = 1.0
+    assert(out(0).getLong(5) == 10000L)
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
