@@ -66,6 +66,11 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         print(f"OK   {name:24s} {len(g)} rows" + ("" if ordered else "  (row order differs)"))
+    # An oracle entry with no result dir means the Spark query threw during
+    # Verify — without this check the run could still report ALL GREEN.
+    for name in sorted(set(oracles) - set(qdirs)):
+        print(f"FAIL {name:24s} no Spark result written (query failed in Verify?)")
+        failures += 1
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return failures
 

@@ -20,10 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -32,5 +34,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A throwing query must fail the run loudly, not just log: with exit 0
+    // the missing result dir would silently drop out of the oracle compare.
+    if (failures > 0) {
+      System.err.println(s"[verify] $failures quer${if (failures == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -83,16 +83,28 @@ object SnapshotTable {
   }
 
   /** Write `next` as the successor version of `base` and prune old
-    * versions (retain the latest two — readers of v−1 may be in flight).
-    * The single commit protocol shared by the flat and partitioned sinks. */
+    * versions. The single commit protocol shared by the flat and
+    * partitioned sinks.
+    *
+    * `protect` is the version CURRENT READERS RESOLVE — for the flat
+    * sink the highest committed version, for the partitioned sink the
+    * version the MANIFEST names (which can be OLDER than the highest
+    * committed dir: a crash between a partition commit and the manifest
+    * swap leaves an orphaned committed-but-unreferenced version). The
+    * protected version is never deleted here — pruning it would break
+    * in-flight readers and, if this batch crashes before its own swap,
+    * leave the manifest permanently pointing at a deleted directory.
+    * Everything else (older versions AND orphans, which nothing
+    * references) is pruned; the now-superseded `protect` is reclaimed by
+    * the NEXT commit, preserving the retain-latest-two property. */
   private def commitVersion(next: DataFrame, base: String,
-      prevVersions: Seq[Long]): Long = {
+      prevVersions: Seq[Long], protect: Option[Long]): Long = {
     val spark = next.sparkSession
-    val v = prevVersions.lastOption.getOrElse(-1L) + 1
+    val v = (prevVersions ++ protect).maxOption.getOrElse(-1L) + 1
     next.write.mode(SaveMode.Overwrite)
       .parquet(versionDir(new Path(base), v).toString)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    prevVersions.dropRight(1).foreach(old =>
+    prevVersions.filterNot(protect.contains).foreach(old =>
       fs.delete(versionDir(new Path(base), old), true))
     v
   }
@@ -107,7 +119,8 @@ object SnapshotTable {
         import spark.implicits._
         Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
     }
-    commitVersion(merge(prev, batch), base, prevVersions)
+    commitVersion(merge(prev, batch), base, prevVersions,
+      protect = prevVersions.lastOption)
   }
 
   /** Attach to a WAL stream: records → materialized snapshot table. */
@@ -182,7 +195,14 @@ object SnapshotTable {
     }
 
   /** foreachBatch function: merge into touched partitions only; the
-    * manifest swap at the end is the cross-partition commit point. */
+    * manifest swap at the end is the cross-partition commit point.
+    *
+    * Partition merges run CONCURRENTLY (each is an independent Spark
+    * job; the scheduler interleaves their stages across executor slots),
+    * bounded by a fixed pool so thousands of touched partitions don't
+    * flood the driver with job submissions. Any partition failure fails
+    * the batch BEFORE the manifest swap, so readers keep the previous
+    * consistent view and the streaming retry replays the whole batch. */
   def partitionedSink(base: String, nParts: Int): (Dataset[WalRecord], Long) => Unit = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
     (batch, _) =>
@@ -197,16 +217,29 @@ object SnapshotTable {
       try {
         val touched = cached.select(partOf(nParts).as("p"))
           .distinct().collect().map(_.getLong(0)).sorted // ≤ nParts rows — bounded driver work
-        val newVersions = touched.map { p =>
-          import spark.implicits._
-          val slice = cached.filter(partOf(nParts) === p).as[WalRecord]
-          val prev = versions.get(p) match {
-            case Some(v) => spark.read.parquet(s"$base/p=$p/v=$v")
-            case None => Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
-          }
-          val prevVs = committedVersions(spark, s"$base/p=$p")
-          p -> commitVersion(merge(prev, slice), s"$base/p=$p", prevVs)
-        }.toMap
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(touched.length, 8)))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val newVersions =
+          try {
+            val futures = touched.toSeq.map { p =>
+              scala.concurrent.Future {
+                import spark.implicits._
+                val slice = cached.filter(partOf(nParts) === p).as[WalRecord]
+                val protect = versions.get(p) // the manifest-referenced version
+                val prev = protect match {
+                  case Some(v) => spark.read.parquet(s"$base/p=$p/v=$v")
+                  case None => Seq.empty[(Long, String, Long)].toDF("entityId", "payload", "lastId")
+                }
+                val prevVs = committedVersions(spark, s"$base/p=$p")
+                p -> commitVersion(merge(prev, slice), s"$base/p=$p", prevVs, protect)
+              }
+            }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(futures),
+              scala.concurrent.duration.Duration.Inf).toMap
+          } finally pool.shutdown()
         writeManifest(spark, base, nParts, versions ++ newVersions)
       } finally cached.unpersist()
   }

@@ -127,23 +127,36 @@ object Streams {
     * the sink contract makes re-applies detectable (`false` = already
     * done). `onIoFailure`/`onRecovered` let the owner surface the outage
     * (WalPipeline wires them to the INACCESSIBLE_IO_FAILURE gauge —
-    * reference state semantics, `WalConsumer.java:137-142, 354-359`). */
+    * reference state semantics, `WalConsumer.java:137-142, 354-359`).
+    *
+    * `onIgnored` receives, per successfully-applied batch, the number of
+    * records the sink reported as already applied (`syncEntity == false`)
+    * — the reference's `wal_num_ignored_already_done` meter
+    * (`WalConsumer.java:271-278`), its replay-observability signal.
+    * Counted with a per-attempt LongAccumulator so a batch that fails
+    * mid-apply and is retried reports only the successful attempt's
+    * count. */
   def foreachBatchSync(sink: WalSink, retrySleepMs: Long = 1000L,
-      onIoFailure: () => Unit = () => (), onRecovered: () => Unit = () => ())
+      onIoFailure: () => Unit = () => (), onRecovered: () => Unit = () => (),
+      onIgnored: Long => Unit = _ => ())
       : (Dataset[WalRecord], Long) => Unit = { (batch, _) =>
     def isIo(t: Throwable): Boolean =
       t != null && (t.isInstanceOf[IOException] || isIo(t.getCause))
     var done = false
     var failedBefore = false
     while (!done) {
+      val ignored = batch.sparkSession.sparkContext.longAccumulator
       try {
         batch
           .repartition(col("entityId")) // co-locate each key; parallel across keys
           .sortWithinPartitions(col("entityId"), col("id")) // ordered apply per key
           .foreachPartition { (rows: Iterator[WalRecord]) =>
-            rows.foreach(sink.syncEntity(_)) // false = already done — proceed
+            rows.foreach { r =>
+              if (!sink.syncEntity(r)) ignored.add(1L) // false = already done
+            }
           }
         done = true
+        onIgnored(ignored.value)
         if (failedBefore) onRecovered()
       } catch {
         case e: Throwable if isIo(e) => // transient target outage: retry forever

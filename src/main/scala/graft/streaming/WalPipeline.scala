@@ -20,6 +20,10 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
   val numSynchronized = new AtomicLong(0)
   val numIoFailures = new AtomicLong(0)
   val lastBatchRows = new AtomicLong(0)
+  /** Records the sink reported as already applied (`syncEntity == false`)
+    * — the reference's `wal_num_ignored_already_done` meter
+    * (`WalConsumer.java:271-278`). */
+  val numIgnoredAlreadyDone = new AtomicLong(0)
   val state = new AtomicReference[WalState.Value](WalState.NONE)
   @volatile private var notEmptySinceMs: Long = -1L
   /** Set by the owning pipeline; events from other queries on the same
@@ -35,6 +39,21 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
 
   def notEmptySeconds: Long =
     if (notEmptySinceMs < 0) 0 else (System.currentTimeMillis() - notEmptySinceMs) / 1000
+
+  /** One-call scrape point for an external reporter — the Spark form of
+    * the reference's JmxReporter registration (`WalConsumer.java:106-114`).
+    * Spark's own JMX path also works out of the box: with
+    * `spark.sql.streaming.metricsEnabled=true` the query's
+    * inputRate/latency gauges flow into the session's MetricsSystem
+    * (metrics.properties → JmxSink); the WAL-specific meters below are
+    * what that bridge doesn't carry. */
+  def gauges: Map[String, Long] = Map(
+    "wal_state" -> state.get().id.toLong,
+    "wal_num_records" -> lastBatchRows.get(),
+    "wal_num_synchronized" -> numSynchronized.get(),
+    "wal_num_ignored_already_done" -> numIgnoredAlreadyDone.get(),
+    "wal_num_io_failures" -> numIoFailures.get(),
+    "wal_not_empty_seconds" -> notEmptySeconds)
 
   /** Target outage begins/ends (wired into foreachBatchSync). */
   private[streaming] def ioFailure(): Unit = {
@@ -54,10 +73,21 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
     if (mine(e.id)) state.set(WalState.NONE)
 
+  /** Last `observe("wal", …)` metric row seen in a progress event —
+    * proves the observed-metrics path end-to-end (the exportable,
+    * listener-visible form of the gauges; ObservabilitySpec asserts it). */
+  val lastObserved = new AtomicReference[Map[String, Long]](Map.empty)
+
   /** Absorb one progress report exactly once (by batchId). */
   private[streaming] def absorb(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
     val prev = lastBatchId.getAndUpdate(b => math.max(b, p.batchId))
     if (p.batchId > prev && state.get() != WalState.INACCESSIBLE_IO_FAILURE) {
+      val obs = p.observedMetrics
+      if (obs != null && obs.containsKey("wal")) {
+        val row = obs.get("wal")
+        lastObserved.set(row.schema.fieldNames.map(f =>
+          f -> row.getAs[Long](f)).toMap)
+      }
       val rows = p.numInputRows
       lastBatchRows.set(rows)
       if (rows > 0) {
@@ -78,11 +108,16 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
     if (mine(e.id)) {
       // IO-caused death → the reference's INACCESSIBLE_IO_FAILURE
       // (`WalConsumer.java:137-142`); clean stop or non-IO bug → NONE.
-      // Heuristic: the event only carries the exception STRING (no typed
-      // cause), so this substring test can mislabel a failure whose
-      // message merely mentions IOException — the foreachBatchSync
-      // ioFailure() path is the authoritative signal; this is a fallback.
-      val io = e.exception.exists(_.contains("IOException"))
+      // Heuristic: the event only carries the exception as a STRING (no
+      // typed cause), so this is a fallback — the foreachBatchSync
+      // ioFailure() callback is the authoritative signal. The match is
+      // anchored to a cause-chain boundary (the fully-qualified class
+      // name opening the trace or a "Caused by:" line), so a failure
+      // whose MESSAGE merely mentions "IOException" is not mislabeled.
+      val io = e.exception.exists(_.linesIterator.exists { l =>
+        val t = l.stripLeading()
+        t.startsWith("java.io.IOException") || t.startsWith("Caused by: java.io.IOException")
+      })
       state.set(if (io) WalState.INACCESSIBLE_IO_FAILURE else WalState.NONE)
     }
 }
@@ -114,10 +149,17 @@ final class WalPipeline(
   def start(): StreamingQuery = synchronized {
     require(query == null, "already started")
     records.sparkSession.streams.addListener(metrics)
-    query = records.writeStream
+    // observe() rides the batch plan (no second pass): the record count
+    // lands in every StreamingQueryProgress.observedMetrics, the
+    // listener-visible/exportable twin of the WalMetrics gauges.
+    query = records
+      .observe("wal", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("wal_num_records"))
+      .writeStream
       .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs,
         onIoFailure = () => metrics.ioFailure(),
-        onRecovered = () => metrics.recovered()))
+        onRecovered = () => metrics.recovered(),
+        onIgnored = n => metrics.numIgnoredAlreadyDone.addAndGet(n)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(pollMillis))
       .start()

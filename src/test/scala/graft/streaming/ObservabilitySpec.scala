@@ -35,4 +35,41 @@ class ObservabilitySpec extends SparkTestBase {
       assert(m.getAs[Long]("value_c") > 0L)
     } finally s.listenerManager.unregister(listener)
   }
+
+  test("replayed batch feeds the already-done meter and observed metrics") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    TestSink.reset()
+    val ms = MemoryStream[WalRecord]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meter").toString
+    val p = new WalPipeline(ms.toDS(), new TestSink, s"$tmp/ckpt",
+      pollMillis = 10L, retrySleepMs = 1L)
+    p.start()
+    try {
+      ms.addData(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"))
+      p.processAllAvailable()
+      assert(p.metrics.numIgnoredAlreadyDone.get() == 0L)
+      // the reference's replay scenario (WalConsumerTest.java:66-68): the
+      // same records delivered again — the sink flags each as already done
+      ms.addData(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"),
+        WalRecord(2, 1, "UPDATE", "updated-name"))
+      p.processAllAvailable()
+      assert(p.metrics.numIgnoredAlreadyDone.get() == 2L,
+        s"expected 2 ignored replays, got ${p.metrics.numIgnoredAlreadyDone.get()}")
+      assert(p.metrics.numSynchronized.get() > 0L)
+      // observe() metrics must land in StreamingQueryProgress (async bus)
+      val deadline = System.currentTimeMillis() + 10000
+      while (p.metrics.lastObserved.get().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(p.metrics.lastObserved.get().get("wal_num_records").exists(_ > 0L),
+        s"observed metrics missing: ${p.metrics.lastObserved.get()}")
+      // the scrape point exposes the full reference gauge set
+      val g = p.metrics.gauges
+      assert(g("wal_num_ignored_already_done") == 2L)
+      assert(g.keySet == Set("wal_state", "wal_num_records", "wal_num_synchronized",
+        "wal_num_ignored_already_done", "wal_num_io_failures", "wal_not_empty_seconds"))
+    } finally p.close()
+  }
 }

@@ -79,6 +79,35 @@ class SnapshotTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("orphaned version from a crashed batch never displaces the manifest-referenced one") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-orphan").toString
+    val base = s"$tmp/table"
+    val nParts = 2
+    val sink = SnapshotTable.partitionedSink(base, nParts)
+    sink(Seq(WalRecord(0, 1, "ADD", "a"), WalRecord(1, 2, "ADD", "b")).toDS(), 0L)
+    assert(SnapshotTable.readManifest(s, base).get._2 == Map(0L -> 0L, 1L -> 0L))
+
+    // simulate a crash AFTER a partition commit but BEFORE the manifest
+    // swap: partition 1 has a committed v=1 the manifest doesn't reference
+    Seq((1L, "a-orphan", 5L)).toDF("entityId", "payload", "lastId")
+      .write.parquet(s"$base/p=1/v=1")
+
+    // the replayed batch must (a) keep serving readers through the still-
+    // referenced v=0, (b) version PAST the orphan, (c) reclaim the orphan
+    sink(Seq(WalRecord(2, 1, "UPDATE", "a2")).toDS(), 0L)
+    val dirs = new java.io.File(s"$base/p=1").listFiles().map(_.getName).toSet
+    assert(dirs.contains("v=2"), s"new version must exceed the orphan: $dirs")
+    assert(dirs.contains("v=0"), s"manifest-referenced v=0 must survive the commit: $dirs")
+    assert(!dirs.contains("v=1"), s"unreferenced orphan must be reclaimed: $dirs")
+    assert(SnapshotTable.readManifest(s, base).get._2(1L) == 2L)
+    val state = SnapshotTable.readPartitioned(s, base)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a2", 2L -> "b"),
+      "orphan payload must not leak into the committed view")
+  }
+
   test("merge is idempotent: re-applying a batch changes nothing") {
     val s = spark
     import s.implicits._
