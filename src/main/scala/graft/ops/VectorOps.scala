@@ -97,18 +97,77 @@ object VectorOps {
       .limit(5)
   }
 
-  /** x16: IVF ANN — inverted-file index with 16 coarse centroids
-    * (deterministically the vectors with vec_id < 16; a production build
-    * would k-means them, the index/probe plumbing is identical) and
+  /** k-means parameters for x16: k coarse centroids, seeded from the k
+    * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
+    * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
+  private val x16K = 16
+  private val x16Iters = 2
+
+  /** Component scale for exact-integer centroid means: components become
+    * floor(x·1e6) longs, cluster means are exact floor-division of long
+    * sums — partitioning- and engine-invariant, where a naive double mean
+    * would depend on accumulation order and break the oracle hash. */
+  private val x16Scale = 1000000L
+
+  /** Exact floor division on longs, identical in Spark and DuckDB
+    * (`%` is C-style truncated remainder in both; removing the positive
+    * remainder first makes the quotient exact in any convention). */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - (((a % b) + b) % b)) / b).cast(LongType)
+  private def fdivSql(a: String, b: String): String =
+    s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
+
+  /** Derive the double-list centroid view (cv, cnrm) from scaled-long
+    * centroid components — the exact inverse scaling both engines apply. */
+  private def centView(cent: DataFrame): DataFrame =
+    cent.select(col("cid"),
+        transform(col("c"), x => x.cast("double") / lit(x16Scale.toDouble)).as("cv"))
+      .withColumn("cnrm", sqrt(normSqArr(col("cv"))))
+
+  /** One Lloyd's round: assign every vector to its nearest centroid
+    * (1e-4-scaled cosine, cid tie-break), then recompute each centroid as
+    * the exact per-component floor-division mean of its members' scaled
+    * components; clusters left empty keep their previous centroid. */
+  private def kmeansStep(e: DataFrame, cent: DataFrame): DataFrame = {
+    val sim = e.join(broadcast(centView(cent)))
+      .select(col("vec_id"), col("cid"),
+        scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
+    val assign = sim.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val means = e.select(col("vec_id"), posexplode(col("sv")).as(Seq("pos", "s")))
+      .join(assign, "vec_id")
+      .groupBy(col("cid"), col("pos"))
+      .agg(fdiv(sum(col("s")), count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    cent.withColumnRenamed("c", "c_prev")
+      .join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("c"), col("c_prev")).as("c"))
+  }
+
+  /** x16: IVF ANN — inverted-file index whose 16 coarse centroids are
+    * learned by seeded Lloyd's k-means (2 rounds; init = vec_id < 16),
     * nprobe=2: every vector is assigned to its nearest centroid (the
     * inverted lists), a query scores only the lists of its 2 nearest
-    * centroids. Rankings use 1e-4-scaled similarity with id tie-breaks so
-    * list assignment is cross-engine deterministic. */
+    * centroids. All rankings use 1e-4-scaled similarity with id
+    * tie-breaks and centroid means are exact scaled-integer floor
+    * divisions, so centroids AND list assignment are bit-identical in
+    * the DuckDB oracle (which unrolls the same two rounds as CTEs).
+    * Scale notes: each round is one broadcast-join scan (k rows
+    * broadcast) plus one (cid, pos) aggregation — at 100 TB you learn
+    * centroids on a deterministic sample and only the final assignment
+    * scans the corpus; the probe-side join shape is unchanged. */
   def x16IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val sim = e.join(broadcast(cent))
+      .withColumn("sv", transform(col("v"),
+        x => floor(x.cast("double") * lit(x16Scale.toDouble))))
+    var cent = e.filter(col("vec_id") < x16K)
+      .select(col("vec_id").as("cid"), col("sv").as("c"))
+    for (_ <- 1 to x16Iters) cent = kmeansStep(e, cent)
+    val sim = e.join(broadcast(centView(cent)))
       .select(col("vec_id"), col("cid"),
         scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -119,7 +178,7 @@ object VectorOps {
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))
     assign.join(broadcast(probe), "cid")
       .filter(col("vec_id") =!= 0)
-      .join(e, "vec_id")
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cid"),
         scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
@@ -245,12 +304,34 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
-    "x16_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         |sim AS (SELECT vec_id, cid, ${scaled4Sql(cosSql("v", "cv"))} AS sim_s4 FROM e CROSS JOIN cent),
-         |ranked AS (SELECT vec_id, cid, sim_s4,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM sim),
+    "x16_ivf_ann" -> {
+      // Unrolls the same seeded Lloyd's rounds as the Spark plan, on the
+      // same scaled-integer centroid arithmetic — see x16IvfAnn's scaladoc.
+      // range(1, 65) enumerates the 64 components (DuckDB's range() can't
+      // take a lateral len(sv) argument; the corpus dimension is fixed).
+      def iterCtes(t: Int): String = {
+        val simExpr = scaled4Sql(cosSql("e.v", "cd.cv"))
+        s"""sim$t AS (SELECT e.vec_id, cd.cid, $simExpr AS sim_s4
+           |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent${t - 1}) cd),
+           |asg$t AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM sim$t)
+           |  WHERE rn = 1),
+           |comp$t AS (SELECT a.cid, t.i, CAST(sum(e.sv[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+           |  FROM e JOIN asg$t a USING (vec_id) CROSS JOIN range(1, 65) t(i)
+           |  GROUP BY a.cid, t.i),
+           |cm$t AS (SELECT cid, list(${fdivSql("s", "n")} ORDER BY i) AS c FROM comp$t GROUP BY cid),
+           |cent$t AS (SELECT p.cid, coalesce(cm$t.c, p.c) AS c FROM cent${t - 1} p LEFT JOIN cm$t USING (cid))""".stripMargin
+      }
+      val iters = (1 to x16Iters).map(iterCtes).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $x16Scale) AS BIGINT)) AS sv
+         |  FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cid, sv AS c FROM e WHERE vec_id < $x16K),
+         |$iters,
+         |simF AS (SELECT e.vec_id, cd.cid, ${scaled4Sql(cosSql("e.v", "cd.cv"))} AS sim_s4
+         |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent$x16Iters) cd),
+         |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM simF),
          |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
          |probe AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -258,7 +339,8 @@ object VectorOps {
          |FROM assign a JOIN probe p ON a.cid = p.cid
          |JOIN e ON e.vec_id = a.vec_id, q
          |WHERE a.vec_id <> 0
-         |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin,
+         |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin
+    },
     "x14_cosine_neardup" -> {
       val bandSelects = (0 until x14Bands).map(b =>
         s"SELECT vec_id, $b AS band, ${bandBucketSql("embedding", b)} AS h FROM embeddings")
