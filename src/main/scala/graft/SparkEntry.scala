@@ -21,6 +21,7 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracle),
       (Scalars.queries, Scalars.oracle),
       (TextOps.queries, TextOps.oracle),
+      (PipelineOps.queries, PipelineOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (StreamingBatch.queries, StreamingBatch.oracle))

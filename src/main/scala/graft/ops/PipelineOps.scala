@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.model.Tables
+
+/** X-series training-data-pipeline operators beyond the round-1 surface:
+  * document chunking, TF-IDF term scoring, deterministic stratified
+  * sampling, and int8 embedding quantization — the remaining preprocessing
+  * stages a large-scale LLM data pipeline runs between raw corpus and
+  * training shards.
+  *
+  * Cross-engine determinism notes (same rules as the rest of the repo):
+  * no transcendentals in scored outputs (libm's ln/log are not guaranteed
+  * bit-identical across engines, so x19 uses an exact integer idf
+  * surrogate), md5 is the only shared hash (x20's sampling key), rounding
+  * is round-half-away-from-zero in both engines (x21), and every floor
+  * division removes the remainder first so the quotient is
+  * convention-independent.
+  *
+  * Scale notes (100 TB posture): chunking and quantization are pure
+  * per-row maps (no shuffle, fully codegen-able except the documented
+  * HOF aggregates); TF-IDF is two hash aggregations sharing the term key
+  * plus a broadcast scalar; stratified sampling is a map-side filter on a
+  * hash — the classic shuffle-free deterministic sampler — followed by a
+  * tiny per-stratum count.
+  */
+object PipelineOps {
+  import Tables._
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Exact floor division on longs (both engines: remainder removed
+    * first, so truncating vs flooring `//` agree). */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - (((a % b) + b) % b)) / b).cast(LongType)
+  private def fdivSql(a: String, b: String): String =
+    s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
+
+  // ---- x18: document chunking ----
+
+  /** Token-window chunking: size 50, stride 40 (10-token overlap). */
+  private val chunkSize = 50
+  private val chunkStride = 40
+
+  /** x18: split each document into overlapping token windows — the shard
+    * layout step before tokenization. One chunk per window start
+    * 1, 1+stride, 1+2·stride, … ≤ n_tok; the last window may be short.
+    * Emits window geometry + boundary tokens (the cheap verifiable
+    * projection of the chunk text). Pure per-row explode — no shuffle;
+    * at 100 TB this is the map stage ahead of a shard writer. */
+  def x18Chunking(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("n", size(col("w")).cast(LongType))
+      .select(col("doc_id"), col("n"), col("w"),
+        explode(sequence(lit(1L), col("n"), lit(chunkStride.toLong))).as("s"))
+      .select(
+        col("doc_id"),
+        fdiv(col("s") - 1, lit(chunkStride.toLong)).as("chunk_id"),
+        col("s").as("chunk_start"),
+        (least(col("n"), col("s") + (chunkSize - 1)) - col("s") + 1).as("n_tok_chunk"),
+        element_at(col("w"), col("s").cast("int")).as("first_tok"),
+        element_at(col("w"), least(col("n"), col("s") + (chunkSize - 1)).cast("int")).as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+
+  // ---- x19: TF-IDF top terms ----
+
+  /** x19: top-3 terms per document by tf·idf. The idf is the exact
+    * integer surrogate floor(1000·N/df) (ln is not cross-engine
+    * bit-stable; the ranking behavior — rare terms up, boilerplate down —
+    * is identical), so every score is exact integer math. Two hash
+    * aggregations share the term key; N is a broadcast scalar. Ties
+    * break on term asc. */
+  def x19Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        (col("tf") * fdiv(lit(1000L) * col("n_docs"), col("df"))).as("tfidf_x1000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf_x1000").desc, col("t").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast(LongType).as("rn"),
+        col("t").as("term"), col("tfidf_x1000"))
+      .orderBy("doc_id", "rn")
+  }
+
+  // ---- x20: deterministic stratified sampling ----
+
+  /** Per-stratum keep-rate: first 16 md5 bits of the doc id under this
+    * threshold ⇒ kept. 13107/65536 ≈ 20%. */
+  private val sampleThreshold = 13107L
+
+  /** x20: stratified (per-language) deterministic sample — the
+    * shuffle-free sampler: keep iff hash16(doc_id) < threshold, then
+    * count kept/total per stratum. Hash sampling is reproducible across
+    * runs AND engines (md5 is the shared hash), needs no state, and at
+    * 100 TB is a map-side filter the scan absorbs. */
+  def x20StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast(LongType).as("h16"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("h16") < sampleThreshold, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        fdiv(lit(1000L) * col("n_kept"), col("n_total")).as("kept_per_1000"))
+      .orderBy("lang")
+
+  // ---- x21: int8 embedding quantization ----
+
+  /** x21: symmetric int8 quantization per vector — q_i =
+    * round(127·x_i/amax) with amax = max|x_i| — plus integer checksums of
+    * the quantized codes (dimension, 1e-4-scaled amax, code sum, code
+    * extrema, first code). amax is a comparison (order-independent),
+    * x_i/amax·127 a single double op chain, round half-away in both
+    * engines, and the code sum is integer — all deterministic. Pure
+    * per-row map over the array; the zero vector quantizes to all-zero
+    * codes (guarded, no division by zero). */
+  def x21EmbedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(vd, x => abs(x)))
+    val q = transform(vd, x =>
+      when(col("amax") === 0d, 0L)
+        .otherwise(greatest(lit(-127L), least(lit(127L),
+          round(x * 127d / col("amax")).cast(LongType)))))
+    embeddings(spark, dir)
+      .withColumn("amax", amax)
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        size(col("q")).cast(LongType).as("dim"),
+        scaled4(col("amax")).as("amax_s4"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        element_at(col("q"), 1).as("q1"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_chunking" -> x18Chunking,
+    "x19_tfidf" -> x19Tfidf,
+    "x20_stratified_sample" -> x20StratifiedSample,
+    "x21_embed_quant" -> x21EmbedQuant)
+
+  /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
+    * via instr on the hex alphabet). */
+  private def hex16Sql(h: String): String =
+    (0 until 4).map { i =>
+      val nib = s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1)"
+      s"(${1L << (4 * (3 - i))} * $nib)"
+    }.mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "x18_chunking" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         |             CAST(unnest(range(1, len(w) + 1, $chunkStride)) AS BIGINT) AS s
+         |      FROM d)
+         |SELECT doc_id,
+         |  ${fdivSql("s - 1", chunkStride.toString)} AS chunk_id,
+         |  s AS chunk_start,
+         |  least(n, s + ${chunkSize - 1}) - s + 1 AS n_tok_chunk,
+         |  w[CAST(s AS INT)] AS first_tok,
+         |  w[CAST(least(n, s + ${chunkSize - 1}) AS INT)] AS last_tok
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x19_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+         |df AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t,
+         |    CAST(tf * ${fdivSql("1000 * n_docs", "df")} AS BIGINT) AS tfidf_x1000
+         |  FROM tf JOIN df USING (t), n),
+         |ranked AS (SELECT doc_id, t, tfidf_x1000,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_x1000 DESC, t ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rn, t AS term, tfidf_x1000
+         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "x20_stratified_sample" ->
+      s"""WITH h AS (SELECT lang,
+         |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} AS h16
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${fdivSql(s"1000 * CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS kept_per_1000
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "x21_embed_quant" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+         |q AS (SELECT vec_id, amax,
+         |    list_transform(v, x -> CASE WHEN amax = 0 THEN 0
+         |      ELSE greatest(-127, least(127, CAST(round(x * 127 / amax) AS BIGINT))) END) AS q
+         |  FROM a)
+         |SELECT vec_id,
+         |  CAST(len(q) AS BIGINT) AS dim,
+         |  ${Tables.scaled4Sql("amax")} AS amax_s4,
+         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |  CAST(list_min(q) AS BIGINT) AS q_min,
+         |  CAST(list_max(q) AS BIGINT) AS q_max,
+         |  q[1] AS q1
+         |FROM q ORDER BY vec_id""".stripMargin)
+}

@@ -97,6 +97,39 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getLong(5) == 10000L)
   }
 
+  test("x18: chunk windows tile every document (stride geometry, full coverage)") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = PipelineOps.x18Chunking(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet, "every document must be chunked")
+    chunks.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val starts = sorted.map(_.getLong(2))
+      assert(starts.head == 1L)
+      assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 40L },
+        s"doc $doc: starts not stride-spaced: ${starts.toSeq}")
+      val last = sorted.last
+      // last window reaches the final token: start + n_tok_chunk - 1 == n
+      assert(last.getLong(2) + last.getLong(3) - 1 == docs(doc),
+        s"doc $doc: final chunk must end at the last token")
+      assert(sorted.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 50))
+    }
+  }
+
+  test("x21: quantized codes stay in int8 range and saturate at the max component") {
+    val rows = PipelineOps.x21EmbedQuant(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getLong(4), r.getLong(5))
+      assert(qmin >= -127L && qmax <= 127L)
+      // symmetric scaling pins the absolutely-largest component to ±127
+      assert(qmax == 127L || qmin == -127L,
+        s"vec ${r.getLong(0)}: extremum must quantize to ±127 (got $qmin/$qmax)")
+    }
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
