@@ -93,21 +93,42 @@ object TextOps {
     x2DedupNearOn(shingleHashRows(spark, dir))
 
   /** x2 body over any (doc_id, gh) shingle-hash frame — split out so the
-    * df-cap behavior is testable on a synthetic hot-shingle corpus. */
+    * df-cap behavior is testable on a synthetic hot-shingle corpus.
+    *
+    * Shape: an INVERTED INDEX, not a self-join. Per shingle the sorted
+    * doc list is aggregated in one scan of the corpus, the df cap drops
+    * hot lists, and candidate pairs are generated from each list with
+    * array lambdas — ≤ C(cap,2) pairs per shingle by construction (the
+    * previous join formulation executed the shingle explode+md5 subtree
+    * 8×: Spark diamonds re-compute, and self-join exprId renumbering
+    * defeats ReusedExchange; this shape executes it 3×, see below).
+    * Per-doc kept-shingle sizes come from re-exploding the tiny
+    * |distinct shingles| index, never the corpus. At 100 TB the index is
+    * the natural materialized pipeline stage and everything downstream
+    * of it is bounded small data. */
   private[graft] def x2DedupNearOn(hashRows: DataFrame): DataFrame = {
-    val raw = hashRows.select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
-    // df per shingle; drop hot shingles BEFORE the pair join (bounds the
-    // join at Σ_kept C(df,2) ≤ kept · C(cap,2)). The df frame shares the
-    // pair join's key so the extra join adds no new shuffle key.
-    val kept = raw.join(
-      raw.groupBy(col("k")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= x2DfCap).select("k"),
-      "k")
-    val g = kept.select(col("doc_id"), col("k"))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val byK = hashRows
+      .select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= x2DfCap) // df cap: hot shingles carry no signal
+    // The index feeds three consumers (pair gen + two size joins), so the
+    // one-scan base still executes 3× (Spark recomputes diamond subtrees;
+    // lazy localCheckpoint was tried and races concurrent consumers). A
+    // production pipeline removes the 3× by writing the inverted index as
+    // a materialized stage and reading it back — the plan shape below is
+    // unchanged by that.
+    val sizes = byK.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // all ordered pairs (docs[i], docs[j]), i < j, from each posting list
+    val inter = byK.select(explode(flatten(transform(col("docs"), (d1, i) =>
+        transform(
+          slice(col("docs"), i + 2, size(col("docs")) - i - 1),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      // a doc can appear twice in one list (two grams colliding to one
+      // 8-hex key); the sorted list makes d1 ≤ d2, this keeps it strict
+      .filter(col("p.d1") < col("p.d2"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
@@ -127,10 +148,14 @@ object TextOps {
     val g = shingleHashRows(spark, dir)
     val mhAggs = (0 until 8).map(s => min(substring(col("gh"), 4 * s + 1, 4)).as(s"mh$s"))
     val sig = g.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).cast(LongType).as("band"),
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("h"))
-    }.reduce(_ unionByName _)
+    // one explode, not 4 unioned selects — a union of N selects over sig
+    // re-executes the whole shingle subtree N times (diamond plans
+    // re-compute; exprId renumbering defeats exchange reuse)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).cast(LongType).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("h"))
+      }: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
