@@ -147,11 +147,90 @@ object PipelineOps {
       .orderBy("vec_id")
   }
 
+  // ---- x22: denylist redaction ----
+
+  /** Terms scrubbed by x22 (stand-ins for a PII denylist — the corpus is
+    * synthetic word text, so the demonstration list is two frequent
+    * terms; swapping in a real entity list changes nothing structural). */
+  private val redactList = Seq("customer", "value")
+  private val redactedMark = "[REDACTED]"
+
+  /** x22: scrubbing pass — replace denylisted tokens, count the
+    * replacements, fingerprint the scrubbed text. Token-level transform
+    * (split → map → join), NOT a regex: Java and RE2 regex dialects can
+    * disagree at edges, token equality cannot. Pure per-row map; at
+    * 100 TB this is the PII-scrub stage fused into the scan. */
+  def x22Redact(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val scrubbed = array_join(
+      transform(w, t => when(t.isInCollection(redactList), lit(redactedMark)).otherwise(t)),
+      " ")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(w, t => t.isInCollection(redactList))).cast(LongType).as("n_redacted"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- x24: near-dup clusters (connected components) ----
+
+  /** Iteration cap for x24's label propagation — convergence needs
+    * O(component diameter) rounds; the cap only guards a pathological
+    * chain (the run fails loudly rather than returning a half-converged
+    * labeling). */
+  private val ccMaxIters = 50
+
+  /** x24: duplicate-cluster assignment — connected components over the
+    * x13 MinHash-LSH candidate graph, labeling every document with the
+    * smallest doc_id reachable through shared-band pairs (singletons
+    * label themselves). This is the step that turns pairwise near-dup
+    * evidence into "keep one per cluster" decisions.
+    *
+    * Spark side: Pregel-style min-label propagation to a FIXPOINT — per
+    * round one join of labels to the symmetrized edge list + a min
+    * aggregation, with a driver-side convergence check (the one action
+    * per round is the standard iterative-graph pattern; rounds =
+    * component diameter). The DuckDB oracle computes the same fixpoint
+    * as a recursive transitive-closure CTE — an independent derivation
+    * that agrees exactly BECAUSE min-label fixpoints are unique.
+    * At 100 TB you switch the propagation to the large-star/small-star
+    * contraction (fewer, denser rounds); the per-round plan is the same
+    * join+agg. */
+  def x24DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.x13MinhashLsh(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true) // small (2·|pairs|); reused every round
+    var labels = documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("lab"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < ccMaxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
+        .groupBy(col("d1").as("doc_id"))
+        .agg(min(col("lab")).as("nlab"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true) // eager: materialize the round, truncate lineage
+      converged = next.select(col("doc_id"), col("lab").as("lab_next"))
+        .join(labels.select(col("doc_id"), col("lab").as("lab_prev")), "doc_id")
+        .filter(col("lab_next") =!= col("lab_prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"x24: label propagation did not converge in $ccMaxIters rounds")
+    labels.select(col("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
     "x20_stratified_sample" -> x20StratifiedSample,
-    "x21_embed_quant" -> x21EmbedQuant)
+    "x21_embed_quant" -> x21EmbedQuant,
+    "x22_redact" -> x22Redact,
+    "x24_dedup_clusters" -> x24DedupClusters)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -196,6 +275,30 @@ object PipelineOps {
          |  CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  ${fdivSql(s"1000 * CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS kept_per_1000
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "x22_redact" -> {
+      val dl = redactList.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, t -> t IN $dl)) AS BIGINT) AS n_redacted,
+         |  md5(array_to_string(
+         |    list_transform(w, t -> CASE WHEN t IN $dl THEN '$redactedMark' ELSE t END),
+         |    ' ')) AS scrubbed_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "x24_dedup_clusters" ->
+      // independent derivation: transitive closure as a recursive CTE over
+      // the same x13 candidate pairs; min-label fixpoints are unique, so
+      // it agrees exactly with Spark's iterative propagation
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) t),
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS d, doc_id AS l FROM documents
+         |  UNION
+         |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
+         |)
+         |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
+         |ORDER BY doc_id""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -130,6 +130,21 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x24: cluster labels are canonical min-reachable ids and respect the pair graph") {
+    val labels = PipelineOps.x24DedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster id is the smallest member and labels itself
+    labels.foreach { case (d, c) =>
+      assert(c <= d, s"label must be a min-reachable id: doc $d -> $c")
+      assert(labels(c) == c, s"cluster id $c must be its own label")
+    }
+    // both endpoints of every candidate pair share a cluster
+    TextOps.x13MinhashLsh(spark, sf0001).collect().foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(labels(d1) == labels(d2), s"pair ($d1,$d2) split across clusters")
+    }
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
