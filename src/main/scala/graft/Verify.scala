@@ -19,6 +19,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clean any previous dump first: Verify only overwrites per-query
+    // dirs, so a query that fails on THIS run would otherwise leave a
+    // stale green result from a prior run for check.py to compare.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -68,4 +68,16 @@ object Tables {
   def scaled4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 10000).cast("long")
   def scaled4Sql(e: String): String = s"CAST(ROUND(($e) * 10000) AS BIGINT)"
+
+  /** Exact floor division on longs, identical in Spark and DuckDB: `%` is
+    * C-style truncated remainder in both engines, and removing the
+    * positive remainder first makes the quotient exact under any integer
+    * division convention (Spark's `/`+cast truncates, DuckDB's `//`
+    * truncates — both land on the same already-exact quotient). */
+  def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - (((a % b) + b) % b)) / b).cast(LongType)
+
+  /** SQL-side twin of [[fdiv]] for oracle queries. */
+  def fdivSql(a: String, b: String): String =
+    s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
 }

@@ -29,14 +29,9 @@ import graft.model.Tables
 object PipelineOps {
   import Tables._
 
-  private def toks(c: Column): Column = split(c, " ")
-
-  /** Exact floor division on longs (both engines: remainder removed
-    * first, so truncating vs flooring `//` agree). */
-  private def fdiv(a: Column, b: Column): Column =
-    ((a - (((a % b) + b) % b)) / b).cast(LongType)
-  private def fdivSql(a: String, b: String): String =
-    s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
+  /** Tokens of `text` (corpus is single-space separated) — shared
+    * definition with [[TextOps.toks]]. */
+  private def toks(c: Column): Column = TextOps.toks(c)
 
   // ---- x18: document chunking ----
 

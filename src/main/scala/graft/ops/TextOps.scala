@@ -31,7 +31,7 @@ object TextOps {
   private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** tokens of `text` (corpus is single-space separated). */
-  private def toks(c: Column): Column = split(c, " ")
+  private[ops] def toks(c: Column): Column = split(c, " ")
 
   /** distinct word 3-shingles of `text`. */
   private def shingles(w: Column): Column =
@@ -107,11 +107,22 @@ object TextOps {
     * the natural materialized pipeline stage and everything downstream
     * of it is bounded small data. */
   private[graft] def x2DedupNearOn(hashRows: DataFrame): DataFrame = {
-    val byK = hashRows
-      .select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+    val kd = hashRows.select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+    // df cap, applied BEFORE any posting list materializes: a boilerplate
+    // shingle with huge df must never build a df-sized collect_list
+    // buffer (a post-hoc size filter would still pay that buffer). The
+    // df comes from a window count over the SAME k-exchange the list
+    // aggregation needs — one scan, one shuffle; a hot key's rows pass
+    // through the window's sorter-backed (spillable) buffer and are
+    // dropped before any array materializes. (A count+anti-join
+    // formulation was measured instead: analyzer renumbering blocks
+    // exchange reuse and the base executes twice per consumer.)
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val byK = kd
+      .withColumn("df", count(lit(1)).over(wk))
+      .filter(col("df") <= x2DfCap)
       .groupBy(col("k"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= x2DfCap) // df cap: hot shingles carry no signal
     // The index feeds three consumers (pair gen + two size joins), so the
     // one-scan base still executes 3× (Spark recomputes diamond subtrees;
     // lazy localCheckpoint was tried and races concurrent consumers). A

@@ -109,14 +109,6 @@ object VectorOps {
     * would depend on accumulation order and break the oracle hash. */
   private val x16Scale = 1000000L
 
-  /** Exact floor division on longs, identical in Spark and DuckDB
-    * (`%` is C-style truncated remainder in both; removing the positive
-    * remainder first makes the quotient exact in any convention). */
-  private def fdiv(a: Column, b: Column): Column =
-    ((a - (((a % b) + b) % b)) / b).cast(LongType)
-  private def fdivSql(a: String, b: String): String =
-    s"CAST((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b) AS BIGINT)"
-
   /** Derive the double-list centroid view (cv, cnrm) from scaled-long
     * centroid components — the exact inverse scaling both engines apply. */
   private def centView(cent: DataFrame): DataFrame =
@@ -187,8 +179,9 @@ object VectorOps {
   }
 
   /** Number of sign-bit hash tables (bands) and bits per band for x14's
-    * candidate blocking. Band b, bit j uses component 8b+j+1 — disjoint
-    * hyperplane sets per table. */
+    * candidate blocking. Band b, bit j uses component x14Bits·b+j+1 —
+    * disjoint hyperplane sets per table (x14Bits·x14Bands must stay ≤ the
+    * 64-dim corpus). */
   private val x14Bands = 4
   private val x14Bits = 5
 

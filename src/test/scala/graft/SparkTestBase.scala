@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf0001 = "/root/testdata/sf0.001"
+  def sf001 = "/root/testdata/sf0.01"
 }
 
 object SparkTestBase {

@@ -63,7 +63,6 @@ class OpsSpec extends SparkTestBase {
   test("x14: blocked near-dup pairs are a subset of all-pairs with identical scores") {
     // sf0.01: the smallest SF with a ground-truth near-dup pair (sf0.001
     // has none, so the blocked result there is correctly empty).
-    val sf001 = "/root/testdata/sf0.01"
     val blocked = VectorOps.x14CosineNeardup(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val all = VectorOps.x14AllPairs(spark, sf001).collect()
