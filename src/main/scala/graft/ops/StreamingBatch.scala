@@ -98,8 +98,23 @@ object StreamingBatch {
       .orderBy("p_id")
   }
 
+  /** s7: batch analogue of the stream-static enrichment join — every
+    * event looked up against the `nation` dimension (user_id mod 25 as
+    * the foreign key), aggregated per dimension attribute. The streaming
+    * form (graft.streaming.Streams.enrichStream) broadcasts the dim and
+    * re-plans it each micro-batch; state-free, unlike stream-stream
+    * joins. */
+  def s7StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .join(broadcast(nation(spark, dir)),
+        pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      .orderBy("n_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_snapshot" -> s1StreamSnapshot,
+    "s7_stream_enrich" -> s7StreamEnrich,
     "s6_interval_join" -> s6IntervalJoin,
     "s2_tumbling" -> s2Tumbling,
     "s3_sliding" -> s3Sliding,
@@ -109,6 +124,10 @@ object StreamingBatch {
 
   val oracle: Map[String, String] = Map(
     "s1_stream_snapshot" -> graft.ops.Changelog.oracle("c1_snapshot"),
+    "s7_stream_enrich" ->
+      s"""SELECT n_name, count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c
+         |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "s6_interval_join" ->
       """SELECT p.event_id AS p_id, p.user_id AS p_user,
         |  CAST(sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_views_1h

@@ -206,6 +206,16 @@ object Streams {
               v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""))
   }
 
+  /** S7: stream-static enrichment — dimension lookup on the live WAL
+    * stream. The static side is re-resolved and broadcast on EVERY
+    * micro-batch (so a dim refresh between batches is picked up), and the
+    * join is state-free — unlike stream-stream joins there is no
+    * watermark bookkeeping. The batch analogue with the DuckDB oracle is
+    * ops.StreamingBatch.s7StreamEnrich. */
+  def enrichStream(records: Dataset[WalRecord], dim: DataFrame,
+      on: org.apache.spark.sql.Column): DataFrame =
+    records.toDF().join(broadcast(dim), on)
+
   /** S5: replay suppression by id within the watermark — the streaming
     * form of the reference's "already done" dedup. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -98,6 +98,26 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s7: stream-static enrichment joins the dim on every micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("dim_key", "dim_name")
+    val ms = MemoryStream[WalRecord]
+    val q = Streams.enrichStream(ms.toDS(), dim, col("entityId") === col("dim_key"))
+      .select(col("id"), col("entityId"), col("dim_name"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      ms.addData(WalRecord(0, 1, "ADD", "a"), WalRecord(1, 2, "ADD", "b"),
+        WalRecord(2, 3, "ADD", "no-dim-row"))
+      q.processAllAvailable()
+      val rows = s.table("enrich").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(rows == Map(0L -> "alpha", 1L -> "beta"),
+        "inner enrichment keeps only keyed records, with dim attributes attached")
+    } finally q.stop()
+  }
+
   test("s2/s4: tumbling window with watermark drops too-late data") {
     val s = spark
     import s.implicits._
