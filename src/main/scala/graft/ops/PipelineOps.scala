@@ -203,16 +203,18 @@ object PipelineOps {
     var it = 0
     while (!converged && it < ccMaxIters) {
       val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
+        .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
         .groupBy(col("d1").as("doc_id"))
-        .agg(min(col("lab")).as("nlab"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .agg(min(col("nbr_lab")).as("nlab"))
+      // one materialization per round carrying BOTH the old and the new
+      // label: the convergence test is then a cheap scan of the
+      // checkpointed blocks instead of a second re-planned join
+      val joined = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lab"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab_next"))
         .localCheckpoint(true) // eager: materialize the round, truncate lineage
-      converged = next.select(col("doc_id"), col("lab").as("lab_next"))
-        .join(labels.select(col("doc_id"), col("lab").as("lab_prev")), "doc_id")
-        .filter(col("lab_next") =!= col("lab_prev")).isEmpty
-      labels = next
+      converged = joined.filter(col("lab_next") =!= col("lab")).isEmpty
+      labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
       it += 1
     }
     require(converged, s"x24: label propagation did not converge in $ccMaxIters rounds")
