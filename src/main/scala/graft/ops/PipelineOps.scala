@@ -191,12 +191,19 @@ object PipelineOps {
     * At 100 TB you switch the propagation to the large-star/small-star
     * contraction (fewer, denser rounds); the per-round plan is the same
     * join+agg. */
-  def x24DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextOps.x13MinhashLsh(spark, dir).select(col("d1"), col("d2"))
+  def x24DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      documents(spark, dir).select(col("doc_id")),
+      TextOps.x13MinhashLsh(spark, dir).select(col("d1"), col("d2")))
+
+  /** Connected components over any (doc_id) node / (d1, d2) pair frames —
+    * x24's engine, split out so the fixpoint is property-testable against
+    * a driver-side union-find on arbitrary graphs. */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true) // small (2·|pairs|); reused every round
-    var labels = documents(spark, dir)
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("lab"))
       .localCheckpoint(true)
     var converged = false
