@@ -22,12 +22,24 @@ object Verify {
     // Clean any previous dump first: Verify only overwrites per-query
     // dirs, so a query that fails on THIS run would otherwise leave a
     // stale green result from a prior run for check.py to compare.
+    // Guard: only wipe a directory that IS a previous dump (it carries
+    // oracle_sql.json) — a typo'd outDir pointing at real data must not
+    // become a recursive delete.
     def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
     }
-    rmTree(new java.io.File(outDir))
-    new java.io.File(outDir).mkdirs()
+    val outDirFile = new java.io.File(outDir)
+    if (outDirFile.exists()) {
+      if (!new java.io.File(outDirFile, "oracle_sql.json").exists()) {
+        System.err.println(
+          s"[verify] refusing to clean $outDir: exists but is not a previous Verify dump " +
+            "(no oracle_sql.json) — pass an empty or fresh directory")
+        sys.exit(2)
+      }
+      rmTree(outDirFile)
+    }
+    outDirFile.mkdirs()
     var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -194,7 +194,7 @@ object PipelineOps {
   def x24DedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
       documents(spark, dir).select(col("doc_id")),
-      TextOps.x13MinhashLsh(spark, dir).select(col("d1"), col("d2")))
+      TextOps.x13Pairs(spark, dir).select(col("d1"), col("d2")))
 
   /** Connected components over any (doc_id) node / (d1, d2) pair frames —
     * x24's engine, split out so the fixpoint is property-testable against
@@ -208,6 +208,7 @@ object PipelineOps {
       .localCheckpoint(true)
     var converged = false
     var it = 0
+    var prevCkpt: DataFrame = labels // superseded checkpoints are unpersisted promptly
     while (!converged && it < ccMaxIters) {
       val viaEdges = edges
         .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
@@ -221,10 +222,16 @@ object PipelineOps {
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab_next"))
         .localCheckpoint(true) // eager: materialize the round, truncate lineage
       converged = joined.filter(col("lab_next") =!= col("lab")).isEmpty
+      prevCkpt.unpersist() // the old round's blocks are dead now
+      prevCkpt = joined
       labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
       it += 1
     }
     require(converged, s"x24: label propagation did not converge in $ccMaxIters rounds")
+    edges.unpersist() // the result plan reads only the final checkpoint
+    // the final round's checkpoint is deliberately NOT unpersisted: its
+    // lineage is truncated, so the returned plan depends on those blocks
+    // (the ContextCleaner reclaims them once the result is dropped)
     labels.select(col("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
   }
 

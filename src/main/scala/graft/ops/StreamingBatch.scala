@@ -107,7 +107,9 @@ object StreamingBatch {
   def s7StreamEnrich(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .join(broadcast(nation(spark, dir)),
-        pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+        // C-style % on BOTH sides (Spark Remainder ≡ DuckDB %) — pmod
+        // would silently diverge from the oracle on a negative key
+        (col("user_id") % lit(25L)) === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
       .orderBy("n_name")

@@ -155,7 +155,13 @@ object TextOps {
     * shingle: the k "permutations" are the 8 disjoint 4-hex-char slices of
     * the digest (a standard one-hash minhash family), so signature
     * building costs 1 hash + 8 substrings instead of 8 hashes. */
-  def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    x13Pairs(spark, dir).orderBy("d1", "d2")
+
+  /** x13's pair core WITHOUT the final global sort — consumers that
+    * re-aggregate (x24's connected components) must not pay a range
+    * exchange for an ordering they immediately destroy. */
+  private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame = {
     val g = shingleHashRows(spark, dir)
     val mhAggs = (0 until 8).map(s => min(substring(col("gh"), 4 * s + 1, 4)).as(s"mh$s"))
     val sig = g.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
@@ -172,7 +178,6 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("d1", "d2")
   }
 
   /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.

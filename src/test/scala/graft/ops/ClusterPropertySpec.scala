@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+
+/** Property test for x24's connected-components engine: for ANY random
+  * graph, the distributed min-label fixpoint must produce exactly the
+  * components a driver-side union-find produces (labels = min member id,
+  * singletons label themselves). */
+class ClusterPropertySpec extends SparkTestBase {
+
+  private def edgeGen(n: Long): Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, n - 1), Gen.choose(0L, n - 1)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  test("connectedComponents == union-find for 15 random graphs") {
+    val s = spark
+    import s.implicits._
+    val n = 20L
+    (1 to 15).foreach { i =>
+      val edges = edgeGen(n)(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs = edges match {
+        case Nil => Seq.empty[(Long, Long)].toDF("d1", "d2")
+        case es => es.toDF("d1", "d2")
+      }
+      val got = PipelineOps.connectedComponents(nodes, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = unionFind(n, edges)
+      assert(got == expected, s"seed=$i edges=$edges")
+    }
+  }
+}
