@@ -144,6 +144,16 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
+    val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(s7.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$s7")
+    val x18 = PipelineOps.x18Chunking(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!x18.contains("hashpartitioning"),
+      s"chunking is a pure per-row map — only the final sort may exchange:\n$x18")
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
