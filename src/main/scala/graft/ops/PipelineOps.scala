@@ -199,7 +199,8 @@ object PipelineOps {
   /** Connected components over any (doc_id) node / (d1, d2) pair frames —
     * x24's engine, split out so the fixpoint is property-testable against
     * a driver-side union-find on arbitrary graphs. */
-  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = ccMaxIters): DataFrame = {
     val edges = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true) // small (2·|pairs|); reused every round
@@ -209,7 +210,7 @@ object PipelineOps {
     var converged = false
     var it = 0
     var prevCkpt: DataFrame = labels // superseded checkpoints are unpersisted promptly
-    while (!converged && it < ccMaxIters) {
+    while (!converged && it < maxIters) {
       val viaEdges = edges
         .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
         .groupBy(col("d1").as("doc_id"))
@@ -227,7 +228,7 @@ object PipelineOps {
       labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
       it += 1
     }
-    require(converged, s"x24: label propagation did not converge in $ccMaxIters rounds")
+    require(converged, s"connectedComponents: label propagation did not converge in $maxIters rounds")
     edges.unpersist() // the result plan reads only the final checkpoint
     // the final round's checkpoint is deliberately NOT unpersisted: its
     // lineage is truncated, so the returned plan depends on those blocks

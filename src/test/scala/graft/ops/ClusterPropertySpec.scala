@@ -28,6 +28,20 @@ class ClusterPropertySpec extends SparkTestBase {
     (0L until n).map(i => i -> find(i)).toMap
   }
 
+  test("connectedComponents fails loudly when the iteration cap is hit") {
+    val s = spark
+    import s.implicits._
+    // a 10-node chain has diameter 9: min-label needs ~9 rounds, so a cap
+    // of 3 must abort with the documented error, never return a
+    // half-converged labeling
+    val nodes = (0L until 10L).toDF("doc_id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.connectedComponents(nodes, chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents == union-find for 15 random graphs") {
     val s = spark
     import s.implicits._
