@@ -167,6 +167,63 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x23: SimHash near-dup pairs ----
+
+  /** x23's Hamming radius and its exact pigeonhole banding: a pair
+    * within Hamming ≤ 3 of a 64-bit fingerprint differs in at most 3 of
+    * the 4 disjoint 16-bit slices, so it MUST match on at least one —
+    * the slice equi-join loses nothing at this radius (unlike x14's
+    * probabilistic bands). x7's 16-bit fingerprint saturates on a
+    * shared-vocabulary corpus (3.6% of all pairs within Hamming 1), so
+    * x23 builds the standard 64-bit simhash: bit j of a token is bit
+    * (j mod 4) of md5 hex nibble (j div 4). */
+  private val x23MaxHamming = 3
+  private val x23Bands = x23MaxHamming + 1
+
+  /** x23: near-dup pairs by 64-bit SimHash Hamming distance ≤ 3 — the
+    * dedup USE of simhash fingerprints (x7 exposes the fingerprint
+    * itself). One token pass builds 64 ±1 contribution sums (map-side
+    * combinable wide aggregate); candidates come from the 4-slice
+    * pigeonhole equi-join; verification is bit_count(xor), identical
+    * two's-complement integer ops in both engines. */
+  /** The 64-bit per-document simhash frame (doc_id, sh) — split out so
+    * the pigeonhole-exactness property of x23 is testable against a
+    * driver-side brute force. */
+  private[graft] def x23Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val nibbles = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast(LongType).as(s"n$i"))
+    val contribs = (0 until 64).map(j =>
+      when(col(s"n${j / 4}").bitwiseAND(lit(1L << (j % 4))) =!= 0L, 1L)
+        .otherwise(-1L).as(s"c$j"))
+    val sums = (0 until 64).map(j => sum(col(s"c$j")).as(s"s$j"))
+    val fpBits = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+      .select(col("doc_id") +: nibbles: _*)
+      .select(col("doc_id") +: contribs: _*)
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fpBits.as("sh"))
+  }
+
+  def x23SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = x23Fingerprints(spark, dir)
+    val keyed = fp.select(col("doc_id"), col("sh"), explode(array(
+        (0 until x23Bands).map(b => struct(lit(b.toLong).as("band"),
+          shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("h"))): _*)).as("k"))
+      .select(col("doc_id"), col("sh"), col("k.band").as("band"), col("k.h").as("h"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= x23MaxHamming)
+      .orderBy("d1", "d2")
+  }
+
   // ---- x24: near-dup clusters (connected components) ----
 
   /** Iteration cap for x24's label propagation — convergence needs
@@ -242,6 +299,7 @@ object PipelineOps {
     "x20_stratified_sample" -> x20StratifiedSample,
     "x21_embed_quant" -> x21EmbedQuant,
     "x22_redact" -> x22Redact,
+    "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
@@ -296,6 +354,27 @@ object PipelineOps {
          |    list_transform(w, t -> CASE WHEN t IN $dl THEN '$redactedMark' ELSE t END),
          |    ' ')) AS scrubbed_md5
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "x23_simhash_neardup" -> {
+      val sums = (0 until 64).map(j =>
+        s"sum(CASE WHEN ((instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) & ${1L << (j % 4)}) != 0 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n    ")
+      val fpBits = (0 until 64).map(j =>
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until x23Bands).map(b =>
+        s"SELECT doc_id, sh, $b AS band, (sh >> ${16 * b}) & 65535 AS h FROM fp")
+        .mkString("\n      UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM tok GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fpBits AS sh FROM s),
+         |k AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |         FROM k a JOIN k b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, hamming FROM cand WHERE hamming <= $x23MaxHamming
+         |ORDER BY d1, d2""".stripMargin
     },
     "x24_dedup_clusters" ->
       // independent derivation: transitive closure as a recursive CTE over

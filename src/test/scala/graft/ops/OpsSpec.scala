@@ -144,6 +144,19 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x23: pigeonhole banding is EXACT — blocked pairs equal brute force at radius 3") {
+    val fps = PipelineOps.x23Fingerprints(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, s1) <- fps; (d2, s2) <- fps if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h.toLong)).toSet
+    val blocked = PipelineOps.x23SimhashNeardup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"4-slice blocking must lose nothing at Hamming ≤ 3: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
