@@ -179,6 +179,25 @@ object PipelineOps {
     * (j mod 4) of md5 hex nibble (j div 4). */
   private val x23MaxHamming = 3
   private val x23Bands = x23MaxHamming + 1
+  // a slice per band must tile the 64-bit fingerprint exactly, or the
+  // pigeonhole guarantee (and Spark-vs-DuckDB shift parity: Java wraps
+  // shift amounts mod 64, DuckDB doesn't) silently breaks
+  require(x23Bands * 16 == 64,
+    s"x23 banding must tile 64 bits in 16-bit slices; got $x23Bands bands")
+
+  /** The 64-bit per-document simhash frame (doc_id, sh), built with
+    * [[TextOps.simhashAgg]] (bit j of a token = bit (j mod 4) of md5 hex
+    * nibble (j div 4)) — split out so the pigeonhole-exactness property
+    * of x23 is testable against a driver-side brute force. */
+  private[graft] def x23Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashAgg(
+      documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("h")),
+      nBits = 64,
+      contrib = j =>
+        when(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast(LongType)
+          .bitwiseAND(lit(1L << (j % 4))) =!= 0L, 1L).otherwise(-1L))
 
   /** x23: near-dup pairs by 64-bit SimHash Hamming distance ≤ 3 — the
     * dedup USE of simhash fingerprints (x7 exposes the fingerprint
@@ -186,28 +205,6 @@ object PipelineOps {
     * combinable wide aggregate); candidates come from the 4-slice
     * pigeonhole equi-join; verification is bit_count(xor), identical
     * two's-complement integer ops in both engines. */
-  /** The 64-bit per-document simhash frame (doc_id, sh) — split out so
-    * the pigeonhole-exactness property of x23 is testable against a
-    * driver-side brute force. */
-  private[graft] def x23Fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val nibbles = (0 until 16).map(i =>
-      conv(substring(col("h"), i + 1, 1), 16, 10).cast(LongType).as(s"n$i"))
-    val contribs = (0 until 64).map(j =>
-      when(col(s"n${j / 4}").bitwiseAND(lit(1L << (j % 4))) =!= 0L, 1L)
-        .otherwise(-1L).as(s"c$j"))
-    val sums = (0 until 64).map(j => sum(col(s"c$j")).as(s"s$j"))
-    val fpBits = (0 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-      .select(col("doc_id") +: nibbles: _*)
-      .select(col("doc_id") +: contribs: _*)
-      .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fpBits.as("sh"))
-  }
-
   def x23SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val fp = x23Fingerprints(spark, dir)
     val keyed = fp.select(col("doc_id"), col("sh"), explode(array(
@@ -267,29 +264,36 @@ object PipelineOps {
     var converged = false
     var it = 0
     var prevCkpt: DataFrame = labels // superseded checkpoints are unpersisted promptly
-    while (!converged && it < maxIters) {
-      val viaEdges = edges
-        .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
-        .groupBy(col("d1").as("doc_id"))
-        .agg(min(col("nbr_lab")).as("nlab"))
-      // one materialization per round carrying BOTH the old and the new
-      // label: the convergence test is then a cheap scan of the
-      // checkpointed blocks instead of a second re-planned join
-      val joined = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lab"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab_next"))
-        .localCheckpoint(true) // eager: materialize the round, truncate lineage
-      converged = joined.filter(col("lab_next") =!= col("lab")).isEmpty
-      prevCkpt.unpersist() // the old round's blocks are dead now
-      prevCkpt = joined
-      labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
-      it += 1
+    try {
+      while (!converged && it < maxIters) {
+        val viaEdges = edges
+          .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
+          .groupBy(col("d1").as("doc_id"))
+          .agg(min(col("nbr_lab")).as("nlab"))
+        // one materialization per round carrying BOTH the old and the new
+        // label: the convergence test is then a cheap scan of the
+        // checkpointed blocks instead of a second re-planned join
+        val joined = labels.join(viaEdges, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lab"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab_next"))
+          .localCheckpoint(true) // eager: materialize the round, truncate lineage
+        converged = joined.filter(col("lab_next") =!= col("lab")).isEmpty
+        prevCkpt.unpersist() // the old round's blocks are dead now
+        prevCkpt = joined
+        labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
+        it += 1
+      }
+      require(converged, s"connectedComponents: label propagation did not converge in $maxIters rounds")
+    } finally {
+      edges.unpersist() // the result plan reads only the final checkpoint
+      // deterministic cleanup on the failure path too: without it, the
+      // edges and last-round blocks linger until ContextCleaner GC
+      if (!converged) prevCkpt.unpersist()
     }
-    require(converged, s"connectedComponents: label propagation did not converge in $maxIters rounds")
-    edges.unpersist() // the result plan reads only the final checkpoint
-    // the final round's checkpoint is deliberately NOT unpersisted: its
-    // lineage is truncated, so the returned plan depends on those blocks
-    // (the ContextCleaner reclaims them once the result is dropped)
+    // the final round's checkpoint is deliberately NOT unpersisted on
+    // success: its lineage is truncated, so the returned plan depends on
+    // those blocks (the ContextCleaner reclaims them once the result is
+    // dropped)
     labels.select(col("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
   }
 
@@ -306,7 +310,7 @@ object PipelineOps {
     * via instr on the hex alphabet). */
   private def hex16Sql(h: String): String =
     (0 until 4).map { i =>
-      val nib = s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1)"
+      val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (3 - i))} * $nib)"
     }.mkString("(", " + ", ")")
 
@@ -357,7 +361,7 @@ object PipelineOps {
     },
     "x23_simhash_neardup" -> {
       val sums = (0 until 64).map(j =>
-        s"sum(CASE WHEN ((instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) & ${1L << (j % 4)}) != 0 THEN 1 ELSE -1 END) AS s$j")
+        s"sum(CASE WHEN (${TextOps.nibSql("h", j / 4 + 1)} & ${1L << (j % 4)}) != 0 THEN 1 ELSE -1 END) AS s$j")
         .mkString(",\n    ")
       val fpBits = (0 until 64).map(j =>
         s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")

@@ -186,23 +186,36 @@ object TextOps {
     * computed as 16 COLUMNS of each token row (one md5, 16 substrings), not
     * an exploded (token × bit) row blow-up — 16× fewer rows through the
     * shuffle, one aggregation instead of two. */
-  def x7Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-    val contribs = (0 until 16).map { j =>
-      when(conv(substring(col("h"), j + 1, 1), 16, 10).cast(LongType) >= 8, 1L)
-        .otherwise(-1L).as(s"c$j")
-    }
-    val sums = (0 until 16).map(j => sum(col(s"c$j")).as(s"s$j"))
-    tok.select(col("doc_id") +: contribs: _*)
+  /** Shared simhash aggregation scaffold over a (doc_id, h) token-hash
+    * frame: nBits ±1 contribution columns (from `contrib(j)` over the md5
+    * column `h`), one wide map-side-combinable sum aggregate, bits
+    * reduced to a single long `sh`. Used by x7 (16-bit) and x23 (64-bit)
+    * so the cross-engine-sensitive pattern lives once; identical
+    * conv/substring subterms across contributions are deduplicated by
+    * whole-stage-codegen subexpression elimination. */
+  private[ops] def simhashAgg(tokHash: DataFrame, nBits: Int,
+      contrib: Int => Column): DataFrame = {
+    val contribs = (0 until nBits).map(j => contrib(j).as(s"c$j"))
+    val sums = (0 until nBits).map(j => sum(col(s"c$j")).as(s"s$j"))
+    tokHash.select(col("doc_id") +: contribs: _*)
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash16"))
-      .orderBy("doc_id")
+        (0 until nBits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
   }
+
+  def x7Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashAgg(
+      documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("h")),
+      nBits = 16,
+      contrib = j =>
+        when(conv(substring(col("h"), j + 1, 1), 16, 10).cast(LongType) >= 8, 1L)
+          .otherwise(-1L))
+      .withColumnRenamed("sh", "simhash16")
+      .orderBy("doc_id")
 
   /** x8: language ID by marker-token voting (structural stand-in: the
     * marker lists are swappable for real per-language stopword lists). */
@@ -297,6 +310,12 @@ object TextOps {
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB-side md5 hex nibble value at 1-based position `i` — the SQL
+    * twin of Spark's conv(substring(h,i,1),16,10); shared by the x7/x23
+    * simhash oracles and x20's hash-threshold sampler. */
+  private[ops] def nibSql(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -328,7 +347,7 @@ object TextOps {
     },
     "x7_simhash" -> {
       val sums = (0 until 16).map(j =>
-        s"sum(CASE WHEN instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s$j")
+        s"sum(CASE WHEN ${nibSql("h", j + 1)} >= 8 THEN 1 ELSE -1 END) AS s$j")
         .mkString(",\n  ")
       val fp = (0 until 16).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
