@@ -277,6 +277,42 @@ object TextOps {
         md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("fp_content"))
       .orderBy("doc_id")
 
+  /** Rolling-hash parameters (Karp-Rabin polynomial fold): base 131,
+    * modulus 1e15 — chosen so acc·131 + v stays far below 2^63, because
+    * DuckDB ERRORS on BIGINT overflow while Spark (non-ANSI) wraps; the
+    * mod after every step keeps both engines on the same exact values. */
+  private val rollBase = 131L
+  private val rollMod = 1000000000000000L
+  private val rollWindow = 8
+
+  /** x11b: rolling-hash fingerprinting — the Karp-Rabin/winnowing
+    * primitive. Token values are the first 8 md5 hex chars (the shared
+    * hash); the document fingerprint is a seeded left fold
+    * h = (h·131 + v) mod 1e15, and every 8-token window gets the same
+    * fold (the shingle-level rolling fingerprint winnowing selects
+    * from), reported as distinct-window-hash counts. Pure per-row map;
+    * both engines fold left-to-right over identical integers. */
+  def x11bRollingFp(spark: SparkSession, dir: String): DataFrame = {
+    val tokVal = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+    val step = (acc: Column, v: Column) => (acc * rollBase + v) % rollMod
+    val vals = transform(col("w"), tokVal)
+    val winHashes = transform(
+      sequence(lit(1), size(col("vals")) - (rollWindow - 1)),
+      i => aggregate(slice(col("vals"), i, lit(rollWindow)), lit(0L), step))
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), vals.as("vals"))
+      .select(col("doc_id"),
+        aggregate(col("vals"), lit(0L), step).as("fp_roll"),
+        when(size(col("vals")) >= rollWindow, winHashes)
+          .otherwise(array().cast("array<bigint>")).as("wh"))
+      .select(col("doc_id"), col("fp_roll"),
+        size(col("wh")).cast(LongType).as("n_windows"),
+        size(array_distinct(col("wh"))).cast(LongType).as("n_distinct_windows"))
+      .orderBy("doc_id")
+  }
+
   /** x4: per-document text stats. */
   def x4TextStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -305,6 +341,7 @@ object TextOps {
     "x9_quality" -> x9Quality,
     "x10_tokens" -> x10Tokens,
     "x11_fingerprint" -> x11Fingerprint,
+    "x11b_rolling_fp" -> x11bRollingFp,
     "x4_text_stats" -> x4TextStats,
     "x5_topk_terms" -> x5TopkTerms)
 
@@ -403,6 +440,27 @@ object TextOps {
       """SELECT doc_id, md5(text) AS fp_full,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_content
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11b_rolling_fp" -> {
+      // first 8 md5 hex chars as an integer, via the shared nibble parser
+      val tokValSql = (1 to 8).map(i =>
+        s"(${nibSql("md5(x)", i)} * ${1L << (4 * (8 - i))})").mkString("(", " + ", ")")
+      val foldSql = (lst: String) =>
+        s"list_reduce(list_prepend(0, $lst), (acc, v) -> (acc * $rollBase + v) % $rollMod)"
+      s"""WITH d AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), x -> $tokValSql) AS vals
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    ${foldSql("vals")} AS fp_roll,
+         |    CASE WHEN len(vals) >= $rollWindow
+         |         THEN list_transform(range(1, len(vals) - ${rollWindow - 2}),
+         |                i -> ${foldSql(s"vals[i : i + ${rollWindow - 1}]")})
+         |         ELSE [] END AS wh
+         |  FROM d)
+         |SELECT doc_id, CAST(fp_roll AS BIGINT) AS fp_roll,
+         |  CAST(len(wh) AS BIGINT) AS n_windows,
+         |  CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct_windows
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "x4_text_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n_tok,
