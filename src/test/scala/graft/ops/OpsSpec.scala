@@ -157,6 +157,18 @@ class OpsSpec extends SparkTestBase {
       s"4-slice blocking must lose nothing at Hamming ≤ 3: missing=${brute -- blocked} extra=${blocked -- brute}")
   }
 
+  test("x11b: window-hash geometry matches token counts") {
+    val nTok = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextOps.x11bRollingFp(spark, sf0001).collect().foreach { r =>
+      val (doc, nWin, nDistinct) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nWin == math.max(0L, nTok(doc) - 7L),
+        s"doc $doc: expected ${nTok(doc)} - 7 windows, got $nWin")
+      assert(nDistinct <= nWin && (nWin == 0L || nDistinct > 0L))
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
