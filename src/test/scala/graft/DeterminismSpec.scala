@@ -1,0 +1,39 @@
+package graft
+
+import graft.SparkTestBase
+
+/** The repo's core scale-correctness claim, asserted directly: query
+  * results must be IDENTICAL under different parallelism (the 100 TB
+  * posture — a result that depends on the shuffle schedule can't pass a
+  * hash gate, and silently drifts between cluster sizes). Runs a
+  * representative slice of the surface — scaled-int aggregates, exact
+  * moments, set ops, window ranks, text dedup, vector scoring, the
+  * iterative components — under shuffle.partitions ∈ {1, 3, 17} and
+  * compares full collected outputs. */
+class DeterminismSpec extends SparkTestBase {
+
+  private val sample = Seq(
+    "c1_snapshot", "q10_setops", "q18_stats", "q18b_corr", "q7_window_rank",
+    "x2_dedup_near", "x13_minhash_lsh", "x14_cosine_neardup", "x16_ivf_ann",
+    "x19_tfidf", "x23_simhash_neardup", "x24_dedup_clusters", "x11b_rolling_fp")
+
+  test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
+    val s = spark
+    val original = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sample.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val runs = Seq("1", "3", "17").map { p =>
+          s.conf.set("spark.sql.shuffle.partitions", p)
+          p -> fn(s, sf0001).collect().map(_.toString).toSeq
+        }
+        val (refP, ref) = runs.head
+        runs.tail.foreach { case (p, got) =>
+          assert(got == ref,
+            s"$name: result differs between shuffle.partitions=$refP and $p " +
+              s"(first diff: ${got.zip(ref).find(t => t._1 != t._2)})")
+        }
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", original)
+  }
+}
