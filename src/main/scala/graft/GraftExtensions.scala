@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Md5Long}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -30,6 +30,24 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"dot_arr requires exactly 2 arguments, got ${args.length}")
         DotProduct(args(0), args(1))
+      }),
+    ("md5_long64",
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long64"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"md5_long64 requires exactly 2 arguments (string, half), got ${args.length}")
+        val half = args(1) match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"md5_long64 half must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "md5_long64 half must be a literal (0 or 1)")
+        }
+        Md5Long(args(0), half)
       }))
 
   /** Imperative registration for an existing session. */

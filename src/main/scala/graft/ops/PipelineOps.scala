@@ -101,8 +101,11 @@ object PipelineOps {
   def x20StratifiedSample(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("lang"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast(LongType).as("h16"))
+        // first 16 md5 bits via the native digest expression (≡ the
+        // oracle's hex-parse derivation)
+        shiftrightunsigned(
+          graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 48)
+          .as("h16"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_total"),
@@ -187,16 +190,15 @@ object PipelineOps {
 
   /** The 64-bit per-document simhash frame (doc_id, sh), built with
     * [[TextOps.simhashAgg]] (bit j of a token = bit (j mod 4) of md5 hex
-    * nibble (j div 4)) — split out so the pigeonhole-exactness property
-    * of x23 is testable against a driver-side brute force. */
+    * nibble (j div 4), extracted by shift/mask from the native digest
+    * long) — split out so the pigeonhole-exactness property of x23 is
+    * testable against a driver-side brute force. */
   private[graft] def x23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashAgg(
-      documents(spark, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-        .select(col("doc_id"), md5(col("t")).as("h")),
+      TextOps.tokHash64(spark, dir),
       nBits = 64,
       contrib = j =>
-        when(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast(LongType)
+        when(graft.functions.HashFunctions.md5Nibble(col("h0"), j / 4)
           .bitwiseAND(lit(1L << (j % 4))) =!= 0L, 1L).otherwise(-1L))
 
   /** x23: near-dup pairs by 64-bit SimHash Hamming distance ≤ 3 — the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.model.Tables
+import graft.functions.HashFunctions.{md5Hex4, md5Long, md5Nibble}
 
 /** X-series text operators (SURVEY.md §2.3 north-star extensions): the
   * text-side of a large-scale training-data pipeline — exact dedup,
@@ -52,13 +53,16 @@ object TextOps {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |WHERE len(w) >= 3""".stripMargin
 
-  /** Shingles reduced to ONE md5 per shingle, keyed by the first 8 hex
-    * chars (32-bit id): joins/minhashes run on the digest, never the
-    * string. Deterministic in both engines; hash collisions (≈9% chance of
-    * one colliding gram pair at 27k distinct shingles) affect Spark and
-    * the oracle identically. */
-  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir).select(col("doc_id"), md5(col("gram")).as("gh"))
+  /** Shingles reduced to ONE md5 per shingle, carried as the digest's
+    * two raw 64-bit halves (graft.functions.Md5Long — no hex-string
+    * round-trip): joins/minhashes run on digest arithmetic, never the
+    * string. Deterministic in both engines (the oracle keeps the hex
+    * derivation; the gate proves equality); hash collisions (≈9% chance
+    * of one colliding gram pair at 27k distinct shingles) affect Spark
+    * and the oracle identically. */
+  private def shingleHash64Rows(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir).select(col("doc_id"),
+      md5Long(col("gram"), 0).as("h0"), md5Long(col("gram"), 1).as("h1"))
 
   private val shingleHashRowsSql: String =
     s"SELECT doc_id, md5(gram) AS gh FROM ($shingleRowsSql)"
@@ -88,12 +92,16 @@ object TextOps {
   private val x2DfCap = 50
 
   /** x2: near-dup detection by word-3-gram Jaccard ≥ 0.6, candidates from a
-    * shared-shingle join (no all-pairs), df-capped (see [[x2DfCap]]). */
+    * shared-shingle join (no all-pairs), df-capped (see [[x2DfCap]]).
+    * The 32-bit shingle key is the digest's top 4 bytes
+    * (≡ conv(substring(md5,1,8),16,10), arithmetic instead of parsing). */
   def x2DedupNear(spark: SparkSession, dir: String): DataFrame =
-    x2DedupNearOn(shingleHashRows(spark, dir))
+    x2DedupNearOn(shingleHash64Rows(spark, dir)
+      .select(col("doc_id"), shiftrightunsigned(col("h0"), 32).as("k")))
 
-  /** x2 body over any (doc_id, gh) shingle-hash frame — split out so the
-    * df-cap behavior is testable on a synthetic hot-shingle corpus.
+  /** x2 body over any (doc_id, k) shingle-key frame (k = 32-bit shingle
+    * hash) — split out so the df-cap behavior is testable on a synthetic
+    * hot-shingle corpus.
     *
     * Shape: an INVERTED INDEX, not a self-join. Per shingle the sorted
     * doc list is aggregated in one scan of the corpus, the df cap drops
@@ -106,8 +114,8 @@ object TextOps {
     * |distinct shingles| index, never the corpus. At 100 TB the index is
     * the natural materialized pipeline stage and everything downstream
     * of it is bounded small data. */
-  private[graft] def x2DedupNearOn(hashRows: DataFrame): DataFrame = {
-    val kd = hashRows.select(col("doc_id"), substring(col("gh"), 1, 8).as("k"))
+  private[graft] def x2DedupNearOn(keyRows: DataFrame): DataFrame = {
+    val kd = keyRows.select(col("doc_id"), col("k"))
     // df cap, applied BEFORE any posting list materializes: a boilerplate
     // shingle with huge df must never build a df-sized collect_list
     // buffer (a post-hoc size filter would still pay that buffer). The
@@ -152,9 +160,12 @@ object TextOps {
 
   /** x13: MinHash (k=8) + LSH banding (4 bands × 2 rows) — the scalable
     * near-dup candidate generator; pairs sharing ≥1 band. One md5 per
-    * shingle: the k "permutations" are the 8 disjoint 4-hex-char slices of
-    * the digest (a standard one-hash minhash family), so signature
-    * building costs 1 hash + 8 substrings instead of 8 hashes. */
+    * shingle: the k "permutations" are the 8 disjoint 4-hex-char slices
+    * of the digest (a standard one-hash minhash family), carried as
+    * 16-bit integers sliced out of the digest halves with shift/mask
+    * (graft.functions.Md5Long) — min over the integers equals min over
+    * the hex substrings because hex's 0-9a-f ordering is numeric order,
+    * so the string-based DuckDB oracle agrees on every band. */
   def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     x13Pairs(spark, dir).orderBy("d1", "d2")
 
@@ -162,15 +173,20 @@ object TextOps {
     * re-aggregate (x24's connected components) must not pay a range
     * exchange for an ordering they immediately destroy. */
   private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleHashRows(spark, dir)
-    val mhAggs = (0 until 8).map(s => min(substring(col("gh"), 4 * s + 1, 4)).as(s"mh$s"))
+    val g = shingleHash64Rows(spark, dir)
+    val mhAggs = (0 until 8).map { s =>
+      val half = if (s < 4) col("h0") else col("h1")
+      min(md5Hex4(half, s % 4)).as(s"mh$s")
+    }
     val sig = g.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
     // one explode, not 4 unioned selects — a union of N selects over sig
     // re-executes the whole shingle subtree N times (diamond plans
-    // re-compute; exprId renumbering defeats exchange reuse)
+    // re-compute; exprId renumbering defeats exchange reuse). Band key =
+    // the two 16-bit minhashes packed into one long (equality-preserving
+    // vs the oracle's hex-string concatenation).
     val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).cast(LongType).as("band"),
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("h"))
+          (col(s"mh${2 * b}") * 65536L + col(s"mh${2 * b + 1}")).as("h"))
       }: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     bands.as("a").join(bands.as("b"),
@@ -180,19 +196,13 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.
-    * Bit j of token t = (hex nibble j of md5(t)) >= 8; per-doc bit j is set
-    * when the ±1 contributions sum positive. The 16 bit-contributions are
-    * computed as 16 COLUMNS of each token row (one md5, 16 substrings), not
-    * an exploded (token × bit) row blow-up — 16× fewer rows through the
-    * shuffle, one aggregation instead of two. */
-  /** Shared simhash aggregation scaffold over a (doc_id, h) token-hash
-    * frame: nBits ±1 contribution columns (from `contrib(j)` over the md5
-    * column `h`), one wide map-side-combinable sum aggregate, bits
-    * reduced to a single long `sh`. Used by x7 (16-bit) and x23 (64-bit)
-    * so the cross-engine-sensitive pattern lives once; identical
-    * conv/substring subterms across contributions are deduplicated by
-    * whole-stage-codegen subexpression elimination. */
+  /** Shared simhash aggregation scaffold over a (doc_id, h0) token-hash
+    * frame (h0 = the digest's first 64 bits, graft.functions.Md5Long):
+    * nBits ±1 contribution columns (from `contrib(j)` over `h0`), one
+    * wide map-side-combinable sum aggregate, bits reduced to a single
+    * long `sh`. Used by x7 (16-bit) and x23 (64-bit) so the
+    * cross-engine-sensitive pattern lives once; contributions are
+    * shift/mask arithmetic on one long — no per-bit string parsing. */
   private[ops] def simhashAgg(tokHash: DataFrame, nBits: Int,
       contrib: Int => Column): DataFrame = {
     val contribs = (0 until nBits).map(j => contrib(j).as(s"c$j"))
@@ -205,15 +215,23 @@ object TextOps {
           .reduce(_ + _).as("sh"))
   }
 
+  /** Token-hash frame (doc_id, h0) feeding the simhash family. */
+  private[ops] def tokHash64(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), md5Long(col("t"), 0).as("h0"))
+
+  /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.
+    * Bit j of token t = (hex nibble j of md5(t)) >= 8; per-doc bit j is
+    * set when the ±1 contributions sum positive. The 16 bit-contributions
+    * are 16 COLUMNS of each token row (one digest, 16 shift/masks), not
+    * an exploded (token × bit) row blow-up — 16× fewer rows through the
+    * shuffle, one aggregation instead of two. */
   def x7Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashAgg(
-      documents(spark, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-        .select(col("doc_id"), md5(col("t")).as("h")),
+      tokHash64(spark, dir),
       nBits = 16,
-      contrib = j =>
-        when(conv(substring(col("h"), j + 1, 1), 16, 10).cast(LongType) >= 8, 1L)
-          .otherwise(-1L))
+      contrib = j => when(md5Nibble(col("h0"), j) >= 8, 1L).otherwise(-1L))
       .withColumnRenamed("sh", "simhash16")
       .orderBy("doc_id")
 
@@ -293,8 +311,7 @@ object TextOps {
     * from), reported as distinct-window-hash counts. Pure per-row map;
     * both engines fold left-to-right over identical integers. */
   def x11bRollingFp(spark: SparkSession, dir: String): DataFrame = {
-    val tokVal = (t: Column) =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+    val tokVal = (t: Column) => shiftrightunsigned(md5Long(t, 0), 32)
     val step = (acc: Column, v: Column) => (acc * rollBase + v) % rollMod
     val vals = transform(col("w"), tokVal)
     val winHashes = transform(

@@ -38,6 +38,42 @@ class GraftExtensionsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("md5_long64 derivations equal the hex-string parse exactly") {
+    GraftExtensions.register(spark)
+    // every shift/mask derivation the operators rely on, checked against
+    // the conv(substring(md5(...))) formulation it replaced, over the
+    // real token distribution
+    val r = spark.sql(
+      """SELECT count(*) AS bad FROM (
+        |  SELECT t,
+        |    shiftrightunsigned(md5_long64(t, 0), 32) AS a8,
+        |    cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint) AS e8,
+        |    shiftrightunsigned(md5_long64(t, 0), 48) AS a4,
+        |    cast(conv(substring(md5(t), 1, 4), 16, 10) AS bigint) AS e4,
+        |    (shiftrightunsigned(md5_long64(t, 0), 56) & 15) AS an1,
+        |    cast(conv(substring(md5(t), 2, 1), 16, 10) AS bigint) AS en1,
+        |    (shiftrightunsigned(md5_long64(t, 1), 60) & 15) AS an16,
+        |    cast(conv(substring(md5(t), 17, 1), 16, 10) AS bigint) AS en16
+        |  FROM (SELECT explode(split(text, ' ')) AS t
+        |        FROM parquet.`/root/testdata/sf0.001/documents.parquet`))
+        |WHERE a8 <> e8 OR a4 <> e4 OR an1 <> en1 OR an16 <> en16""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(r == 0L, s"$r tokens diverge from the hex-parse derivation")
+    // interpreted path parity
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val v = spark.sql(
+        """SELECT shiftrightunsigned(md5_long64('graft', 0), 32) =
+          |       cast(conv(substring(md5('graft'), 1, 8), 16, 10) AS bigint)""".stripMargin)
+        .collect()(0).getBoolean(0)
+      assert(v)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("dot_arr widens float arrays and respects codegen + interpreted paths") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -82,13 +82,12 @@ class OpsSpec extends SparkTestBase {
 
   test("x2: df cap drops hot shingles before the pair join") {
     import spark.implicits._
-    // docs 1 and 2 share 20 rare grams (true near-dups); docs 1..100 all
-    // contain one boilerplate gram whose df=100 exceeds the cap. Without
-    // the cap the hot gram alone yields C(100,2)=4950 candidate pairs.
-    val hot = (1 to 100).map(d => (d.toLong, "f" * 32))
-    val shared = for (d <- 1 to 2; g <- 1 to 20) yield
-      (d.toLong, f"$g%08x" + "0" * 24)
-    val rows = (hot ++ shared).toDF("doc_id", "gh")
+    // docs 1 and 2 share 20 rare shingle keys (true near-dups); docs
+    // 1..100 all contain one boilerplate key whose df=100 exceeds the
+    // cap. Without the cap the hot key alone yields C(100,2)=4950 pairs.
+    val hot = (1 to 100).map(d => (d.toLong, 0xFFFFFFFFL))
+    val shared = for (d <- 1 to 2; g <- 1 to 20) yield (d.toLong, g.toLong)
+    val rows = (hot ++ shared).toDF("doc_id", "k")
     val out = TextOps.x2DedupNearOn(rows).collect()
     assert(out.length == 1, s"expected only the (1,2) pair, got ${out.length}")
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
