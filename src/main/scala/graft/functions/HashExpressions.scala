@@ -57,16 +57,32 @@ case class Md5Long(child: Expression, half: Int)
 }
 
 object Md5Long {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  /** Per-thread digest + a one-entry memo of the last input: callers
+    * that need both halves of one value (x13's shingle path) evaluate
+    * Md5Long(s, 0) and Md5Long(s, 1) in the same projection, and the
+    * memo collapses that to ONE digest run. The memo key is a defensive
+    * copy — UTF8String.getBytes can expose a reader-owned buffer that is
+    * reused for the next row, so holding the original array would make
+    * the cache key mutate under us. */
+  private final class State {
+    val md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
+    var lastKey: Array[Byte] = _
+    var lastDigest: Array[Byte] = _
+  }
+  private val states = new ThreadLocal[State] {
+    override def initialValue(): State = new State
   }
 
   /** Called from both the interpreted path and generated code. */
   def compute(s: UTF8String, half: Int): Long = {
-    val md = digests.get()
-    md.reset()
-    val digest = md.digest(s.getBytes)
+    val st = states.get()
+    val b = s.getBytes
+    if (st.lastKey == null || !java.util.Arrays.equals(st.lastKey, b)) {
+      st.md.reset()
+      st.lastDigest = st.md.digest(b)
+      st.lastKey = java.util.Arrays.copyOf(b, b.length)
+    }
+    val digest = st.lastDigest
     val off = half * 8
     var r = 0L
     var i = 0
@@ -83,12 +99,13 @@ object HashFunctions {
   def md5Long(s: Column, half: Int): Column =
     GraftBridge.column(Md5Long(GraftBridge.expression(s), half))
 
-  /** Value of the 4-hex-char slice starting at 0-based hex position
-    * 4·slice (slice < 4) of md5's first half — equals
-    * conv(substring(md5(s), 4·slice+1, 4), 16, 10). */
-  def md5Hex4(h0: Column, slice: Int): Column = {
+  /** Value of the 4-hex-char slice at 0-based position 4·slice (slice
+    * < 4) WITHIN one digest half `h` — for half 0 this equals
+    * conv(substring(md5(s), 4·slice+1, 4), 16, 10); for half 1 the hex
+    * positions are offset by 16 (x13 passes h1 for slices 4–7). */
+  def md5Hex4(h: Column, slice: Int): Column = {
     require(slice >= 0 && slice < 4, s"slice must be 0..3, got $slice")
-    org.apache.spark.sql.functions.shiftrightunsigned(h0, 48 - 16 * slice)
+    org.apache.spark.sql.functions.shiftrightunsigned(h, 48 - 16 * slice)
       .bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFL))
   }
 

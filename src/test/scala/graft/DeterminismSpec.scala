@@ -29,9 +29,13 @@ class DeterminismSpec extends SparkTestBase {
         }
         val (refP, ref) = runs.head
         runs.tail.foreach { case (p, got) =>
+          // zipAll so a row-count divergence (the classic nondeterminism
+          // symptom) still shows the first uneven row, not None
+          val firstDiff = got.zipAll(ref, "<missing>", "<missing>")
+            .find(t => t._1 != t._2)
           assert(got == ref,
             s"$name: result differs between shuffle.partitions=$refP and $p " +
-              s"(first diff: ${got.zip(ref).find(t => t._1 != t._2)})")
+              s"(rows ${ref.size} vs ${got.size}; first diff: $firstDiff)")
         }
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", original)

@@ -44,7 +44,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     // the conv(substring(md5(...))) formulation it replaced, over the
     // real token distribution
     val r = spark.sql(
-      """SELECT count(*) AS bad FROM (
+      s"""SELECT count(*) AS bad FROM (
         |  SELECT t,
         |    shiftrightunsigned(md5_long64(t, 0), 32) AS a8,
         |    cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint) AS e8,
@@ -55,7 +55,7 @@ class GraftExtensionsSpec extends SparkTestBase {
         |    (shiftrightunsigned(md5_long64(t, 1), 60) & 15) AS an16,
         |    cast(conv(substring(md5(t), 17, 1), 16, 10) AS bigint) AS en16
         |  FROM (SELECT explode(split(text, ' ')) AS t
-        |        FROM parquet.`/root/testdata/sf0.001/documents.parquet`))
+        |        FROM parquet.`$sf0001/documents.parquet`))
         |WHERE a8 <> e8 OR a4 <> e4 OR an1 <> en1 OR an16 <> en16""".stripMargin)
       .collect()(0).getLong(0)
     assert(r == 0L, s"$r tokens diverge from the hex-parse derivation")
