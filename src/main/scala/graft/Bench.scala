@@ -40,10 +40,14 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
+    // 3-decimal formatting keeps the whole line compact enough for the
+    // driver's bounded tail capture even as the query surface grows —
+    // round 2's full-precision line overflowed it and lost the total.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -22,24 +22,40 @@ object Verify {
     // Clean any previous dump first: Verify only overwrites per-query
     // dirs, so a query that fails on THIS run would otherwise leave a
     // stale green result from a prior run for check.py to compare.
-    // Guard: only wipe a directory that IS a previous dump (it carries
-    // oracle_sql.json) — a typo'd outDir pointing at real data must not
-    // become a recursive delete.
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(); ()
+    // Guard: only wipe a directory that IS a previous dump — recognized
+    // by the marker file written at dump start (or the final
+    // oracle_sql.json from older versions). An EMPTY existing directory
+    // is fine too (the driver pre-creates outDir). Anything else must
+    // not become a recursive delete of real data.
+    def rmTree(f: java.io.File): Boolean = {
+      val childrenOk =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).forall(rmTree)
+        else true
+      childrenOk && f.delete()
     }
     val outDirFile = new java.io.File(outDir)
     if (outDirFile.exists()) {
-      if (!new java.io.File(outDirFile, "oracle_sql.json").exists()) {
+      val listing = Option(outDirFile.listFiles()).getOrElse(Array.empty)
+      val isDump = new java.io.File(outDirFile, ".graft_verify_dump").exists() ||
+        new java.io.File(outDirFile, "oracle_sql.json").exists()
+      if (listing.nonEmpty && !isDump) {
         System.err.println(
-          s"[verify] refusing to clean $outDir: exists but is not a previous Verify dump " +
-            "(no oracle_sql.json) — pass an empty or fresh directory")
+          s"[verify] refusing to clean $outDir: exists, non-empty, and not a previous " +
+            "Verify dump (no .graft_verify_dump / oracle_sql.json marker)")
         sys.exit(2)
       }
-      rmTree(outDirFile)
+      if (listing.nonEmpty && !rmTree(outDirFile)) {
+        // A partially cleaned dump would reintroduce the stale-green
+        // hazard this cleanup exists to close — fail loudly instead.
+        System.err.println(s"[verify] could not fully delete previous dump at $outDir")
+        sys.exit(2)
+      }
     }
     outDirFile.mkdirs()
+    // Marker first, so a run that crashes mid-dump still leaves a
+    // directory the next invocation recognizes as cleanable.
+    Files.writeString(Paths.get(s"$outDir/.graft_verify_dump"), "graft Verify dump\n")
     var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -74,8 +74,13 @@ object Tables {
     * positive remainder first makes the quotient exact under any integer
     * division convention (Spark's `/`+cast truncates, DuckDB's `//`
     * truncates — both land on the same already-exact quotient). */
-  def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ((a - (((a % b) + b) % b)) / b).cast(LongType)
+  def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // `div` is Spark's IntegralDivide — the math stays in 64-bit integers
+    // end to end. The `/`+cast form it replaces went through double
+    // division, exact only while the numerator stayed below 2^53.
+    val adjusted = a - (((a % b) + b) % b)
+    call_function("div", adjusted, b).cast(LongType)
+  }
 
   /** SQL-side twin of [[fdiv]] for oracle queries. */
   def fdivSql(a: String, b: String): String =
