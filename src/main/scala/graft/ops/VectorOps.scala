@@ -109,35 +109,50 @@ object VectorOps {
     * would depend on accumulation order and break the oracle hash. */
   private val x16Scale = 1000000L
 
-  /** Derive the double-list centroid view (cv, cnrm) from scaled-long
-    * centroid components — the exact inverse scaling both engines apply. */
-  private def centView(cent: DataFrame): DataFrame =
-    cent.select(col("cid"),
+  /** Derive the double-list centroid view (cv, cnrm) from driver-held
+    * scaled-long centroid components — the exact inverse scaling both
+    * engines apply. Centroids are k·dim bounded longs, so holding them on
+    * the driver and re-creating this tiny broadcast frame per round is
+    * the idiomatic Spark k-means shape (it is how MLlib's KMeans works):
+    * each Lloyd's round is one job over the cached corpus, instead of an
+    * exponentially nesting lazy lineage that re-executes every prior
+    * round's subtree. */
+  private def centView(spark: SparkSession, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "c")
+      .select(col("cid"),
         transform(col("c"), x => x.cast("double") / lit(x16Scale.toDouble)).as("cv"))
       .withColumn("cnrm", sqrt(normSqArr(col("cv"))))
+  }
+
+  /** (vec_id, cid, sim_s4) for every vector × centroid. */
+  private def simToCents(e: DataFrame, cv: DataFrame): DataFrame =
+    e.join(broadcast(cv))
+      .select(col("vec_id"), col("cid"),
+        scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
+
+  private val wAssign = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
 
   /** One Lloyd's round: assign every vector to its nearest centroid
     * (1e-4-scaled cosine, cid tie-break), then recompute each centroid as
     * the exact per-component floor-division mean of its members' scaled
-    * components; clusters left empty keep their previous centroid. */
-  private def kmeansStep(e: DataFrame, cent: DataFrame): DataFrame = {
-    val sim = e.join(broadcast(centView(cent)))
-      .select(col("vec_id"), col("cid"),
-        scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
-    val assign = sim.withColumn("rn", row_number().over(wAssign))
+    * components; clusters left empty keep their previous centroid. The
+    * collect is bounded at k·dim rows (16×64 longs), never corpus-sized. */
+  private def kmeansStep(spark: SparkSession, e: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val assign = simToCents(e, centView(spark, cents))
+      .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val means = e.select(col("vec_id"), posexplode(col("sv")).as(Seq("pos", "s")))
       .join(assign, "vec_id")
       .groupBy(col("cid"), col("pos"))
       .agg(fdiv(sum(col("s")), count(lit(1))).as("m"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("c"))
-    cent.withColumnRenamed("c", "c_prev")
-      .join(means, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("c"), col("c_prev")).as("c"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1)
+      .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+    cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
   }
 
   /** x16: IVF ANN — inverted-file index whose 16 coarse centroids are
@@ -149,21 +164,24 @@ object VectorOps {
     * divisions, so centroids AND list assignment are bit-identical in
     * the DuckDB oracle (which unrolls the same two rounds as CTEs).
     * Scale notes: each round is one broadcast-join scan (k rows
-    * broadcast) plus one (cid, pos) aggregation — at 100 TB you learn
-    * centroids on a deterministic sample and only the final assignment
-    * scans the corpus; the probe-side join shape is unchanged. */
+    * broadcast) plus one (cid, pos) aggregation over the cached corpus —
+    * at 100 TB you learn centroids on a deterministic sample and only
+    * the final assignment scans the corpus; the probe-side join shape is
+    * unchanged. */
   def x16IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cache: the corpus frame is traversed by every k-means round plus
+    // the final assignment/probe — a few MB at bench SF, sample-sized at
+    // real scale (kept for the session; embeddings is the smallest table).
     val e = withNorm(embeddings(spark, dir))
       .withColumn("sv", transform(col("v"),
         x => floor(x.cast("double") * lit(x16Scale.toDouble))))
-    var cent = e.filter(col("vec_id") < x16K)
-      .select(col("vec_id").as("cid"), col("sv").as("c"))
-    for (_ <- 1 to x16Iters) cent = kmeansStep(e, cent)
-    val sim = e.join(broadcast(centView(cent)))
-      .select(col("vec_id"), col("cid"),
-        scaled4(dotArr(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim_s4"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
+      .cache()
+    var cents = e.filter(col("vec_id") < x16K)
+      .select(col("vec_id").as("cid"), col("sv"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    for (_ <- 1 to x16Iters) cents = kmeansStep(spark, e, cents)
+    val sim = simToCents(e, centView(spark, cents))
     val ranked = sim.withColumn("rn", row_number().over(wAssign))
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2).select(col("cid"))
