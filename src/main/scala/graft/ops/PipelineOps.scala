@@ -299,6 +299,87 @@ object PipelineOps {
     labels.select(col("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
   }
 
+  // ---- x25: boilerplate detection (segment-frequency dedup) ----
+
+  /** Segment geometry and hotness threshold for x25: non-overlapping
+    * 3-token segments (the "line" stand-in — the corpus has no newlines),
+    * boilerplate = a segment whose document frequency is ≥ 3. */
+  private val bpSegLen = 3L
+  private val bpDfHot = 3L
+
+  /** x25: corpus-frequency boilerplate detection — the CCNet/RefinedWeb
+    * line-dedup stage: hash each document segment, count how many
+    * DISTINCT documents contain each hash, and score every document by
+    * its share of corpus-hot segments. Plan: one explode → one distinct
+    * (doc, hash) aggregation → one hash-key aggregation → one equi-join
+    * back — every step keyed, map-side combinable, no driver state; at
+    * 100 TB this is exactly the shape of production line-dedup (the df
+    * table shuffles on the segment hash, never materializes text). */
+  def x25Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val nSegs = call_function("div", size(col("w")).cast(LongType) - 1L, lit(bpSegLen))
+    val segs = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), nSegs),
+        i => md5(array_join(slice(col("w"), (i * bpSegLen + 1L).cast("int"), lit(bpSegLen.toInt)), " ")))).as("h"))
+    val segDf = segs.distinct().groupBy(col("h")).agg(count(lit(1)).as("df"))
+    segs.join(segDf, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= bpDfHot, 1L).otherwise(0L)).as("n_bp"))
+      .select(col("doc_id"), col("n_segs"), col("n_bp"),
+        fdiv(lit(1000L) * col("n_bp"), col("n_segs")).as("bp_per_1000"))
+      .orderBy("doc_id")
+  }
+
+  // ---- x26: winnowing fingerprint overlap ----
+
+  /** x26 geometry: 3-token rolling shingles, winnowing window of 4
+    * consecutive shingle hashes (leftmost-minimum selection — the
+    * deterministic variant of Schleimer et al.'s rightmost rule; both
+    * engines pick the FIRST position of the minimum), fingerprints hot
+    * beyond df 50 dropped before pairing, pairs reported at ≥ 3 shared
+    * fingerprints. */
+  private val winShingle = 3
+  private val winWindow = 4
+  private val winDfCap = 50L
+  private val winMinShared = 3L
+
+  /** x26: winnowing document fingerprints (MOSS-style) + overlap pair
+    * mining. Each document keeps only the per-window minimum shingle
+    * hash — a guaranteed-coverage sample of its shingle set — and pairs
+    * of documents sharing ≥ 3 selected fingerprints are reported with
+    * the overlap count. The selection is a pure per-row map (no
+    * shuffle); pairing is the x2-style inverted-index equi-join with a
+    * df cap, so one corpus-hot fingerprint cannot go quadratic. */
+  def x26Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val emptyStr = array().cast("array<string>")
+    val sh = when(size(col("w")) >= winShingle, transform(
+        sequence(lit(1), size(col("w")) - (winShingle - 1)),
+        i => md5(array_join(slice(col("w"), i, lit(winShingle)), " "))))
+      .otherwise(emptyStr)
+    val win = (i: Column) => slice(col("sh"), i, lit(winWindow))
+    val sel = when(size(col("sh")) >= winWindow, array_distinct(transform(
+        sequence(lit(1), size(col("sh")) - (winWindow - 1)),
+        i => element_at(col("sh"),
+          (i - 1 + array_position(win(i), array_min(win(i)))).cast("int")))))
+      .otherwise(emptyStr)
+    val fps = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), explode(sel).as("fp"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= winDfCap).select(col("fp")),
+      "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= winMinShared)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -306,7 +387,9 @@ object PipelineOps {
     "x21_embed_quant" -> x21EmbedQuant,
     "x22_redact" -> x22Redact,
     "x23_simhash_neardup" -> x23SimhashNeardup,
-    "x24_dedup_clusters" -> x24DedupClusters)
+    "x24_dedup_clusters" -> x24DedupClusters,
+    "x25_boilerplate" -> x25Boilerplate,
+    "x26_winnowing" -> x26Winnowing)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -396,6 +479,32 @@ object PipelineOps {
          |)
          |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
          |ORDER BY doc_id""".stripMargin,
+    "x25_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(list_transform(range(0, (len(w) - 1) // $bpSegLen + 1),
+         |        i -> md5(array_to_string(w[i * $bpSegLen + 1 : i * $bpSegLen + $bpSegLen], ' ')))) AS h
+         |      FROM d),
+         |dfx AS (SELECT h, count(DISTINCT doc_id) AS df FROM s GROUP BY h)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN df >= $bpDfHot THEN 1 ELSE 0 END) AS BIGINT) AS n_bp,
+         |  ${fdivSql(s"1000 * CAST(sum(CASE WHEN df >= $bpDfHot THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS bp_per_1000
+         |FROM s JOIN dfx USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x26_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, len(w) - ${winShingle - 2}),
+         |        i -> md5(array_to_string(w[i : i + ${winShingle - 1}], ' '))) AS sh
+         |      FROM d),
+         |sel AS (SELECT doc_id, list_distinct(list_transform(range(1, len(sh) - ${winWindow - 2}),
+         |        i -> sh[i - 1 + list_position(sh[i : i + ${winWindow - 1}],
+         |                                      list_aggregate(sh[i : i + ${winWindow - 1}], 'min'))])) AS fps
+         |      FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |kept AS (SELECT e.doc_id, e.fp FROM e
+         |         JOIN (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $winDfCap) k USING (fp))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_fp
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $winMinShared
+         |ORDER BY d1, d2""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

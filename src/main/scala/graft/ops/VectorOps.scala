@@ -278,12 +278,42 @@ object VectorOps {
         scaled4(element_at(col("embedding"), 1).cast("double")).as("e0_s4"))
       .orderBy("doc_id")
 
+  /** x27's keep/drop similarity threshold (1e-4-scaled cosine). */
+  private val x27TauS4 = 3000L
+
+  /** x27: semantic dedup decisions (SemDeDup shape) — partition the
+    * corpus into clusters, find within-cluster embedding near-dups, and
+    * emit a per-vector KEEP/DROP verdict: a vector is dropped when a
+    * lower-id vector in its cluster is ≥ τ cosine-similar. This is the
+    * decision stage downstream of pair mining (x14 reports pairs; x27
+    * decides which rows survive into the training shard). The cluster
+    * here is the deterministic sign-bucket (x12's key) standing in for
+    * x16's learned centroids — the join shape is identical and the
+    * all-pairs cost is bounded per cluster, which is the whole point of
+    * SemDeDup: N² only within clusters, never across the corpus. */
+  def x27SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", signBucket(col("v")))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    val dropped = a.join(b, "bucket")
+      .filter(col("v1") < col("v2") &&
+        scaled4(dotArr(col("va"), col("vb")) / (col("na") * col("nb"))) >= x27TauS4)
+      .select(col("v2").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    e.select(col("vec_id"), col("bucket"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> x3KnnCosine,
     "x3b_knn_batch" -> x3bKnnBatch,
     "x12_ann_lsh" -> x12AnnLsh,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
+    "x27_semantic_dedup" -> x27SemanticDedup,
     "x6_multimodal" -> x6Multimodal)
 
   private val cosSql = (a: String, b: String) =>
@@ -365,6 +395,16 @@ object VectorOps {
          |WHERE ${scaled4Sql(cosSql("ea.v", "eb.v"))} >= 5000
          |ORDER BY v1, v2""".stripMargin
     },
+    "x27_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |            ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |        WHERE ${scaled4Sql(cosSql("a.v", "b.v"))} >= $x27TauS4)
+         |SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM e LEFT JOIN drp d ON e.vec_id = d.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "x6_multimodal" ->
       s"""SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
          |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -168,6 +168,76 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x25: segment geometry tiles every document and the bp share is bounded") {
+    val nTok = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = PipelineOps.x25Boilerplate(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == nTok.keySet, "every document must be scored")
+    rows.foreach { r =>
+      val (doc, nSegs, nBp, per1000) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSegs == (nTok(doc) - 1) / 3 + 1, s"doc $doc: segment count off for ${nTok(doc)} tokens")
+      assert(nBp >= 0 && nBp <= nSegs)
+      assert(per1000 == math.floorDiv(1000L * nBp, nSegs))
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("x26: winnowing pairs match a brute-force Scala winnow of the same corpus") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fpsByDoc = docs.map { case (d, text) =>
+      val w = text.split(" ")
+      val sh = if (w.length >= 3) w.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+               else Vector.empty[String]
+      val sel = if (sh.length >= 4) sh.sliding(4).map(win => win(win.indexOf(win.min))).toVector.distinct
+                else Vector.empty[String]
+      d -> sel
+    }.toMap
+    val df = fpsByDoc.values.flatten.groupBy(identity).map { case (fp, occ) => fp -> occ.size }
+    val kept = fpsByDoc.map { case (d, fps) => d -> fps.filter(df(_) <= 50).toSet }
+    val ids = kept.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      n = (kept(ids(i)) & kept(ids(j))).size if n >= 3
+    } yield (ids(i), ids(j), n.toLong)).toSet
+    val got = PipelineOps.x26Winnowing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("x27: keep/drop verdicts match a brute-force within-bucket scan") {
+    val embs = graft.model.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def bucket(v: Array[Double]): Long =
+      (0 until 4).map(j => if (v(16 * j) >= 0) 1L << j else 0L).sum
+    def cosS4(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      math.round(dot / (na * nb) * 10000)
+    }
+    val rows = VectorOps.x27SemanticDedup(spark, sf0001).collect()
+    assert(rows.length == embs.length)
+    rows.foreach { r =>
+      val (id, bkt, keptFlag) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val v = embs.find(_._1 == id).get._2
+      assert(bkt == bucket(v), s"vec $id: bucket mismatch")
+      val hasDupe = embs.exists { case (id2, v2) =>
+        id2 < id && bucket(v2) == bkt && cosS4(v, v2) >= 3000L
+      }
+      assert(keptFlag == (if (hasDupe) 0L else 1L),
+        s"vec $id: kept=$keptFlag but brute-force hasDupe=$hasDupe")
+    }
+    assert(rows.exists(_.getLong(2) == 0L) || embs.length < 2,
+      "corpus should surface at least one semantic drop (threshold sanity)")
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
