@@ -368,13 +368,25 @@ object PipelineOps {
       .select(col("doc_id"), toks(col("text")).as("w"))
       .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id"), explode(sel).as("fp"))
-    val kept = fps.join(
-      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= winDfCap).select(col("fp")),
-      "fp")
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // One winnow pass, two shuffles: df via a window count on the fp
+    // shuffle (not a self-join — the selection HOFs above are
+    // CodegenFallback, so every extra lineage branch re-interprets
+    // them), then pair enumeration by exploding C(df,2) per
+    // fingerprint. The df cap runs BEFORE collect_list, so a
+    // corpus-hot fingerprint is dropped by the streaming window count
+    // and never materializes a posting list.
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val posting = fps
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= winDfCap && col("df") >= 2)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    posting
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds")) - 1),
+        i => transform(slice(col("ds"), i + 1, size(col("ds")) - i),
+          d2 => struct(element_at(col("ds"), i).as("d1"), d2.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= winMinShared)
       .orderBy("d1", "d2")
