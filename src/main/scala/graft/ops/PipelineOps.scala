@@ -392,6 +392,85 @@ object PipelineOps {
       .orderBy("d1", "d2")
   }
 
+  // ---- x28: unigram-surprisal quality scoring ----
+
+  /** x28 band cuts on mean surprisal bits ×100 (the corpus is a flat
+    * synthetic Zipf pool, so the cuts sit just above the 500-bit floor;
+    * on a real corpus they'd come from held-out percentiles the way
+    * CCNet splits head/middle/tail). */
+  private val x28Cut1 = 505L
+  private val x28Cut2 = 520L
+
+  /** floor(log2(c)) for positive longs, exact in both engines via the
+    * binary-string length (no libm: `log2` of a non-power-of-two is
+    * irrational, and floor over a double approximation is one ulp from
+    * flipping — length(bin(c))-1 is pure integer). */
+  private def log2floor(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+
+  /** x28: unigram language-model surprisal — the CCNet/Gopher
+    * perplexity-filter stage with a unigram LM standing in for KenLM.
+    * Each token scores floor(log2 N) − floor(log2 count(token)) ≈
+    * −log2 p(token); a document's mean surprisal bands it into
+    * head/middle/tail (0/1/2). Plan: one token explode feeding a vocab
+    * count (hash agg on token, map-side combinable), a scalar total
+    * (broadcast), an equi-join back on token, and a per-doc aggregation —
+    * two shuffles, both keyed, the canonical shape of corpus LM scoring
+    * at 100 TB (the vocab table shuffles on token; no driver state). */
+  def x28Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(vocab, "t").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(log2floor(col("n_total")) - log2floor(col("cnt"))).as("sum_bits"))
+      .select(col("doc_id"), col("n_tok"), col("sum_bits"),
+        fdiv(lit(100L) * col("sum_bits"), col("n_tok")).as("mean_bits_x100"))
+      .withColumn("band",
+        when(col("mean_bits_x100") <= x28Cut1, 0L)
+          .when(col("mean_bits_x100") <= x28Cut2, 1L)
+          .otherwise(2L))
+      .orderBy("doc_id")
+  }
+
+  // ---- x29: benchmark decontamination ----
+
+  /** x29 geometry: 4-token grams (real decontamination uses 8–13-gram
+    * windows; this corpus's near-dups are dense token edits, so 4 is the
+    * longest gram with cross-document signal), benchmark set =
+    * doc_id ≡ 0 (mod 100) — the deterministic stand-in for an eval set. */
+  private val contamGram = 4
+  private val contamMod = 100L
+
+  /** x29: training-set decontamination — flag corpus documents sharing
+    * any exact n-gram with a benchmark (eval) document, the standard
+    * pre-training hygiene pass (GPT-3 appendix C shape). The benchmark
+    * gram set is BROADCAST — eval sets are small and fixed at real scale,
+    * so the corpus side never shuffles: one gram explode, one broadcast
+    * left join, one per-doc aggregation (map-side combinable). */
+  def x29Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = when(size(col("w")) >= contamGram, array_distinct(transform(
+        sequence(lit(1), size(col("w")) - (contamGram - 1)),
+        i => md5(array_join(slice(col("w"), i, lit(contamGram)), " ")))))
+      .otherwise(array().cast("array<string>"))
+    val g = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), grams.as("gs"))
+    val bench = g.filter(col("doc_id") % contamMod === 0)
+      .select(explode(col("gs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    g.filter(col("doc_id") % contamMod =!= 0)
+      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_hit") > 0, 1L).otherwise(0L).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -401,7 +480,9 @@ object PipelineOps {
     "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters,
     "x25_boilerplate" -> x25Boilerplate,
-    "x26_winnowing" -> x26Winnowing)
+    "x26_winnowing" -> x26Winnowing,
+    "x28_surprisal" -> x28Surprisal,
+    "x29_decontam" -> x29Decontam)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -517,6 +598,35 @@ object PipelineOps {
          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $winMinShared
          |ORDER BY d1, d2""".stripMargin,
+    "x28_surprisal" -> {
+      val mean = fdivSql("100 * CAST(sum(s) AS BIGINT)", "count(*)")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |tot AS (SELECT count(*) AS n_total FROM tok),
+         |b AS (SELECT doc_id,
+         |        (length(bin(n_total)) - 1) - (length(bin(cnt)) - 1) AS s
+         |      FROM tok JOIN vocab USING (t) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tok, CAST(sum(s) AS BIGINT) AS sum_bits,
+         |  $mean AS mean_bits_x100,
+         |  CAST(CASE WHEN $mean <= $x28Cut1 THEN 0
+         |            WHEN $mean <= $x28Cut2 THEN 1 ELSE 2 END AS BIGINT) AS band
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x29_decontam" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= $contamGram
+         |        THEN list_distinct(list_transform(range(1, len(w) - ${contamGram - 2}),
+         |               i -> md5(array_to_string(w[i : i + ${contamGram - 1}], ' '))))
+         |        ELSE [] END AS gs FROM d),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % $contamMod = 0),
+         |e AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % $contamMod <> 0),
+         |hits AS (SELECT e.doc_id, count(b.h) AS n_hit
+         |         FROM e LEFT JOIN bench b ON e.h = b.h GROUP BY e.doc_id)
+         |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+         |WHERE g.doc_id % $contamMod <> 0 ORDER BY g.doc_id""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

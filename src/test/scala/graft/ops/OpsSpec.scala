@@ -238,6 +238,43 @@ class OpsSpec extends SparkTestBase {
       "corpus should surface at least one semantic drop (threshold sanity)")
   }
 
+  test("x28: surprisal matches a brute-force unigram LM over the same corpus") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val nTotal = docs.map(_._2.size).sum.toLong
+    def bits(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    PipelineOps.x28Surprisal(spark, sf0001).collect().foreach { r =>
+      val (id, nTok, sumBits, mean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val w = docs.find(_._1 == id).get._2
+      assert(nTok == w.size)
+      val expSum = w.map(t => bits(nTotal) - bits(counts(t))).sum
+      assert(sumBits == expSum, s"doc $id: sum_bits $sumBits != $expSum")
+      assert(mean == math.floorDiv(100L * expSum, nTok))
+    }
+  }
+
+  test("x29: contamination verdicts match brute-force 4-gram overlap; bench join is broadcast") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    def grams(w: Seq[String]): Set[String] =
+      if (w.size >= 4) w.sliding(4).map(g => md5hex(g.mkString(" "))).toSet else Set.empty
+    val bench = docs.filter(_._1 % 100 == 0).flatMap(g => grams(g._2)).toSet
+    val rows = PipelineOps.x29Decontam(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == docs.filter(_._1 % 100 != 0).map(_._1).toSet)
+    rows.foreach { r =>
+      val (id, nGrams, nHit, flag) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val gs = grams(docs.find(_._1 == id).get._2)
+      assert(nGrams == gs.size)
+      assert(nHit == (gs & bench).size, s"doc $id: n_hit $nHit != ${(gs & bench).size}")
+      assert(flag == (if (nHit > 0) 1L else 0L))
+    }
+    val plan = PipelineOps.x29Decontam(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench gram join must broadcast:\n$plan")
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
