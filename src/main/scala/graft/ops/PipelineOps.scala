@@ -471,6 +471,70 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x30: data-mixture rebalancing ----
+
+  /** Deterministic 16-bit sampling key shared with x20: top 16 bits of
+    * md5(doc_id). */
+  private def h16(c: Column): Column =
+    shiftrightunsigned(graft.functions.HashFunctions.md5Long(c.cast("string"), 0), 48)
+
+  /** x30: data-mixture rebalancing — the Llama/DoReMi mixing stage:
+    * downsample every language to the smallest language's count so the
+    * kept corpus is uniform across languages. The per-language keep rate
+    * is the exact integer fdiv(65536·min_count, count) compared against
+    * the deterministic 16-bit hash key, so the SAME documents are kept on
+    * any cluster layout. Plan: a tiny per-lang count (broadcast, one row
+    * per language), a broadcast join back, and a map-side keep filter —
+    * the corpus never shuffles; the only wide ops are two hash
+    * aggregations on `lang` (a handful of keys, map-side combinable). */
+  def x30Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h16(col("doc_id")).as("h16"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minC = counts.agg(min(col("n_docs")).as("min_docs"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .select(col("lang"), col("n_docs"),
+        fdiv(lit(65536L) * col("min_docs"), col("n_docs")).as("rate16"))
+    d.join(broadcast(rates), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("rate16")).as("rate16"),
+        sum(when(col("h16") < col("rate16"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("rate16"), col("n_kept"))
+      .orderBy("lang")
+  }
+
+  // ---- x31: sequence packing ----
+
+  /** x31 geometry: 8 parallel shard writers (hash-assigned), 512-token
+    * shard budget. */
+  private val packWriters = 8L
+  private val packBudget = 512L
+
+  /** x31: sequence packing — assign every document a (writer, shard,
+    * offset) in the concatenate-and-cut token layout GPT-style training
+    * shards use. Documents are hash-partitioned across writers (the
+    * 16-bit md5 key mod writers), and within a writer the shard/offset
+    * comes from a running token sum in doc_id order. The window is
+    * PARTITIONED BY writer — the scalable two-phase cumsum shape: each
+    * writer's prefix sums compute independently in parallel, there is no
+    * global-order window (which would serialize onto one task at 100 TB);
+    * widening the writer pool is the scale knob. */
+  def x31Packing(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tok"),
+        (h16(col("doc_id")) % packWriters).as("writer"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("writer")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("writer"), col("n_tok"),
+        fdiv(col("cum") - col("n_tok"), lit(packBudget)).as("shard_id"),
+        ((col("cum") - col("n_tok")) % packBudget).as("shard_off"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -482,7 +546,9 @@ object PipelineOps {
     "x25_boilerplate" -> x25Boilerplate,
     "x26_winnowing" -> x26Winnowing,
     "x28_surprisal" -> x28Surprisal,
-    "x29_decontam" -> x29Decontam)
+    "x29_decontam" -> x29Decontam,
+    "x30_mixture" -> x30Mixture,
+    "x31_packing" -> x31Packing)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -627,6 +693,30 @@ object PipelineOps {
          |  CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
          |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
          |WHERE g.doc_id % $contamMod <> 0 ORDER BY g.doc_id""".stripMargin,
+    "x30_mixture" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} AS h16 FROM documents),
+         |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+         |m AS (SELECT min(n_docs) AS min_docs FROM c),
+         |r AS (SELECT lang, n_docs, ${fdivSql("65536 * min_docs", "n_docs")} AS rate16
+         |      FROM c CROSS JOIN m)
+         |SELECT r.lang, r.n_docs, r.rate16,
+         |  CAST(sum(CASE WHEN d.h16 < r.rate16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d JOIN r ON d.lang = r.lang
+         |GROUP BY r.lang, r.n_docs, r.rate16 ORDER BY r.lang""".stripMargin,
+    "x31_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} % $packWriters AS writer
+         |  FROM documents),
+         |c AS (SELECT doc_id, writer, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, writer, CAST(n_tok AS BIGINT) AS n_tok,
+         |  ${fdivSql("CAST(cum - n_tok AS BIGINT)", packBudget.toString)} AS shard_id,
+         |  CAST((cum - n_tok) % $packBudget AS BIGINT) AS shard_off
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -275,6 +275,50 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"bench gram join must broadcast:\n$plan")
   }
 
+  private def h16(docId: Long): Long =
+    java.lang.Long.parseLong(md5hex(docId.toString).substring(0, 4), 16)
+
+  test("x30: mixture rates downsample every language to the smallest, deterministically") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, d) => l -> d.size.toLong }
+    val minC = counts.values.min
+    val rows = PipelineOps.x30Mixture(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == counts.keySet)
+    rows.foreach { r =>
+      val (lang, nDocs, rate16, nKept) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDocs == counts(lang))
+      assert(rate16 == math.floorDiv(65536L * minC, nDocs))
+      val expKept = docs.count { case (id, l) => l == lang && h16(id) < rate16 }
+      assert(nKept == expKept, s"lang $lang: n_kept $nKept != $expKept")
+    }
+    // the smallest language keeps everything (rate16 = 65536 > any h16)
+    val smallest = rows.find(_.getLong(1) == minC).get
+    assert(smallest.getLong(3) == minC)
+  }
+
+  test("x31: packing offsets are per-writer prefix sums; shards tile the token stream") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = PipelineOps.x31Packing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == docs.keySet)
+    val byWriter = rows.groupBy(_._2)
+    assert(byWriter.keySet.subsetOf((0L until 8L).toSet))
+    byWriter.foreach { case (writer, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, nTok, shardId, shardOff) =>
+        assert(writer == h16(id) % 8, s"doc $id: wrong writer")
+        assert(nTok == docs(id))
+        assert(shardId == math.floorDiv(cum, 512L), s"doc $id: shard_id")
+        assert(shardOff == math.floorMod(cum, 512L), s"doc $id: shard_off")
+        cum += nTok
+      }
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
