@@ -535,6 +535,32 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x32: intra-document repetition ----
+
+  /** x32: within-document repetition signals — the Gopher repetition
+    * filters (duplicate 2-gram fraction and most-frequent-token share)
+    * that catch degenerate/boilerplate documents exact dedup misses.
+    * Pure per-row map over the token array: no shuffle anywhere except
+    * the output sort; the per-row cost is O(n·distinct) via array
+    * lambdas, bounded by document length. */
+  def x32Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams2 = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    val topCnt = array_max(transform(array_distinct(col("w")),
+      t => size(filter(col("w"), x => x === t)).cast(LongType)))
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tok"),
+        size(grams2).cast(LongType).as("n_g2"),
+        size(array_distinct(grams2)).cast(LongType).as("n_g2_uniq"),
+        topCnt.as("top_cnt"))
+      .select(col("doc_id"), col("n_tok"),
+        fdiv(lit(1000L) * (col("n_g2") - col("n_g2_uniq")), col("n_g2")).as("dup2_per_1000"),
+        fdiv(lit(1000L) * col("top_cnt"), col("n_tok")).as("top_tok_per_1000"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -548,7 +574,8 @@ object PipelineOps {
     "x28_surprisal" -> x28Surprisal,
     "x29_decontam" -> x29Decontam,
     "x30_mixture" -> x30Mixture,
-    "x31_packing" -> x31Packing)
+    "x31_packing" -> x31Packing,
+    "x32_repetition" -> x32Repetition)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -717,6 +744,18 @@ object PipelineOps {
          |  ${fdivSql("CAST(cum - n_tok AS BIGINT)", packBudget.toString)} AS shard_id,
          |  CAST((cum - n_tok) % $packBudget AS BIGINT) AS shard_off
          |FROM c ORDER BY doc_id""".stripMargin,
+    "x32_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |    len(w) AS n_tok,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+         |    list_max(list_transform(list_distinct(w),
+         |      t -> len(list_filter(w, x -> x = t)))) AS top_cnt
+         |  FROM d)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  ${fdivSql("1000 * (len(g2) - len(list_distinct(g2)))", "len(g2)")} AS dup2_per_1000,
+         |  ${fdivSql("1000 * top_cnt", "n_tok")} AS top_tok_per_1000
+         |FROM g ORDER BY doc_id""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

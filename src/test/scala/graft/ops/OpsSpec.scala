@@ -319,6 +319,21 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x32: repetition scores match brute-force 2-gram and token counts") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    PipelineOps.x32Repetition(spark, sf0001).collect().foreach { r =>
+      val (id, nTok, dup2, topTok) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val w = docs.find(_._1 == id).get._2
+      assert(nTok == w.size)
+      val g2 = w.sliding(2).map(_.mkString(" ")).toSeq
+      assert(dup2 == math.floorDiv(1000L * (g2.size - g2.distinct.size), g2.size))
+      val topCnt = w.groupBy(identity).values.map(_.size).max.toLong
+      assert(topTok == math.floorDiv(1000L * topCnt, nTok))
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
