@@ -15,7 +15,12 @@ class DeterminismSpec extends SparkTestBase {
   private val sample = Seq(
     "c1_snapshot", "q10_setops", "q18_stats", "q18b_corr", "q7_window_rank",
     "x2_dedup_near", "x13_minhash_lsh", "x14_cosine_neardup", "x16_ivf_ann",
-    "x19_tfidf", "x23_simhash_neardup", "x24_dedup_clusters", "x11b_rolling_fp")
+    "x19_tfidf", "x23_simhash_neardup", "x24_dedup_clusters", "x11b_rolling_fp",
+    // round-3 ops with partitioning-sensitive shapes: distinct-df agg,
+    // sorted collect_list + pair explode, bucket self-join, vocab join,
+    // broadcast min rate, per-writer window prefix sums
+    "x25_boilerplate", "x26_winnowing", "x27_semantic_dedup",
+    "x28_surprisal", "x30_mixture", "x31_packing")
 
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark
