@@ -561,6 +561,30 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x33: dedup-method evaluation ----
+
+  /** x33: candidate-quality QA for the dedup stack — the stage a real
+    * pipeline runs before trusting a blocker: compare MinHash-LSH
+    * candidates (x13) against exact 3-gram-Jaccard pairs (x2, the
+    * truth set at this threshold) and report the confusion counts plus
+    * integer recall/precision. One full outer join of two small pair
+    * sets (both already df-capped/banded upstream — the pair tables are
+    * bounded data even at 100 TB) and a single aggregation. */
+  def x33DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = TextOps.x2DedupNear(spark, dir).select(col("d1"), col("d2"), lit(1L).as("ex"))
+    val lsh = TextOps.x13Pairs(spark, dir).select(col("d1"), col("d2"), lit(1L).as("ls"))
+    exact.join(lsh, Seq("d1", "d2"), "full")
+      .agg(
+        coalesce(sum(when(col("ex").isNotNull && col("ls").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_both"),
+        coalesce(sum(when(col("ex").isNotNull && col("ls").isNull, 1L).otherwise(0L)), lit(0L)).as("n_exact_only"),
+        coalesce(sum(when(col("ex").isNull && col("ls").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_lsh_only"))
+      .select(col("n_both"), col("n_exact_only"), col("n_lsh_only"),
+        fdiv(lit(1000L) * col("n_both"),
+          greatest(col("n_both") + col("n_exact_only"), lit(1L))).as("recall_per_1000"),
+        fdiv(lit(1000L) * col("n_both"),
+          greatest(col("n_both") + col("n_lsh_only"), lit(1L))).as("precision_per_1000"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -575,7 +599,8 @@ object PipelineOps {
     "x29_decontam" -> x29Decontam,
     "x30_mixture" -> x30Mixture,
     "x31_packing" -> x31Packing,
-    "x32_repetition" -> x32Repetition)
+    "x32_repetition" -> x32Repetition,
+    "x33_dedup_eval" -> x33DedupEval)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -756,6 +781,18 @@ object PipelineOps {
          |  ${fdivSql("1000 * (len(g2) - len(list_distinct(g2)))", "len(g2)")} AS dup2_per_1000,
          |  ${fdivSql("1000 * top_cnt", "n_tok")} AS top_tok_per_1000
          |FROM g ORDER BY doc_id""".stripMargin,
+    "x33_dedup_eval" ->
+      s"""WITH ex AS (SELECT d1, d2 FROM (${TextOps.oracle("x2_dedup_near")}) t1),
+         |ls AS (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) t2),
+         |c AS (SELECT (SELECT count(*) FROM ex) AS e,
+         |             (SELECT count(*) FROM ls) AS l,
+         |             (SELECT count(*) FROM ex JOIN ls USING (d1, d2)) AS b)
+         |SELECT CAST(b AS BIGINT) AS n_both,
+         |  CAST(e - b AS BIGINT) AS n_exact_only,
+         |  CAST(l - b AS BIGINT) AS n_lsh_only,
+         |  ${fdivSql("1000 * b", "greatest(e, 1)")} AS recall_per_1000,
+         |  ${fdivSql("1000 * b", "greatest(l, 1)")} AS precision_per_1000
+         |FROM c""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -334,6 +334,20 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x33: confusion counts agree with direct pair-set comparison (sf0.01 has signal)") {
+    val ex = TextOps.x2DedupNear(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = TextOps.x13MinhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = PipelineOps.x33DedupEval(spark, sf001).collect()(0)
+    assert(r.getLong(0) == (ex & ls).size, "n_both")
+    assert(r.getLong(1) == (ex -- ls).size, "n_exact_only")
+    assert(r.getLong(2) == (ls -- ex).size, "n_lsh_only")
+    assert(ex.nonEmpty, "sf0.01 must have exact near-dup pairs for the eval to be meaningful")
+    assert(r.getLong(3) == math.floorDiv(1000L * (ex & ls).size, math.max(ex.size, 1)))
+    assert(r.getLong(4) == math.floorDiv(1000L * (ex & ls).size, math.max(ls.size, 1)))
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
