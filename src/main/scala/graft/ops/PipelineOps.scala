@@ -585,6 +585,33 @@ object PipelineOps {
           greatest(col("n_both") + col("n_lsh_only"), lit(1L))).as("precision_per_1000"))
   }
 
+  // ---- x34: per-source corpus report ----
+
+  /** x34: per-source corpus report — the provenance rollup a curation
+    * team reads before setting mixture weights: doc counts, language
+    * spread, token volume, mean x9 quality score, and each source's
+    * share of the corpus. Reuses x9's integer quality scores joined back
+    * on doc_id (co-partitioned equi-join), then one aggregation on
+    * `source` (few keys, map-side combinable) plus a broadcast scalar
+    * total. `source` is the one documents column nothing else reads —
+    * this closes the data-model surface. */
+  def x34SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.x9Quality(spark, dir).select(col("doc_id"), col("n_tok"), col("quality"))
+    val d = documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.join(q, "doc_id").crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("sum_tok"),
+        sum(col("quality")).as("sum_quality"),
+        max(col("n_total")).as("n_total"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("sum_tok"),
+        fdiv(lit(100L) * col("sum_quality"), col("n_docs")).as("mean_quality_x100"),
+        fdiv(lit(1000L) * col("n_docs"), col("n_total")).as("share_per_1000"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -600,7 +627,8 @@ object PipelineOps {
     "x30_mixture" -> x30Mixture,
     "x31_packing" -> x31Packing,
     "x32_repetition" -> x32Repetition,
-    "x33_dedup_eval" -> x33DedupEval)
+    "x33_dedup_eval" -> x33DedupEval,
+    "x34_source_report" -> x34SourceReport)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -793,6 +821,17 @@ object PipelineOps {
          |  ${fdivSql("1000 * b", "greatest(e, 1)")} AS recall_per_1000,
          |  ${fdivSql("1000 * b", "greatest(l, 1)")} AS precision_per_1000
          |FROM c""".stripMargin,
+    "x34_source_report" ->
+      s"""WITH q AS (${TextOps.oracle("x9_quality")}),
+         |d AS (SELECT doc_id, source, lang FROM documents),
+         |t AS (SELECT count(*) AS n_total FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  ${fdivSql("100 * CAST(sum(quality) AS BIGINT)", "count(*)")} AS mean_quality_x100,
+         |  ${fdivSql("1000 * count(*)", "n_total")} AS share_per_1000
+         |FROM d JOIN q USING (doc_id) CROSS JOIN t
+         |GROUP BY source, n_total ORDER BY source""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -348,6 +348,24 @@ class OpsSpec extends SparkTestBase {
     assert(r.getLong(4) == math.floorDiv(1000L * (ex & ls).size, math.max(ls.size, 1)))
   }
 
+  test("x34: source rollup agrees with x9 scores grouped by hand") {
+    val src = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val q = TextOps.x9Quality(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap // n_tok, quality
+    val bySrc = src.groupBy(_._2._1)
+    PipelineOps.x34SourceReport(spark, sf0001).collect().foreach { r =>
+      val s = r.getString(0)
+      val ids = bySrc(s).keys.toSeq
+      assert(r.getLong(1) == ids.size)
+      assert(r.getLong(2) == ids.map(src(_)._2).toSet.size)
+      assert(r.getLong(3) == ids.map(q(_)._1).sum)
+      assert(r.getLong(4) == math.floorDiv(100L * ids.map(q(_)._2).sum, ids.size))
+      assert(r.getLong(5) == math.floorDiv(1000L * ids.size, src.size))
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
