@@ -376,6 +376,16 @@ class OpsSpec extends SparkTestBase {
       s"chunking is a pure per-row map — only the final sort may exchange:\n$x18")
   }
 
+  test("plans: x31 packing window is partitioned by writer (no global-order single partition)") {
+    val plan = PipelineOps.x31Packing(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(writer"),
+      s"prefix-sum window must shuffle on writer, not collapse to one partition:\n$plan")
+    val windowSpan = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windowSpan.contains("SinglePartition"),
+      s"window must not run on SinglePartition:\n$plan")
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
