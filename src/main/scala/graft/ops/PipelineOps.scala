@@ -612,6 +612,32 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  // ---- x35: canonical keeper per dedup cluster ----
+
+  /** x35: best-of-cluster selection — after clustering (x24), pick the
+    * member each cluster KEEPS: highest x9 quality, ties to the lowest
+    * doc_id. This is the stage that turns dedup clusters into a training
+    * set (production pipelines keep the best copy, not the first seen).
+    * Plan: cluster labels equi-joined to quality scores on doc_id, then
+    * one rank window partitioned by cluster_id — clusters are the
+    * partition key, so the window parallelizes across them and no
+    * cluster's data leaves one partition. */
+  def x35CanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val labels = x24DedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val q = TextOps.x9Quality(spark, dir).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    labels.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("keep_id"), col("quality").as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -628,7 +654,8 @@ object PipelineOps {
     "x31_packing" -> x31Packing,
     "x32_repetition" -> x32Repetition,
     "x33_dedup_eval" -> x33DedupEval,
-    "x34_source_report" -> x34SourceReport)
+    "x34_source_report" -> x34SourceReport,
+    "x35_canonical_pick" -> x35CanonicalPick)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -637,6 +664,22 @@ object PipelineOps {
       val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (3 - i))} * $nib)"
     }.mkString("(", " + ", ")")
+
+  /** x24's oracle: independent derivation — transitive closure as a
+    * recursive CTE over the same x13 candidate pairs; min-label fixpoints
+    * are unique, so it agrees exactly with Spark's iterative propagation.
+    * A val (not a map self-reference) because x35's oracle embeds it. */
+  private val x24Sql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) t),
+       |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
+       |)
+       |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
+       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x18_chunking" ->
@@ -704,20 +747,7 @@ object PipelineOps {
          |SELECT d1, d2, hamming FROM cand WHERE hamming <= $x23MaxHamming
          |ORDER BY d1, d2""".stripMargin
     },
-    "x24_dedup_clusters" ->
-      // independent derivation: transitive closure as a recursive CTE over
-      // the same x13 candidate pairs; min-label fixpoints are unique, so
-      // it agrees exactly with Spark's iterative propagation
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) t),
-         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS d, doc_id AS l FROM documents
-         |  UNION
-         |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
-         |)
-         |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
-         |ORDER BY doc_id""".stripMargin,
+    "x24_dedup_clusters" -> x24Sql,
     "x25_boilerplate" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(0, (len(w) - 1) // $bpSegLen + 1),
@@ -832,6 +862,17 @@ object PipelineOps {
          |  ${fdivSql("1000 * count(*)", "n_total")} AS share_per_1000
          |FROM d JOIN q USING (doc_id) CROSS JOIN t
          |GROUP BY source, n_total ORDER BY source""".stripMargin,
+    "x35_canonical_pick" ->
+      s"""WITH labels AS (SELECT * FROM ($x24Sql) lx),
+         |q AS (${TextOps.oracle("x9_quality")}),
+         |r AS (SELECT l.cluster_id, l.doc_id, q.quality,
+         |        row_number() OVER (PARTITION BY l.cluster_id
+         |                           ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |      FROM labels l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keep_id, quality AS keep_quality
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

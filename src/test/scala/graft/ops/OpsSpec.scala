@@ -366,6 +366,25 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x35: keeper is the max-quality member (ties to min id); members partition the corpus") {
+    val labels = PipelineOps.x24DedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextOps.x9Quality(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val byCluster = labels.groupBy(_._2)
+    val rows = PipelineOps.x35CanonicalPick(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == byCluster.keySet, "one row per cluster")
+    assert(rows.map(_.getLong(1)).sum == labels.length, "members partition the corpus")
+    rows.foreach { r =>
+      val (cid, n, keepId, keepQ) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid).map(_._1)
+      assert(n == members.size)
+      val best = members.map(d => (-quality(d), d)).min._2
+      assert(keepId == best, s"cluster $cid: keeper $keepId != $best")
+      assert(keepQ == quality(keepId))
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
