@@ -546,14 +546,26 @@ object PipelineOps {
   def x32Repetition(spark: SparkSession, dir: String): DataFrame = {
     val grams2 = transform(sequence(lit(1), size(col("w")) - 1),
       i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
-    val topCnt = array_max(transform(array_distinct(col("w")),
-      t => size(filter(col("w"), x => x === t)).cast(LongType)))
+    // top-token count as a run-length scan over the SORTED array — one
+    // O(n log n + n) pass with constant state, instead of filtering the
+    // whole array once per distinct token (O(n·d) array allocations per
+    // row, which measured as a GC storm in a long-lived session).
+    val topCnt = aggregate(
+      array_sort(col("w")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("g2", grams2)
       .select(col("doc_id"),
         size(col("w")).cast(LongType).as("n_tok"),
-        size(grams2).cast(LongType).as("n_g2"),
-        size(array_distinct(grams2)).cast(LongType).as("n_g2_uniq"),
+        size(col("g2")).cast(LongType).as("n_g2"),
+        size(array_distinct(col("g2"))).cast(LongType).as("n_g2_uniq"),
         topCnt.as("top_cnt"))
       .select(col("doc_id"), col("n_tok"),
         fdiv(lit(1000L) * (col("n_g2") - col("n_g2_uniq")), col("n_g2")).as("dup2_per_1000"),
