@@ -650,6 +650,50 @@ object PipelineOps {
       .orderBy("cluster_id")
   }
 
+  // ---- x36: incremental dedup (new batch vs corpus index) ----
+
+  /** x36 novelty threshold: a new document is novel when ≥ 50% of its
+    * shingles are unseen in the index. */
+  private val x36NoveltyCut = 500L
+
+  /** x36: incremental-ingest novelty screening — the shape batch
+    * self-dedup (x1/x2) does not cover: score the NEWEST arrivals (top
+    * 10% of doc_id, a deterministic stand-in for "since the last run")
+    * against the shingle index of everything older. Per new doc: how
+    * many of its 3-gram keys already exist anywhere in the index, and a
+    * novelty verdict. Plan: the index side is corpus-sized, so unlike
+    * x29 it is NOT broadcast — a plain equi-join on the shingle hash
+    * (both sides shuffle on h, the incremental batch being tiny relative
+    * to the index), then one per-doc aggregation. This is the coarse
+    * screen ahead of pairwise verification (x2) in an incremental
+    * pipeline. */
+  def x36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = when(size(col("w")) >= 3, array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => md5(array_join(slice(col("w"), i, lit(3)), " ")))))
+      .otherwise(array().cast("array<string>"))
+    val g = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), grams.as("gs"))
+    val thr = g.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)).as("thr"))
+    val keyed = g.crossJoin(broadcast(thr))
+    val oldKeys = keyed.filter(col("doc_id") <= col("thr"))
+      .select(explode(col("gs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    keyed.filter(col("doc_id") > col("thr"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
+      .join(oldKeys, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_keys"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_keys"), col("n_hit"),
+        fdiv(lit(1000L) * (col("n_keys") - col("n_hit")),
+          greatest(col("n_keys"), lit(1L))).as("novelty_per_1000"))
+      .withColumn("is_novel",
+        when(col("novelty_per_1000") >= x36NoveltyCut, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -667,7 +711,8 @@ object PipelineOps {
     "x32_repetition" -> x32Repetition,
     "x33_dedup_eval" -> x33DedupEval,
     "x34_source_report" -> x34SourceReport,
-    "x35_canonical_pick" -> x35CanonicalPick)
+    "x35_canonical_pick" -> x35CanonicalPick,
+    "x36_incremental_dedup" -> x36IncrementalDedup)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -885,6 +930,26 @@ object PipelineOps {
          |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
          |  doc_id AS keep_id, quality AS keep_quality
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "x36_incremental_dedup" -> {
+      val novelty = fdivSql("1000 * (n_keys - coalesce(n_hit, 0))", "greatest(n_keys, 1)")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         |        THEN list_distinct(list_transform(range(1, len(w) - 1),
+         |               i -> md5(array_to_string(w[i : i + 2], ' '))))
+         |        ELSE [] END AS gs FROM d),
+         |t AS (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM g),
+         |oldk AS (SELECT DISTINCT unnest(gs) AS h FROM g CROSS JOIN t WHERE doc_id <= thr),
+         |e AS (SELECT doc_id, unnest(gs) AS h FROM g CROSS JOIN t WHERE doc_id > thr),
+         |hits AS (SELECT e.doc_id, count(o.h) AS n_hit
+         |         FROM e LEFT JOIN oldk o ON e.h = o.h GROUP BY e.doc_id),
+         |base AS (SELECT doc_id, len(gs) AS n_keys FROM g CROSS JOIN t WHERE doc_id > thr)
+         |SELECT base.doc_id, CAST(n_keys AS BIGINT) AS n_keys,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  $novelty AS novelty_per_1000,
+         |  CAST(CASE WHEN $novelty >= $x36NoveltyCut THEN 1 ELSE 0 END AS BIGINT) AS is_novel
+         |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+         |ORDER BY base.doc_id""".stripMargin
+    },
     "x21_embed_quant" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -385,6 +385,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x36: novelty vs index matches brute-force shingle membership") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    def keys(w: Seq[String]): Set[String] =
+      if (w.size >= 3) w.sliding(3).map(g => md5hex(g.mkString(" "))).toSet else Set.empty
+    val thr = math.floorDiv(9L * docs.map(_._1).max, 10L)
+    val index = docs.filter(_._1 <= thr).flatMap(d => keys(d._2)).toSet
+    val rows = PipelineOps.x36IncrementalDedup(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == docs.map(_._1).filter(_ > thr).toSet)
+    rows.foreach { r =>
+      val (id, nKeys, nHit, nov, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val ks = keys(docs.find(_._1 == id).get._2)
+      assert(nKeys == ks.size)
+      assert(nHit == (ks & index).size, s"doc $id: n_hit $nHit != ${(ks & index).size}")
+      assert(nov == math.floorDiv(1000L * (nKeys - nHit), math.max(nKeys, 1)))
+      assert(flag == (if (nov >= 500) 1L else 0L))
+    }
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
