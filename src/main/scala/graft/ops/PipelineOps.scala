@@ -449,14 +449,20 @@ object PipelineOps {
     * gram set is BROADCAST — eval sets are small and fixed at real scale,
     * so the corpus side never shuffles: one gram explode, one broadcast
     * left join, one per-doc aggregation (map-side combinable). */
-  def x29Decontam(spark: SparkSession, dir: String): DataFrame = {
-    val grams = when(size(col("w")) >= contamGram, array_distinct(transform(
-        sequence(lit(1), size(col("w")) - (contamGram - 1)),
-        i => md5(array_join(slice(col("w"), i, lit(contamGram)), " ")))))
+  /** Distinct md5 hashes of the `n`-token grams of column `w` — shared
+    * gram-set builder for x29/x36 (keep in sync with the DuckDB twin
+    * `list_distinct(list_transform(range(...), i -> md5(...)))` in both
+    * oracles). Docs shorter than `n` tokens get an empty set. */
+  private def gramHashes(n: Int): Column =
+    when(size(col("w")) >= n, array_distinct(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => md5(array_join(slice(col("w"), i, lit(n)), " ")))))
       .otherwise(array().cast("array<string>"))
+
+  def x29Decontam(spark: SparkSession, dir: String): DataFrame = {
     val g = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), grams.as("gs"))
+      .select(col("doc_id"), gramHashes(contamGram).as("gs"))
     val bench = g.filter(col("doc_id") % contamMod === 0)
       .select(explode(col("gs")).as("h")).distinct()
       .withColumn("hit", lit(1L))
@@ -668,27 +674,28 @@ object PipelineOps {
     * screen ahead of pairwise verification (x2) in an incremental
     * pipeline. */
   def x36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val grams = when(size(col("w")) >= 3, array_distinct(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => md5(array_join(slice(col("w"), i, lit(3)), " ")))))
-      .otherwise(array().cast("array<string>"))
-    val g = documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), grams.as("gs"))
-    val thr = g.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)).as("thr"))
-    val keyed = g.crossJoin(broadcast(thr))
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)).as("thr"))
+    // the batch split runs BEFORE the gram transform, so each branch
+    // hashes only its own share of the corpus (index 0.9×, batch 0.1×),
+    // not the full corpus twice
+    val keyed = d.crossJoin(broadcast(thr))
     val oldKeys = keyed.filter(col("doc_id") <= col("thr"))
-      .select(explode(col("gs")).as("h")).distinct()
+      .select(explode(gramHashes(3)).as("h")).distinct()
       .withColumn("hit", lit(1L))
     keyed.filter(col("doc_id") > col("thr"))
+      .select(col("doc_id"), gramHashes(3).as("gs"))
       .select(col("doc_id"), explode_outer(col("gs")).as("h"))
       .join(oldKeys, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("h")).as("n_keys"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_keys"), col("n_hit"),
-        fdiv(lit(1000L) * (col("n_keys") - col("n_hit")),
-          greatest(col("n_keys"), lit(1L))).as("novelty_per_1000"))
+        // a zero-shingle doc (< 3 tokens) has NO evidence of existing in
+        // the index — vacuously novel (1000), never screened out as a dup
+        when(col("n_keys") === 0, 1000L)
+          .otherwise(fdiv(lit(1000L) * (col("n_keys") - col("n_hit")),
+            col("n_keys"))).as("novelty_per_1000"))
       .withColumn("is_novel",
         when(col("novelty_per_1000") >= x36NoveltyCut, 1L).otherwise(0L))
       .orderBy("doc_id")
@@ -931,7 +938,8 @@ object PipelineOps {
          |  doc_id AS keep_id, quality AS keep_quality
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "x36_incremental_dedup" -> {
-      val novelty = fdivSql("1000 * (n_keys - coalesce(n_hit, 0))", "greatest(n_keys, 1)")
+      val novelty =
+        s"(CASE WHEN n_keys = 0 THEN 1000 ELSE ${fdivSql("1000 * (n_keys - coalesce(n_hit, 0))", "n_keys")} END)"
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
          |        THEN list_distinct(list_transform(range(1, len(w) - 1),
@@ -945,7 +953,7 @@ object PipelineOps {
          |base AS (SELECT doc_id, len(gs) AS n_keys FROM g CROSS JOIN t WHERE doc_id > thr)
          |SELECT base.doc_id, CAST(n_keys AS BIGINT) AS n_keys,
          |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-         |  $novelty AS novelty_per_1000,
+         |  CAST($novelty AS BIGINT) AS novelty_per_1000,
          |  CAST(CASE WHEN $novelty >= $x36NoveltyCut THEN 1 ELSE 0 END AS BIGINT) AS is_novel
          |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
          |ORDER BY base.doc_id""".stripMargin

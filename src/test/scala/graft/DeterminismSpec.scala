@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkTestBase {
     // broadcast min rate, per-writer window prefix sums
     "x25_boilerplate", "x26_winnowing", "x27_semantic_dedup",
     "x28_surprisal", "x30_mixture", "x31_packing",
-    "x33_dedup_eval", "x34_source_report", "x35_canonical_pick")
+    "x33_dedup_eval", "x34_source_report", "x35_canonical_pick",
+    "x36_incremental_dedup")
 
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark

@@ -401,7 +401,8 @@ class OpsSpec extends SparkTestBase {
       val ks = keys(docs.find(_._1 == id).get._2)
       assert(nKeys == ks.size)
       assert(nHit == (ks & index).size, s"doc $id: n_hit $nHit != ${(ks & index).size}")
-      assert(nov == math.floorDiv(1000L * (nKeys - nHit), math.max(nKeys, 1)))
+      // zero-shingle docs are vacuously novel (no evidence of existing)
+      assert(nov == (if (nKeys == 0) 1000L else math.floorDiv(1000L * (nKeys - nHit), nKeys)))
       assert(flag == (if (nov >= 500) 1L else 0L))
     }
   }
