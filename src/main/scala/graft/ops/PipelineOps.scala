@@ -102,10 +102,8 @@ object PipelineOps {
     documents(spark, dir)
       .select(col("lang"),
         // first 16 md5 bits via the native digest expression (≡ the
-        // oracle's hex-parse derivation)
-        shiftrightunsigned(
-          graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 48)
-          .as("h16"))
+        // oracle's hex-parse derivation); shared helper with x30/x31
+        h16(col("doc_id")).as("h16"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_total"),
@@ -550,8 +548,12 @@ object PipelineOps {
     * the output sort; the per-row cost is O(n·distinct) via array
     * lambdas, bounded by document length. */
   def x32Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams2 = transform(sequence(lit(1), size(col("w")) - 1),
-      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    // guard single-token docs: sequence(1, 0) is DESCENDING in Spark and
+    // element_at(w, 0) throws — same guard every sibling gram builder has
+    val grams2 = when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
     // top-token count as a run-length scan over the SORTED array — one
     // O(n log n + n) pass with constant state, instead of filtering the
     // whole array once per distinct token (O(n·d) array allocations per
@@ -574,7 +576,9 @@ object PipelineOps {
         size(array_distinct(col("g2"))).cast(LongType).as("n_g2_uniq"),
         topCnt.as("top_cnt"))
       .select(col("doc_id"), col("n_tok"),
-        fdiv(lit(1000L) * (col("n_g2") - col("n_g2_uniq")), col("n_g2")).as("dup2_per_1000"),
+        when(col("n_g2") === 0, 0L)
+          .otherwise(fdiv(lit(1000L) * (col("n_g2") - col("n_g2_uniq")), col("n_g2")))
+          .as("dup2_per_1000"),
         fdiv(lit(1000L) * col("top_cnt"), col("n_tok")).as("top_tok_per_1000"))
       .orderBy("doc_id")
   }
@@ -895,12 +899,16 @@ object PipelineOps {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id,
          |    len(w) AS n_tok,
-         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+         |    CASE WHEN len(w) >= 2
+         |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |      ELSE [] END AS g2,
          |    list_max(list_transform(list_distinct(w),
          |      t -> len(list_filter(w, x -> x = t)))) AS top_cnt
          |  FROM d)
          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-         |  ${fdivSql("1000 * (len(g2) - len(list_distinct(g2)))", "len(g2)")} AS dup2_per_1000,
+         |  CAST(CASE WHEN len(g2) = 0 THEN 0
+         |    ELSE ${fdivSql("1000 * (len(g2) - len(list_distinct(g2)))", "len(g2)")}
+         |    END AS BIGINT) AS dup2_per_1000,
          |  ${fdivSql("1000 * top_cnt", "n_tok")} AS top_tok_per_1000
          |FROM g ORDER BY doc_id""".stripMargin,
     "x33_dedup_eval" ->
