@@ -407,6 +407,41 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("edge corpus: text/pipeline ops survive 1-5-token documents with no nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (0L, "one", "en", "src0", 3L),
+      (1L, "two words", "en", "src0", 9L),
+      (2L, "three token doc", "de", "src1", 15L),
+      (3L, "four token doc here", "de", "src1", 19L),
+      (4L, "five token doc here now", "es", "src2", 23L),
+      (100L, "five token doc here now", "es", "src2", 23L)) // dup of 4, in the x36 'new' batch
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val ops = Seq(
+      "x25" -> PipelineOps.x25Boilerplate _,
+      "x26" -> PipelineOps.x26Winnowing _,
+      "x28" -> PipelineOps.x28Surprisal _,
+      "x29" -> PipelineOps.x29Decontam _,
+      "x32" -> PipelineOps.x32Repetition _,
+      "x36" -> PipelineOps.x36IncrementalDedup _)
+    ops.foreach { case (name, fn) =>
+      val rows = fn(spark, dir).collect() // must not throw on gram-less docs
+      rows.foreach(r => (0 until r.length).foreach(i =>
+        assert(!r.isNullAt(i), s"$name: null at column $i of $r")))
+    }
+    // doc 100 duplicates doc 4's shingles -> novelty 0; doc 0 has no
+    // shingles -> vacuously novel
+    val x36 = PipelineOps.x36IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(x36(100L) == (0L, 0L), s"dup doc must score novelty 0: ${x36(100L)}")
+    // x32 on a 1-token doc: no 2-grams, dup2 = 0, top share = 1000
+    val x32 = PipelineOps.x32Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(x32(0L) == (0L, 1000L), s"1-token doc: ${x32(0L)}")
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
