@@ -350,22 +350,33 @@ object PipelineOps {
     * the overlap count. The selection is a pure per-row map (no
     * shuffle); pairing is the x2-style inverted-index equi-join with a
     * df cap, so one corpus-hot fingerprint cannot go quadratic. */
-  def x26Winnowing(spark: SparkSession, dir: String): DataFrame = {
-    val emptyStr = array().cast("array<string>")
-    val sh = when(size(col("w")) >= winShingle, transform(
+  private val emptyStrArr = array().cast("array<string>")
+
+  /** Rolling `winShingle`-token md5 shingles of column `w` (NOT distinct —
+    * winnowing selects by position). */
+  private[graft] def winnowShingles: Column =
+    when(size(col("w")) >= winShingle, transform(
         sequence(lit(1), size(col("w")) - (winShingle - 1)),
         i => md5(array_join(slice(col("w"), i, lit(winShingle)), " "))))
-      .otherwise(emptyStr)
+      .otherwise(emptyStrArr)
+
+  /** Winnowing selection over column `sh`: the leftmost minimum of every
+    * `winWindow`-wide window, distinct — split out so the coverage
+    * guarantee is property-testable on arbitrary token streams. */
+  private[graft] def winnowSelection: Column = {
     val win = (i: Column) => slice(col("sh"), i, lit(winWindow))
-    val sel = when(size(col("sh")) >= winWindow, array_distinct(transform(
+    when(size(col("sh")) >= winWindow, array_distinct(transform(
         sequence(lit(1), size(col("sh")) - (winWindow - 1)),
         i => element_at(col("sh"),
           (i - 1 + array_position(win(i), array_min(win(i)))).cast("int")))))
-      .otherwise(emptyStr)
+      .otherwise(emptyStrArr)
+  }
+
+  def x26Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fps = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id"), explode(sel).as("fp"))
+      .select(col("doc_id"), winnowShingles.as("sh"))
+      .select(col("doc_id"), explode(winnowSelection).as("fp"))
     // One winnow pass, two shuffles: df via a window count on the fp
     // shuffle (not a self-join — the selection HOFs above are
     // CodegenFallback, so every extra lineage branch re-interprets
@@ -523,19 +534,24 @@ object PipelineOps {
     * writer's prefix sums compute independently in parallel, there is no
     * global-order window (which would serialize onto one task at 100 TB);
     * widening the writer pool is the scale knob. */
-  def x31Packing(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
+  def x31Packing(spark: SparkSession, dir: String): DataFrame =
+    packingOn(documents(spark, dir)
       .select(col("doc_id"),
         size(toks(col("text"))).cast(LongType).as("n_tok"),
-        (h16(col("doc_id")) % packWriters).as("writer"))
+        (h16(col("doc_id")) % packWriters).as("writer")))
+
+  /** x31's packing core over any (doc_id, n_tok, writer) frame — split
+    * out so the per-writer prefix-sum geometry is property-testable on
+    * arbitrary corpora. */
+  private[graft] def packingOn(d: DataFrame, budget: Long = packBudget): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("writer")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     d.withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("writer"), col("n_tok"),
-        fdiv(col("cum") - col("n_tok"), lit(packBudget)).as("shard_id"),
-        ((col("cum") - col("n_tok")) % packBudget).as("shard_off"))
+        fdiv(col("cum") - col("n_tok"), lit(budget)).as("shard_id"),
+        ((col("cum") - col("n_tok")) % budget).as("shard_off"))
       .orderBy("doc_id")
   }
 
