@@ -459,10 +459,11 @@ object PipelineOps {
     * so the corpus side never shuffles: one gram explode, one broadcast
     * left join, one per-doc aggregation (map-side combinable). */
   /** Distinct md5 hashes of the `n`-token grams of column `w` — shared
-    * gram-set builder for x29/x36 (keep in sync with the DuckDB twin
-    * `list_distinct(list_transform(range(...), i -> md5(...)))` in both
-    * oracles). Docs shorter than `n` tokens get an empty set. */
-  private def gramHashes(n: Int): Column =
+    * gram-set builder for x29/x36 and the S8 novelty stream (keep in sync
+    * with the DuckDB twin `list_distinct(list_transform(range(...),
+    * i -> md5(...)))` in both oracles). Docs shorter than `n` tokens get
+    * an empty set. */
+  private[graft] def gramHashes(n: Int): Column =
     when(size(col("w")) >= n, array_distinct(transform(
         sequence(lit(1), size(col("w")) - (n - 1)),
         i => md5(array_join(slice(col("w"), i, lit(n)), " ")))))

@@ -32,7 +32,7 @@ object TextOps {
   private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** tokens of `text` (corpus is single-space separated). */
-  private[ops] def toks(c: Column): Column = split(c, " ")
+  private[graft] def toks(c: Column): Column = split(c, " ")
 
   /** distinct word 3-shingles of `text`. */
   private def shingles(w: Column): Column =

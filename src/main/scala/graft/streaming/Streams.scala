@@ -222,4 +222,40 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** S8: continuous-ingest novelty screening — the streaming twin of the
+    * batch x36: each arriving document is scored against a BLOOM FILTER
+    * of the static corpus's 3-gram index, built once driver-side
+    * (`DataFrameStatFunctions.bloomFilter`) and broadcast. The stream
+    * side is completely STATELESS — per-row gram hashing plus an O(1)
+    * membership probe, no streaming aggregation, no state store, no
+    * watermark — which is what lets it run at ingest line rate; the
+    * bloom's one-sided error only ever UNDERcounts novelty (a false
+    * positive claims a gram was seen), so `novelty_per_1000` is a lower
+    * bound and the `is_novel` screen errs toward keeping the pairwise
+    * verify stage in the loop. At a 100 TB index you size
+    * `expectedNumItems`/`fpp` (bits ≈ -n·ln(fpp)/ln²2) or shard the
+    * stream by gram hash into the batch x36 shape instead. */
+  def noveltyStream(spark: SparkSession, docs: DataFrame, indexDocs: DataFrame,
+      fpp: Double = 0.001): DataFrame = {
+    val grams3 = graft.ops.PipelineOps.gramHashes(3)
+    val idx = indexDocs
+      .select(graft.ops.TextOps.toks(col("text")).as("w"))
+      .select(explode(grams3).as("h")).distinct()
+    val n = math.max(idx.count(), 1L)
+    val bloom = idx.stat.bloomFilter("h", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)
+    docs
+      .select(col("doc_id"), graft.ops.TextOps.toks(col("text")).as("w"))
+      .select(col("doc_id"), grams3.as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_keys"),
+        maybeHits(col("gs")).as("n_maybe_hit"))
+      .select(col("doc_id"), col("n_keys"), col("n_maybe_hit"),
+        when(col("n_keys") === 0, 1000L)
+          .otherwise(floor(lit(1000) * (col("n_keys") - col("n_maybe_hit")) / col("n_keys")).cast("long"))
+          .as("novelty_per_1000"))
+      .withColumn("is_novel", when(col("novelty_per_1000") >= 500, 1L).otherwise(0L))
+  }
 }

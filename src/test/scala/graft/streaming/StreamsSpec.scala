@@ -221,6 +221,32 @@ class StreamsSpec extends SparkTestBase {
         Timestamp.valueOf("2024-01-01 05:00:00").getTime))
     } finally q.stop()
   }
+
+  test("s8: bloom novelty stream flags index echoes as dups and fresh docs as novel") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val stream = Streams.noveltyStream(s, ms.toDS().toDF("doc_id", "text"), index)
+    val q = stream.writeStream.format("memory").queryName("novel").outputMode("append").start()
+    try {
+      ms.addData(
+        (10L, "alpha beta gamma delta epsilon zeta"), // exact echo of doc 1
+        (11L, "totally fresh never seen words here now"), // disjoint vocabulary
+        (12L, "hi")) // gram-less: vacuously novel
+      q.processAllAvailable()
+      val rows = s.table("novel").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val (k10, h10, nov10, f10) = rows(10L)
+      assert(h10 == k10 && nov10 == 0L && f10 == 0L, s"echo must score 0 novelty: ${rows(10L)}")
+      val (_, _, nov11, f11) = rows(11L)
+      assert(f11 == 1L && nov11 >= 500L, s"fresh doc must screen novel: ${rows(11L)}")
+      assert(rows(12L) == (0L, 0L, 1000L, 1L), s"gram-less doc is vacuously novel: ${rows(12L)}")
+    } finally q.stop()
+  }
 }
 
 /** Shared-state test sink (local mode: executor == driver JVM). Mirrors
