@@ -343,13 +343,6 @@ object PipelineOps {
   private val winDfCap = 50L
   private val winMinShared = 3L
 
-  /** x26: winnowing document fingerprints (MOSS-style) + overlap pair
-    * mining. Each document keeps only the per-window minimum shingle
-    * hash — a guaranteed-coverage sample of its shingle set — and pairs
-    * of documents sharing ≥ 3 selected fingerprints are reported with
-    * the overlap count. The selection is a pure per-row map (no
-    * shuffle); pairing is the x2-style inverted-index equi-join with a
-    * df cap, so one corpus-hot fingerprint cannot go quadratic. */
   private val emptyStrArr = array().cast("array<string>")
 
   /** Rolling `winShingle`-token md5 shingles of column `w` (NOT distinct —
@@ -372,6 +365,13 @@ object PipelineOps {
       .otherwise(emptyStrArr)
   }
 
+  /** x26: winnowing document fingerprints (MOSS-style) + overlap pair
+    * mining. Each document keeps only the per-window minimum shingle
+    * hash — a guaranteed-coverage sample of its shingle set — and pairs
+    * of documents sharing ≥ 3 selected fingerprints are reported with
+    * the overlap count. The selection is a pure per-row map (no
+    * shuffle); pairing is the x2-style inverted-index equi-join with a
+    * df cap, so one corpus-hot fingerprint cannot go quadratic. */
   def x26Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fps = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
@@ -680,8 +680,9 @@ object PipelineOps {
   // ---- x36: incremental dedup (new batch vs corpus index) ----
 
   /** x36 novelty threshold: a new document is novel when ≥ 50% of its
-    * shingles are unseen in the index. */
-  private val x36NoveltyCut = 500L
+    * shingles are unseen in the index. Shared with the S8 stream twin so
+    * batch and stream verdicts can't drift. */
+  private[graft] val x36NoveltyCut = 500L
 
   /** x36: incremental-ingest novelty screening — the shape batch
     * self-dedup (x1/x2) does not cover: score the NEWEST arrivals (top

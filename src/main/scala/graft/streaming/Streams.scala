@@ -242,8 +242,10 @@ object Streams {
     val idx = indexDocs
       .select(graft.ops.TextOps.toks(col("text")).as("w"))
       .select(explode(grams3).as("h")).distinct()
-    val n = math.max(idx.count(), 1L)
-    val bloom = idx.stat.bloomFilter("h", n, fpp)
+      .persist() // sizing count + bloom build are two actions over one shuffle
+    val bloom =
+      try idx.stat.bloomFilter("h", math.max(idx.count(), 1L), fpp)
+      finally idx.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)
     docs
@@ -253,9 +255,12 @@ object Streams {
         size(col("gs")).cast("long").as("n_keys"),
         maybeHits(col("gs")).as("n_maybe_hit"))
       .select(col("doc_id"), col("n_keys"), col("n_maybe_hit"),
+        // same verdict math as the batch twin: exact integer fdiv, shared cut
         when(col("n_keys") === 0, 1000L)
-          .otherwise(floor(lit(1000) * (col("n_keys") - col("n_maybe_hit")) / col("n_keys")).cast("long"))
+          .otherwise(graft.model.Tables.fdiv(
+            lit(1000L) * (col("n_keys") - col("n_maybe_hit")), col("n_keys")))
           .as("novelty_per_1000"))
-      .withColumn("is_novel", when(col("novelty_per_1000") >= 500, 1L).otherwise(0L))
+      .withColumn("is_novel",
+        when(col("novelty_per_1000") >= graft.ops.PipelineOps.x36NoveltyCut, 1L).otherwise(0L))
   }
 }

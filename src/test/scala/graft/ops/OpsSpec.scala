@@ -416,7 +416,8 @@ class OpsSpec extends SparkTestBase {
       (2L, "three token doc", "de", "src1", 15L),
       (3L, "four token doc here", "de", "src1", 19L),
       (4L, "five token doc here now", "es", "src2", 23L),
-      (100L, "five token doc here now", "es", "src2", 23L)) // dup of 4, in the x36 'new' batch
+      (100L, "five token doc here now", "es", "src2", 23L), // dup of 4, in the x36 'new' batch
+      (101L, "hi", "en", "src0", 2L)) // gram-less AND in the 'new' batch
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val ops = Seq(
@@ -431,11 +432,12 @@ class OpsSpec extends SparkTestBase {
       rows.foreach(r => (0 until r.length).foreach(i =>
         assert(!r.isNullAt(i), s"$name: null at column $i of $r")))
     }
-    // doc 100 duplicates doc 4's shingles -> novelty 0; doc 0 has no
-    // shingles -> vacuously novel
+    // doc 100 duplicates doc 4's shingles -> novelty 0; doc 101 is
+    // gram-less AND new -> must hit the vacuously-novel branch
     val x36 = PipelineOps.x36IncrementalDedup(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(x36(100L) == (0L, 0L), s"dup doc must score novelty 0: ${x36(100L)}")
+    assert(x36(101L) == (1000L, 1L), s"gram-less new doc is vacuously novel: ${x36(101L)}")
     // x32 on a 1-token doc: no 2-grams, dup2 = 0, top share = 1000
     val x32 = PipelineOps.x32Repetition(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

@@ -25,23 +25,25 @@ class PipelinePropertySpec extends SparkTestBase {
     // tiebreak path); lengths 0..24 cover the empty/short guards
     val docGen = Gen.listOfN(30,
       Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))))
-    val docs = sample(docGen, seed = 7L).zipWithIndex.map { case (w, i) => (i.toLong, w) }
-    val got = docs.toDF("doc_id", "w")
-      .select(col("doc_id"), PipelineOps.winnowShingles.as("sh"))
-      .select(col("doc_id"), PipelineOps.winnowSelection.as("fps"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
-    docs.foreach { case (id, w) =>
-      val sh = if (w.size >= 3) w.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
-               else Vector.empty[String]
-      val brute = if (sh.size >= 4) sh.sliding(4).map(win => win(win.indexOf(win.min))).toVector.distinct
-                  else Vector.empty[String]
-      assert(got(id) == brute, s"doc $id (${w.size} toks): ${got(id)} != $brute")
-      // the winnowing guarantee: every window of 4 consecutive shingles
-      // contains at least one selected fingerprint
-      if (sh.size >= 4) {
-        val selected = got(id).toSet
-        sh.sliding(4).zipWithIndex.foreach { case (win, i) =>
-          assert(win.exists(selected), s"doc $id: window $i uncovered")
+    for (seed <- 1L to 8L) {
+      val docs = sample(docGen, seed).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val got = docs.toDF("doc_id", "w")
+        .select(col("doc_id"), PipelineOps.winnowShingles.as("sh"))
+        .select(col("doc_id"), PipelineOps.winnowSelection.as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      docs.foreach { case (id, w) =>
+        val sh = if (w.size >= 3) w.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+                 else Vector.empty[String]
+        val brute = if (sh.size >= 4) sh.sliding(4).map(win => win(win.indexOf(win.min))).toVector.distinct
+                    else Vector.empty[String]
+        assert(got(id) == brute, s"seed $seed doc $id (${w.size} toks): ${got(id)} != $brute")
+        // the winnowing guarantee: every window of 4 consecutive shingles
+        // contains at least one selected fingerprint
+        if (sh.size >= 4) {
+          val selected = got(id).toSet
+          sh.sliding(4).zipWithIndex.foreach { case (win, i) =>
+            assert(win.exists(selected), s"seed $seed doc $id: window $i uncovered")
+          }
         }
       }
     }
@@ -52,17 +54,19 @@ class PipelinePropertySpec extends SparkTestBase {
     import s.implicits._
     val rowGen = Gen.listOfN(200,
       Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 3L)))
-    val rows = sample(rowGen, seed = 11L).zipWithIndex
-      .map { case ((nTok, writer), i) => (i.toLong, nTok, writer) }
-    val got = PipelineOps.packingOn(
-        rows.toDF("doc_id", "n_tok", "writer"), budget = 64L)
-      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-    rows.groupBy(_._3).foreach { case (_, ds) =>
-      var cum = 0L
-      ds.sortBy(_._1).foreach { case (id, nTok, _) =>
-        assert(got(id) == (math.floorDiv(cum, 64L), math.floorMod(cum, 64L)),
-          s"doc $id: ${got(id)} vs cum=$cum")
-        cum += nTok
+    for (seed <- 1L to 8L) {
+      val rows = sample(rowGen, seed).zipWithIndex
+        .map { case ((nTok, writer), i) => (i.toLong, nTok, writer) }
+      val got = PipelineOps.packingOn(
+          rows.toDF("doc_id", "n_tok", "writer"), budget = 64L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      rows.groupBy(_._3).foreach { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).foreach { case (id, nTok, _) =>
+          assert(got(id) == (math.floorDiv(cum, 64L), math.floorMod(cum, 64L)),
+            s"seed $seed doc $id: ${got(id)} vs cum=$cum")
+          cum += nTok
+        }
       }
     }
   }
