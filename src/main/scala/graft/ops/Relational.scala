@@ -91,7 +91,44 @@ object Relational {
       .orderBy("lo")
   }
 
+  /** q21: TPC-H Q5 analog — the 6-table local-supplier-volume join
+    * (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    * same-nation predicate), the deepest join tree on the surface. Shape:
+    * the region→nation dim chain broadcasts into customer; orders (year-
+    * filtered at the scan) shuffles with customers on custkey, lineitem
+    * joins on orderkey, supplier on suppkey — all equi-joins on fact
+    * keys, with AQE free to reorder/switch strategies; the c/s
+    * same-nation predicate is a post-join filter, never a join condition
+    * that could plan non-equi. Revenue goes through per-row integer
+    * cents, so the 6-way join result is partitioning-invariant. */
+  def q21LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val dims = nation(spark, dir)
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer(spark, dir)
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_local_supplier" -> q21LocalSupplier,
     "q1_scan_filter" -> q1ScanFilter,
     "q2_hash_agg" -> q2HashAgg,
     "q3_join_bcast" -> q3JoinBcast,
@@ -101,6 +138,18 @@ object Relational {
     "q15_range_join" -> q15RangeJoin)
 
   val oracle: Map[String, String] = Map(
+    "q21_local_supplier" ->
+      s"""SELECT n_name,
+         |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+         |  count(*) AS n_items
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem

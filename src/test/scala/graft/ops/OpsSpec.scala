@@ -464,6 +464,17 @@ class OpsSpec extends SparkTestBase {
       s"window must not run on SinglePartition:\n$plan")
   }
 
+  test("plans: q21 six-table join broadcasts dims, pushes the year filter, all equi-joins") {
+    val qe = Relational.q21LocalSupplier(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim chain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"same-nation predicate must stay a post-join filter, not a non-equi join:\n$plan")
+    assert(plan.contains("o_orderdate"), "year filter must reach the orders scan")
+    val result = Relational.q21LocalSupplier(spark, sf0001).collect()
+    assert(result.nonEmpty, "sf0.001 must produce local-supplier revenue rows")
+  }
+
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
     val plan = Relational.q1ScanFilter(spark, sf0001)
       .queryExecution.executedPlan.toString
