@@ -465,14 +465,16 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("plans: q21 six-table join broadcasts dims, pushes the year filter, all equi-joins") {
-    val qe = Relational.q21LocalSupplier(spark, sf0001).queryExecution
-    val plan = qe.executedPlan.toString
+    val df = Relational.q21LocalSupplier(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dim chain must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"same-nation predicate must stay a post-join filter, not a non-equi join:\n$plan")
-    assert(plan.contains("o_orderdate"), "year filter must reach the orders scan")
-    val result = Relational.q21LocalSupplier(spark, sf0001).collect()
-    assert(result.nonEmpty, "sf0.001 must produce local-supplier revenue rows")
+    // the year filter must be IN the scan's PushedFilters, not a post-scan Filter
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"year filter must be pushed to the orders scan:\n$plan")
+    assert(df.collect().nonEmpty, "sf0.001 must produce local-supplier revenue rows")
   }
 
   test("plans: q1 pushes filters and prunes columns at the parquet scan") {
