@@ -127,8 +127,36 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q22: TPC-H Q8 analog — supplier-nation market share of PROMO-part
+    * revenue per order year. Conditional aggregation over one fact join
+    * tree: the nation-of-interest share and the total come from the SAME
+    * aggregation pass (sum(CASE) / sum), never two scans; part (filtered
+    * at the scan) and supplier broadcast at dimension size, and the share
+    * is the exact integer fdiv(10000·nation, total) so the ratio is
+    * partitioning-invariant. */
+  def q22MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+      .join(orders(spark, dir).select(col("o_orderkey"), year(col("o_orderdate")).as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part(spark, dir).filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    rev.groupBy(col("yr"))
+      .agg(
+        sum(when(col("s_nationkey") === 7, col("rev_c")).otherwise(0L)).as("nation_rev_c"),
+        sum(col("rev_c")).as("total_rev_c"),
+        count(lit(1)).as("n"))
+      .select(col("yr"), col("nation_rev_c"), col("total_rev_c"), col("n"),
+        fdiv(lit(10000L) * col("nation_rev_c"), col("total_rev_c")).as("share_x10000"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_local_supplier" -> q21LocalSupplier,
+    "q22_market_share" -> q22MarketShare,
     "q1_scan_filter" -> q1ScanFilter,
     "q2_hash_agg" -> q2HashAgg,
     "q3_join_bcast" -> q3JoinBcast,
@@ -138,6 +166,20 @@ object Relational {
     "q15_range_join" -> q15RangeJoin)
 
   val oracle: Map[String, String] = Map(
+    "q22_market_share" ->
+      s"""WITH rev AS (
+         |  SELECT year(o_orderdate) AS yr, s_nationkey,
+         |         ${centsSql("l_extendedprice * (1 - l_discount)")} AS rev_c
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE p_type = 'PROMO')
+         |SELECT yr,
+         |  CAST(sum(CASE WHEN s_nationkey = 7 THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_c,
+         |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c, count(*) AS n,
+         |  ${Tables.fdivSql("10000 * CAST(sum(CASE WHEN s_nationkey = 7 THEN rev_c ELSE 0 END) AS BIGINT)", "CAST(sum(rev_c) AS BIGINT)")} AS share_x10000
+         |FROM rev GROUP BY yr ORDER BY yr""".stripMargin,
     "q21_local_supplier" ->
       s"""SELECT n_name,
          |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
