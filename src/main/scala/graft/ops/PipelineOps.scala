@@ -723,6 +723,22 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x37: shard manifest ----
+
+  /** x37: the shard manifest downstream of x31 — per (writer, shard):
+    * how many documents start there and their token volume, plus each
+    * shard's starting doc (the seek key a data loader uses). One
+    * aggregation over x31's layout; groups are (writer, shard) so the
+    * rollup is map-side combinable and the manifest stays tiny relative
+    * to the corpus at any scale. */
+  def x37ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    x31Packing(spark, dir)
+      .groupBy(col("writer"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        min(col("doc_id")).as("first_doc_id"))
+      .orderBy("writer", "shard_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -741,7 +757,8 @@ object PipelineOps {
     "x33_dedup_eval" -> x33DedupEval,
     "x34_source_report" -> x34SourceReport,
     "x35_canonical_pick" -> x35CanonicalPick,
-    "x36_incremental_dedup" -> x36IncrementalDedup)
+    "x36_incremental_dedup" -> x36IncrementalDedup,
+    "x37_shard_manifest" -> x37ShardManifest)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -750,6 +767,22 @@ object PipelineOps {
       val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (3 - i))} * $nib)"
     }.mkString("(", " + ", ")")
+
+  /** x31's oracle — a val (not a map self-reference) because x37's
+    * manifest oracle embeds it. */
+  private val x31Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} % $packWriters AS writer
+       |  FROM documents),
+       |c AS (SELECT doc_id, writer, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT doc_id, writer, CAST(n_tok AS BIGINT) AS n_tok,
+       |  ${fdivSql("CAST(cum - n_tok AS BIGINT)", packBudget.toString)} AS shard_id,
+       |  CAST((cum - n_tok) % $packBudget AS BIGINT) AS shard_off
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** x24's oracle: independent derivation — transitive closure as a
     * recursive CTE over the same x13 candidate pairs; min-label fixpoints
@@ -900,19 +933,13 @@ object PipelineOps {
          |  CAST(sum(CASE WHEN d.h16 < r.rate16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM d JOIN r ON d.lang = r.lang
          |GROUP BY r.lang, r.n_docs, r.rate16 ORDER BY r.lang""".stripMargin,
-    "x31_packing" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    len(string_split(text, ' ')) AS n_tok,
-         |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} % $packWriters AS writer
-         |  FROM documents),
-         |c AS (SELECT doc_id, writer, n_tok,
-         |    sum(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
-         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d)
-         |SELECT doc_id, writer, CAST(n_tok AS BIGINT) AS n_tok,
-         |  ${fdivSql("CAST(cum - n_tok AS BIGINT)", packBudget.toString)} AS shard_id,
-         |  CAST((cum - n_tok) % $packBudget AS BIGINT) AS shard_off
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "x31_packing" -> x31Sql,
+    "x37_shard_manifest" ->
+      s"""SELECT writer, shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  min(doc_id) AS first_doc_id
+         |FROM ($x31Sql) p
+         |GROUP BY writer, shard_id ORDER BY writer, shard_id""".stripMargin,
     "x32_repetition" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id,

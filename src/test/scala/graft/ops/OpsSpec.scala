@@ -444,6 +444,18 @@ class OpsSpec extends SparkTestBase {
     assert(x32(0L) == (0L, 1000L), s"1-token doc: ${x32(0L)}")
   }
 
+  test("x37: manifest rows reconcile exactly with the x31 layout") {
+    val layout = PipelineOps.x31Packing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val manifest = PipelineOps.x37ShardManifest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = layout.groupBy(d => (d._2, d._4)).map { case (k, ds) =>
+      k -> (ds.size.toLong, ds.map(_._3).sum, ds.map(_._1).min)
+    }
+    assert(manifest == expected)
+    assert(manifest.values.map(_._1).sum == layout.length, "every doc appears in exactly one manifest row")
+  }
+
   test("plans: s7 enrichment join is broadcast; x18 chunking shuffles only for its sort") {
     val s7 = StreamingBatch.s7StreamEnrich(spark, sf0001)
       .queryExecution.executedPlan.toString
