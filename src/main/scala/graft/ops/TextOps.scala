@@ -94,10 +94,18 @@ object TextOps {
   /** x2: near-dup detection by word-3-gram Jaccard ≥ 0.6, candidates from a
     * shared-shingle join (no all-pairs), df-capped (see [[x2DfCap]]).
     * The 32-bit shingle key is the digest's top 4 bytes
-    * (≡ conv(substring(md5,1,8),16,10), arithmetic instead of parsing). */
+    * (≡ conv(substring(md5,1,8),16,10), arithmetic instead of parsing).
+    * Reads the [[Stages.x2Pairs]] materialized stage — built on first
+    * touch, shared with x33's QA report. */
   def x2DedupNear(spark: SparkSession, dir: String): DataFrame =
+    Stages.x2Pairs(spark, dir).orderBy("d1", "d2")
+
+  /** x2's pair core without the output sort — the stage body behind
+    * [[Stages.x2Pairs]]. */
+  private[ops] def x2PairsUnsorted(spark: SparkSession, dir: String): DataFrame =
     x2DedupNearOn(shingleHash64Rows(spark, dir)
-      .select(col("doc_id"), shiftrightunsigned(col("h0"), 32).as("k")))
+      .select(col("doc_id"), shiftrightunsigned(col("h0"), 32).as("k")),
+      sorted = false)
 
   /** x2 body over any (doc_id, k) shingle-key frame (k = 32-bit shingle
     * hash) — split out so the df-cap behavior is testable on a synthetic
@@ -114,7 +122,7 @@ object TextOps {
     * |distinct shingles| index, never the corpus. At 100 TB the index is
     * the natural materialized pipeline stage and everything downstream
     * of it is bounded small data. */
-  private[graft] def x2DedupNearOn(keyRows: DataFrame): DataFrame = {
+  private[graft] def x2DedupNearOn(keyRows: DataFrame, sorted: Boolean = true): DataFrame = {
     val kd = keyRows.select(col("doc_id"), col("k"))
     // df cap, applied BEFORE any posting list materializes: a boilerplate
     // shingle with huge df must never build a df-sized collect_list
@@ -131,12 +139,15 @@ object TextOps {
       .filter(col("df") <= x2DfCap)
       .groupBy(col("k"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-    // The index feeds three consumers (pair gen + two size joins), so the
-    // one-scan base still executes 3× (Spark recomputes diamond subtrees;
-    // lazy localCheckpoint was tried and races concurrent consumers). A
-    // production pipeline removes the 3× by writing the inverted index as
-    // a materialized stage and reading it back — the plan shape below is
-    // unchanged by that.
+      // The index feeds three consumers (pair gen + two size joins);
+      // without materialization the one-scan base executes 3× (Spark
+      // recomputes diamond subtrees; LAZY localCheckpoint was tried and
+      // races concurrent consumers — EAGER is race-free because the
+      // blocks exist before any consumer plans against them). The index
+      // is bounded small (≤ |distinct shingles| rows, lists ≤ df cap);
+      // its blocks are reclaimed by the ContextCleaner when the result
+      // frame is dropped. At 100 TB this is a parquet stage instead.
+      .localCheckpoint(true)
     val sizes = byK.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // all ordered pairs (docs[i], docs[j]), i < j, from each posting list
@@ -149,14 +160,27 @@ object TextOps {
       .filter(col("p.d1") < col("p.d2"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jac_s4", scaled4(col("inter") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jac_s4") >= 6000)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jac_s4"))
-      .orderBy("d1", "d2")
+    if (sorted) pairs.orderBy("d1", "d2") else pairs
   }
+
+  /** Document-frequency cap on x13's band buckets: a (band, signature)
+    * bucket shared by more than this many documents is dropped before
+    * pair enumeration. A bucket with occupancy d yields C(d,2) candidate
+    * pairs, so one degenerate bucket (a boilerplate flood hashing to the
+    * same minhash band everywhere) would go quadratic; LSH candidates
+    * are allowed to be lossy (x1 catches exact copies, and such a flood
+    * carries no pairwise signal an exact-dup pass doesn't), so a cap is
+    * the honest fix — unlike x23, whose pigeonhole guarantee forbids
+    * dropping and instead fails loudly. On the driver corpus the largest
+    * bucket is far below the cap, so results are unchanged; the cap is
+    * mirrored in the oracle SQL either way. */
+  private[ops] val x13BandDfCap = 50L
 
   /** x13: MinHash (k=8) + LSH banding (4 bands × 2 rows) — the scalable
     * near-dup candidate generator; pairs sharing ≥1 band. One md5 per
@@ -165,13 +189,16 @@ object TextOps {
     * 16-bit integers sliced out of the digest halves with shift/mask
     * (graft.functions.Md5Long) — min over the integers equals min over
     * the hex substrings because hex's 0-9a-f ordering is numeric order,
-    * so the string-based DuckDB oracle agrees on every band. */
+    * so the string-based DuckDB oracle agrees on every band.
+    * Reads the [[Stages.x13Pairs]] materialized stage — shared with
+    * x24's clustering and x33's QA report. */
   def x13MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    x13Pairs(spark, dir).orderBy("d1", "d2")
+    Stages.x13Pairs(spark, dir).orderBy("d1", "d2")
 
-  /** x13's pair core WITHOUT the final global sort — consumers that
-    * re-aggregate (x24's connected components) must not pay a range
-    * exchange for an ordering they immediately destroy. */
+  /** x13's pair core WITHOUT the final global sort — the stage body
+    * behind [[Stages.x13Pairs]] (consumers that re-aggregate, like x24's
+    * connected components, must not pay a range exchange for an ordering
+    * they immediately destroy). */
   private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame = {
     val g = shingleHash64Rows(spark, dir)
     val mhAggs = (0 until 8).map { s =>
@@ -189,10 +216,37 @@ object TextOps {
           (col(s"mh${2 * b}") * 65536L + col(s"mh${2 * b + 1}")).as("h"))
       }: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    x13PairsOnBands(bands)
+  }
+
+  /** x13's bucket-join body over any (doc_id, band, h) frame — split out
+    * so the df-cap behavior is testable on a synthetic hot-bucket corpus.
+    *
+    * Shape: an inverted index like x2's, NOT a self-join — the band
+    * subtree (shingle explode → minhash agg → band explode) executes
+    * ONCE, where the previous a-join-b formulation re-executed it per
+    * join side. Per (band, h) bucket the sorted doc list aggregates in
+    * one pass; the df cap rides the SAME (band, h) exchange via a window
+    * count, dropping hot buckets before any posting list materializes
+    * (hot rows pass through the window's spillable sorter, never a
+    * collect_list buffer); pairs then explode from each list —
+    * ≤ C(cap, 2) per bucket by construction. Docs are distinct within a
+    * bucket (one band row per doc), so the sorted enumeration is already
+    * strict d1 < d2. */
+  private[graft] def x13PairsOnBands(bands: DataFrame): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("h"))
+    val posting = bands
+      .withColumn("df", count(lit(1)).over(wB))
+      .filter(col("df") <= x13BandDfCap && col("df") >= 2)
+      .groupBy(col("band"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    posting
+      .select(explode(flatten(transform(col("ds"), (d1, i) =>
+        transform(
+          slice(col("ds"), i + 2, size(col("ds")) - i - 1),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -394,9 +448,12 @@ object TextOps {
         .mkString(" UNION ALL ")
       s"""WITH g AS ($shingleHashRowsSql),
          |sig AS (SELECT doc_id, $mhs FROM g GROUP BY doc_id),
-         |bands AS ($bandRows)
+         |bands AS ($bandRows),
+         |kept AS (SELECT bands.doc_id, bands.band, bands.h FROM bands
+         |         JOIN (SELECT band, h FROM bands GROUP BY band, h
+         |               HAVING count(*) <= $x13BandDfCap) k USING (band, h))
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |FROM kept a JOIN kept b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
     },
     "x7_simhash" -> {

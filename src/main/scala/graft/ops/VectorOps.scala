@@ -155,6 +155,41 @@ object VectorOps {
     cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
   }
 
+  /** Corpus frame for the k-means family: (vec_id, v, nrm, sv) with sv
+    * the 1e6-scaled long components. Cached — traversed by every
+    * k-means round plus assignment/probe/x27 scoring; a few MB at bench
+    * SF, sample-sized at real scale (Spark's cache manager dedups
+    * repeated calls by plan, so this is one cache entry per sfDir). */
+  private def scaledEmb(spark: SparkSession, dir: String): DataFrame =
+    withNorm(embeddings(spark, dir))
+      .withColumn("sv", transform(col("v"),
+        x => floor(x.cast("double") * lit(x16Scale.toDouble))))
+      .cache()
+
+  /** Seeded Lloyd's k-means over the embedding corpus — init = the k
+    * lowest vec_ids, x16Iters refinement rounds, exact scaled-integer
+    * centroid means. Driver-held k·dim longs (the MLlib shape). Learned
+    * once per (session, sfDir) via [[Stages.x16Centroids]]; consumed by
+    * x16's IVF probe and x27's SemDeDup cluster key. */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val e = scaledEmb(spark, dir)
+    var cents = e.filter(col("vec_id") < x16K)
+      .select(col("vec_id").as("cid"), col("sv"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    for (_ <- 1 to x16Iters) cents = kmeansStep(spark, e, cents)
+    cents
+  }
+
+  /** Every vector's nearest learned centroid: (vec_id, cid). One
+    * broadcast-join scan of the cached corpus + the per-vector rank
+    * window. */
+  private[graft] def x16Assignment(spark: SparkSession, dir: String): DataFrame =
+    simToCents(scaledEmb(spark, dir),
+        centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+
   /** x16: IVF ANN — inverted-file index whose 16 coarse centroids are
     * learned by seeded Lloyd's k-means (2 rounds; init = vec_id < 16),
     * nprobe=2: every vector is assigned to its nearest centroid (the
@@ -167,22 +202,12 @@ object VectorOps {
     * broadcast) plus one (cid, pos) aggregation over the cached corpus —
     * at 100 TB you learn centroids on a deterministic sample and only
     * the final assignment scans the corpus; the probe-side join shape is
-    * unchanged. */
+    * unchanged. Centroids come from the [[Stages.x16Centroids]] stage,
+    * shared with x27. */
   def x16IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // cache: the corpus frame is traversed by every k-means round plus
-    // the final assignment/probe — a few MB at bench SF, sample-sized at
-    // real scale (kept for the session; embeddings is the smallest table).
-    val e = withNorm(embeddings(spark, dir))
-      .withColumn("sv", transform(col("v"),
-        x => floor(x.cast("double") * lit(x16Scale.toDouble))))
-      .cache()
-    var cents = e.filter(col("vec_id") < x16K)
-      .select(col("vec_id").as("cid"), col("sv"))
-      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
-    for (_ <- 1 to x16Iters) cents = kmeansStep(spark, e, cents)
-    val sim = simToCents(e, centView(spark, cents))
-    val ranked = sim.withColumn("rn", row_number().over(wAssign))
+    val e = scaledEmb(spark, dir)
+    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2).select(col("cid"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))
@@ -287,22 +312,27 @@ object VectorOps {
     * lower-id vector in its cluster is ≥ τ cosine-similar. This is the
     * decision stage downstream of pair mining (x14 reports pairs; x27
     * decides which rows survive into the training shard). The cluster
-    * here is the deterministic sign-bucket (x12's key) standing in for
-    * x16's learned centroids — the join shape is identical and the
-    * all-pairs cost is bounded per cluster, which is the whole point of
-    * SemDeDup: N² only within clusters, never across the corpus. */
+    * key is x16's LEARNED k-means assignment (the real SemDeDup recipe;
+    * round 3 used a sign-bucket stand-in — the documented trade-off this
+    * closes), read from the shared centroid stage so clustering is
+    * learned once per session. All-pairs cost stays bounded per cluster,
+    * which is the whole point of SemDeDup: N² only within clusters,
+    * never across the corpus. The oracle unrolls the identical k-means
+    * rounds, so assignment and verdicts are bit-identical. */
   def x27SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", signBucket(col("v")))
-    val a = e.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
-    val dropped = a.join(b, "bucket")
+    val e = scaledEmb(spark, dir)
+    val j = e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(x16Assignment(spark, dir), "vec_id")
+    val a = j.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"), col("cid"))
+    val b = j.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"), col("cid"))
+    val dropped = a.join(b, "cid")
       .filter(col("v1") < col("v2") &&
         scaled4(dotArr(col("va"), col("vb")) / (col("na") * col("nb"))) >= x27TauS4)
       .select(col("v2").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(1L))
-    e.select(col("vec_id"), col("bucket"))
+    j.select(col("vec_id"), col("cid"))
       .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("bucket"),
+      .select(col("vec_id"), col("cid"),
         when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("kept"))
       .orderBy("vec_id")
   }
@@ -318,6 +348,40 @@ object VectorOps {
 
   private val cosSql = (a: String, b: String) =>
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Shared CTE prefix deriving x16's k-means assignment — unrolls the
+    * same seeded Lloyd's rounds as the Spark plan, on the same
+    * scaled-integer centroid arithmetic (see x16IvfAnn's scaladoc).
+    * range(1, 65) enumerates the 64 components (DuckDB's range() can't
+    * take a lateral len(sv) argument; the corpus dimension is fixed).
+    * Ends at the `assign` CTE; x16's probe and x27's within-cluster
+    * verdicts both build on it. */
+  private def x16AssignCtesSql: String = {
+    def iterCtes(t: Int): String = {
+      val simExpr = scaled4Sql(cosSql("e.v", "cd.cv"))
+      s"""sim$t AS (SELECT e.vec_id, cd.cid, $simExpr AS sim_s4
+         |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent${t - 1}) cd),
+         |asg$t AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM sim$t)
+         |  WHERE rn = 1),
+         |comp$t AS (SELECT a.cid, t.i, CAST(sum(e.sv[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM e JOIN asg$t a USING (vec_id) CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY a.cid, t.i),
+         |cm$t AS (SELECT cid, list(${fdivSql("s", "n")} ORDER BY i) AS c FROM comp$t GROUP BY cid),
+         |cent$t AS (SELECT p.cid, coalesce(cm$t.c, p.c) AS c FROM cent${t - 1} p LEFT JOIN cm$t USING (cid))""".stripMargin
+    }
+    val iters = (1 to x16Iters).map(iterCtes).mkString(",\n")
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $x16Scale) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id AS cid, sv AS c FROM e WHERE vec_id < $x16K),
+       |$iters,
+       |simF AS (SELECT e.vec_id, cd.cid, ${scaled4Sql(cosSql("e.v", "cd.cv"))} AS sim_s4
+       |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent$x16Iters) cd),
+       |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM simF),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "x3_knn_cosine" ->
@@ -345,43 +409,15 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
-    "x16_ivf_ann" -> {
-      // Unrolls the same seeded Lloyd's rounds as the Spark plan, on the
-      // same scaled-integer centroid arithmetic — see x16IvfAnn's scaladoc.
-      // range(1, 65) enumerates the 64 components (DuckDB's range() can't
-      // take a lateral len(sv) argument; the corpus dimension is fixed).
-      def iterCtes(t: Int): String = {
-        val simExpr = scaled4Sql(cosSql("e.v", "cd.cv"))
-        s"""sim$t AS (SELECT e.vec_id, cd.cid, $simExpr AS sim_s4
-           |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent${t - 1}) cd),
-           |asg$t AS (SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM sim$t)
-           |  WHERE rn = 1),
-           |comp$t AS (SELECT a.cid, t.i, CAST(sum(e.sv[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-           |  FROM e JOIN asg$t a USING (vec_id) CROSS JOIN range(1, 65) t(i)
-           |  GROUP BY a.cid, t.i),
-           |cm$t AS (SELECT cid, list(${fdivSql("s", "n")} ORDER BY i) AS c FROM comp$t GROUP BY cid),
-           |cent$t AS (SELECT p.cid, coalesce(cm$t.c, p.c) AS c FROM cent${t - 1} p LEFT JOIN cm$t USING (cid))""".stripMargin
-      }
-      val iters = (1 to x16Iters).map(iterCtes).mkString(",\n")
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $x16Scale) AS BIGINT)) AS sv
-         |  FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cid, sv AS c FROM e WHERE vec_id < $x16K),
-         |$iters,
-         |simF AS (SELECT e.vec_id, cd.cid, ${scaled4Sql(cosSql("e.v", "cd.cv"))} AS sim_s4
-         |  FROM e CROSS JOIN (SELECT cid, list_transform(c, x -> x / $x16Scale.0) AS cv FROM cent$x16Iters) cd),
-         |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim_s4 DESC, cid ASC) AS rn FROM simF),
-         |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    "x16_ivf_ann" ->
+      s"""WITH $x16AssignCtesSql,
          |probe AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT a.vec_id, a.cid, ${scaled4Sql(cosSql("e.v", "q.qv"))} AS cos_s4
          |FROM assign a JOIN probe p ON a.cid = p.cid
          |JOIN e ON e.vec_id = a.vec_id, q
          |WHERE a.vec_id <> 0
-         |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin
-    },
+         |ORDER BY cos_s4 DESC, a.vec_id ASC LIMIT 5""".stripMargin,
     "x14_cosine_neardup" -> {
       val bandSelects = (0 until x14Bands).map(b =>
         s"SELECT vec_id, $b AS band, ${bandBucketSql("embedding", b)} AS h FROM embeddings")
@@ -396,15 +432,15 @@ object VectorOps {
          |ORDER BY v1, v2""".stripMargin
     },
     "x27_semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |            ${signBucketSql("embedding")} AS bucket FROM embeddings),
+      s"""WITH $x16AssignCtesSql,
+         |j AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN assign a USING (vec_id)),
          |drp AS (SELECT DISTINCT b.vec_id
-         |        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |        FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |        WHERE ${scaled4Sql(cosSql("a.v", "b.v"))} >= $x27TauS4)
-         |SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+         |SELECT j.vec_id, CAST(j.cid AS BIGINT) AS cid,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM e LEFT JOIN drp d ON e.vec_id = d.vec_id
-         |ORDER BY e.vec_id""".stripMargin,
+         |FROM j LEFT JOIN drp d ON j.vec_id = d.vec_id
+         |ORDER BY j.vec_id""".stripMargin,
     "x6_multimodal" ->
       s"""SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
          |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -32,6 +32,10 @@ class DeterminismSpec extends SparkTestBase {
         val fn = SparkEntry.queries(name)
         val runs = Seq("1", "3", "17").map { p =>
           s.conf.set("spark.sql.shuffle.partitions", p)
+          // the stage cache would serve run 1's materialization to runs
+          // 2 and 3 and trivially mask the property under test — each
+          // run must rebuild its stages under its own partitioning
+          graft.ops.Stages.clear()
           p -> fn(s, sf0001).collect().map(_.toString).toSeq
         }
         val (refP, ref) = runs.head

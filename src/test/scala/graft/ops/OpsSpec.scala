@@ -95,6 +95,34 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getLong(5) == 10000L)
   }
 
+  test("x13: band df cap drops degenerate hot buckets before pairing") {
+    import spark.implicits._
+    // one hot bucket shared by 100 docs (a boilerplate flood whose
+    // minhash band signatures all collide) would yield C(100,2)=4950
+    // candidate pairs; two healthy buckets carry the real signal. The
+    // cap must drop the flood and keep everything else.
+    val hot = (1 to 100).map(d => (d.toLong, 0L, 0xABCDL))
+    val ok = Seq((1L, 1L, 7L), (2L, 1L, 7L), (5L, 2L, 9L), (6L, 2L, 9L), (7L, 2L, 9L))
+    val out = TextOps.x13PairsOnBands((hot ++ ok).toDF("doc_id", "band", "h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 1L, (5L, 6L) -> 1L, (5L, 7L) -> 1L, (6L, 7L) -> 1L),
+      s"only healthy-bucket pairs must survive the cap: $out")
+  }
+
+  test("x23: occupancy guard fails loudly on a degenerate bucket flood") {
+    import spark.implicits._
+    // 5000 identical fingerprints put 5000 docs in every band bucket —
+    // past the guard. Exactness forbids silently dropping them (unlike
+    // x13's lossy candidates), so the query must die with the guard
+    // message, not grind through C(5000,2) pairs per band.
+    val fp = (1 to 5000).map(d => (d.toLong, 0L)).toDF("doc_id", "sh")
+    val ex = intercept[Throwable] { PipelineOps.x23PairsOnFp(fp).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exceeds the exactness guard")),
+      s"expected the x23 guard to fire, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("x18: chunk windows tile every document (stride geometry, full coverage)") {
     val docs = graft.model.Tables.documents(spark, sf0001)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
@@ -210,26 +238,29 @@ class OpsSpec extends SparkTestBase {
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
   }
 
-  test("x27: keep/drop verdicts match a brute-force within-bucket scan") {
+  test("x27: keep/drop verdicts match a brute-force within-cluster scan over the learned assignment") {
     val embs = graft.model.Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
-    def bucket(v: Array[Double]): Long =
-      (0 until 4).map(j => if (v(16 * j) >= 0) 1L << j else 0L).sum
     def cosS4(a: Array[Double], b: Array[Double]): Long = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
       math.round(dot / (na * nb) * 10000)
     }
+    // cluster key = x16's learned k-means assignment (its own derivation
+    // is oracle-checked by the x16/x27 CORRECTNESS rows; this test pins
+    // the within-cluster drop logic against a driver-side brute force)
+    val cluster = VectorOps.x16Assignment(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows = VectorOps.x27SemanticDedup(spark, sf0001).collect()
     assert(rows.length == embs.length)
     rows.foreach { r =>
-      val (id, bkt, keptFlag) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (id, cid, keptFlag) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cid == cluster(id), s"vec $id: cluster id mismatch")
       val v = embs.find(_._1 == id).get._2
-      assert(bkt == bucket(v), s"vec $id: bucket mismatch")
       val hasDupe = embs.exists { case (id2, v2) =>
-        id2 < id && bucket(v2) == bkt && cosS4(v, v2) >= 3000L
+        id2 < id && cluster(id2) == cid && cosS4(v, v2) >= 3000L
       }
       assert(keptFlag == (if (hasDupe) 0L else 1L),
         s"vec $id: kept=$keptFlag but brute-force hasDupe=$hasDupe")
