@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.Relational
+
+/** Scaling audit for the join-heavy relational core (README "Scaling
+  * audit"): replicate the fact tables 1×/2×/4× with DISJOINT key
+  * namespaces — per-replica join fan-outs are unchanged, so this is the
+  * honest "more corpus, same data shape" experiment — and time
+  * q4/q21/q22 at each factor with the same noop-sink protocol Bench
+  * uses.
+  *
+  * Replication model (TPC-H's own scaling rules): fact and SF-scaled
+  * tables (orders, lineitem, customer, supplier, part) replicate with
+  * every key column offset by replica·10^8, so intra-replica joins hit
+  * exactly their original matches and replicas never cross-join; fixed
+  * dimensions (nation, region) stay 1× — a broadcast side that grows
+  * with the corpus would be the bug this audit exists to catch.
+  *
+  * Run: `sbt "runMain graft.BenchScaling [baseSfDir]"` (default sf0.1).
+  * Prints one JSON line per factor; ratios land in README.
+  */
+object BenchScaling {
+  private val factors = Seq(1, 2, 4)
+  private val keyOffset = 100000000L // far above any sf0.1 key
+
+  private val keyedTables: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "nation" -> Nil,
+    "region" -> Nil)
+
+  private val audited: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q4_join_shuffle" -> (Relational.q4JoinShuffle _),
+    "q21_local_supplier" -> (Relational.q21LocalSupplier _),
+    "q22_market_share" -> (Relational.q22MarketShare _))
+
+  private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    (0 until k).map { i =>
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * keyOffset)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outBase = s"/tmp/graft_scale_${System.getProperty("user.name", "u")}"
+    factors.foreach { k =>
+      val dir = s"$outBase/x$k"
+      keyedTables.foreach { case (t, keys) =>
+        val reps = if (keys.isEmpty) 1 else k // fixed dims stay 1×
+        replicate(Tables.table(spark, base, t), keys, reps)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      // warmup: push the join+agg noop-write path through codegen once
+      Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
+      val times = audited.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val qs = times.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"scaling","factor":$k,"queries":$qs}""")
+    }
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Md5Long}
+import graft.functions.{DistinctBigramCount, DotProduct, Md5Long, TopTokenCount}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -48,6 +48,22 @@ object GraftExtensions {
             "md5_long64 half must be a literal (0 or 1)")
         }
         Md5Long(args(0), half)
+      }),
+    ("top_token_count",
+      new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"top_token_count requires exactly 1 argument, got ${args.length}")
+        TopTokenCount(args(0))
+      }),
+    ("distinct_bigram_count",
+      new ExpressionInfo(classOf[DistinctBigramCount].getName, "distinct_bigram_count"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"distinct_bigram_count requires exactly 1 argument, got ${args.length}")
+        DistinctBigramCount(args(0))
       }))
 
   /** Imperative registration for an existing session. */

@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (Changelog.queries, Changelog.oracle),
       (Relational.queries, Relational.oracle),
+      (Skew.queries, Skew.oracle),
       (Windows.queries, Windows.oracle),
       (Analytics.queries, Analytics.oracle),
       (Scalars.queries, Scalars.oracle),

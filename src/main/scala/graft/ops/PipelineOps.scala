@@ -609,36 +609,21 @@ object PipelineOps {
     * filters (duplicate 2-gram fraction and most-frequent-token share)
     * that catch degenerate/boilerplate documents exact dedup misses.
     * Pure per-row map over the token array: no shuffle anywhere except
-    * the output sort; the per-row cost is O(n·distinct) via array
-    * lambdas, bounded by document length. */
+    * the output sort. The two counts are native codegen'd expressions
+    * (graft.functions.TopTokenCount / DistinctBigramCount — the
+    * Md5Long/DotProduct precedent): the previous lambda-HOF formulation
+    * was CodegenFallback and interpreted an expression tree per token,
+    * making a linear per-row map the #2 bench line. The 2-gram count is
+    * max(n−1, 0) by construction — arithmetic, not an array build. */
   def x32Repetition(spark: SparkSession, dir: String): DataFrame = {
-    // guard single-token docs: sequence(1, 0) is DESCENDING in Spark and
-    // element_at(w, 0) throws — same guard every sibling gram builder has
-    val grams2 = when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // top-token count as a run-length scan over the SORTED array — one
-    // O(n log n + n) pass with constant state, instead of filtering the
-    // whole array once per distinct token (O(n·d) array allocations per
-    // row, which measured as a GC storm in a long-lived session).
-    val topCnt = aggregate(
-      array_sort(col("w")),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    import graft.functions.TextFunctions.{distinctBigramCount, topTokenCount}
     documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
-      .withColumn("g2", grams2)
       .select(col("doc_id"),
         size(col("w")).cast(LongType).as("n_tok"),
-        size(col("g2")).cast(LongType).as("n_g2"),
-        size(array_distinct(col("g2"))).cast(LongType).as("n_g2_uniq"),
-        topCnt.as("top_cnt"))
+        greatest(size(col("w")) - 1, lit(0)).cast(LongType).as("n_g2"),
+        distinctBigramCount(col("w")).as("n_g2_uniq"),
+        topTokenCount(col("w")).as("top_cnt"))
       .select(col("doc_id"), col("n_tok"),
         when(col("n_g2") === 0, 0L)
           .otherwise(fdiv(lit(1000L) * (col("n_g2") - col("n_g2_uniq")), col("n_g2")))

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.model.Tables
 
 /** Skew mitigation utilities (100 TB posture). AQE's skew-join splitting
   * handles join-side skew at runtime; these helpers cover AGGREGATION
@@ -36,4 +37,31 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
+
+  /** q23: the salted aggregate wired into the query surface — quantity
+    * totals per l_returnflag, a 3-distinct-value key where EVERY key is
+    * hot (each funnels ~1/3 of the fact table through one reducer in
+    * the naive plan). The two-phase plan spreads each key over 32 salt
+    * buckets in phase 1; phase 2 merges 3·32 partial rows. Exactness:
+    * sum/count are commutative+associative over the scaled-int values,
+    * so the result is identical to the direct aggregate the oracle
+    * runs — the DETERMINISTIC per-row salt (l_orderkey, see
+    * [[saltedSumCount]]'s retry-safety note) just re-routes partials. */
+  def q23SkewAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(
+      Tables.lineitem(spark, dir),
+      key = col("l_returnflag"),
+      value = Tables.cents(col("l_quantity")),
+      saltFrom = Some(col("l_orderkey")))
+      .orderBy("k")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_skew_agg" -> q23SkewAgg)
+
+  val oracle: Map[String, String] = Map(
+    "q23_skew_agg" ->
+      s"""SELECT l_returnflag AS k,
+         |  CAST(sum(${Tables.centsSql("l_quantity")}) AS BIGINT) AS total,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin)
 }

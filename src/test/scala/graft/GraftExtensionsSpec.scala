@@ -74,6 +74,43 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("top_token_count / distinct_bigram_count match the lambda formulation on the real corpus") {
+    GraftExtensions.register(spark)
+    // the HOF derivations these expressions replaced, evaluated side by
+    // side over the real token distribution — 0 divergent rows required
+    val bad = spark.sql(
+      s"""SELECT count(*) AS bad FROM (
+         |  SELECT
+         |    top_token_count(w) AS tc,
+         |    array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t)))) AS tc_ref,
+         |    distinct_bigram_count(w) AS bg,
+         |    CASE WHEN size(w) >= 2 THEN size(array_distinct(transform(
+         |      sequence(1, size(w) - 1),
+         |      i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))) ELSE 0 END AS bg_ref
+         |  FROM (SELECT split(text, ' ') AS w
+         |        FROM parquet.`$sf0001/documents.parquet`))
+         |WHERE tc <> tc_ref OR bg <> bg_ref""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(bad == 0L, s"$bad documents diverge from the lambda formulation")
+    // interpreted path parity + edge shapes (empty, 1 token, all-equal)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r = spark.sql(
+        """SELECT top_token_count(array('a','b','a','a')),
+          |       top_token_count(cast(array() AS array<string>)),
+          |       top_token_count(array('x')),
+          |       distinct_bigram_count(array('a','b','a','b')),
+          |       distinct_bigram_count(array('x')),
+          |       distinct_bigram_count(array('a','a','a'))""".stripMargin)
+        .collect()(0)
+      assert((0 until 6).map(r.getLong) == Seq(3L, 0L, 1L, 2L, 0L, 1L))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("dot_arr widens float arrays and respects codegen + interpreted paths") {
     GraftExtensions.register(spark)
     val r = spark.sql(

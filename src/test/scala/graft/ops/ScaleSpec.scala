@@ -28,6 +28,16 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("q23: the salt reaches the phase-1 shuffle (registered skew query)") {
+    // the registered query's physical plan must shuffle phase 1 on
+    // (k, __salt) — a salt the optimizer folded away would silently
+    // restore the hot-key funnel the operator exists to break
+    val q = Skew.q23SkewAgg(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from the physical plan:\n$plan")
+    assert(q.collect().length == 3, "l_returnflag has 3 keys")
+  }
+
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
