@@ -122,6 +122,35 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
     }
 }
 
+/** Per-progress gauge reporter — the reference's JmxReporter analog
+  * (`WalConsumer.java:106-114`, which registers every gauge/meter with a
+  * JMX reporter at consumer construction): on each progress event of the
+  * owning query, snapshots [[WalMetrics.gauges]] and hands the map to
+  * `emit` — a log line by default; a Prometheus/StatsD/JMX push in
+  * production (the key set is stable, asserted by ObservabilitySpec).
+  * Registered and removed by [[WalPipeline]] alongside the metrics
+  * listener. The listener bus is async and delivery order between the
+  * two listeners is unspecified, so a snapshot may trail the event that
+  * triggered it by one batch — gauges are level-valued, so every
+  * scrape-style consumer tolerates that by construction. */
+final class WalMetricsReporter(
+    metrics: WalMetrics,
+    emit: Map[String, Long] => Unit) extends StreamingQueryListener {
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (metrics.queryId != null && metrics.queryId == e.progress.id)
+      emit(metrics.gauges)
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
+
+object WalMetricsReporter {
+  /** Default emit target: one log line per progress event. */
+  val logEmit: Map[String, Long] => Unit = { g =>
+    org.slf4j.LoggerFactory.getLogger(classOf[WalMetricsReporter])
+      .info(g.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("wal gauges: ", " ", ""))
+  }
+}
+
 /** Lifecycle wrapper — the Spark form of the reference's consumer object
   * (`WalConsumer.java:127-181` start / `:299-317` close):
   *
@@ -139,9 +168,11 @@ final class WalPipeline(
     sink: WalSink,
     checkpointDir: String,
     pollMillis: Long = 1000L,
-    retrySleepMs: Long = 1000L) {
+    retrySleepMs: Long = 1000L,
+    reporterEmit: Map[String, Long] => Unit = WalMetricsReporter.logEmit) {
 
   val metrics = new WalMetrics
+  private val reporter = new WalMetricsReporter(metrics, reporterEmit)
   private var query: StreamingQuery = _
 
   /** Start draining the WAL into the sink (at-least-once + idempotent
@@ -149,6 +180,7 @@ final class WalPipeline(
   def start(): StreamingQuery = synchronized {
     require(query == null, "already started")
     records.sparkSession.streams.addListener(metrics)
+    records.sparkSession.streams.addListener(reporter)
     // observe() rides the batch plan (no second pass): the record count
     // lands in every StreamingQueryProgress.observedMetrics, the
     // listener-visible/exportable twin of the WalMetrics gauges.
@@ -184,6 +216,7 @@ final class WalPipeline(
     if (query != null) {
       query.stop()
       records.sparkSession.streams.removeListener(metrics)
+      records.sparkSession.streams.removeListener(reporter)
       metrics.closed()
       query = null
     }

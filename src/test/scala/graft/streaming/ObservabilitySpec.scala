@@ -44,8 +44,12 @@ class ObservabilitySpec extends SparkTestBase {
     TestSink.reset()
     val ms = MemoryStream[WalRecord]
     val tmp = java.nio.file.Files.createTempDirectory("graft-meter").toString
+    // reporter emissions (the JmxReporter-analog path) captured per
+    // progress event
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
     val p = new WalPipeline(ms.toDS(), new TestSink, s"$tmp/ckpt",
-      pollMillis = 10L, retrySleepMs = 1L)
+      pollMillis = 10L, retrySleepMs = 1L,
+      reporterEmit = g => emitted.add(g))
     p.start()
     try {
       ms.addData(WalRecord(0, 1, "ADD", "name1"), WalRecord(1, 2, "ADD", "name2"))
@@ -70,6 +74,14 @@ class ObservabilitySpec extends SparkTestBase {
       assert(g("wal_num_ignored_already_done") == 2L)
       assert(g.keySet == Set("wal_state", "wal_num_records", "wal_num_synchronized",
         "wal_num_ignored_already_done", "wal_num_io_failures", "wal_not_empty_seconds"))
+      // the reporter (JmxReporter analog) pushed the same gauge set per
+      // progress event — async bus, so wait like the observe() path does
+      val repDeadline = System.currentTimeMillis() + 10000
+      while (emitted.isEmpty && System.currentTimeMillis() < repDeadline)
+        Thread.sleep(50)
+      assert(!emitted.isEmpty, "reporter emitted nothing")
+      assert(emitted.peek().keySet == g.keySet,
+        s"reporter gauge keys drifted: ${emitted.peek().keySet}")
     } finally p.close()
   }
 }
