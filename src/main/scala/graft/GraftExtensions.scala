@@ -15,10 +15,17 @@ import graft.functions.{DistinctBigramCount, DotProduct, Md5Long, TopTokenCount}
   * For sessions created without the config, [[GraftExtensions.register]]
   * installs the same functions imperatively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Whole-operator extension (brief tier c): the native as-of join's
+    // planner strategy, plus its filter-pushdown rule. The rule joins the
+    // operator-optimization batch, so left-only predicates written ABOVE
+    // an as-of join keep sinking through it to the parquet scan.
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+  }
 }
 
 object GraftExtensions {
@@ -67,9 +74,11 @@ object GraftExtensions {
       }))
 
   /** Imperative registration for an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    graft.plans.AsofJoin.install(spark)
+  }
 }

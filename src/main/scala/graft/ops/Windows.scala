@@ -118,11 +118,64 @@ object Windows {
         rightValues.map(c => col(s"__last.$c").as(s"asof_$c")): _*)
   }
 
+  /** Native-operator twin of [[asofJoin]]: same output contract
+    * (left columns + `asof_<name>` payload columns, null when no right row
+    * qualifies), executed by the custom Catalyst operator
+    * [[graft.plans.AsofJoinPlan]] instead of union+window. One clustered
+    * shuffle per side, partition-local forward-merge, no row expansion —
+    * see the scale notes on the plan node. Falls back to nothing: the
+    * strategy is installed idempotently on the session. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightValues: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.plans.AsofJoin.install(spark)
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan0 = GraftBridge.analyzed(right)
+    // Self-joins (the common as-of case: one changelog against itself)
+    // surface the same AttributeReferences on both sides; re-alias the
+    // right side so every reference in the node is unambiguous.
+    val (rPlan, rOut: Seq[Attribute]) =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) (rPlan0, rPlan0.output)
+      else {
+        val aliases = rPlan0.output.map(a => Alias(a, a.name)())
+        (Project(aliases, rPlan0), aliases.map(_.toAttribute))
+      }
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left side has no column '$n'"))
+    def rAttr(n: String) = rOut.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"right side has no column '$n'"))
+    val payload = rightValues.map(rAttr)
+    val asofOut = payload.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftBridge.ofRows(spark, graft.plans.AsofJoinPlan(
+      lPlan, rPlan, lAttr(key), lAttr(time), rAttr(key), rAttr(time), payload, asofOut))
+  }
+
+  /** q16b: q16's as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsofJoinExec]]) — purchases as-of joined to the latest
+    * prior view per user, ordered by the event log sequence. Same oracle
+    * as q16; AsofPlanSpec additionally pins q16b == q16 row-for-row. */
+  def q16bAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"))
+    asofJoinNative(purchases, views, "user_id", "event_id", Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("prior_view_id"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
-    "q16_asof" -> q16Asof)
+    "q16_asof" -> q16Asof,
+    "q16b_asof_native" -> q16bAsofNative)
 
   val oracle: Map[String, String] = Map(
     "q7_window_rank" ->
@@ -153,6 +206,14 @@ object Windows {
          |  coalesce(lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS prev_event_id
          |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q16_asof" ->
+      """SELECT event_id, user_id, prior_view_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    coalesce(max(CASE WHEN event_type = 'view' THEN event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS prior_view_id
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q16b_asof_native" ->
       """SELECT event_id, user_id, prior_view_id FROM (
         |  SELECT event_id, user_id, event_type,
         |    coalesce(max(CASE WHEN event_type = 'view' THEN event_id END)

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ops.Windows
+
+/** The native as-of join operator (AsofJoinPlan/Strategy/Exec) against its
+  * composed union+window twin, plus plan-shape and null-semantics pins. */
+class AsofPlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("q16b native == q16 composed, row for row, at sf0.001") {
+    val native = Windows.q16bAsofNative(spark, sf0001).collect().map(_.toString)
+    val composed = Windows.q16Asof(spark, sf0001).collect().map(_.toString)
+    assert(native.length > 0)
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("native == composed on a randomized frame with duplicate keys and times") {
+    val rng = new scala.util.Random(7)
+    val left = (1 to 400).map { i =>
+      (rng.nextInt(12).toLong, rng.nextInt(50).toLong, s"L$i")
+    }.toDF("k", "t", "tag")
+    val right = (1 to 300).map { i =>
+      (rng.nextInt(12).toLong, rng.nextInt(50).toLong, rng.nextInt(9).toLong, s"R${rng.nextInt(40)}")
+    }.toDF("k", "t", "score", "label")
+    val native = Windows.asofJoinNative(left, right, "k", "t", Seq("score", "label"))
+    val composed = Windows.asofJoin(left, right, "k", "t", Seq("score", "label"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(sortedRows(native) == sortedRows(composed))
+  }
+
+  test("ties at one (key, time): greatest payload wins, deterministically") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 10L, 2L)).toDF("k", "t", "v")
+    val native = Windows.asofJoinNative(left, right, "k", "t", Seq("v")).collect()
+    assert(native.length == 1 && native(0).getAs[Long]("asof_v") == 9L)
+    val composed = Windows.asofJoin(left, right, "k", "t", Seq("v")).collect()
+    assert(composed(0).getAs[Long]("asof_v") == 9L)
+  }
+
+  test("null key or time never matches; left rows are preserved with null asof cols") {
+    val left = Seq(
+      (Some(1L), Some(10L), "match"),
+      (None: Option[Long], Some(10L), "nullkey"),
+      (Some(1L), None: Option[Long], "nulltime"),
+      (Some(3L), Some(10L), "nomatch")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), 100L),
+      (None: Option[Long], Some(1L), 200L), // null right key: invisible
+      (Some(3L), None: Option[Long], 300L)  // null right time: invisible
+    ).toDF("k", "t", "v")
+    val out = Windows.asofJoinNative(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Long]("asof_v"))).toMap
+    assert(out("match").contains(100L))
+    assert(out("nullkey").isEmpty)
+    assert(out("nulltime").isEmpty)
+    assert(out("nomatch").isEmpty)
+  }
+
+  test("as-of rows with right row AT the left time are visible (<=, not <)") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 7L)).toDF("k", "t", "v")
+    val out = Windows.asofJoinNative(left, right, "k", "t", Seq("v")).collect()
+    assert(out(0).getAs[Long]("asof_v") == 7L)
+  }
+
+  test("plan shape: AsofJoinExec merge, no window or union, one shuffle per side") {
+    val df = Windows.q16bAsofNative(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix; the un-flagged name also
+    // proves producedAttributes covers the minted asof columns (a missing
+    // produced set prints the node as "!AsofJoin")
+    assert(plan.contains("AsofJoin") && !plan.contains("!AsofJoin"), plan)
+    assert(!plan.contains("Window"), "native asof must not fall back to window")
+    assert(!plan.contains("Union"), "native asof must not union the sides")
+    // exchanges: one per side for the key clustering; the final orderBy of
+    // q16b adds a range exchange — anything beyond 3 means a lost co-partition
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("left-only filters written above the as-of join sink through it") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"))
+    val joinedThenFiltered =
+      Windows.asofJoinNative(purchases, views, "user_id", "event_id", Seq("event_id"))
+        .filter(col("user_id") % 2 === 0)
+    val optimized = joinedThenFiltered.queryExecution.optimizedPlan
+    // the filter must live BELOW the asof node (pushed into the left child),
+    // not above it
+    val asof = optimized.collectFirst { case a: AsofJoinPlan => a }
+    assert(asof.isDefined, optimized.toString)
+    assert(optimized match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => false
+      case _ => true
+    }, s"filter stayed above the asof join:\n$optimized")
+    assert(asof.get.left.toString.contains("Filter"),
+      s"filter not pushed into left child:\n$optimized")
+    // and the results agree with filtering before the join
+    val filteredThenJoined = Windows.asofJoinNative(
+      purchases.filter(col("user_id") % 2 === 0), views,
+      "user_id", "event_id", Seq("event_id"))
+    assert(sortedRows(joinedThenFiltered) == sortedRows(filteredThenJoined))
+  }
+
+  test("empty right side: every left row survives with null asof columns") {
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
+    val out = Windows.asofJoinNative(left, right, "k", "t", Seq("v"))
+    assert(out.count() == 2)
+    assert(out.filter(col("asof_v").isNotNull).count() == 0)
+  }
+}
