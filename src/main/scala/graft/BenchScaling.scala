@@ -33,12 +33,18 @@ object BenchScaling {
     "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"),
     "nation" -> Nil,
-    "region" -> Nil)
+    "region" -> Nil,
+    // the changelog: replicas get disjoint users AND disjoint log sequence
+    // numbers, so per-user as-of/window lineages stay replica-local
+    "events" -> Seq("event_id", "user_id"))
 
   private val audited: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q4_join_shuffle" -> (Relational.q4JoinShuffle _),
     "q21_local_supplier" -> (Relational.q21LocalSupplier _),
-    "q22_market_share" -> (Relational.q22MarketShare _))
+    "q22_market_share" -> (Relational.q22MarketShare _),
+    // the custom operator vs its composed twin, same data, same factor
+    "q16_asof" -> (graft.ops.Windows.q16Asof _),
+    "q16b_asof_native" -> (graft.ops.Windows.q16bAsofNative _))
 
   private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
     (0 until k).map { i =>
@@ -61,7 +67,10 @@ object BenchScaling {
       val dir = s"$outBase/x$k"
       keyedTables.foreach { case (t, keys) =>
         val reps = if (keys.isEmpty) 1 else k // fixed dims stay 1×
-        replicate(Tables.table(spark, base, t), keys, reps)
+        // events needs its loader (ns-timestamp normalization); the replica
+        // copy then stores a plain TimestampType that the loader passes through
+        val src = if (t == "events") Tables.events(spark, base) else Tables.table(spark, base, t)
+        replicate(src, keys, reps)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
       // warmup: push the join+agg noop-write path through codegen once
