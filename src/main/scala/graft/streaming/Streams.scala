@@ -46,6 +46,46 @@ class SnapshotProcessor extends StatefulProcessor[Long, WalRecord, EntityState] 
   }
 }
 
+/** One probe/changelog event for the temporal as-of stream (S9): the
+  * events-table row shape (`event_id` is the log sequence number). */
+case class ProbeEvent(eventId: Long, userId: Long, eventType: String)
+
+/** S9 output: a purchase matched to the latest prior view of its user. */
+case class AsofMatch(eventId: Long, userId: Long, priorViewId: Long)
+
+/** The keyed state machine of the temporal as-of join (S9,
+  * Streams.temporalAsofStream): per user, `view` events update a
+  * one-long "latest view" register; `purchase` events read it as-of
+  * their log position. Records inside one batch-key group are applied in
+  * log order, so intra-batch view→purchase chains resolve exactly like
+  * the batch q16/q16b. State is ONE long per key — the minimal temporal
+  * table — and TTLConfig can bound it for keys that go cold. */
+class TemporalAsofProcessor extends StatefulProcessor[Long, ProbeEvent, AsofMatch] {
+  @transient private var latestView: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latestView = getHandle.getValueState[Long](
+      "latestView", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ProbeEvent],
+      timers: TimerValues): Iterator[AsofMatch] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+    rows.toSeq.sortBy(_.eventId).foreach { e =>
+      e.eventType match {
+        case "view" =>
+          // ignore regressions: a replayed/late view must not rewind state
+          if (!latestView.exists() || latestView.get() < e.eventId)
+            latestView.update(e.eventId)
+        case "purchase" =>
+          out += AsofMatch(e.eventId, key,
+            if (latestView.exists()) latestView.get() else -1L)
+        case _ => ()
+      }
+    }
+    out.iterator
+  }
+}
+
 /** S1–S5 (SURVEY.md §2.3): the reference's consume loop
   * (`WalConsumer.java:130-179`) re-expressed as Structured Streaming.
   *
@@ -215,6 +255,24 @@ object Streams {
   def enrichStream(records: Dataset[WalRecord], dim: DataFrame,
       on: org.apache.spark.sql.Column): DataFrame =
     records.toDF().join(broadcast(dim), on)
+
+  /** S9: temporal as-of join — the streaming twin of the batch q16/q16b
+    * (and of Flink's temporal table join): the `view` sub-stream is a
+    * changelog that maintains a per-user temporal table (latest view id),
+    * and each `purchase` probes it as-of its own log position. Built on
+    * transformWithState ([[TemporalAsofProcessor]]); one shuffle on the
+    * key, O(1) state per key, no join buffering — where a stream-stream
+    * interval join (S6) must retain BOTH sides within the watermark, the
+    * temporal form retains one register per key regardless of rate.
+    * Exactly the q16 result when events arrive in log order (the WAL
+    * contract); a late view older than the register is ignored rather
+    * than rewinding emitted matches (at-least-once posture). */
+  def temporalAsofStream(events: Dataset[ProbeEvent]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new TemporalAsofProcessor, TimeMode.None(), OutputMode.Append())
+  }
 
   /** S5: replay suppression by id within the watermark — the streaming
     * form of the reference's "already done" dedup. */

@@ -247,6 +247,74 @@ class StreamsSpec extends SparkTestBase {
       assert(rows(12L) == (0L, 0L, 1000L, 1L), s"gram-less doc is vacuously novel: ${rows(12L)}")
     } finally q.stop()
   }
+
+  test("s9: temporal as-of stream == an independent log-order fold, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // log-ordered event stream, 3 users interleaved; batch cuts land
+    // mid-lineage (view in batch 1, purchase in batch 2) on purpose
+    val batches = Seq(
+      Seq(ProbeEvent(1, 1, "view"), ProbeEvent(2, 2, "purchase"),
+        ProbeEvent(3, 1, "view"), ProbeEvent(4, 3, "view")),
+      Seq(ProbeEvent(5, 1, "purchase"), ProbeEvent(6, 2, "view"),
+        ProbeEvent(7, 3, "purchase"), ProbeEvent(8, 1, "view"),
+        ProbeEvent(9, 1, "purchase")),
+      Seq(ProbeEvent(10, 2, "purchase"), ProbeEvent(11, 3, "click"),
+        ProbeEvent(12, 3, "purchase")))
+    // independent derivation: a per-user fold over the global log order
+    val expected = {
+      val latest = scala.collection.mutable.Map.empty[Long, Long]
+      batches.flatten.sortBy(_.eventId).flatMap { e =>
+        e.eventType match {
+          case "view" => latest(e.userId) = e.eventId; None
+          case "purchase" =>
+            Some(AsofMatch(e.eventId, e.userId, latest.getOrElse(e.userId, -1L)))
+          case _ => None
+        }
+      }
+    }
+    val ms = MemoryStream[ProbeEvent]
+    val q = Streams.temporalAsofStream(ms.toDS())
+      .writeStream.format("memory").queryName("tasof").outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      val got = s.table("tasof").as[AsofMatch].collect().sortBy(_.eventId).toSeq
+      assert(got == expected, s"got $got\nexpected $expected")
+      // the cross-batch case specifically: purchase 5 sees view 3 from batch 1
+      assert(got.find(_.eventId == 5).get.priorViewId == 3L)
+      // purchase with no prior view gets the -1 sentinel
+      assert(got.find(_.eventId == 2).get.priorViewId == -1L)
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("s9: replayed (late, smaller-id) view does not rewind the temporal register") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[ProbeEvent]
+    val q = Streams.temporalAsofStream(ms.toDS())
+      .writeStream.format("memory").queryName("tasof2").outputMode("append").start()
+    try {
+      ms.addData(ProbeEvent(10, 1, "view"))
+      q.processAllAvailable()
+      ms.addData(ProbeEvent(3, 1, "view"), ProbeEvent(11, 1, "purchase"))
+      q.processAllAvailable()
+      val got = s.table("tasof2").as[AsofMatch].collect()
+      assert(got.length == 1 && got(0).priorViewId == 10L,
+        s"replayed view 3 must not shadow view 10: ${got.toSeq}")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 /** Shared-state test sink (local mode: executor == driver JVM). Mirrors
