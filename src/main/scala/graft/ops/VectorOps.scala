@@ -97,6 +97,29 @@ object VectorOps {
       .limit(5)
   }
 
+  /** x12b: multi-probe sign-LSH ANN (Lv et al., "Multi-Probe LSH",
+    * VLDB'07): the query probes its own bucket PLUS every bucket at
+    * Hamming distance 1 — 5 probes over the 4-bit key. Multi-probe is
+    * the scale answer to x12's documented bucket-key dilemma: recall is
+    * recovered by probing near buckets on the (tiny, broadcast) QUERY
+    * side instead of narrowing the key, so the corpus side keeps one
+    * equi-join on an unchanged bucket column — no extra shuffle, no
+    * corpus-side explosion, and the probe count is a per-query knob.
+    * Each corpus vector lives in exactly one bucket and probes are
+    * distinct, so candidates never duplicate. */
+  def x12bAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", signBucket(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(array(
+        col("qbucket") +: (0 until 4).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)))
+    e.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
+      .orderBy(col("cos_s4").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
   /** k-means parameters for x16: k coarse centroids, seeded from the k
     * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
     * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
@@ -341,6 +364,7 @@ object VectorOps {
     "x3_knn_cosine" -> x3KnnCosine,
     "x3b_knn_batch" -> x3bKnnBatch,
     "x12_ann_lsh" -> x12AnnLsh,
+    "x12b_ann_multiprobe" -> x12bAnnMultiprobe,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -408,6 +432,15 @@ object VectorOps {
          |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
+         |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x12b_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0),
+         |probes AS (SELECT qv, unnest([qbucket,
+         |  xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4), xor(qbucket, 8)]) AS probe FROM q)
+         |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
+         |FROM e JOIN probes ON e.bucket = probes.probe AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
     "x16_ivf_ann" ->
       s"""WITH $x16AssignCtesSql,

@@ -51,6 +51,19 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.getLong(1)) <= 10000L))
   }
 
+  test("x12b: multi-probe recall@5 dominates single-probe against brute force") {
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val truth = VectorOps.x3KnnCosine(spark, sf001).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val single = top5(VectorOps.x12AnnLsh(spark, sf001))
+    val multi = top5(VectorOps.x12bAnnMultiprobe(spark, sf001))
+    // the probe set includes the query's own bucket, so the multi-probe
+    // candidate pool is a superset and its top-5 can only get closer to truth
+    assert(multi.intersect(truth).size >= single.intersect(truth).size,
+      s"multi-probe recall regressed: truth=$truth single=$single multi=$multi")
+  }
+
   test("x15: media pipeline byte stats are consistent") {
     val rows = Multimodal.x15MediaPipeline(spark, sf0001).limit(50).collect()
     rows.foreach { r =>
