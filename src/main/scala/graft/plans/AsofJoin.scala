@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalP
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Native as-of join: for every left row, attach the latest right row with
   * the same key and right.time <= left.time (ties among right rows at one
@@ -117,6 +118,14 @@ case class AsofJoinExec(
     * plan with the missing-input `!` marker. */
   override def producedAttributes: AttributeSet = AttributeSet(asofOutput)
 
+  /** Same observability surface as the built-in join execs: output rows
+    * (== left rows, a cheap invariant check in the UI) and how many of
+    * them actually found a right row (match rate is the first thing to
+    * look at when an as-of result looks thin). */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -135,6 +144,8 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val leftOut = left.output
     val rightOut = right.output
     val keyType = leftKey.dataType
@@ -182,6 +193,7 @@ case class AsofJoinExec(
         val lkt = lProj(lRaw)
         // A buffered match from a previous (smaller) key can't serve this row.
         if (lastMatch != null && keyOrd.compare(lastMatch, lkt) != 0) lastMatch = null
+        numOutputRows += 1
         if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
           // null key/time never matches; left row still flows through
           resultProj(joined(lRaw, noMatch))
@@ -199,6 +211,7 @@ case class AsofJoinExec(
             lastMatch = curR
             advanceRight()
           }
+          if (lastMatch != null) numMatched += 1
           resultProj(joined(lRaw, if (lastMatch != null) lastMatch else noMatch))
         }
       }

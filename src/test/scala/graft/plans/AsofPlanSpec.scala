@@ -113,6 +113,26 @@ class AsofPlanSpec extends SparkTestBase {
     assert(sortedRows(joinedThenFiltered) == sortedRows(filteredThenJoined))
   }
 
+  test("exec metrics: numOutputRows == left rows; numMatched == non-null matches") {
+    val left = Seq((1L, 10L), (1L, 2L), (2L, 5L), (3L, 1L)).toDF("k", "t")
+    val right = Seq((1L, 3L, 30L), (2L, 4L, 40L)).toDF("k", "t", "v")
+    val df = Windows.asofJoinNative(left, right, "k", "t", Seq("v"))
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findAsof(p: SparkPlan): Option[SparkPlan] =
+      if (p.nodeName == "AsofJoin") Some(p)
+      else (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).view.flatMap(findAsof).headOption
+    val exec = findAsof(df.queryExecution.executedPlan)
+    assert(exec.isDefined, df.queryExecution.executedPlan.toString)
+    assert(exec.get.metrics("numOutputRows").value == 4L)
+    assert(exec.get.metrics("numMatched").value == 2L) // (1,10)->3 and (2,5)->4
+  }
+
   test("empty right side: every left row survives with null asof columns") {
     val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
     val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
