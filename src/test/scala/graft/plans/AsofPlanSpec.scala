@@ -113,6 +113,30 @@ class AsofPlanSpec extends SparkTestBase {
     assert(sortedRows(joinedThenFiltered) == sortedRows(filteredThenJoined))
   }
 
+  test("property sweep: native == composed over seeds × partitions × skew shapes") {
+    val s = spark
+    val original = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (seed <- 1 to 6; parts <- Seq("1", "3", "7")) {
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        val rng = new scala.util.Random(seed)
+        // seed-dependent shape: uniform keys, one hot key, or near-unique keys
+        val nKeys = seed % 3 match { case 0 => 1; case 1 => 8; case 2 => 120 }
+        val left = (1 to 150).map { i =>
+          (rng.nextInt(nKeys).toLong, rng.nextInt(40).toLong, i.toLong)
+        }.toDF("k", "t", "lid")
+        val right = (1 to 130).map { _ =>
+          (rng.nextInt(nKeys).toLong, rng.nextInt(40).toLong, rng.nextInt(1000).toLong)
+        }.toDF("k", "t", "v")
+        val native = sortedRows(Windows.asofJoinNative(left, right, "k", "t", Seq("v")))
+        val composed = sortedRows(Windows.asofJoin(left, right, "k", "t", Seq("v")))
+        assert(native == composed,
+          s"seed=$seed parts=$parts nKeys=$nKeys: first diff " +
+            native.zipAll(composed, "<missing>", "<missing>").find(t => t._1 != t._2))
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", original)
+  }
+
   test("exec metrics: numOutputRows == left rows; numMatched == non-null matches") {
     val left = Seq((1L, 10L), (1L, 2L), (2L, 5L), (3L, 1L)).toDF("k", "t")
     val right = Seq((1L, 3L, 30L), (2L, 4L, 40L)).toDF("k", "t", "v")
