@@ -85,7 +85,8 @@ object Windows {
     * left rows. One shuffle on the key, no per-row lookups, no self-join —
     * the plan a 100 TB as-of needs. `rightValues` are the right-side
     * columns to carry (emitted as `asof_<name>`, null when no right row
-    * precedes). */
+    * precedes). Null contract (same as the native operator): a null key
+    * or time on either side never matches; left rows always come out. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightValues: Seq[String]): DataFrame = {
     val leftCols = left.columns
@@ -99,7 +100,12 @@ object Windows {
       .withColumn("__r", lit(null).cast(rstructType))
       .select(Seq(col(key), col(time), col("__side"), col("__r")) ++
         leftCols.filterNot(c => c == key || c == time).map(col): _*)
+    // null key/time on the right never matches (SQL join-key semantics) —
+    // the same contract the native operator (graft.plans.AsofJoinExec)
+    // pins; without this filter a null-keyed right row would pool with
+    // null-keyed left rows in one window partition and "match" them
     val r = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
       .withColumn("__side", lit(0))
       .withColumn("__r", struct(rightValues.map(col): _*))
       .select(Seq(col(key), col(time), col("__side"), col("__r")) ++

@@ -41,6 +41,22 @@ case class AsofJoinPlan(
     rightValues: Seq[NamedExpression],
     asofOutput: Seq[Attribute]) extends BinaryNode {
 
+  // Mismatched key/time types would pass analysis (the node resolves
+  // trivially, no coercion rule knows it) and then silently lose matches:
+  // each side hash-partitions on its own type (murmur3(int 5) != murmur3
+  // (long 5)) and the merge orderings are generated from the LEFT types.
+  // Fail construction instead.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType} (add an explicit cast)")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType} (add an explicit cast)")
+  // Unmatched left rows emit null asof columns, so a non-nullable asof
+  // attribute would let NullPropagation fold coalesce/isnull downstream
+  // into wrong results. Types must mirror the payload expressions.
+  require(asofOutput.length == rightValues.length &&
+    asofOutput.zip(rightValues).forall { case (a, v) => a.nullable && a.dataType == v.dataType },
+    "asofOutput must be nullable attributes mirroring rightValues' types")
+
   override def output: Seq[Attribute] = left.output ++ asofOutput
 
   /** The asof columns are minted by this node, not read from a child. */
@@ -81,7 +97,21 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
         p.deterministic && p.references.subsetOf(aj.left.outputSet))
       if (push.isEmpty) f
       else {
-        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        // Predicates over ONLY the join key also constrain the right side:
+        // a right row with key v can only ever match left rows with key v,
+        // so if the predicate rejects v those matches are dropped anyway.
+        // Built-in equi-joins get this via InferFiltersFromConstraints,
+        // which can't see through an unknown node — without the mirror the
+        // right table is fully scanned and shuffled for a one-key probe.
+        val mirrored = (aj.leftKey, aj.rightKey) match {
+          case (lk: Attribute, rk: Attribute) =>
+            push.filter(_.references == AttributeSet(lk))
+              .map(_.transform { case a: Attribute if a.exprId == lk.exprId => rk })
+          case _ => Nil
+        }
+        val newRight = mirrored.reduceOption(And)
+          .map(Filter(_, aj.right)).getOrElse(aj.right)
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left), right = newRight)
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
@@ -176,9 +206,8 @@ case class AsofJoinExec(
       // Output = left columns ++ payload columns of the buffered right row.
       // JoinedRow(leftRaw, combined) has schema leftOut ++ (k, t, payload…);
       // the result projection picks leftOut and the payload tail.
-      val payloadAttrs = asofAttrs
-      val joinedSchema = leftOut ++ (kAttr +: tAttr +: payloadAttrs)
-      val resultProj = UnsafeProjection.create(leftOut ++ payloadAttrs, joinedSchema)
+      val joinedSchema = leftOut ++ (kAttr +: tAttr +: asofAttrs)
+      val resultProj = UnsafeProjection.create(leftOut ++ asofAttrs, joinedSchema)
       val joined = new JoinedRow
       val noMatch = new GenericInternalRow(2 + nPayload) // all-null combined row
 

@@ -137,6 +137,55 @@ class AsofPlanSpec extends SparkTestBase {
     } finally s.conf.set("spark.sql.shuffle.partitions", original)
   }
 
+  test("mismatched key/time types are rejected at construction, not silently wrong") {
+    val left = Seq((1, 10L, "a")).toDF("k", "t", "tag") // k: Int
+    val right = Seq((1L, 5L, 7L)).toDF("k", "t", "v")   // k: Long
+    val e = intercept[IllegalArgumentException] {
+      Windows.asofJoinNative(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("key types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      Windows.asofJoinNative(
+        Seq((1L, 10, "a")).toDF("k", "t", "tag"), right, "k", "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
+  test("null semantics: composed and native forms agree on null-bearing data") {
+    val left = Seq(
+      (Some(1L), Some(10L), "m"),
+      (None: Option[Long], Some(10L), "nullkey"),
+      (Some(1L), None: Option[Long], "nulltime")).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), 100L),
+      (None: Option[Long], Some(1L), 200L),
+      (Some(1L), None: Option[Long], 300L)).toDF("k", "t", "v")
+    val native = sortedRows(Windows.asofJoinNative(left, right, "k", "t", Seq("v")))
+    val composed = sortedRows(Windows.asofJoin(left, right, "k", "t", Seq("v")))
+    assert(native == composed, s"native $native\ncomposed $composed")
+  }
+
+  test("key-equality filters are mirrored into the right side") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"))
+    val probed =
+      Windows.asofJoinNative(purchases, views, "user_id", "event_id", Seq("event_id"))
+        .filter(col("user_id") === 7)
+    val optimized = probed.queryExecution.optimizedPlan
+    val aj = optimized.collectFirst { case a: AsofJoinPlan => a }
+    assert(aj.isDefined, optimized.toString)
+    // both children must carry the key predicate down to their scans
+    assert(aj.get.left.toString.contains("= 7"), s"left unmirrored:\n$optimized")
+    assert(aj.get.right.toString.contains("= 7"), s"right unmirrored:\n$optimized")
+    // and the result equals filtering both inputs up front
+    val expected = Windows.asofJoinNative(
+      purchases.filter(col("user_id") === 7), views, "user_id", "event_id", Seq("event_id"))
+    assert(sortedRows(probed) == sortedRows(expected))
+  }
+
   test("exec metrics: numOutputRows == left rows; numMatched == non-null matches") {
     val left = Seq((1L, 10L), (1L, 2L), (2L, 5L), (3L, 1L)).toDF("k", "t")
     val right = Seq((1L, 3L, 30L), (2L, 4L, 40L)).toDF("k", "t", "v")
