@@ -130,7 +130,10 @@ object Windows {
     * [[graft.plans.AsofJoinPlan]] instead of union+window. One clustered
     * shuffle per side, partition-local forward-merge, no row expansion —
     * see the scale notes on the plan node. Falls back to nothing: the
-    * strategy is installed idempotently on the session. */
+    * strategy is installed idempotently on the session. Composite keys:
+    * pass ONE struct column (`struct(col("a"), col("b"))` on both sides) —
+    * structs hash-partition and order end to end (pinned in
+    * AsofPlanSpec). */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String, time: String,
       rightValues: Seq[String]): DataFrame = {
     import org.apache.spark.sql.GraftBridge

@@ -206,6 +206,41 @@ class AsofPlanSpec extends SparkTestBase {
     assert(exec.get.metrics("numMatched").value == 2L) // (1,10)->3 and (2,5)->4
   }
 
+  test("downstream rewrites survive the unknown node: prune, aggregate, join, stack") {
+    val left = (1 to 100).map(i => (i.toLong % 7, i.toLong, s"L$i", i * 2.0))
+      .toDF("k", "t", "tag", "w")
+    val right = (1 to 80).map(i => (i.toLong % 7, i.toLong, i.toLong * 10))
+      .toDF("k", "t", "v")
+    val j = Windows.asofJoinNative(left, right, "k", "t", Seq("v"))
+    // column pruning above the node must not orphan the pass-through attrs
+    assert(j.select(col("k"), col("asof_v")).count() == 100)
+    // aggregation over minted + pass-through columns
+    val agg = j.groupBy("k").agg(sum(coalesce(col("asof_v"), lit(0L))).as("s"))
+    assert(agg.count() == 7)
+    // a join above the node
+    val dim = Seq((0L, "zero"), (1L, "one")).toDF("k", "name")
+    assert(j.join(dim, "k").count() == 29)
+    // an as-of stacked on an as-of output
+    assert(Windows.asofJoinNative(j, right, "k", "t", Seq("v")).count() == 100)
+  }
+
+  test("composite keys via a struct column (documented pattern)") {
+    // the API takes ONE key column; composite keys travel as a struct,
+    // which is hash-partitionable and orderable end to end
+    val left = Seq((1L, 1L, 10L, "a"), (1L, 2L, 10L, "b"), (2L, 1L, 10L, "c"))
+      .toDF("tenant", "user", "t", "tag")
+      .withColumn("key", struct(col("tenant"), col("user")))
+    val right = Seq((1L, 1L, 5L, 100L), (1L, 2L, 5L, 200L), (2L, 2L, 5L, 300L))
+      .toDF("tenant", "user", "t", "v")
+      .withColumn("key", struct(col("tenant"), col("user")))
+    val out = Windows.asofJoinNative(left, right, "key", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Long]("asof_v"))).toMap
+    assert(out("a").contains(100L))
+    assert(out("b").contains(200L))
+    assert(out("c").isEmpty, "(2,1) must not match (2,2) on a prefix")
+  }
+
   test("empty right side: every left row survives with null asof columns") {
     val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
     val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
