@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DotProduct, Md5Long, TopTokenCount}
+import graft.functions.{DistinctBigramCount, DotProduct, Md5Long, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -71,6 +71,24 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"distinct_bigram_count requires exactly 1 argument, got ${args.length}")
         DistinctBigramCount(args(0))
+      }),
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            s"winnow_fingerprints requires exactly 3 arguments (arr, shingle, window), got ${args.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"winnow_fingerprints $name must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fingerprints $name must be a literal")
+        }
+        WinnowFingerprints(args(0), intLit(args(1), "shingle"), intLit(args(2), "window"))
       }))
 
   /** Imperative registration for an existing session. */

@@ -393,7 +393,10 @@ object PipelineOps {
   private val emptyStrArr = array().cast("array<string>")
 
   /** Rolling `winShingle`-token md5 shingles of column `w` (NOT distinct —
-    * winnowing selects by position). */
+    * winnowing selects by position). Lambda reference formulation — the
+    * registered x26 runs the native `WinnowFingerprints` expression;
+    * GraftExtensionsSpec pins the two equal on random token streams and
+    * the real corpus. */
   private[graft] def winnowShingles: Column =
     when(size(col("w")) >= winShingle, transform(
         sequence(lit(1), size(col("w")) - (winShingle - 1)),
@@ -422,15 +425,16 @@ object PipelineOps {
   def x26Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fps = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), winnowShingles.as("sh"))
-      .select(col("doc_id"), explode(winnowSelection).as("fp"))
-    // One winnow pass, two shuffles: df via a window count on the fp
-    // shuffle (not a self-join — the selection HOFs above are
-    // CodegenFallback, so every extra lineage branch re-interprets
-    // them), then pair enumeration by exploding C(df,2) per
-    // fingerprint. The df cap runs BEFORE collect_list, so a
-    // corpus-hot fingerprint is dropped by the streaming window count
-    // and never materializes a posting list.
+      .select(col("doc_id"), explode(graft.functions.WinnowFunctions
+        .winnowFingerprints(col("w"), winShingle, winWindow)).as("fp"))
+    // One winnow pass (native expression — one ThreadLocal digest
+    // streamed over token bytes, leftmost-min per window; the lambda
+    // HOF chain it replaces was CodegenFallback and interpreted
+    // O(m·window) expression nodes per document), two shuffles: df via
+    // a window count on the fp shuffle, then pair enumeration by
+    // exploding C(df,2) per fingerprint. The df cap runs BEFORE
+    // collect_list, so a corpus-hot fingerprint is dropped by the
+    // streaming window count and never materializes a posting list.
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val posting = fps
       .withColumn("df", count(lit(1)).over(wDf))

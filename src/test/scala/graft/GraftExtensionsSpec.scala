@@ -131,4 +131,44 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("winnow_fingerprints matches the lambda formulation on the real corpus") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    // native vs the shingle+selection HOF chain it replaced, over the
+    // real token distribution — identical arrays (values AND order)
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("w"))
+      .select(col("w"),
+        graft.functions.WinnowFunctions.winnowFingerprints(col("w"), 3, 4).as("native"))
+      .select(col("native"), graft.ops.PipelineOps.winnowShingles.as("sh"))
+      .select(col("native"), graft.ops.PipelineOps.winnowSelection.as("lambda"))
+    val bad = docs.filter(not(col("native") <=> col("lambda"))).count()
+    assert(bad == 0L, s"$bad documents diverge from the lambda winnowing")
+    // random token streams incl. repeats and short arrays (edge geometry)
+    val rng = new scala.util.Random(11)
+    import spark.implicits._
+    val rand = (1 to 300).map { _ =>
+      Tuple1((0 until rng.nextInt(12)).map(_ => s"t${rng.nextInt(5)}"))
+    }.toDF("w")
+      .select(col("w"),
+        graft.functions.WinnowFunctions.winnowFingerprints(col("w"), 3, 4).as("native"))
+      .select(col("native"), graft.ops.PipelineOps.winnowShingles.as("sh"))
+      .select(col("native"), graft.ops.PipelineOps.winnowSelection.as("lambda"))
+    assert(rand.filter(not(col("native") <=> col("lambda"))).count() == 0L)
+    // interpreted path parity + SQL registration
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r = spark.sql(
+        """SELECT winnow_fingerprints(array('a','b','c','d','e','f','g'), 3, 4) AS f,
+          |       winnow_fingerprints(array('a','b'), 3, 4) AS short""".stripMargin)
+        .collect()(0)
+      assert(r.getSeq[String](0).nonEmpty && r.getSeq[String](1).isEmpty)
+      assert(r.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
