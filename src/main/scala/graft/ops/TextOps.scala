@@ -366,22 +366,36 @@ object TextOps {
     * both engines fold left-to-right over identical integers. */
   def x11bRollingFp(spark: SparkSession, dir: String): DataFrame = {
     val tokVal = (t: Column) => shiftrightunsigned(md5Long(t, 0), 32)
-    val step = (acc: Column, v: Column) => (acc * rollBase + v) % rollMod
     val vals = transform(col("w"), tokVal)
-    val winHashes = transform(
-      sequence(lit(1), size(col("vals")) - (rollWindow - 1)),
-      i => aggregate(slice(col("vals"), i, lit(rollWindow)), lit(0L), step))
+    // the fold and the per-window hashes run native
+    // (graft.functions.RollingHash — the lambda aggregate/slice chain was
+    // CodegenFallback and O(n·window) interpreted dispatches per doc;
+    // lambda twins stay below for the equivalence pin)
     documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
       .select(col("doc_id"), vals.as("vals"))
       .select(col("doc_id"),
-        aggregate(col("vals"), lit(0L), step).as("fp_roll"),
-        when(size(col("vals")) >= rollWindow, winHashes)
-          .otherwise(array().cast("array<bigint>")).as("wh"))
+        graft.functions.RollingHashFunctions
+          .rollingFold(col("vals"), rollBase, rollMod).as("fp_roll"),
+        graft.functions.RollingHashFunctions
+          .rollingWindows(col("vals"), rollWindow, rollBase, rollMod).as("wh"))
       .select(col("doc_id"), col("fp_roll"),
         size(col("wh")).cast(LongType).as("n_windows"),
         size(array_distinct(col("wh"))).cast(LongType).as("n_distinct_windows"))
       .orderBy("doc_id")
+  }
+
+  /** Lambda reference formulation of x11b's rolling hashes (fp_roll, wh)
+    * over a `vals` column — kept for GraftExtensionsSpec's native/lambda
+    * equivalence pin. */
+  private[graft] def rollingLambda: (Column, Column) = {
+    val step = (acc: Column, v: Column) => (acc * rollBase + v) % rollMod
+    val winHashes = transform(
+      sequence(lit(1), size(col("vals")) - (rollWindow - 1)),
+      i => aggregate(slice(col("vals"), i, lit(rollWindow)), lit(0L), step))
+    (aggregate(col("vals"), lit(0L), step),
+      when(size(col("vals")) >= rollWindow, winHashes)
+        .otherwise(array().cast("array<bigint>")))
   }
 
   /** x4: per-document text stats. */

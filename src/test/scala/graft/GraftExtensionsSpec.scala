@@ -132,6 +132,42 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("rolling_hash fold/windows match the lambda formulation on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val (lambdaFold, lambdaWh) = graft.ops.TextOps.rollingLambda
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("w"))
+      .select(transform(col("w"),
+        t => shiftrightunsigned(graft.functions.HashFunctions.md5Long(t, 0), 32)).as("vals"))
+      .select(
+        graft.functions.RollingHashFunctions.rollingFold(col("vals"), 131L, 1000000000000000L).as("nf"),
+        graft.functions.RollingHashFunctions.rollingWindows(col("vals"), 8, 131L, 1000000000000000L).as("nw"),
+        lambdaFold.as("lf"), lambdaWh.as("lw"))
+    val bad = docs.filter(not(col("nf") <=> col("lf")) || not(col("nw") <=> col("lw"))).count()
+    assert(bad == 0L, s"$bad documents diverge from the lambda rolling hash")
+    // edge shapes through the interpreted path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      import spark.implicits._
+      val r = Seq(
+        Tuple1(Seq.empty[Long]),          // empty: fold 0, no windows
+        Tuple1(Seq(7L)),                  // shorter than the window
+        Tuple1((1L to 9L).toSeq))         // two windows
+        .toDF("vals")
+        .select(
+          graft.functions.RollingHashFunctions.rollingFold(col("vals"), 131L, 1000000000000000L).as("f"),
+          size(graft.functions.RollingHashFunctions.rollingWindows(col("vals"), 8, 131L, 1000000000000000L)).as("n"))
+        .collect()
+      assert(r(0).getLong(0) == 0L && r(0).getInt(1) == 0)
+      assert(r(1).getLong(0) == 7L && r(1).getInt(1) == 0)
+      assert(r(2).getInt(1) == 2)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("winnow_fingerprints matches the lambda formulation on the real corpus") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
