@@ -515,6 +515,11 @@ object PipelineOps {
     * i -> md5(...)))` in both oracles). Docs shorter than `n` tokens get
     * an empty set. */
   private[graft] def gramHashes(n: Int): Column =
+    graft.functions.GramFunctions.gramMd5Hexes(col("w"), n)
+
+  /** HOF reference formulation of [[gramHashes]] — pinned equal to the
+    * native expression in GraftExtensionsSpec. */
+  private[graft] def gramHashesLambda(n: Int): Column =
     when(size(col("w")) >= n, array_distinct(transform(
         sequence(lit(1), size(col("w")) - (n - 1)),
         i => md5(array_join(slice(col("w"), i, lit(n)), " ")))))

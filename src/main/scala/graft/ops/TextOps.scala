@@ -34,8 +34,14 @@ object TextOps {
   /** tokens of `text` (corpus is single-space separated). */
   private[graft] def toks(c: Column): Column = split(c, " ")
 
-  /** distinct word 3-shingles of `text`. */
+  /** distinct word 3-shingles of `text` — native single-pass expression
+    * (graft.functions.DistinctGrams); [[shinglesLambda]] is the HOF
+    * reference formulation it replaced, pinned equal in
+    * GraftExtensionsSpec. */
   private def shingles(w: Column): Column =
+    graft.functions.GramFunctions.distinctGrams(w, 3)
+
+  private[graft] def shinglesLambda(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))

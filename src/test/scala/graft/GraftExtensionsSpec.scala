@@ -168,6 +168,46 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("distinct_grams / gram_md5_hexes match the lambda formulations on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val toksOf = graft.model.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("w"))
+    // the lambda shingles form is only defined for >= 3 tokens (its
+    // callers guard it) — compare under that same guard
+    val bad = toksOf.filter(size(col("w")) >= 3)
+      .select(
+        graft.functions.GramFunctions.distinctGrams(col("w"), 3).as("ng"),
+        graft.ops.TextOps.shinglesLambda(col("w")).as("lg"),
+        graft.functions.GramFunctions.gramMd5Hexes(col("w"), 3).as("nh"),
+        graft.ops.PipelineOps.gramHashesLambda(3).as("lh"))
+      .filter(not(col("ng") <=> col("lg")) || not(col("nh") <=> col("lh"))).count()
+    assert(bad == 0L, s"$bad documents diverge from the lambda gram formulations")
+    val badShort = toksOf.filter(size(col("w")) < 3)
+      .select(
+        graft.functions.GramFunctions.distinctGrams(col("w"), 3).as("ng"),
+        graft.functions.GramFunctions.gramMd5Hexes(col("w"), 3).as("nh"))
+      .filter(size(col("ng")) =!= 0 || size(col("nh")) =!= 0).count()
+    assert(badShort == 0L, "short docs must yield empty gram arrays")
+    // interpreted path + edges
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      import spark.implicits._
+      val r = Seq(Tuple1(Seq("a", "b", "a", "b", "a")), Tuple1(Seq("x")))
+        .toDF("w")
+        .select(
+          graft.functions.GramFunctions.distinctGrams(col("w"), 3).as("g"),
+          graft.functions.GramFunctions.gramMd5Hexes(col("w"), 3).as("h"))
+        .collect()
+      assert(r(0).getSeq[String](0) == Seq("a b a", "b a b")) // dedup, encounter order
+      assert(r(0).getSeq[String](1).forall(_.matches("[0-9a-f]{32}")))
+      assert(r(1).getSeq[String](0).isEmpty && r(1).getSeq[String](1).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("winnow_fingerprints matches the lambda formulation on the real corpus") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
