@@ -44,11 +44,30 @@ object BenchScaling {
     "q22_market_share" -> (Relational.q22MarketShare _),
     // the custom operator vs its composed twin, same data, same factor
     "q16_asof" -> (graft.ops.Windows.q16Asof _),
-    "q16b_asof_native" -> (graft.ops.Windows.q16bAsofNative _))
+    "q16b_asof_native" -> (graft.ops.Windows.q16bAsofNative _),
+    // the dedup/scoring stack (README "Scaling audit", first table) —
+    // documents replicate with DISJOINT token namespaces, so per-replica
+    // shingle-df distributions are unchanged and replicas never pair
+    "x1_dedup_exact" -> (graft.ops.TextOps.x1DedupExact _),
+    "x2_dedup_near" -> (graft.ops.TextOps.x2DedupNear _),
+    "x13_minhash_lsh" -> (graft.ops.TextOps.x13MinhashLsh _),
+    "x25_boilerplate" -> (graft.ops.PipelineOps.x25Boilerplate _),
+    "x26_winnowing" -> (graft.ops.PipelineOps.x26Winnowing _),
+    "x28_surprisal" -> (graft.ops.PipelineOps.x28Surprisal _))
 
   private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
     (0 until k).map { i =>
       keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * keyOffset)))
+    }.reduce(_ unionByName _)
+
+  /** Documents replicate with every token prefixed by its replica tag —
+    * disjoint token namespaces (replica 0 is prefixed too, so the 1×
+    * baseline does the same per-token work as the higher factors). */
+  private def replicateDocs(df: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * keyOffset))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), t => concat(lit(s"r${i}x"), t)), " "))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -73,6 +92,9 @@ object BenchScaling {
         replicate(src, keys, reps)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
+      replicateDocs(Tables.table(spark, base, "documents"), k)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
       val times = audited.map { case (name, fn) =>
