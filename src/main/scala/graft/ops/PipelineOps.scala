@@ -787,6 +787,43 @@ object PipelineOps {
         min(col("doc_id")).as("first_doc_id"))
       .orderBy("writer", "shard_id")
 
+  // ---- x38: the pipeline end to end ----
+
+  /** x38: the training-data pipeline as ONE composed query — exact-dedup
+    * canonical keep (x1) ∩ decontamination survivors (x29) ∩ quality
+    * gate (x9 ≥ 75, i.e. at least 3 of the 4 heuristic gates) → packed
+    * into per-writer shards (x31 geometry) → the shard manifest a
+    * trainer reads (x37 shape). This is the capstone composability
+    * check: every stage is the registered operator itself, joined on
+    * doc_id — no stage is re-derived inline — so the optimizer sees one
+    * plan and the oracle re-derives the whole lattice in SQL CTEs.
+    *
+    * Scale shape: three keep-lists are (doc_id)-keyed frames joined on
+    * the same key (shuffle or broadcast per AQE's stats call), packing
+    * stays the per-writer window prefix sum (writer pool = scale knob),
+    * and the manifest is a map-side-combinable rollup. Nothing in the
+    * composition adds a stage the pieces didn't already have. */
+  def x38PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.ops.TextOps.x1DedupExact(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val clean = x29Decontam(spark, dir)
+      .filter(col("is_contaminated") === 0).select(col("doc_id"))
+    val good = graft.ops.TextOps.x9Quality(spark, dir)
+      .filter(col("quality") >= 75).select(col("doc_id"))
+    val survivors = kept.join(clean, "doc_id").join(good, "doc_id")
+    val packed = packingOn(survivors
+      .join(documents(spark, dir), "doc_id")
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.toks(col("text"))).cast(LongType).as("n_tok"),
+        (h16(col("doc_id")) % packWriters).as("writer")))
+    packed
+      .groupBy(col("writer"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        min(col("doc_id")).as("first_doc_id"))
+      .orderBy("writer", "shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
@@ -806,7 +843,8 @@ object PipelineOps {
     "x34_source_report" -> x34SourceReport,
     "x35_canonical_pick" -> x35CanonicalPick,
     "x36_incremental_dedup" -> x36IncrementalDedup,
-    "x37_shard_manifest" -> x37ShardManifest)
+    "x37_shard_manifest" -> x37ShardManifest,
+    "x38_pipeline_e2e" -> x38PipelineE2e)
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
@@ -988,6 +1026,34 @@ object PipelineOps {
          |  min(doc_id) AS first_doc_id
          |FROM ($x31Sql) p
          |GROUP BY writer, shard_id ORDER BY writer, shard_id""".stripMargin,
+    "x38_pipeline_e2e" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= $contamGram
+         |        THEN list_distinct(list_transform(range(1, len(w) - ${contamGram - 2}),
+         |               i -> md5(array_to_string(w[i : i + ${contamGram - 1}], ' '))))
+         |        ELSE [] END AS gs FROM d0),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % $contamMod = 0),
+         |dirty AS (SELECT DISTINCT e.doc_id FROM
+         |    (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % $contamMod <> 0) e
+         |    JOIN bench b ON e.h = b.h),
+         |clean AS (SELECT doc_id FROM g WHERE doc_id % $contamMod <> 0
+         |          AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |good AS (SELECT doc_id FROM (${TextOps.oracle("x9_quality")}) q WHERE quality >= 75),
+         |surv AS (SELECT k.doc_id FROM keep k JOIN clean USING (doc_id) JOIN good USING (doc_id)),
+         |p AS (SELECT s.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+         |        ${hex16Sql("md5(CAST(s.doc_id AS VARCHAR))")} % $packWriters AS writer
+         |      FROM surv s JOIN documents d ON s.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, writer, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY writer ORDER BY doc_id
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM p),
+         |s2 AS (SELECT doc_id, writer, CAST(n_tok AS BIGINT) AS n_tok,
+         |        ${fdivSql("CAST(cum - n_tok AS BIGINT)", packBudget.toString)} AS shard_id
+         |       FROM c)
+         |SELECT writer, shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok, min(doc_id) AS first_doc_id
+         |FROM s2 GROUP BY writer, shard_id ORDER BY writer, shard_id""".stripMargin,
     "x32_repetition" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id,

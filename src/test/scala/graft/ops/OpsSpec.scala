@@ -64,6 +64,31 @@ class OpsSpec extends SparkTestBase {
       s"multi-probe recall regressed: truth=$truth single=$single multi=$multi")
   }
 
+  test("x38: e2e manifest accounts for exactly the surviving documents") {
+    import org.apache.spark.sql.functions._
+    val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
+    val total = manifest.agg(sum("n_docs")).collect()(0).getLong(0)
+    // independent survivor count from the registered stage outputs
+    val kept = TextOps.x1DedupExact(spark, sf0001)
+      .select(col("keep_id").as("doc_id"))
+    val clean = PipelineOps.x29Decontam(spark, sf0001)
+      .filter(col("is_contaminated") === 0).select("doc_id")
+    val good = TextOps.x9Quality(spark, sf0001)
+      .filter(col("quality") >= 75).select("doc_id")
+    val survivors = kept.join(clean, "doc_id").join(good, "doc_id").count()
+    assert(total == survivors && total > 0,
+      s"manifest covers $total docs, pipeline survivors = $survivors")
+    // packing geometry: no shard exceeds the writer budget by more than
+    // one document (a doc can straddle, but shards never skip)
+    val perShard = manifest.select("writer", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    perShard.foreach { case (_, shards) =>
+      val ids = shards.map(_._2).sorted
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"shard ids must be contiguous per writer: ${ids.toSeq}")
+    }
+  }
+
   test("x15: media pipeline byte stats are consistent") {
     val rows = Multimodal.x15MediaPipeline(spark, sf0001).limit(50).collect()
     rows.foreach { r =>
