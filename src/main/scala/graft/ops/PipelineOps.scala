@@ -186,12 +186,21 @@ object PipelineOps {
   require(x23Bands * 16 == 64,
     s"x23 banding must tile 64 bits in 16-bit slices; got $x23Bands bands")
 
-  /** The 64-bit per-document simhash frame (doc_id, sh), built with
-    * [[TextOps.simhashAgg]] (bit j of a token = bit (j mod 4) of md5 hex
-    * nibble (j div 4), extracted by shift/mask from the native digest
-    * long) — split out so the pigeonhole-exactness property of x23 is
+  /** The 64-bit per-document simhash frame (doc_id, sh) — the native
+    * per-row expression (graft.functions.SimhashBits: bit j of a token =
+    * bit (j mod 4) of md5 hex nibble (j div 4)): zero-shuffle, where the
+    * previous column-wise aggregation ([[x23FingerprintsAggForm]], kept
+    * as the equivalence reference) exploded tokens and shuffled on
+    * doc_id. Split out so the pigeonhole-exactness property of x23 is
     * testable against a driver-side brute force. */
   private[graft] def x23Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimhashFunctions.simhashBits(
+          graft.ops.TextOps.toks(col("text")), 64).as("sh"))
+
+  /** The column-wise aggregation formulation — equivalence reference. */
+  private[graft] def x23FingerprintsAggForm(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashAgg(
       TextOps.tokHash64(spark, dir),
       nBits = 64,

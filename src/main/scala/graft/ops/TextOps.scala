@@ -283,11 +283,21 @@ object TextOps {
 
   /** x7: 16-bit SimHash from md5 nibbles, token-frequency weighted.
     * Bit j of token t = (hex nibble j of md5(t)) >= 8; per-doc bit j is
-    * set when the ±1 contributions sum positive. The 16 bit-contributions
-    * are 16 COLUMNS of each token row (one digest, 16 shift/masks), not
-    * an exploded (token × bit) row blow-up — 16× fewer rows through the
-    * shuffle, one aggregation instead of two. */
+    * set when the ±1 contributions sum positive. Runs as the native
+    * per-row expression (graft.functions.SimhashBits) — SimHash is a
+    * per-document reduction, so the operator is scan → project with NO
+    * explode and NO shuffle (the previous column-wise aggregation shape,
+    * kept as [[x7SimhashAggForm]], still paid a corpus explode + doc_id
+    * exchange; GraftExtensionsSpec pins the two bit-identical). */
   def x7Simhash(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimhashFunctions.simhashBits(toks(col("text")), 16).as("simhash16"))
+      .orderBy("doc_id")
+
+  /** The column-wise aggregation formulation of x7 — equivalence
+    * reference for the native expression. */
+  private[graft] def x7SimhashAggForm(spark: SparkSession, dir: String): DataFrame =
     simhashAgg(
       tokHash64(spark, dir),
       nBits = 16,

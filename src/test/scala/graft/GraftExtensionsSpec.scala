@@ -168,6 +168,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash_bits matches the column-wise aggregation form, 16 and 64 bit") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n16 = rows(graft.ops.TextOps.x7Simhash(spark, sf0001))
+    val a16 = rows(graft.ops.TextOps.x7SimhashAggForm(spark, sf0001))
+    assert(n16 == a16, "16-bit simhash diverges from the aggregation form")
+    val n64 = rows(graft.ops.PipelineOps.x23Fingerprints(spark, sf0001))
+    val a64 = rows(graft.ops.PipelineOps.x23FingerprintsAggForm(spark, sf0001))
+    assert(n64 == a64, "64-bit simhash diverges from the aggregation form")
+    // plan: the native fingerprint is shuffle-free (no explode, no exchange
+    // before the output sort's range partitioning)
+    val plan = graft.ops.TextOps.x7Simhash(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"native simhash must not explode:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"native simhash must not shuffle on doc_id:\n$plan")
+  }
+
   test("distinct_grams / gram_md5_hexes match the lambda formulations on the real corpus") {
     import org.apache.spark.sql.functions._
     val toksOf = graft.model.Tables.documents(spark, sf0001)
