@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkTestBase {
     "x36_incremental_dedup",
     // the custom physical operator: a partition-local merge is the classic
     // place for partitioning-dependent results to sneak in
-    "q16b_asof_native")
+    "q16b_asof_native",
+    // native per-row expressions + the e2e stage composition
+    "x7_simhash", "x38_pipeline_e2e")
 
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark
