@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DotProduct, Md5Long, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -75,21 +75,64 @@ object GraftExtensions {
     ("winnow_fingerprints",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (args: Seq[Expression]) => {
-        if (args.length != 3)
-          throw new IllegalArgumentException(
-            s"winnow_fingerprints requires exactly 3 arguments (arr, shingle, window), got ${args.length}")
-        def intLit(e: Expression, name: String): Int = e match {
-          case lit if lit.foldable => lit.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"winnow_fingerprints $name must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            s"winnow_fingerprints $name must be a literal")
-        }
-        WinnowFingerprints(args(0), intLit(args(1), "shingle"), intLit(args(2), "window"))
+        requireArity("winnow_fingerprints", args, 3)
+        WinnowFingerprints(args(0),
+          intLit("winnow_fingerprints", args(1), "shingle"),
+          intLit("winnow_fingerprints", args(2), "window"))
+      }),
+    ("distinct_grams",
+      new ExpressionInfo(classOf[DistinctGrams].getName, "distinct_grams"),
+      (args: Seq[Expression]) => {
+        requireArity("distinct_grams", args, 2)
+        DistinctGrams(args(0), intLit("distinct_grams", args(1), "n"))
+      }),
+    ("gram_md5_hexes",
+      new ExpressionInfo(classOf[GramMd5Hexes].getName, "gram_md5_hexes"),
+      (args: Seq[Expression]) => {
+        requireArity("gram_md5_hexes", args, 2)
+        GramMd5Hexes(args(0), intLit("gram_md5_hexes", args(1), "n"))
+      }),
+    ("rolling_hash_fold",
+      new ExpressionInfo(classOf[RollingHashFold].getName, "rolling_hash_fold"),
+      (args: Seq[Expression]) => {
+        requireArity("rolling_hash_fold", args, 3)
+        RollingHashFold(args(0),
+          longLit("rolling_hash_fold", args(1), "base"),
+          longLit("rolling_hash_fold", args(2), "mod"))
+      }),
+    ("rolling_hash_windows",
+      new ExpressionInfo(classOf[RollingHashWindows].getName, "rolling_hash_windows"),
+      (args: Seq[Expression]) => {
+        requireArity("rolling_hash_windows", args, 4)
+        RollingHashWindows(args(0),
+          intLit("rolling_hash_windows", args(1), "window"),
+          longLit("rolling_hash_windows", args(2), "base"),
+          longLit("rolling_hash_windows", args(3), "mod"))
+      }),
+    ("simhash_bits",
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => {
+        requireArity("simhash_bits", args, 2)
+        SimhashBits(args(0), intLit("simhash_bits", args(1), "nBits"))
       }))
+
+  private def requireArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn requires exactly $n arguments, got ${args.length}")
+
+  private def longLit(fn: String, e: Expression, name: String): Long = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn $name must be a literal")
+  }
+
+  private def intLit(fn: String, e: Expression, name: String): Int =
+    longLit(fn, e, name).toInt
 
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit = {

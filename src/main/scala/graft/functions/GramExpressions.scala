@@ -69,94 +69,81 @@ case class GramMd5Hexes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object Grams {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  private val HEX = "0123456789abcdef".getBytes
-  private val SPACE_BYTE = ' '.toByte
-  private val EMPTY = new GenericArrayData(Array.empty[Any])
+  // GenericArrayData import retained for the shared empty singleton type
+  private val EMPTY: GenericArrayData = Md5Hex.EMPTY_ARRAY
 
-  private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
-    val n = arr.numElements()
-    val toks = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
-      i += 1
-    }
-    toks
-  }
-
+  /** Null elements are SKIPPED, including their separator — exactly what
+    * concat_ws does in the lambda reference ("a", NULL, "b" → "a b"), so
+    * the byte-identity contract holds even for nullable producers. */
   private def joined(toks: Array[Array[Byte]], start: Int, n: Int): Array[Byte] = {
-    var len = n - 1
+    var len = 0
+    var cnt = 0
     var j = 0
-    while (j < n) { len += toks(start + j).length; j += 1 }
+    while (j < n) {
+      val t = toks(start + j)
+      if (t != null) { len += t.length; cnt += 1 }
+      j += 1
+    }
+    if (cnt > 1) len += cnt - 1
     val out = new Array[Byte](len)
     var p = 0
+    var first = true
     j = 0
     while (j < n) {
-      if (j > 0) { out(p) = SPACE_BYTE; p += 1 }
       val t = toks(start + j)
-      System.arraycopy(t, 0, out, p, t.length)
-      p += t.length
+      if (t != null) {
+        if (!first) { out(p) = Md5Hex.SPACE_BYTE; p += 1 }
+        System.arraycopy(t, 0, out, p, t.length)
+        p += t.length
+        first = false
+      }
       j += 1
     }
     out
   }
 
   /** Distinct space-joined n-grams, first-encounter order (identical to
-    * array_distinct over the transform). Empty when len(w) < n. */
+    * array_distinct over the concat_ws transform, including concat_ws's
+    * null-skipping). Empty when len(w) < n. */
   def distinctGrams(arr: ArrayData, n: Int): ArrayData = {
     val c = arr.numElements()
     if (c < n) return EMPTY
-    val toks = tokenBytes(arr)
+    val toks = Md5Hex.tokenBytes(arr)
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= c - n) {
       seen.add(UTF8String.fromBytes(joined(toks, i, n)))
       i += 1
     }
-    toArrayData(seen)
+    Md5Hex.toArrayData(seen)
   }
 
   /** Distinct lowercase md5-hex of the space-joined n-grams,
-    * first-encounter order. Empty when len(w) < n. */
+    * first-encounter order (null elements skipped like array_join does).
+    * Empty when len(w) < n. */
   def gramMd5Hexes(arr: ArrayData, n: Int): ArrayData = {
     val c = arr.numElements()
     if (c < n) return EMPTY
-    val toks = tokenBytes(arr)
-    val md = digests.get()
+    val toks = Md5Hex.tokenBytes(arr)
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= c - n) {
-      md.reset()
+      val md = Md5Hex.digest()
+      var first = true
       var j = 0
       while (j < n) {
-        if (j > 0) md.update(SPACE_BYTE)
-        md.update(toks(i + j))
+        val t = toks(i + j)
+        if (t != null) {
+          if (!first) md.update(Md5Hex.SPACE_BYTE)
+          md.update(t)
+          first = false
+        }
         j += 1
       }
-      val d = md.digest()
-      val hex = new Array[Byte](32)
-      var p = 0
-      while (p < 16) {
-        hex(2 * p) = HEX((d(p) >> 4) & 0xF)
-        hex(2 * p + 1) = HEX(d(p) & 0xF)
-        p += 1
-      }
-      seen.add(UTF8String.fromBytes(hex))
+      seen.add(Md5Hex.toHex(md.digest()))
       i += 1
     }
-    toArrayData(seen)
-  }
-
-  private def toArrayData(seen: java.util.LinkedHashSet[UTF8String]): ArrayData = {
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    Md5Hex.toArrayData(seen)
   }
 }
 

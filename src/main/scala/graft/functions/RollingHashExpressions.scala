@@ -18,11 +18,16 @@ import org.apache.spark.sql.types._
   * `acc' = (acc·base + v) mod m` as tight JVM loops callable from
   * whole-stage codegen.
   *
-  * Overflow contract: callers must keep `(mod-1)·base + max(v)` inside a
-  * signed long (x11b: mod 1e15, base 131, v < 2^32 → max ≈ 1.31e17 ≪
-  * 2^63), the same arithmetic envelope the lambda form and the DuckDB
-  * oracle's list_reduce rely on — enforced here with a construction-time
-  * require rather than inherited silently. */
+  * Overflow contract: the fold stays exact while every element is in
+  * [0, 2^32) — then `(mod-1)·base + v` fits a signed long (x11b: mod
+  * 1e15, base 131 → max ≈ 1.31e17 ≪ 2^63). The construction-time
+  * require bounds base/mod under that element envelope; the ELEMENTS
+  * themselves are the caller's contract (x11b's are 32-bit md5 halves
+  * by construction) — an out-of-range element wraps exactly like the
+  * non-ANSI lambda fold it replaces, it is not detected here. Null
+  * elements fold as 0 (they cannot occur from the md5 producer; the
+  * lambda reference would instead propagate null through the fold —
+  * a defined deviation, not claimed identical). */
 case class RollingHashFold(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
 

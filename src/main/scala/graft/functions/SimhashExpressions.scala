@@ -52,38 +52,33 @@ case class SimhashBits(child: Expression, nBits: Int) extends UnaryExpression {
 }
 
 object SimhashBits {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Called from both the interpreted path and generated code. */
   def compute(arr: ArrayData, nBits: Int): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](nBits)
-    val md = digests.get()
     var i = 0
     while (i < n) {
-      val tok = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-        else arr.getUTF8String(i)
-      md.reset()
-      val d = md.digest(tok.getBytes)
-      // first 8 digest bytes as the big-endian half-0 long (== Md5Long(t, 0))
-      var h = 0L
-      var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
-      var j = 0
-      if (nBits == 16) {
-        while (j < 16) {
-          val nib = (h >>> (60 - 4 * j)) & 15L
-          votes(j) += (if (nib >= 8) 1 else -1)
-          j += 1
-        }
+      if (arr.isNullAt(i)) {
+        // a null token votes -1 on every bit — the aggregation reference's
+        // when(md5Nibble(null, ...) ...).otherwise(-1) semantics
+        var j = 0
+        while (j < nBits) { votes(j) -= 1; j += 1 }
       } else {
-        while (j < 64) {
-          val nib = (h >>> (60 - 4 * (j / 4))) & 15L
-          votes(j) += (if ((nib & (1L << (j % 4))) != 0) 1 else -1)
-          j += 1
+        val d = Md5Hex.digest().digest(arr.getUTF8String(i).getBytes)
+        val h = Md5Hex.half0(d) // == Md5Long(t, 0)
+        var j = 0
+        if (nBits == 16) {
+          while (j < 16) {
+            val nib = (h >>> (60 - 4 * j)) & 15L
+            votes(j) += (if (nib >= 8) 1 else -1)
+            j += 1
+          }
+        } else {
+          while (j < 64) {
+            val nib = (h >>> (60 - 4 * (j / 4))) & 15L
+            votes(j) += (if ((nib & (1L << (j % 4))) != 0) 1 else -1)
+            j += 1
+          }
         }
       }
       i += 1

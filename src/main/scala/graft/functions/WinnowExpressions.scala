@@ -56,50 +56,34 @@ case class WinnowFingerprints(child: Expression, shingle: Int, window: Int)
 }
 
 object WinnowFingerprints {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  private val HEX = "0123456789abcdef".getBytes
-  private val SPACE = Array(' '.toByte)
-  private val EMPTY = new GenericArrayData(Array.empty[Any])
-
   /** Called from both the interpreted path and generated code. */
   def compute(arr: ArrayData, shingle: Int, window: Int): ArrayData = {
     val n = arr.numElements()
-    if (n < shingle) return EMPTY
+    if (n < shingle) return Md5Hex.EMPTY_ARRAY
     val m = n - shingle + 1
-    if (m < window) return EMPTY
-    val md = digests.get()
-    // token byte views once (UTF8String.getBytes may return the backing
-    // buffer — safe here because each is consumed before the next row)
-    val toks = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
-      i += 1
-    }
+    if (m < window) return Md5Hex.EMPTY_ARRAY
+    // token byte views once (null elements stay null and are skipped in
+    // the join below, exactly like array_join skips them)
+    val toks = Md5Hex.tokenBytes(arr)
     // shingle hex strings: md5 streamed over token bytes + single spaces
-    // (byte-identical input to md5(array_join(slice(w, i, k), " ")))
+    // (byte-identical input to md5(array_join(slice(w, i, k), " ")),
+    // including array_join's null-skipping)
     val sh = new Array[UTF8String](m)
-    i = 0
+    var i = 0
     while (i < m) {
-      md.reset()
+      val md = Md5Hex.digest()
+      var first = true
       var j = 0
       while (j < shingle) {
-        if (j > 0) md.update(SPACE)
-        md.update(toks(i + j))
+        val t = toks(i + j)
+        if (t != null) {
+          if (!first) md.update(Md5Hex.SPACE_BYTE)
+          md.update(t)
+          first = false
+        }
         j += 1
       }
-      val d = md.digest()
-      val hex = new Array[Byte](32)
-      var p = 0
-      while (p < 16) {
-        hex(2 * p) = HEX((d(p) >> 4) & 0xF)
-        hex(2 * p + 1) = HEX(d(p) & 0xF)
-        p += 1
-      }
-      sh(i) = UTF8String.fromBytes(hex)
+      sh(i) = Md5Hex.toHex(md.digest())
       i += 1
     }
     // leftmost minimum of each window, deduped in first-encounter order
@@ -115,11 +99,7 @@ object WinnowFingerprints {
       seen.add(sh(best))
       s += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    Md5Hex.toArrayData(seen)
   }
 }
 

@@ -100,21 +100,28 @@ class TemporalAsofProcessor extends StatefulProcessor[Long, ProbeEvent, AsofMatc
   */
 object Streams {
 
-  /** The WAL-apply state machine, shared by every stateful form: apply a
-    * batch's records in id order; replays (id ≤ lastId) are ignored — the
-    * reference's "already done" detection (`WalConsumer.java:271-278`). */
+  /** The WAL-apply state machine, shared by every stateful form: the
+    * record with the highest id in the batch wins (every applied op
+    * overwrites the whole state, so the ordered fold reduces to max-id —
+    * one O(n) pass, no per-key sort or buffer); replays (id ≤ lastId)
+    * are ignored — the reference's "already done" detection
+    * (`WalConsumer.java:271-278`). Unknown operation strings fail
+    * loudly: the reference's `Operation` enum made garbage
+    * unrepresentable, so silently upserting a malformed record would be
+    * a semantic hole, not leniency. */
   def applyRecords(key: Long, prev: Option[EntityState],
       recs: Iterator[WalRecord]): EntityState = {
-    var cur = prev.getOrElse(EntityState(key, null, -1L, deleted = true))
-    recs.toSeq.sortBy(_.id).foreach { r =>
-      if (r.id > cur.lastId) { // not a replay
-        cur = r.operation match {
-          case "DELETE" => EntityState(key, null, r.id, deleted = true)
-          case _        => EntityState(key, r.payload, r.id, deleted = false)
-        }
-      }
+    val cur = prev.getOrElse(EntityState(key, null, -1L, deleted = true))
+    var top: WalRecord = null
+    recs.foreach { r =>
+      if (r.operation != "ADD" && r.operation != "UPDATE" && r.operation != "DELETE")
+        throw new IllegalArgumentException(
+          s"unknown WAL operation '${r.operation}' (id=${r.id}, entity=$key)")
+      if (top == null || r.id > top.id) top = r
     }
-    cur
+    if (top == null || top.id <= cur.lastId) cur
+    else if (top.operation == "DELETE") EntityState(key, null, top.id, deleted = true)
+    else EntityState(key, top.payload, top.id, deleted = false)
   }
 
   /** S1: stateful changelog → current-state view via
@@ -180,8 +187,12 @@ object Streams {
       onIoFailure: () => Unit = () => (), onRecovered: () => Unit = () => (),
       onIgnored: Long => Unit = _ => ())
       : (Dataset[WalRecord], Long) => Unit = { (batch, _) =>
-    def isIo(t: Throwable): Boolean =
-      t != null && (t.isInstanceOf[IOException] || isIo(t.getCause))
+    // depth-bounded cause walk: a cyclic cause chain (initCause loops are
+    // constructible) must classify as non-IO, not blow the stack inside
+    // the catch guard
+    def isIo(t: Throwable, depth: Int = 16): Boolean =
+      t != null && depth > 0 &&
+        (t.isInstanceOf[IOException] || isIo(t.getCause, depth - 1))
     var done = false
     var failedBefore = false
     while (!done) {

@@ -168,6 +168,45 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("null tokens: native expressions match their reference forms' null handling") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // concat_ws / array_join SKIP nulls (no doubled separator) — the
+    // native grams/winnow must produce the same joined bytes
+    val df = Seq(Tuple1(Seq("a", null, "b", "c", "d", "e", "f")))
+      .toDF("w")
+      .select(col("w"),
+        graft.functions.GramFunctions.distinctGrams(col("w"), 3).as("ng"),
+        graft.ops.TextOps.shinglesLambda(col("w")).as("lg"),
+        graft.functions.GramFunctions.gramMd5Hexes(col("w"), 3).as("nh"),
+        graft.ops.PipelineOps.gramHashesLambda(3).as("lh"),
+        graft.functions.WinnowFunctions.winnowFingerprints(col("w"), 3, 4).as("nw"))
+      .select(col("ng"), col("lg"), col("nh"), col("lh"), col("nw"),
+        graft.ops.PipelineOps.winnowShingles.as("sh"))
+      .withColumn("w", lit(null)) // winnowSelection reads col("sh") only
+      .select(col("ng"), col("lg"), col("nh"), col("lh"), col("nw"),
+        graft.ops.PipelineOps.winnowSelection.as("lw"))
+      .collect()(0)
+    assert(df.getSeq[String](0) == df.getSeq[String](1), "distinct_grams null-skip")
+    assert(df.getSeq[String](2) == df.getSeq[String](3), "gram_md5_hexes null-skip")
+    assert(df.getSeq[String](4) == df.getSeq[String](5), "winnow null-skip")
+    // simhash: a null token votes -1 on every bit (the aggregation form's
+    // otherwise(-1)), so nulls can only pull bits low
+    val sh = spark.sql(
+      "SELECT simhash_bits(array('x', CAST(NULL AS STRING), CAST(NULL AS STRING)), 16)")
+      .collect()(0).getLong(0)
+    assert(sh == 0L, s"one +1 vote can never beat two -1 votes: $sh")
+    // new families callable from SQL after registration
+    val r = spark.sql(
+      """SELECT size(distinct_grams(array('a','b','c','d'), 3)),
+        |       size(gram_md5_hexes(array('a','b','c','d'), 3)),
+        |       rolling_hash_fold(array(CAST(7 AS BIGINT)), 131, 1000000000000000),
+        |       size(rolling_hash_windows(array(CAST(7 AS BIGINT)), 8, 131, 1000000000000000))""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getLong(2) == 7L && r.getInt(3) == 0)
+  }
+
   test("simhash_bits matches the column-wise aggregation form, 16 and 64 bit") {
     import org.apache.spark.sql.functions._
     def rows(df: org.apache.spark.sql.DataFrame) =
