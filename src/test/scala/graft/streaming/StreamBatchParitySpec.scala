@@ -45,4 +45,42 @@ class StreamBatchParitySpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("s9 temporal as-of over the REAL event log == batch q16, any batch split") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the driver's events table, in log order (the WAL delivery contract)
+    val log = graft.model.Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+      .as[(Long, Long, String)].collect()
+      .map { case (e, u, t) => ProbeEvent(e, u, t) }
+    val expected = graft.ops.Windows.q16Asof(s, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSeq
+    val ms = MemoryStream[ProbeEvent]
+    val q = Streams.temporalAsofStream(ms.toDS())
+      .writeStream.format("memory").queryName("s9real").outputMode("append").start()
+    try {
+      // three uneven batch cuts, mid-lineage on purpose
+      val cuts = Seq(log.length / 4, log.length / 2, log.length)
+      var from = 0
+      cuts.foreach { to =>
+        if (to > from) ms.addData(log.slice(from, to).toIndexedSeq: _*)
+        q.processAllAvailable()
+        from = to
+      }
+      val got = s.table("s9real").as[AsofMatch].collect()
+        .sortBy(_.eventId)
+        .map(m => (m.eventId, m.userId, m.priorViewId)).toSeq
+      assert(got.size == expected.size && got == expected,
+        s"stream/batch divergence: got ${got.size} rows, expected ${expected.size}")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
