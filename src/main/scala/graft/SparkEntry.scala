@@ -25,7 +25,8 @@ object SparkEntry {
       (PipelineOps.queries, PipelineOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
-      (StreamingBatch.queries, StreamingBatch.oracle))
+      (StreamingBatch.queries, StreamingBatch.oracle),
+      (graft.streaming.StreamGate.queries, graft.streaming.StreamGate.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,15 +27,30 @@ object Analytics {
       .orderBy("l_returnflag")
 
   /** q9b: HLL approximate distinct — the sketch path that survives 100 TB.
-    * No SQL oracle (approximate); correctness bounded in AnalyticsSpec
-    * against the exact counts (rsd 0.05). */
-  def q9bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * The raw estimate is engine-specific, so the query emits a
+    * DuckDB-checkable VERDICT instead of the sketch value: per group, the
+    * exact distinct counts (sub-aggregated in the same pass) plus
+    * `within_bound = |approx − exact| ≤ 3·rsd·exact` as 0/1. The oracle is
+    * the exact counts with a literal 1 — any sketch drifting past 3σ of
+    * its configured rsd (0.05) turns the row red under the hash gate. */
+  def q9bApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05
+    def withinBound(approx: String, exact: String) =
+      (abs(col(approx).cast("double") - col(exact).cast("double"))
+        <= lit(3 * rsd) * col(exact).cast("double")).cast("int")
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.05).as("approx_part"),
-        approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supp"))
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_part"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("approx_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .select(
+        col("l_returnflag"), col("n_part"), col("n_supp"),
+        withinBound("approx_part", "n_part").as("part_in_bound"),
+        withinBound("approx_supp", "n_supp").as("supp_in_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** q10: union / intersect / except over yearly customer key sets,
     * computed as ONE aggregation: per customer, presence flags
@@ -202,7 +217,11 @@ object Analytics {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
         |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q9b intentionally has no oracle: HLL estimates are engine-specific.
+    "q9b_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  CAST(1 AS INTEGER) AS part_in_bound, CAST(1 AS INTEGER) AS supp_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_quantiles" ->
       s"""SELECT l_returnflag,
          |  ${centsSql("quantile_cont(l_quantity, 0.5)")} AS p50_c,

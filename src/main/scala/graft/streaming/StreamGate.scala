@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Driver-gate harnesses for the two stream-only operators (SURVEY.md
+  * §2.3 s8/s9): each runs the REAL streaming pipeline — MemoryStream
+  * source, the production transform from [[Streams]], memory sink — one
+  * multi-batch pass over the sf tables, then returns the sink as a batch
+  * DataFrame so the driver's DuckDB hash gate finally sees both rows.
+  * The MemoryStream feed is a verify-scale harness (the production
+  * source is a file/Kafka WAL, WalPipeline); the transform under test is
+  * byte-identical to the one StreamsSpec's golden scenarios cover.
+  *
+  * Determinism: events are fed in log order split across several
+  * micro-batches (so cross-batch state transitions are exercised, not
+  * just the degenerate one-batch fold), the s9 processor resolves
+  * intra-batch order per key, and s8's bloom filter is a fixed-seed
+  * structure built from a commutative merge — both outputs are
+  * bit-stable under any shuffle partitioning.
+  */
+object StreamGate {
+  private val runId = new AtomicLong(0)
+
+  /** Micro-batches per gate run: >1 so state survives batch boundaries. */
+  private val gateBatches = 4
+
+  private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** s9 gate: the temporal as-of stream ([[Streams.temporalAsofStream]],
+    * transformWithState one-register-per-key) over the sf event log, fed
+    * in log order across [[gateBatches]] micro-batches. In log order the
+    * stream is exactly the batch as-of (q16), so the oracle is q16's SQL
+    * verbatim — purchases matched to the latest prior same-user view. */
+  def s9TemporalAsof(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val log = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (e, u, t) => ProbeEvent(e, u, t) }
+    val name = s"s9_gate_${runId.incrementAndGet()}"
+    val ms = MemoryStream[ProbeEvent]
+    val q = Streams.temporalAsofStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      log.grouped(math.max(1, (log.length + gateBatches - 1) / gateBatches))
+        .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("priorViewId").as("prior_view_id"))
+      .orderBy("event_id")
+  }
+
+  /** s8 gate: the continuous-ingest novelty screen
+    * ([[Streams.noveltyStream]], stateless broadcast-bloom probe) with the
+    * x36 corpus split — index = oldest 90% of documents, stream = the
+    * newest 10% fed as micro-batches. A bloom probe is approximate, so
+    * (like q9b) the dumped row is a VERDICT the exact oracle can check,
+    * not the raw estimate: per streamed doc, the exact gram/hit counts
+    * (recomputed batch-side, same lineage as x36) plus three 0/1 flags —
+    * the stream saw the same gram count, the bloom never missed a true
+    * hit (one-sided error), and its false-positive surplus stayed within
+    * max(1, n_keys/20) (20× slack over the configured fpp=1e-3). */
+  def s8NoveltyStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{PipelineOps, TextOps}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L))).collect()(0).getLong(0)
+    val indexDocs = d.filter(col("doc_id") <= thr)
+    val arrivals = d.filter(col("doc_id") > thr)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val name = s"s8_gate_${runId.incrementAndGet()}"
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.noveltyStream(spark, ms.toDF().toDF("doc_id", "text"), indexDocs)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      arrivals.grouped(math.max(1, (arrivals.length + gateBatches - 1) / gateBatches))
+        .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // exact twin of the probe, batch-side (the x36 lineage): distinct index
+    // grams, left join, per-doc hit count
+    val grams = d.select(col("doc_id"), TextOps.toks(col("text")).as("w"))
+      .select(col("doc_id"), PipelineOps.gramHashes(3).as("gs"))
+    val oldKeys = grams.filter(col("doc_id") <= thr)
+      .select(explode(col("gs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val exact = grams.filter(col("doc_id") > thr)
+      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
+      .join(oldKeys, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_keys"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val streamed = spark.table(name)
+      .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
+    streamed.join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("n_keys"), col("n_hit"),
+        (col("n_keys_s") === col("n_keys")).cast("long").as("keys_match"),
+        (col("n_maybe_hit") >= col("n_hit")).cast("long").as("probe_sound"),
+        (col("n_maybe_hit") - col("n_hit") <=
+          greatest(lit(1L), Tables.fdiv(col("n_keys"), lit(20L))))
+          .cast("long").as("fp_in_bound"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_novelty_stream" -> s8NoveltyStream,
+    "s9_temporal_asof" -> s9TemporalAsof)
+
+  val oracle: Map[String, String] = Map(
+    // s9 in log order ≡ the batch as-of: q16's oracle verbatim
+    "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
+    "s8_novelty_stream" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         |        THEN list_distinct(list_transform(range(1, len(w) - 1),
+         |               i -> md5(array_to_string(w[i : i + 2], ' '))))
+         |        ELSE [] END AS gs FROM d),
+         |t AS (SELECT ${Tables.fdivSql("9 * max(doc_id)", "10")} AS thr FROM g),
+         |oldk AS (SELECT DISTINCT unnest(gs) AS h FROM g CROSS JOIN t WHERE doc_id <= thr),
+         |e AS (SELECT doc_id, unnest(gs) AS h FROM g CROSS JOIN t WHERE doc_id > thr),
+         |hits AS (SELECT e.doc_id, count(o.h) AS n_hit
+         |         FROM e LEFT JOIN oldk o ON e.h = o.h GROUP BY e.doc_id),
+         |base AS (SELECT doc_id, len(gs) AS n_keys FROM g CROSS JOIN t WHERE doc_id > thr)
+         |SELECT base.doc_id, CAST(n_keys AS BIGINT) AS n_keys,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(1 AS BIGINT) AS keys_match, CAST(1 AS BIGINT) AS probe_sound,
+         |  CAST(1 AS BIGINT) AS fp_in_bound
+         |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+         |ORDER BY base.doc_id""".stripMargin)
+}

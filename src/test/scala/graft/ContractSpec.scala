@@ -10,10 +10,10 @@ class ContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle entries without a query: $dangling")
   }
 
-  test("queries without an oracle are exactly the documented exceptions") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q9b_approx_distinct"),
-      s"rows-only-checked queries changed: $noOracle — document or add oracle")
+    assert(noOracle.isEmpty,
+      s"rows-only-checked queries appeared: $noOracle — add an oracle")
   }
 
   test("entry runs on sf0.001 with rows") {

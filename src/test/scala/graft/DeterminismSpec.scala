@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkTestBase {
     // place for partitioning-dependent results to sneak in
     "q16b_asof_native",
     // native per-row expressions + the e2e stage composition
-    "x7_simhash", "x38_pipeline_e2e")
+    "x7_simhash", "x38_pipeline_e2e",
+    // the stream-gate harnesses: a real multi-batch streaming run each —
+    // state-store folds and the bloom probe must not see partitioning
+    "s8_novelty_stream", "s9_temporal_asof")
 
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark

@@ -28,13 +28,16 @@ class OpsSpec extends SparkTestBase {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
-  test("q9b: HLL estimate within 15% of exact") {
+  test("q9b: exact counts match q9 and every HLL verdict is in bound") {
     val exact = Analytics.q9Distinct(spark, sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    Analytics.q9bApproxDistinct(spark, sf0001).collect().foreach { r =>
-      val (flag, approx) = (r.getString(0), r.getLong(1))
-      assert(math.abs(approx - exact(flag)).toDouble / exact(flag) < 0.15,
-        s"flag=$flag approx=$approx exact=${exact(flag)}")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Analytics.q9bApproxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(flag), s"exact counts drifted for $flag")
+      assert(r.getInt(3) == 1 && r.getInt(4) == 1,
+        s"flag=$flag HLL estimate outside 3·rsd bound")
     }
   }
 
