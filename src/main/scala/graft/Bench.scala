@@ -44,7 +44,18 @@ object Bench {
       try mk().write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // default order is sorted keys (run-to-run comparability); set
+    // SPARK_GRAFT_BENCH_ORDER=random (+ optional SPARK_GRAFT_BENCH_SEED)
+    // to shuffle it — separates real per-query cost from position
+    // effects (session aging, host contention) in A/B readings
+    val ordered = {
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("random")) {
+        val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
+        new scala.util.Random(seed).shuffle(sorted)
+      } else sorted
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -690,7 +690,7 @@ object PipelineOps {
     * total. `source` is the one documents column nothing else reads —
     * this closes the data-model surface. */
   def x34SourceReport(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.x9Quality(spark, dir).select(col("doc_id"), col("n_tok"), col("quality"))
+    val q = Stages.x9Scores(spark, dir).select(col("doc_id"), col("n_tok"), col("quality"))
     val d = documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
     val total = d.agg(count(lit(1)).as("n_total"))
     d.join(q, "doc_id").crossJoin(broadcast(total))
@@ -720,7 +720,7 @@ object PipelineOps {
     * propagation fixpoint (the round-3 verdict's other weak plan). */
   def x35CanonicalPick(spark: SparkSession, dir: String): DataFrame = {
     val labels = Stages.x24Labels(spark, dir).select(col("doc_id"), col("cluster_id"))
-    val q = TextOps.x9Quality(spark, dir).select(col("doc_id"), col("quality"))
+    val q = Stages.x9Scores(spark, dir).select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id").asc)
@@ -817,7 +817,7 @@ object PipelineOps {
       .select(col("keep_id").as("doc_id"))
     val clean = x29Decontam(spark, dir)
       .filter(col("is_contaminated") === 0).select(col("doc_id"))
-    val good = graft.ops.TextOps.x9Quality(spark, dir)
+    val good = Stages.x9Scores(spark, dir)
       .filter(col("quality") >= 75).select(col("doc_id"))
     val survivors = kept.join(clean, "doc_id").join(good, "doc_id")
     val packed = packingOn(survivors

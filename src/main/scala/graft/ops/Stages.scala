@@ -15,15 +15,25 @@ import scala.collection.concurrent.TrieMap
   * (x35) re-ran the whole label-propagation fixpoint — the two plans the
   * round-3 verdict flagged as the only ones weak at 100×.
   *
-  * Each stage is materialized EAGERLY with `localCheckpoint(true)` the
-  * first time any consumer asks for it and served from this cache after
-  * that. The cached frames are the BOUNDED artifacts of the pipeline —
-  * pair lists capped upstream by df caps/banding and the label table
-  * (one row per doc id, two longs) — never corpus-sized text. At 100 TB
-  * the same stages are parquet tables written between pipeline phases
-  * (localCheckpoint blocks die with an executor; a multi-tenant cluster
-  * wants the recomputation-free durable form), but the consumer plans
-  * below are identical either way: read the stage, never re-derive it.
+  * Each stage is materialized EAGERLY the first time any consumer asks
+  * for it and served from this cache after that, in one of two forms:
+  *
+  *  - default: `localCheckpoint(true)` — executor-memory blocks, zero
+  *    I/O, right for tests and single-session batch runs. The blocks die
+  *    with an executor and stay pinned until [[clear]], so a long-lived
+  *    session scanning many sfDirs should prefer
+  *  - parquet: set `spark.graft.stageDir` (or the `SPARK_GRAFT_STAGE_DIR`
+  *    env var) to a writable directory and each stage is written once as
+  *    a parquet table and re-read by every consumer — the
+  *    durable parquet-between-phases shape the same pipeline has at
+  *    100 TB (survives executor loss, holds no block-manager memory,
+  *    shareable across sessions pointing at the same dir).
+  *
+  * The cached frames are the BOUNDED artifacts of the pipeline — pair
+  * lists capped upstream by df caps/banding and the label table (one row
+  * per doc id, two longs) — never corpus-sized text, so either
+  * materialization is small. Consumer plans are identical both ways:
+  * read the stage, never re-derive it.
   *
   * Consumers must apply their own output ordering AFTER reading a stage:
   * a checkpoint preserves partition layout, not a contract.
@@ -32,9 +42,25 @@ object Stages {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val centCache = TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
 
+  /** The parquet-stage root, if configured: runtime conf first (testable
+    * per session), env var as the deployment default. */
+  private def stageRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.stageDir")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
+      .filter(_.nonEmpty)
+
   private def stage(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name), build.localCheckpoint(true))
+    cache.getOrElseUpdate((spark, dir, name), stageRoot(spark) match {
+      case Some(root) =>
+        // one subdir per (sfDir, stage): hex of the sfDir path keeps
+        // parallel scale factors from colliding under one root
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val path = s"$root/stage_${tag}_$name"
+        build.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => build.localCheckpoint(true)
+    })
 
   /** x2's exact 3-gram-Jaccard near-dup pairs (d1, d2, inter, n1, n2,
     * jac_s4), unsorted. */
@@ -55,6 +81,13 @@ object Stages {
       PipelineOps.connectedComponents(
         graft.model.Tables.documents(spark, dir).select(col("doc_id")),
         x13Pairs(spark, dir).select(col("d1"), col("d2"))))
+
+  /** x9's per-document quality scores (doc_id + five ints, one row per
+    * doc) — read by the x9 query itself, x34's source report, x35's
+    * canonical pick, and the x38 capstone, so a report cycle scores the
+    * corpus once instead of once per consumer. */
+  def x9Scores(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x9_scores")(TextOps.x9QualityUnsorted(spark, dir))
 
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per

@@ -329,8 +329,17 @@ object TextOps {
   }
 
   /** x9: quality scoring — 4 × 25-point integer components (length band,
-    * lexical diversity, stopword presence, mean token length band). */
+    * lexical diversity, stopword presence, mean token length band).
+    * Served from the shared [[Stages]] materialization: x34's source
+    * report, x35's canonical pick, and the x38 capstone all read these
+    * scores, and at scale each re-derivation is a full corpus re-scoring
+    * — one lineage per (session, sfDir) instead. */
   def x9Quality(spark: SparkSession, dir: String): DataFrame =
+    Stages.x9Scores(spark, dir).orderBy("doc_id")
+
+  /** The x9 score builder (one narrow int row per doc, unsorted) —
+    * consumers go through [[Stages.x9Scores]]. */
+  private[graft] def x9QualityUnsorted(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), toks(col("text")).as("w"))
       .withColumn("n_tok", size(col("w")).cast(LongType))
@@ -344,7 +353,6 @@ object TextOps {
       .withColumn("quality", col("s_len") + col("s_div") + col("s_stop") + col("s_tlen"))
       .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
         col("mean_len_x100"), col("quality"))
-      .orderBy("doc_id")
 
   /** x10: token counting — whitespace, regex word, and BPE-ish (chars/4)
     * estimators. */

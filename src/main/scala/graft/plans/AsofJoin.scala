@@ -103,10 +103,20 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
         // Built-in equi-joins get this via InferFiltersFromConstraints,
         // which can't see through an unknown node — without the mirror the
         // right table is fully scanned and shuffled for a one-key probe.
-        val mirrored = (aj.leftKey, aj.rightKey) match {
-          case (lk: Attribute, rk: Attribute) =>
+        //
+        // Soundness requires the LEFT key to be a bare attribute: the
+        // predicate then IS a function of the key value, and every right
+        // row that can match a surviving left row satisfies the predicate
+        // applied to the right key EXPRESSION (cast, computed — anything
+        // deterministic of the same type, which the node requires). When
+        // the left key is itself computed (e.g. cast(lcol)), a predicate
+        // on lcol is NOT a function of the key value — a lossy cast can
+        // collide rejected and kept lcol values — so no mirror fires
+        // (limitation pinned in AsofPlanSpec).
+        val mirrored = aj.leftKey match {
+          case lk: Attribute if aj.rightKey.deterministic =>
             push.filter(_.references == AttributeSet(lk))
-              .map(_.transform { case a: Attribute if a.exprId == lk.exprId => rk })
+              .map(_.transform { case a: Attribute if a.exprId == lk.exprId => aj.rightKey })
           case _ => Nil
         }
         val newRight = mirrored.reduceOption(And)
@@ -130,6 +140,18 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   * copied — parent iterators reuse row objects) and never rewinds: left
   * rows arrive in (key, time) order, so the latest-qualifying right row for
   * each left row is reachable by a forward-only cursor.
+  *
+  * Codegen note (measured, not assumed): the merge itself is interpreted —
+  * per-left-row it runs two `UnsafeProjection`s and the comparators, where
+  * the built-in SortMergeJoinExec it displaces would do produce-side
+  * whole-stage codegen. The committed `graft.BenchScaling` audit (README
+  * "Scaling audit") puts numbers on that trade at sf0.1 replicated
+  * 1×/2×/4×: the native operator beats the fully-codegen'd composed
+  * union+window twin at EVERY factor (1×: 0.59–0.75 s vs 0.95–1.18 s;
+  * 4×: 0.77–1.41 s vs 0.83–1.59 s on ~400k events), because it removes a
+  * union, a second sort payload, and the window buffer — the per-row
+  * projection cost is immaterial next to the shuffle+sort that dominates
+  * both forms. A `CodegenSupport` merge remains an upside, not a need.
   */
 case class AsofJoinExec(
     leftKey: Expression,

@@ -32,6 +32,33 @@ class DeterminismSpec extends SparkTestBase {
     // state-store folds and the bloom probe must not see partitioning
     "s8_novelty_stream", "s9_temporal_asof")
 
+  test("stage consumers are invariant to the stage materialization mode") {
+    // every consumer of graft.ops.Stages, run once with localCheckpoint
+    // stages (default) and once with parquet stages (spark.graft.stageDir)
+    val consumers = Seq("x2_dedup_near", "x13_minhash_lsh", "x24_dedup_clusters",
+      "x27_semantic_dedup", "x16_ivf_ann", "x33_dedup_eval", "x35_canonical_pick",
+      "x9_quality", "x34_source_report", "x38_pipeline_e2e")
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
+    try {
+      graft.ops.Stages.clear()
+      val local = consumers.map(n => SparkEntry.queries(n)(s, sf0001).collect().map(_.toString).toSeq)
+      s.conf.set("spark.graft.stageDir", tmp)
+      graft.ops.Stages.clear()
+      val parquet = consumers.map(n => SparkEntry.queries(n)(s, sf0001).collect().map(_.toString).toSeq)
+      consumers.lazyZip(local).lazyZip(parquet).foreach { (n, l, p) =>
+        assert(l == p, s"$n differs between localCheckpoint and parquet stages")
+      }
+      // the parquet mode actually materialized stages on disk
+      val written = new java.io.File(tmp).listFiles()
+      assert(written != null && written.exists(_.getName.startsWith("stage_")),
+        s"no parquet stage written under $tmp")
+    } finally {
+      s.conf.unset("spark.graft.stageDir")
+      graft.ops.Stages.clear()
+    }
+  }
+
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark
     val original = s.conf.get("spark.sql.shuffle.partitions")

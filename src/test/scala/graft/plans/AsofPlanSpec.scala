@@ -186,6 +186,82 @@ class AsofPlanSpec extends SparkTestBase {
     assert(sortedRows(probed) == sortedRows(expected))
   }
 
+  /** Builds an as-of join over the parquet-backed event log (a
+    * LocalRelation would let the optimizer fold pushed filters into the
+    * relation itself, hiding the Filter node these tests assert on) with
+    * an int-typed key column on one side, cast back to long inside the
+    * plan node. */
+  private def castKeyAsof(castSide: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression}
+    import org.apache.spark.sql.types.LongType
+    graft.plans.AsofJoin.install(spark)
+    val ev = graft.model.Tables.events(spark, sf0001)
+    // both sides come from the same table: alias every column to fresh
+    // names (fresh exprIds) so the node's references are unambiguous —
+    // the same re-aliasing asofJoinNative applies internally
+    val left =
+      if (castSide == "left")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("int").as("ui"), col("event_id").as("pt"))
+      else
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("pt"))
+    val right =
+      if (castSide == "right")
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").cast("int").as("vui"), col("event_id").as("vt"))
+      else
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("vt"))
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan = GraftBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val lKey: Expression =
+      if (castSide == "left") Cast(attr(lPlan, "ui"), LongType) else attr(lPlan, "pu")
+    val rKey: Expression =
+      if (castSide == "right") Cast(attr(rPlan, "vui"), LongType) else attr(rPlan, "vu")
+    val payload = Seq(attr(rPlan, "vt"))
+    val out = payload.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftBridge.ofRows(spark, AsofJoinPlan(
+      lPlan, rPlan, lKey, attr(lPlan, "pt"), rKey, attr(rPlan, "vt"), payload, out))
+  }
+
+  /** q16's (event_id, prior_view_id) pairs for one user — the cast
+    * round-trip is lossless for the sf user ids, so the cast-key joins
+    * must reproduce these exactly. */
+  private def q16PairsForUser(u: Long): Seq[(Long, Long)] =
+    Windows.q16Asof(spark, sf0001).filter(col("user_id") === u).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+
+  test("key filters mirror through a CAST right key (bare left key)") {
+    val probed = castKeyAsof(castSide = "right").filter(col("pu") === 7)
+    val aj = probed.queryExecution.optimizedPlan
+      .collectFirst { case a: AsofJoinPlan => a }.get
+    assert(aj.left.toString.contains("= 7"), s"left unpushed:\n${aj.left}")
+    assert(aj.right.toString.contains("= 7"),
+      s"cast right key lost the mirrored prune:\n${aj.right}")
+    val got = probed.collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == q16PairsForUser(7L) && got.nonEmpty, s"got $got")
+  }
+
+  test("computed LEFT key: right mirror must NOT fire (unsound through a lossy map)") {
+    val probed = castKeyAsof(castSide = "left").filter(col("ui") === 7)
+    val aj = probed.queryExecution.optimizedPlan
+      .collectFirst { case a: AsofJoinPlan => a }.get
+    // the predicate is on the PRE-cast column, not the key value: it pushes
+    // into the left side but is pinned to never mirror right
+    assert(aj.left.toString.contains("= 7"), s"left unpushed:\n${aj.left}")
+    assert(!aj.right.toString.contains("= 7"),
+      s"unsound mirror through a computed left key:\n${aj.right}")
+    val got = probed.collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == q16PairsForUser(7L) && got.nonEmpty, s"got $got")
+  }
+
   test("exec metrics: numOutputRows == left rows; numMatched == non-null matches") {
     val left = Seq((1L, 10L), (1L, 2L), (2L, 5L), (3L, 1L)).toDF("k", "t")
     val right = Seq((1L, 3L, 30L), (2L, 4L, 40L)).toDF("k", "t", "v")
