@@ -42,6 +42,8 @@ object BenchScaling {
     "q4_join_shuffle" -> (Relational.q4JoinShuffle _),
     "q21_local_supplier" -> (Relational.q21LocalSupplier _),
     "q22_market_share" -> (Relational.q22MarketShare _),
+    // the salted skew aggregate: its whole claim is flat hot-key scaling
+    "q23_skew_agg" -> (graft.ops.Skew.q23SkewAgg _),
     // the custom operator vs its composed twin, same data, same factor
     "q16_asof" -> (graft.ops.Windows.q16Asof _),
     "q16b_asof_native" -> (graft.ops.Windows.q16bAsofNative _),
@@ -51,9 +53,21 @@ object BenchScaling {
     "x1_dedup_exact" -> (graft.ops.TextOps.x1DedupExact _),
     "x2_dedup_near" -> (graft.ops.TextOps.x2DedupNear _),
     "x13_minhash_lsh" -> (graft.ops.TextOps.x13MinhashLsh _),
+    "x23_simhash_neardup" -> (graft.ops.PipelineOps.x23SimhashNeardup _),
+    "x24_dedup_clusters" -> (graft.ops.PipelineOps.x24DedupClusters _),
     "x25_boilerplate" -> (graft.ops.PipelineOps.x25Boilerplate _),
     "x26_winnowing" -> (graft.ops.PipelineOps.x26Winnowing _),
-    "x28_surprisal" -> (graft.ops.PipelineOps.x28Surprisal _))
+    "x28_surprisal" -> (graft.ops.PipelineOps.x28Surprisal _),
+    "x36_incremental_dedup" -> (graft.ops.PipelineOps.x36IncrementalDedup _),
+    // the composed end-to-end pipeline: stages + joins + packing together
+    "x38_pipeline_e2e" -> (graft.ops.PipelineOps.x38PipelineE2e _),
+    // the vector stack — embeddings replicate with vec_id offsets AND a
+    // per-replica circular component shift, so replicas stay disjoint in
+    // cosine space (identical copies would pair across replicas and fake
+    // a quadratic blow-up the real "more corpus" case doesn't have)
+    "x14_cosine_neardup" -> (graft.ops.VectorOps.x14CosineNeardup _),
+    "x16_ivf_ann" -> (graft.ops.VectorOps.x16IvfAnn _),
+    "x27_semantic_dedup" -> (graft.ops.VectorOps.x27SemanticDedup _))
 
   private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
     (0 until k).map { i =>
@@ -69,6 +83,25 @@ object BenchScaling {
         .withColumn("text", array_join(
           transform(split(col("text"), " "), t => concat(lit(s"r${i}x"), t)), " "))
     }.reduce(_ unionByName _)
+
+  /** Embeddings replicate with offset ids and each replica's vector
+    * components circularly shifted by `i·(dim/k)` positions — norms and
+    * per-replica similarity structure unchanged, cross-replica cosines
+    * quasi-random, so LSH buckets and k-means cells don't fill with exact
+    * copies (the vector-space analogue of the disjoint token namespaces;
+    * replica 0 keeps shift 0 = the original frame, making 1× the honest
+    * baseline). */
+  private def replicateEmbeddings(df: DataFrame, k: Int): DataFrame = {
+    val dim = df.select(size(col("embedding"))).first().getInt(0)
+    (0 until k).map { i =>
+      val s = (i * dim / math.max(k, 1)) % dim
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, dim - s), slice(col("embedding"), 1, s))
+      df.withColumn("vec_id", col("vec_id") + lit(i * keyOffset))
+        .withColumn("embedding", shifted)
+    }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -94,6 +127,8 @@ object BenchScaling {
       }
       replicateDocs(Tables.table(spark, base, "documents"), k)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      replicateEmbeddings(Tables.table(spark, base, "embeddings"), k)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()

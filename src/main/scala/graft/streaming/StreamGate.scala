@@ -29,17 +29,28 @@ object StreamGate {
   /** Micro-batches per gate run: >1 so state survives batch boundaries. */
   private val gateBatches = 4
 
-  private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  /** Shuffle partitions for the gate's streaming run. Stateful operators
+    * open one state store per shuffle partition per micro-batch, so a
+    * 32-partition bench session pays 32 RocksDB instances × batch for a
+    * verify-scale feed — harness overhead, not operator cost. Results are
+    * partition-invariant (DeterminismSpec sweeps the gates at 1/3/17). */
+  private val gatePartitions = "4"
+
+  private def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  private def withRocksDB[T](spark: SparkSession)(body: => T): T =
+    withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> gatePartitions)(body)
 
   /** s9 gate: the temporal as-of stream ([[Streams.temporalAsofStream]],
     * transformWithState one-register-per-key) over the sf event log, fed
