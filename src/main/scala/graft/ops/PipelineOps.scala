@@ -751,8 +751,26 @@ object PipelineOps {
     * (both sides shuffle on h, the incremental batch being tiny relative
     * to the index), then one per-doc aggregation. This is the coarse
     * screen ahead of pairwise verification (x2) in an incremental
-    * pipeline. */
-  def x36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    * pipeline. The (doc_id, n_keys, n_hit) hit counts are shared with
+    * the S8 novelty stream's driver gate through [[Stages.x36Hits]]
+    * (same 90/10 split, same gram keys — the exact twin the stream's
+    * bloom verdict is checked against), so a session running both
+    * scores the batch against the index once. */
+  def x36IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    Stages.x36Hits(spark, dir)
+      .select(col("doc_id"), col("n_keys"), col("n_hit"),
+        // a zero-shingle doc (< 3 tokens) has NO evidence of existing in
+        // the index — vacuously novel (1000), never screened out as a dup
+        when(col("n_keys") === 0, 1000L)
+          .otherwise(fdiv(lit(1000L) * (col("n_keys") - col("n_hit")),
+            col("n_keys"))).as("novelty_per_1000"))
+      .withColumn("is_novel",
+        when(col("novelty_per_1000") >= x36NoveltyCut, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  /** The x36 hit-count builder (unsorted; one row per incremental-batch
+    * doc) — consumers go through [[Stages.x36Hits]]. */
+  private[graft] def x36HitsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)).as("thr"))
     // the batch split runs BEFORE the gram transform, so each branch
@@ -769,15 +787,6 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(count(col("h")).as("n_keys"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .select(col("doc_id"), col("n_keys"), col("n_hit"),
-        // a zero-shingle doc (< 3 tokens) has NO evidence of existing in
-        // the index — vacuously novel (1000), never screened out as a dup
-        when(col("n_keys") === 0, 1000L)
-          .otherwise(fdiv(lit(1000L) * (col("n_keys") - col("n_hit")),
-            col("n_keys"))).as("novelty_per_1000"))
-      .withColumn("is_novel",
-        when(col("novelty_per_1000") >= x36NoveltyCut, 1L).otherwise(0L))
-      .orderBy("doc_id")
   }
 
   // ---- x37: shard manifest ----

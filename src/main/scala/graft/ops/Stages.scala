@@ -89,6 +89,13 @@ object Stages {
   def x9Scores(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x9_scores")(TextOps.x9QualityUnsorted(spark, dir))
 
+  /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
+    * the 90%-corpus shingle index — read by x36's novelty verdict and by
+    * the S8 stream gate's exact twin, so batch and stream score the
+    * arrivals once per session. */
+  def x36Hits(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x36_hits")(PipelineOps.x36HitsUnsorted(spark, dir))
+
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per
     * (session, sfDir); consumed by x16's IVF probe and x27's SemDeDup

@@ -90,7 +90,6 @@ object StreamGate {
     * hit (one-sided error), and its false-positive surplus stayed within
     * max(1, n_keys/20) (20× slack over the configured fpp=1e-3). */
   def s8NoveltyStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{PipelineOps, TextOps}
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -106,19 +105,11 @@ object StreamGate {
       arrivals.grouped(math.max(1, (arrivals.length + gateBatches - 1) / gateBatches))
         .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
     } finally q.stop()
-    // exact twin of the probe, batch-side (the x36 lineage): distinct index
-    // grams, left join, per-doc hit count
-    val grams = d.select(col("doc_id"), TextOps.toks(col("text")).as("w"))
-      .select(col("doc_id"), PipelineOps.gramHashes(3).as("gs"))
-    val oldKeys = grams.filter(col("doc_id") <= thr)
-      .select(explode(col("gs")).as("h")).distinct()
-      .withColumn("hit", lit(1L))
-    val exact = grams.filter(col("doc_id") > thr)
-      .select(col("doc_id"), explode_outer(col("gs")).as("h"))
-      .join(oldKeys, Seq("h"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("h")).as("n_keys"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // exact twin of the probe: x36's hit counts, read from the shared
+    // stage (identical 90/10 split and gram keys — the lineage runs once
+    // per session across x36 and this gate)
+    val exact = graft.ops.Stages.x36Hits(spark, dir)
+      .select(col("doc_id"), col("n_keys"), col("n_hit"))
     val streamed = spark.table(name)
       .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
     streamed.join(exact, Seq("doc_id"))
