@@ -23,7 +23,13 @@ import graft.ops.Relational
   * Prints one JSON line per factor; ratios land in README.
   */
 object BenchScaling {
-  private val factors = Seq(1, 2, 4)
+  /** Replication factors; override with SPARK_GRAFT_SCALE_FACTORS=1,4,16
+    * (the 16× leg ≈ sf1.6 fact tables — the "one more order of magnitude"
+    * check for the linear core; the fixed-parameter vector trio is meant
+    * for the default 1/2/4 run, see README). */
+  private val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+    .map(_.split(",").toSeq.map(_.trim.toInt))
+    .getOrElse(Seq(1, 2, 4))
   private val keyOffset = 100000000L // far above any sf0.1 key
 
   private val keyedTables: Seq[(String, Seq[String])] = Seq(
@@ -68,6 +74,17 @@ object BenchScaling {
     "x14_cosine_neardup" -> (graft.ops.VectorOps.x14CosineNeardup _),
     "x16_ivf_ann" -> (graft.ops.VectorOps.x16IvfAnn _),
     "x27_semantic_dedup" -> (graft.ops.VectorOps.x27SemanticDedup _))
+
+  /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
+    * (comma-separated keys) — e.g. to run the linear core at high
+    * factors without the fixed-parameter vector trio. */
+  private def selected: Seq[(String, (SparkSession, String) => DataFrame)] =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        audited.filter { case (n, _) => want(n) }
+      case None => audited
+    }
 
   private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
     (0 until k).map { i =>
@@ -132,7 +149,7 @@ object BenchScaling {
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
-      val times = audited.map { case (name, fn) =>
+      val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9

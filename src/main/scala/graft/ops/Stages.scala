@@ -49,17 +49,25 @@ object Stages {
       .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
       .filter(_.nonEmpty)
 
+  /** Builds are serialized: TrieMap.getOrElseUpdate may evaluate the
+    * by-name op in two racing threads and discard one result — harmless
+    * for localCheckpoint (orphaned blocks), but in parquet mode the two
+    * losers would WRITE the same path concurrently. One monitor across
+    * all stages is fine: builds are rare and heavy, lookups after the
+    * first never reach it (fast-path get). */
   private def stage(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name), stageRoot(spark) match {
-      case Some(root) =>
-        // one subdir per (sfDir, stage): hex of the sfDir path keeps
-        // parallel scale factors from colliding under one root
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val path = s"$root/stage_${tag}_$name"
-        build.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None => build.localCheckpoint(true)
+    cache.get((spark, dir, name)).getOrElse(synchronized {
+      cache.getOrElseUpdate((spark, dir, name), stageRoot(spark) match {
+        case Some(root) =>
+          // one subdir per (sfDir, stage): hex of the sfDir path keeps
+          // parallel scale factors from colliding under one root
+          val tag = java.lang.Integer.toHexString(dir.hashCode)
+          val path = s"$root/stage_${tag}_$name"
+          build.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => build.localCheckpoint(true)
+      })
     })
 
   /** x2's exact 3-gram-Jaccard near-dup pairs (d1, d2, inter, n1, n2,
