@@ -82,6 +82,10 @@ object BenchScaling {
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some(csv) =>
         val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd key silently shrinking the audit would print a
+        // success-shaped JSON missing the very query under study
+        val unknown = want -- audited.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown SPARK_GRAFT_SCALE_QUERIES keys: $unknown")
         audited.filter { case (n, _) => want(n) }
       case None => audited
     }
@@ -110,6 +114,11 @@ object BenchScaling {
     * baseline). */
   private def replicateEmbeddings(df: DataFrame, k: Int): DataFrame = {
     val dim = df.select(size(col("embedding"))).first().getInt(0)
+    // only dim distinct circular shifts exist: past that, replicas would
+    // be exact copies and the vector audit would measure a fake
+    // cross-replica quadratic blow-up — refuse instead
+    require(k <= dim, s"replication factor $k exceeds embedding dim $dim: " +
+      "circular shifts would repeat and replicas would collide in cosine space")
     (0 until k).map { i =>
       val s = (i * dim / math.max(k, 1)) % dim
       val shifted =

@@ -32,7 +32,12 @@ object Analytics {
     * exact distinct counts (sub-aggregated in the same pass) plus
     * `within_bound = |approx − exact| ≤ 3·rsd·exact` as 0/1. The oracle is
     * the exact counts with a literal 1 — any sketch drifting past 3σ of
-    * its configured rsd (0.05) turns the row red under the hash gate. */
+    * its configured rsd (0.05) turns the row red under the hash gate.
+    * Note the exact sub-aggregation exists FOR the gate (the same
+    * pattern as StreamGate's s8 verdict): the production 100 TB path is
+    * the bare `approx_count_distinct` call alone — one pass, mergeable,
+    * no Expand — and this query's bench time measures sketch + gate
+    * twin, not the sketch path by itself. */
   def q9bApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val rsd = 0.05
     def withinBound(approx: String, exact: String) =

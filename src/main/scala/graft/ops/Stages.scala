@@ -26,8 +26,10 @@ import scala.collection.concurrent.TrieMap
   *    env var) to a writable directory and each stage is written once as
   *    a parquet table and re-read by every consumer — the
   *    durable parquet-between-phases shape the same pipeline has at
-  *    100 TB (survives executor loss, holds no block-manager memory,
-  *    shareable across sessions pointing at the same dir).
+  *    100 TB (survives executor loss, holds no block-manager memory).
+  *    The root is per-RUN scratch space, not a cross-session cache:
+  *    every session rewrites its stages (mode overwrite), so two LIVE
+  *    sessions must not share one root — give each its own.
   *
   * The cached frames are the BOUNDED artifacts of the pipeline — pair
   * lists capped upstream by df caps/banding and the label table (one row
@@ -43,11 +45,14 @@ object Stages {
   private val centCache = TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
 
   /** The parquet-stage root, if configured: runtime conf first (testable
-    * per session), env var as the deployment default. */
+    * per session; an EMPTY conf value explicitly forces localCheckpoint
+    * even when the env var is exported — tests of the default mode rely
+    * on that), env var as the deployment default. */
   private def stageRoot(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.stageDir")
-      .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
-      .filter(_.nonEmpty)
+    spark.conf.getOption("spark.graft.stageDir") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_STAGE_DIR").filter(_.nonEmpty)
+    }
 
   /** Builds are serialized: TrieMap.getOrElseUpdate may evaluate the
     * by-name op in two racing threads and discard one result — harmless
@@ -60,9 +65,13 @@ object Stages {
     cache.get((spark, dir, name)).getOrElse(synchronized {
       cache.getOrElseUpdate((spark, dir, name), stageRoot(spark) match {
         case Some(root) =>
-          // one subdir per (sfDir, stage): hex of the sfDir path keeps
-          // parallel scale factors from colliding under one root
-          val tag = java.lang.Integer.toHexString(dir.hashCode)
+          // one subdir per (sfDir, stage): the sanitized path plus its
+          // hash keeps parallel scale factors from colliding under one
+          // root (sanitizing alone could map "a/b" and "a_b" together;
+          // a 32-bit hash alone has real collision odds — both must
+          // match to collide)
+          val tag = dir.replaceAll("[^A-Za-z0-9.-]", "_").takeRight(48) +
+            "_" + java.lang.Integer.toHexString(dir.hashCode)
           val path = s"$root/stage_${tag}_$name"
           build.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)

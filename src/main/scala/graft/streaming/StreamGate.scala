@@ -29,12 +29,14 @@ object StreamGate {
   /** Micro-batches per gate run: >1 so state survives batch boundaries. */
   private val gateBatches = 4
 
-  /** Shuffle partitions for the gate's streaming run. Stateful operators
-    * open one state store per shuffle partition per micro-batch, so a
-    * 32-partition bench session pays 32 RocksDB instances × batch for a
-    * verify-scale feed — harness overhead, not operator cost. Results are
-    * partition-invariant (DeterminismSpec sweeps the gates at 1/3/17). */
-  private val gatePartitions = "4"
+  /** Shuffle-partition cap for the gate's streaming run. Stateful
+    * operators open one state store per shuffle partition per
+    * micro-batch, so a 32-partition bench session pays 32 RocksDB
+    * instances × batch for a verify-scale feed — harness overhead, not
+    * operator cost. A CAP, not a pin: a session already below it (e.g.
+    * DeterminismSpec's 1/3/17 sweep) keeps its own setting, so the sweep
+    * still varies the stateful fold's partitioning. */
+  private val gatePartitionCap = 4
 
   private def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
     val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -46,11 +48,13 @@ object StreamGate {
     }
   }
 
-  private def withRocksDB[T](spark: SparkSession)(body: => T): T =
+  private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
     withConf(spark,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.shuffle.partitions" -> gatePartitions)(body)
+      "spark.sql.shuffle.partitions" -> math.min(current, gatePartitionCap).toString)(body)
+  }
 
   /** s9 gate: the temporal as-of stream ([[Streams.temporalAsofStream]],
     * transformWithState one-register-per-key) over the sf event log, fed
@@ -73,10 +77,22 @@ object StreamGate {
       log.grouped(math.max(1, (log.length + gateBatches - 1) / gateBatches))
         .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
     } finally q.stop()
-    spark.table(name)
+    val sink = detachSink(spark, name)
+    sink
       .select(col("eventId").as("event_id"), col("userId").as("user_id"),
         col("priorViewId").as("prior_view_id"))
       .orderBy("event_id")
+  }
+
+  /** Materialize a memory-sink table and drop its temp view: repeated
+    * gate runs in one session (determinism sweeps, bench + verify) must
+    * not accumulate driver-held sink tables for the session lifetime.
+    * The checkpointed blocks are reclaimed by the ContextCleaner once
+    * the returned frame is dropped. */
+  private def detachSink(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** s8 gate: the continuous-ingest novelty screen
@@ -110,7 +126,7 @@ object StreamGate {
     // per session across x36 and this gate)
     val exact = graft.ops.Stages.x36Hits(spark, dir)
       .select(col("doc_id"), col("n_keys"), col("n_hit"))
-    val streamed = spark.table(name)
+    val streamed = detachSink(spark, name)
       .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
     streamed.join(exact, Seq("doc_id"))
       .select(col("doc_id"), col("n_keys"), col("n_hit"),

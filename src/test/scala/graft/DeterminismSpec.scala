@@ -42,6 +42,9 @@ class DeterminismSpec extends SparkTestBase {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {
+      // empty conf value = explicit localCheckpoint override, so this leg
+      // tests the default mode even on hosts exporting SPARK_GRAFT_STAGE_DIR
+      s.conf.set("spark.graft.stageDir", "")
       graft.ops.Stages.clear()
       val local = consumers.map(n => SparkEntry.queries(n)(s, sf0001).collect().map(_.toString).toSeq)
       s.conf.set("spark.graft.stageDir", tmp)
