@@ -48,8 +48,18 @@ object Bench {
     // SPARK_GRAFT_BENCH_ORDER=random (+ optional SPARK_GRAFT_BENCH_SEED)
     // to shuffle it — separates real per-query cost from position
     // effects (session aging, host contention) in A/B readings
+    // SPARK_GRAFT_BENCH_ONLY=q1,s8,... isolates queries (the honest way
+    // to time one line, per the README position-noise note)
     val ordered = {
-      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      val sorted = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(csv) =>
+          val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = want -- all.map(_._1).toSet
+          require(unknown.isEmpty, s"unknown SPARK_GRAFT_BENCH_ONLY keys: $unknown")
+          all.filter { case (n, _) => want(n) }
+        case None => all
+      }
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("random")) {
         val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
         new scala.util.Random(seed).shuffle(sorted)

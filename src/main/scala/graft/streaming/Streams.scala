@@ -308,10 +308,16 @@ object Streams {
   def noveltyStream(spark: SparkSession, docs: DataFrame, indexDocs: DataFrame,
       fpp: Double = 0.001): DataFrame = {
     val grams3 = graft.ops.PipelineOps.gramHashes(3)
+    // NOT distinct'd: a bloom is a set, and the only consumer of the
+    // cardinality is expectedNumItems sizing, where the raw occurrence
+    // count is a safe upper bound (a larger filter strictly LOWERS the
+    // fpp). Skipping distinct removes the one shuffle this build had —
+    // sizing count + bloom aggregation are two shuffle-free passes over
+    // one persisted gram frame.
     val idx = indexDocs
       .select(graft.ops.TextOps.toks(col("text")).as("w"))
-      .select(explode(grams3).as("h")).distinct()
-      .persist() // sizing count + bloom build are two actions over one shuffle
+      .select(explode(grams3).as("h"))
+      .persist()
     val bloom =
       try idx.stat.bloomFilter("h", math.max(idx.count(), 1L), fpp)
       finally idx.unpersist()
