@@ -248,6 +248,32 @@ class AsofPlanSpec extends SparkTestBase {
     assert(got == q16PairsForUser(7L) && got.nonEmpty, s"got $got")
   }
 
+  test("range and IN key predicates mirror too, not just equality") {
+    val base = castKeyAsof(castSide = "right")
+    Seq(
+      col("pu") > 5 && col("pu") <= 9,
+      col("pu").isin(3, 7, 11)
+    ).foreach { pred =>
+      val probed = base.filter(pred)
+      val aj = probed.queryExecution.optimizedPlan
+        .collectFirst { case a: AsofJoinPlan => a }.get
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      assert(aj.left.collectFirst { case f: Filter => f }.isDefined,
+        s"left unpushed for $pred:\n${aj.left}")
+      assert(aj.right.collectFirst { case f: Filter => f }.isDefined,
+        s"right unmirrored for $pred:\n${aj.right}")
+      // row parity against the unpushed composed twin on the same inputs
+      val ev = graft.model.Tables.events(spark, sf0001)
+      val reference = Windows.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("pt")).filter(pred),
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("pu"), col("event_id").as("pt"), col("event_id").as("vt")),
+        "pu", "pt", Seq("vt"))
+      assert(probed.count() == reference.count(), s"row drift for $pred")
+    }
+  }
+
   test("computed LEFT key: right mirror must NOT fire (unsound through a lossy map)") {
     val probed = castKeyAsof(castSide = "left").filter(col("ui") === 7)
     val aj = probed.queryExecution.optimizedPlan
