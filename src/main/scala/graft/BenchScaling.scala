@@ -44,41 +44,53 @@ object BenchScaling {
     // numbers, so per-user as-of/window lineages stay replica-local
     "events" -> Seq("event_id", "user_id"))
 
-  private val audited: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q4_join_shuffle" -> (Relational.q4JoinShuffle _),
-    "q21_local_supplier" -> (Relational.q21LocalSupplier _),
-    "q22_market_share" -> (Relational.q22MarketShare _),
+  /** Lift a factor-blind query into the audit signature. */
+  private def fx(f: (SparkSession, String) => DataFrame): (SparkSession, String, Int) => DataFrame =
+    (s, d, _) => f(s, d)
+
+  private val audited: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
+    "q4_join_shuffle" -> fx(Relational.q4JoinShuffle _),
+    "q21_local_supplier" -> fx(Relational.q21LocalSupplier _),
+    "q22_market_share" -> fx(Relational.q22MarketShare _),
     // the salted skew aggregate: its whole claim is flat hot-key scaling
-    "q23_skew_agg" -> (graft.ops.Skew.q23SkewAgg _),
+    "q23_skew_agg" -> fx(graft.ops.Skew.q23SkewAgg _),
     // the custom operator vs its composed twin, same data, same factor
-    "q16_asof" -> (graft.ops.Windows.q16Asof _),
-    "q16b_asof_native" -> (graft.ops.Windows.q16bAsofNative _),
+    "q16_asof" -> fx(graft.ops.Windows.q16Asof _),
+    "q16b_asof_native" -> fx(graft.ops.Windows.q16bAsofNative _),
     // the dedup/scoring stack (README "Scaling audit", first table) —
     // documents replicate with DISJOINT token namespaces, so per-replica
     // shingle-df distributions are unchanged and replicas never pair
-    "x1_dedup_exact" -> (graft.ops.TextOps.x1DedupExact _),
-    "x2_dedup_near" -> (graft.ops.TextOps.x2DedupNear _),
-    "x13_minhash_lsh" -> (graft.ops.TextOps.x13MinhashLsh _),
-    "x23_simhash_neardup" -> (graft.ops.PipelineOps.x23SimhashNeardup _),
-    "x24_dedup_clusters" -> (graft.ops.PipelineOps.x24DedupClusters _),
-    "x25_boilerplate" -> (graft.ops.PipelineOps.x25Boilerplate _),
-    "x26_winnowing" -> (graft.ops.PipelineOps.x26Winnowing _),
-    "x28_surprisal" -> (graft.ops.PipelineOps.x28Surprisal _),
-    "x36_incremental_dedup" -> (graft.ops.PipelineOps.x36IncrementalDedup _),
+    "x1_dedup_exact" -> fx(graft.ops.TextOps.x1DedupExact _),
+    "x2_dedup_near" -> fx(graft.ops.TextOps.x2DedupNear _),
+    "x13_minhash_lsh" -> fx(graft.ops.TextOps.x13MinhashLsh _),
+    "x23_simhash_neardup" -> fx(graft.ops.PipelineOps.x23SimhashNeardup _),
+    "x24_dedup_clusters" -> fx(graft.ops.PipelineOps.x24DedupClusters _),
+    "x25_boilerplate" -> fx(graft.ops.PipelineOps.x25Boilerplate _),
+    "x26_winnowing" -> fx(graft.ops.PipelineOps.x26Winnowing _),
+    "x28_surprisal" -> fx(graft.ops.PipelineOps.x28Surprisal _),
+    "x36_incremental_dedup" -> fx(graft.ops.PipelineOps.x36IncrementalDedup _),
     // the composed end-to-end pipeline: stages + joins + packing together
-    "x38_pipeline_e2e" -> (graft.ops.PipelineOps.x38PipelineE2e _),
+    "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
     // the vector stack — embeddings replicate with vec_id offsets AND a
     // per-replica circular component shift, so replicas stay disjoint in
     // cosine space (identical copies would pair across replicas and fake
     // a quadratic blow-up the real "more corpus" case doesn't have)
-    "x14_cosine_neardup" -> (graft.ops.VectorOps.x14CosineNeardup _),
-    "x16_ivf_ann" -> (graft.ops.VectorOps.x16IvfAnn _),
-    "x27_semantic_dedup" -> (graft.ops.VectorOps.x27SemanticDedup _))
+    "x14_cosine_neardup" -> fx(graft.ops.VectorOps.x14CosineNeardup _),
+    "x16_ivf_ann" -> fx(graft.ops.VectorOps.x16IvfAnn _),
+    "x27_semantic_dedup" -> fx(graft.ops.VectorOps.x27SemanticDedup _),
+    // the same two operators with the corpus-scale knob APPLIED: k grows
+    // with the replication factor, keeping per-cell occupancy constant —
+    // the measured form of the README's fixed-parameter note (the
+    // registered queries and their oracles stay at the default k)
+    "x16_ivf_ann_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
+      graft.ops.VectorOps.x16IvfAnnK(s, d, graft.ops.VectorOps.x16K * f)),
+    "x27_semantic_dedup_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
+      graft.ops.VectorOps.x27SemanticDedupK(s, d, graft.ops.VectorOps.x16K * f)))
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high
     * factors without the fixed-parameter vector trio. */
-  private def selected: Seq[(String, (SparkSession, String) => DataFrame)] =
+  private def selected: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some(csv) =>
         val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -160,7 +172,7 @@ object BenchScaling {
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        fn(spark, dir, k).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       }
       val qs = times.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")

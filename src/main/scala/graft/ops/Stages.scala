@@ -42,7 +42,7 @@ import scala.collection.concurrent.TrieMap
   */
 object Stages {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private val centCache = TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
+  private val centCache = TrieMap.empty[(SparkSession, String, Int), Seq[(Long, Seq[Long])]]
 
   /** The parquet-stage root, if configured: runtime conf first (testable
     * per session; an EMPTY conf value explicitly forces localCheckpoint
@@ -117,8 +117,9 @@ object Stages {
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per
     * (session, sfDir); consumed by x16's IVF probe and x27's SemDeDup
     * cluster key. */
-  def x16Centroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
-    centCache.getOrElseUpdate((spark, dir), VectorOps.kmeansCentroids(spark, dir))
+  def x16Centroids(spark: SparkSession, dir: String,
+      k: Int = VectorOps.x16K): Seq[(Long, Seq[Long])] =
+    centCache.getOrElseUpdate((spark, dir, k), VectorOps.kmeansCentroids(spark, dir, k))
 
   /** Drop every cached stage (tests that re-run one query under varied
     * configs — e.g. DeterminismSpec's shuffle-partition sweep — must

@@ -123,7 +123,7 @@ object VectorOps {
   /** k-means parameters for x16: k coarse centroids, seeded from the k
     * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
     * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
-  private val x16K = 16
+  private[graft] val x16K = 16
   private val x16Iters = 2
 
   /** Component scale for exact-integer centroid means: components become
@@ -194,10 +194,11 @@ object VectorOps {
     * centroid means. Driver-held k·dim longs (the MLlib shape). Learned
     * once per (session, sfDir) via [[Stages.x16Centroids]]; consumed by
     * x16's IVF probe and x27's SemDeDup cluster key. */
-  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
+      k: Int = x16K): Seq[(Long, Seq[Long])] = {
     import spark.implicits._
     val e = scaledEmb(spark, dir)
-    var cents = e.filter(col("vec_id") < x16K)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("sv"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     for (_ <- 1 to x16Iters) cents = kmeansStep(spark, e, cents)
@@ -207,9 +208,10 @@ object VectorOps {
   /** Every vector's nearest learned centroid: (vec_id, cid). One
     * broadcast-join scan of the cached corpus + the per-vector rank
     * window. */
-  private[graft] def x16Assignment(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def x16Assignment(spark: SparkSession, dir: String,
+      k: Int = x16K): DataFrame =
     simToCents(scaledEmb(spark, dir),
-        centView(spark, Stages.x16Centroids(spark, dir)))
+        centView(spark, Stages.x16Centroids(spark, dir, k)))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
 
@@ -227,9 +229,17 @@ object VectorOps {
     * the final assignment scans the corpus; the probe-side join shape is
     * unchanged. Centroids come from the [[Stages.x16Centroids]] stage,
     * shared with x27. */
-  def x16IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def x16IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    x16IvfAnnK(spark, dir, x16K)
+
+  /** [[x16IvfAnn]] with the coarse-centroid count as a parameter — the
+    * corpus-scale knob (k ∝ N keeps inverted-list occupancy constant).
+    * The registered query and its oracle stay at the default k; the
+    * scaling audit (BenchScaling) drives this with k scaled by the
+    * replication factor to MEASURE the knob's effect. */
+  private[graft] def x16IvfAnnK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
-    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir, k)))
       .withColumn("rn", row_number().over(wAssign))
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2).select(col("cid"))
@@ -342,10 +352,16 @@ object VectorOps {
     * which is the whole point of SemDeDup: N² only within clusters,
     * never across the corpus. The oracle unrolls the identical k-means
     * rounds, so assignment and verdicts are bit-identical. */
-  def x27SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def x27SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    x27SemanticDedupK(spark, dir, x16K)
+
+  /** [[x27SemanticDedup]] with the cluster count as a parameter — the
+    * SemDeDup corpus-scale knob (k ∝ N keeps the within-cluster
+    * all-pairs term bounded). Audit-only at non-default k. */
+  private[graft] def x27SemanticDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
     val j = e.select(col("vec_id"), col("v"), col("nrm"))
-      .join(x16Assignment(spark, dir), "vec_id")
+      .join(x16Assignment(spark, dir, k), "vec_id")
     val a = j.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"), col("cid"))
     val b = j.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"), col("cid"))
     val dropped = a.join(b, "cid")
