@@ -85,7 +85,11 @@ object BenchScaling {
     "x16_ivf_ann_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.VectorOps.x16IvfAnnK(s, d, graft.ops.VectorOps.x16K * f)),
     "x27_semantic_dedup_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
-      graft.ops.VectorOps.x27SemanticDedupK(s, d, graft.ops.VectorOps.x16K * f)))
+      graft.ops.VectorOps.x27SemanticDedupK(s, d, graft.ops.VectorOps.x16K * f)),
+    // bits-per-band grows log2(factor): constant expected bucket occupancy
+    "x14_cosine_neardup_scaledbits" -> ((s: SparkSession, d: String, f: Int) =>
+      graft.ops.VectorOps.x14CosineNeardupB(s, d,
+        5 + (31 - Integer.numberOfLeadingZeros(math.max(f, 1))))))
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

@@ -261,9 +261,11 @@ object VectorOps {
   private val x14Bands = 4
   private val x14Bits = 5
 
-  private def bandBucket(v: Column, b: Int): Column =
-    (0 until x14Bits).map { j =>
-      when(element_at(v, x14Bits * b + j + 1) >= 0, lit(1L << j)).otherwise(0L)
+  private def bandBucket(v: Column, b: Int): Column = bandBucketN(v, b, x14Bits)
+
+  private def bandBucketN(v: Column, b: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(v, bits * b + j + 1) >= 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
   private def bandBucketSql(v: String, b: Int): String =
@@ -292,11 +294,22 @@ object VectorOps {
     * shuffle-partitionable. The previous all-pairs form (O(n²) nested
     * loop, 28% of the round-1 bench) is retained only as the small-N
     * recall oracle in OpsSpec. */
-  def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def x14CosineNeardup(spark: SparkSession, dir: String): DataFrame =
+    x14CosineNeardupB(spark, dir, x14Bits)
+
+  /** [[x14CosineNeardup]] with bits-per-band as a parameter — the
+    * corpus-scale knob (bits ∝ log N keeps expected bucket occupancy
+    * constant; production pairs it with more bands to hold per-band
+    * recall). The registered query and its oracle stay at the default
+    * bits; the scaling audit drives this with bits = 5 + log2(factor)
+    * to MEASURE the knob. */
+  private[graft] def x14CosineNeardupB(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    require(bits * x14Bands <= 64, s"$x14Bands bands x $bits bits exceeds the 64-dim corpus")
     val keyed = embeddings(spark, dir)
       .select(col("vec_id"), explode(array(
         (0 until x14Bands).map(b =>
-          struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("h"))): _*)).as("k"))
+          struct(lit(b).as("band"), bandBucketN(col("embedding"), b, bits).as("h"))): _*)).as("k"))
       .select(col("vec_id"), col("k.band").as("band"), col("k.h").as("h"))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
