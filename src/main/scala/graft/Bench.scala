@@ -79,7 +79,10 @@ object Bench {
     val qs = results.map { case (k, v) => Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
+    // a filtered run must not masquerade as a full-surface total
+    val metric =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "partial_total" else "total"
+    println(s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

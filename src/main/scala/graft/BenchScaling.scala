@@ -28,8 +28,10 @@ object BenchScaling {
     * check for the linear core; the fixed-parameter vector trio is meant
     * for the default 1/2/4 run, see README). */
   private val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
-    .map(_.split(",").toSeq.map(_.trim.toInt))
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
     .getOrElse(Seq(1, 2, 4))
+  require(factors.nonEmpty && factors.forall(_ >= 1),
+    s"SPARK_GRAFT_SCALE_FACTORS must be positive integers, got $factors")
   private val keyOffset = 100000000L // far above any sf0.1 key
 
   private val keyedTables: Seq[(String, Seq[String])] = Seq(
@@ -81,11 +83,16 @@ object BenchScaling {
     // the same two operators with the corpus-scale knob APPLIED: k grows
     // with the replication factor, keeping per-cell occupancy constant —
     // the measured form of the README's fixed-parameter note (the
-    // registered queries and their oracles stay at the default k)
+    // registered queries and their oracles stay at the default k).
+    // k·f + 1, NOT k·f: at factor 1 the latter equals the default k and
+    // the centroid-stage cache (filled by the fixed-k entry above) would
+    // silently serve the 1× leg its centroids — a baseline that skips
+    // the k-means learning every higher factor pays. The +1 key makes
+    // every scaled-k leg learn fresh, so ratios compare like with like.
     "x16_ivf_ann_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
-      graft.ops.VectorOps.x16IvfAnnK(s, d, graft.ops.VectorOps.x16K * f)),
+      graft.ops.VectorOps.x16IvfAnnK(s, d, graft.ops.VectorOps.x16K * f + 1)),
     "x27_semantic_dedup_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
-      graft.ops.VectorOps.x27SemanticDedupK(s, d, graft.ops.VectorOps.x16K * f)),
+      graft.ops.VectorOps.x27SemanticDedupK(s, d, graft.ops.VectorOps.x16K * f + 1)),
     // bits-per-band grows log2(factor): constant expected bucket occupancy
     "x14_cosine_neardup_scaledbits" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.VectorOps.x14CosineNeardupB(s, d,

@@ -73,15 +73,30 @@ object StreamGate {
     val ms = MemoryStream[ProbeEvent]
     val q = Streams.temporalAsofStream(ms.toDS())
       .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
+    feedThenStop(spark, name, q) {
       log.grouped(math.max(1, (log.length + gateBatches - 1) / gateBatches))
         .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-    } finally q.stop()
+    }
     val sink = detachSink(spark, name)
     sink
       .select(col("eventId").as("event_id"), col("userId").as("user_id"),
         col("priorViewId").as("prior_view_id"))
       .orderBy("event_id")
+  }
+
+  /** Run the feed, then stop the query; if the feed FAILS, also drop the
+    * sink temp view before rethrowing — a failed gate run must not leak
+    * its driver-held sink table any more than a successful one. */
+  private def feedThenStop(spark: SparkSession, name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery)(feed: => Unit): Unit = {
+    var ok = false
+    try { feed; ok = true }
+    finally {
+      try q.stop()
+      finally if (!ok) {
+        try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** Materialize a memory-sink table and drop its temp view: repeated
@@ -117,10 +132,10 @@ object StreamGate {
     val ms = MemoryStream[(Long, String)]
     val q = Streams.noveltyStream(spark, ms.toDF().toDF("doc_id", "text"), indexDocs)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
+    feedThenStop(spark, name, q) {
       arrivals.grouped(math.max(1, (arrivals.length + gateBatches - 1) / gateBatches))
         .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-    } finally q.stop()
+    }
     // exact twin of the probe: x36's hit counts, read from the shared
     // stage (identical 90/10 split and gram keys — the lineage runs once
     // per session across x36 and this gate)

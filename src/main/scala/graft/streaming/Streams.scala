@@ -308,19 +308,23 @@ object Streams {
   def noveltyStream(spark: SparkSession, docs: DataFrame, indexDocs: DataFrame,
       fpp: Double = 0.001): DataFrame = {
     val grams3 = graft.ops.PipelineOps.gramHashes(3)
-    // NOT distinct'd: a bloom is a set, and the only consumer of the
-    // cardinality is expectedNumItems sizing, where the raw occurrence
-    // count is a safe upper bound (a larger filter strictly LOWERS the
-    // fpp). Skipping distinct removes the one shuffle this build had —
-    // sizing count + bloom aggregation are two shuffle-free passes over
-    // one persisted gram frame.
+    // NOT distinct'd: a bloom is a set, so deduplicating its input only
+    // mattered for expectedNumItems sizing. Sizing now comes from a
+    // single-row approx_count_distinct over the same frame (+20%
+    // headroom, 4× the sketch's rsd) — near-distinct bits on repetitive
+    // corpora where the raw occurrence count would inflate the broadcast
+    // filter, and still no shuffle anywhere in the build: the sizing
+    // aggregate and the bloom aggregation are two shuffle-free passes
+    // over one persisted gram frame.
     val idx = indexDocs
       .select(graft.ops.TextOps.toks(col("text")).as("w"))
       .select(explode(grams3).as("h"))
       .persist()
     val bloom =
-      try idx.stat.bloomFilter("h", math.max(idx.count(), 1L), fpp)
-      finally idx.unpersist()
+      try {
+        val n = idx.agg(approx_count_distinct(col("h"), 0.05)).collect()(0).getLong(0)
+        idx.stat.bloomFilter("h", math.max(n + n / 5, 1L), fpp)
+      } finally idx.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)
     docs
