@@ -237,7 +237,7 @@ object VectorOps {
     * The registered query and its oracle stay at the default k; the
     * scaling audit (BenchScaling) drives this with k scaled by the
     * replication factor to MEASURE the knob's effect. */
-  private[graft] def x16IvfAnnK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def x16IvfAnnK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
     val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir, k)))
       .withColumn("rn", row_number().over(wAssign))
@@ -303,7 +303,7 @@ object VectorOps {
     * recall). The registered query and its oracle stay at the default
     * bits; the scaling audit drives this with bits = 5 + log2(factor)
     * to MEASURE the knob. */
-  private[graft] def x14CosineNeardupB(spark: SparkSession, dir: String,
+  def x14CosineNeardupB(spark: SparkSession, dir: String,
       bits: Int): DataFrame = {
     require(bits * x14Bands <= 64, s"$x14Bands bands x $bits bits exceeds the 64-dim corpus")
     val keyed = embeddings(spark, dir)
@@ -370,8 +370,8 @@ object VectorOps {
 
   /** [[x27SemanticDedup]] with the cluster count as a parameter — the
     * SemDeDup corpus-scale knob (k ∝ N keeps the within-cluster
-    * all-pairs term bounded). Audit-only at non-default k. */
-  private[graft] def x27SemanticDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    * all-pairs term bounded). */
+  def x27SemanticDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
     val j = e.select(col("vec_id"), col("v"), col("nrm"))
       .join(x16Assignment(spark, dir, k), "vec_id")

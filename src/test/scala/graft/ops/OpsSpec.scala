@@ -114,6 +114,25 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("vector scale knobs: non-default k/bits stay sound") {
+    // x14 with more bits: still a subset of all-pairs with identical scores
+    // (more bits only SHRINKS candidate buckets, never corrupts a verify)
+    val all = VectorOps.x14AllPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    VectorOps.x14CosineNeardupB(spark, sf001, bits = 7).collect().foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(all.get(pair).contains(r.getLong(2)), s"bits=7 fabricated pair $pair")
+    }
+    // x16 with a different k: still top-5, self excluded, scores in range
+    val knn = VectorOps.x16IvfAnnK(spark, sf001, k = 8).collect()
+    assert(knn.length == 5 && knn.forall(r => r.getLong(0) != 0L))
+    assert(knn.forall(r => math.abs(r.getLong(2)) <= 10000L))
+    // x27 with a different k: one verdict per vector, kept in {0,1}
+    val sem = VectorOps.x27SemanticDedupK(spark, sf001, k = 8).collect()
+    assert(sem.length == graft.model.Tables.table(spark, sf001, "embeddings").count())
+    assert(sem.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
+  }
+
   test("x14: candidate generation is equi-join blocked (no nested-loop/cartesian)") {
     val plan = VectorOps.x14CosineNeardup(spark, sf0001)
       .queryExecution.executedPlan.toString
