@@ -51,6 +51,42 @@ object Sources {
     (if (schema != null) r.schema(schema) else r).json(path)
   }
 
+  /** The JSONL document-corpus schema ([[jsonlDocuments]]); `lang`,
+    * `source`, `label` are optional in the wire format (absent → null). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("label", LongType, nullable = true)))
+
+  /** JSONL document corpus reader — the de-facto interchange format for
+    * training-data pipelines. The schema is ENFORCED, never inferred
+    * (inference is one extra full pass over the corpus and a contract
+    * that silently drifts with the data), and malformed lines are
+    * QUARANTINED into a `_corrupt_record` column rather than failing the
+    * job (FAILFAST: one bad line kills a 100 TB ingest) or vanishing
+    * (DROPMALFORMED: silent data loss). Split the result with
+    * [[splitCorrupt]] and route the bad rows to a quarantine sink. */
+  def jsonlDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** (good rows without the quarantine column, corrupt raw lines).
+    * Caches the parse first — Spark refuses filters that reference only
+    * the internal corrupt-record column on an uncached frame, and the
+    * two halves would otherwise re-read the corpus once each. Callers
+    * unpersist via the returned frames when done. */
+  def splitCorrupt(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val cached = parsed.cache()
+    val good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = cached.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record"))
+    (good, bad)
+  }
+
   /** JDBC WAL table — the direct analog of the reference's source. Pass
     * predicates/partitioning options for parallel reads (numPartitions +
     * partitionColumn=id bounds the per-task slice of the log). */
@@ -120,6 +156,19 @@ object Sources {
     fs.delete(old, true)
     nFiles
   }
+
+  /** Packed-shard sink, aligned with the x31 packing / x37 manifest
+    * layout: one directory per writer (low cardinality — the parallelism
+    * knob), rows sorted by (shard_id, doc_id) within each writer's files
+    * so the manifest's `first_doc_id` seek key doubles as the parquet
+    * min/max prune key. One shuffle (co-locate each writer), then a
+    * partition-local sort — no global ordering, which a 1000-writer
+    * layout neither needs nor could afford. */
+  def writePackedShards(packed: DataFrame, path: String): Unit =
+    packed
+      .repartition(col("writer"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("writer").parquet(path)
 
   /** Bucketed table sink: pre-shuffles on the bucket key once at write
     * time, so every later equi-join/agg on that key runs shuffle-free.

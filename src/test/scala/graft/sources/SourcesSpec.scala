@@ -24,6 +24,46 @@ class SourcesSpec extends SparkTestBase {
     assert(backCsv.schema.fieldNames.toSeq == Seq("id", "entityId", "operation", "payload"))
   }
 
+  test("jsonlDocuments enforces schema and quarantines malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("part0.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "label": 0}
+        |{"doc_id": 2, "text": "gamma"}
+        |{not valid json at all
+        |{"doc_id": 4, "text": "delta", "label": 7}
+        |""".stripMargin)
+    val (good, bad) = Sources.splitCorrupt(
+      Sources.jsonlDocuments(spark, dir.toString))
+    assert(good.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "label"), "schema must be the contract")
+    val rows = good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "alpha beta", 2L -> "gamma", 4L -> "delta"))
+    // optional fields absent on the wire come back null, not dropped rows
+    assert(good.filter(col("doc_id") === 2 && col("lang").isNull).count() == 1)
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined(0).startsWith("{not valid"),
+      s"malformed line must be quarantined verbatim: ${quarantined.toSeq}")
+    good.unpersist()
+  }
+
+  test("writePackedShards lays out one directory per writer, shard-sorted") {
+    val packed = graft.ops.PipelineOps.x31Packing(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sources.writePackedShards(packed, out)
+    val writerDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("writer=")).map(_.getName).sorted
+    assert(writerDirs.nonEmpty, s"no writer partition dirs under $out")
+    val back = spark.read.parquet(out)
+    assert(back.count() == packed.count(), "shard write must be lossless")
+    // within one writer's single sorted file, shard_id/doc_id order holds
+    val w = writerDirs.head.stripPrefix("writer=")
+    val one = spark.read.parquet(s"$out/${writerDirs.head}")
+      .select(col("shard_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.sameElements(one.sortBy(identity)),
+      s"writer=$w rows must be (shard_id, doc_id)-sorted for min/max pruning")
+  }
+
   test("writePartitioned produces partition-pruned scans") {
     val tmp = Files.createTempDirectory("graft-part").toString
     val ev = graft.model.Tables.events(spark, sf0001)
