@@ -111,6 +111,22 @@ object Sources {
       .as[WalRecord]
   }
 
+  /** File-arrival document stream (JSONL by default): new corpus files
+    * dropped into `path` flow through the pipeline's stateless screens —
+    * the production feed for the S8 novelty stream
+    * (graft.streaming.Streams.noveltyStream) whose driver gate uses a
+    * MemoryStream stand-in. Schema enforced for the same reasons as
+    * [[jsonlDocuments]]; corrupt lines arrive null-columned here
+    * (streaming sources cannot carry the quarantine column — route
+    * suspect rows by `isnull(text)` in the first select). */
+  def documentsFileStream(spark: SparkSession, path: String,
+      format: String = "json", maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format)
+      .load(path)
+
   // ---- sinks ----
 
   /** Partitioned parquet sink. `partitionBy` should be low-cardinality

@@ -64,6 +64,32 @@ class SourcesSpec extends SparkTestBase {
       s"writer=$w rows must be (shard_id, doc_id)-sorted for min/max pruning")
   }
 
+  test("documentsFileStream drives the S8 novelty screen off dropped files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    val index = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // one arrival echoing an indexed doc, one fresh — the screen must
+    // separate them exactly like the MemoryStream golden test
+    val echoed = index.orderBy("doc_id").limit(1).collect()(0)
+    java.nio.file.Files.writeString(dir.resolve("arrivals.jsonl"),
+      s"""{"doc_id": 900001, "text": ${graft.util.Json.quote(echoed.getString(1))}}
+         |{"doc_id": 900002, "text": "wholly novel tokens zq1 zq2 zq3 zq4 zq5 zq6"}
+         |""".stripMargin)
+    val stream = graft.streaming.Streams.noveltyStream(
+      spark, Sources.documentsFileStream(spark, dir.toString), index)
+    val q = stream.writeStream.format("memory").queryName("docstream_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("docstream_gate").collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("is_novel")).toMap
+      assert(got == Map(900001L -> 0L, 900002L -> 1L), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("docstream_gate")
+    }
+  }
+
   test("writePartitioned produces partition-pruned scans") {
     val tmp = Files.createTempDirectory("graft-part").toString
     val ev = graft.model.Tables.events(spark, sf0001)
