@@ -78,8 +78,11 @@ object Sources {
   /** (good rows without the quarantine column, corrupt raw lines).
     * Caches the parse first — Spark refuses filters that reference only
     * the internal corrupt-record column on an uncached frame, and the
-    * two halves would otherwise re-read the corpus once each. Callers
-    * unpersist via the returned frames when done. */
+    * two halves would otherwise re-read the corpus once each. When done,
+    * unpersist the INPUT frame (the one passed in): it owns the cached
+    * plan — `unpersist` on the returned halves is a no-op, since they
+    * are Filter/Project wrappers whose plans never `sameResult` the
+    * cached one. */
   def splitCorrupt(parsed: DataFrame): (DataFrame, DataFrame) = {
     val cached = parsed.cache()
     val good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
@@ -131,11 +134,18 @@ object Sources {
 
   /** Partitioned parquet sink. `partitionBy` should be low-cardinality
     * (date, type); sorting within partitions improves scan locality and
-    * min/max pruning on the sort key. */
+    * min/max pruning on the sort key. The sort is PREFIXED with the
+    * partition columns: the partitioned-write planner requires the child
+    * ordering to start with them and otherwise inserts its own
+    * Sort(partitionCols), under which the caller's sort is optimized
+    * away (EliminateSorts) — the data would land unsorted while the code
+    * read as if it weren't. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
     val sorted =
-      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
     sorted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
@@ -181,10 +191,8 @@ object Sources {
     * partition-local sort — no global ordering, which a 1000-writer
     * layout neither needs nor could afford. */
   def writePackedShards(packed: DataFrame, path: String): Unit =
-    packed
-      .repartition(col("writer"))
-      .sortWithinPartitions(col("shard_id"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("writer").parquet(path)
+    writePartitioned(packed.repartition(col("writer")), path,
+      Seq("writer"), Seq("shard_id", "doc_id"))
 
   /** Bucketed table sink: pre-shuffles on the bucket key once at write
     * time, so every later equi-join/agg on that key runs shuffle-free.

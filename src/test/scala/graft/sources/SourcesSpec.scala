@@ -25,15 +25,15 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("jsonlDocuments enforces schema and quarantines malformed lines") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
-    java.nio.file.Files.writeString(dir.resolve("part0.jsonl"),
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("part0.jsonl"),
       """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "label": 0}
         |{"doc_id": 2, "text": "gamma"}
         |{not valid json at all
         |{"doc_id": 4, "text": "delta", "label": 7}
         |""".stripMargin)
-    val (good, bad) = Sources.splitCorrupt(
-      Sources.jsonlDocuments(spark, dir.toString))
+    val parsed = Sources.jsonlDocuments(spark, dir.toString)
+    val (good, bad) = Sources.splitCorrupt(parsed)
     assert(good.columns.toSeq ==
       Seq("doc_id", "text", "lang", "source", "label"), "schema must be the contract")
     val rows = good.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -43,12 +43,15 @@ class SourcesSpec extends SparkTestBase {
     val quarantined = bad.collect().map(_.getString(0))
     assert(quarantined.length == 1 && quarantined(0).startsWith("{not valid"),
       s"malformed line must be quarantined verbatim: ${quarantined.toSeq}")
-    good.unpersist()
+    parsed.unpersist()
   }
 
   test("writePackedShards lays out one directory per writer, shard-sorted") {
-    val packed = graft.ops.PipelineOps.x31Packing(spark, "/root/testdata/sf0.001")
-    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // scrambled, multi-partition input: the sink's OWN sort must
+    // establish the (shard_id, doc_id) layout, not a lucky upstream order
+    val packed = graft.ops.PipelineOps.x31Packing(spark, sf0001)
+      .orderBy(col("doc_id").desc).repartition(5)
+    val out = Files.createTempDirectory("graft-shards").toString
     Sources.writePackedShards(packed, out)
     val writerDirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("writer=")).map(_.getName).sorted
@@ -65,13 +68,13 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("documentsFileStream drives the S8 novelty screen off dropped files") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
-    val index = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-docstream")
+    val index = graft.model.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))
     // one arrival echoing an indexed doc, one fresh — the screen must
     // separate them exactly like the MemoryStream golden test
     val echoed = index.orderBy("doc_id").limit(1).collect()(0)
-    java.nio.file.Files.writeString(dir.resolve("arrivals.jsonl"),
+    Files.writeString(dir.resolve("arrivals.jsonl"),
       s"""{"doc_id": 900001, "text": ${graft.util.Json.quote(echoed.getString(1))}}
          |{"doc_id": 900002, "text": "wholly novel tokens zq1 zq2 zq3 zq4 zq5 zq6"}
          |""".stripMargin)
