@@ -56,6 +56,15 @@ object BenchScaling {
     "q22_market_share" -> fx(Relational.q22MarketShare _),
     // the salted skew aggregate: its whole claim is flat hot-key scaling
     "q23_skew_agg" -> fx(graft.ops.Skew.q23SkewAgg _),
+    // join-side skew (q24): replicas CONCENTRATE the hot key — the key
+    // offset is ≡0 (mod 4), so every replica's quarter re-points at order
+    // 1 and the hot fan-in grows ×factor while cold fan-out stays flat.
+    // All three twins pin the bulk join to shuffled merge (Skew scaladoc);
+    // naive should bend with the factor, salted/split should track the
+    // linear core
+    "q24_naive_join" -> fx(graft.ops.Skew.q24NaiveAudit _),
+    "q24_salted_join" -> fx(graft.ops.Skew.q24SaltedAudit _),
+    "q24_split_join" -> fx(graft.ops.Skew.q24SplitAudit _),
     // the custom operator vs its composed twin, same data, same factor
     "q16_asof" -> fx(graft.ops.Windows.q16Asof _),
     "q16b_asof_native" -> fx(graft.ops.Windows.q16bAsofNative _),

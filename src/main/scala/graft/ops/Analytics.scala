@@ -108,6 +108,22 @@ object Analytics {
         col("qty_c"), col("n"))
       .orderBy("rf", "ls")
 
+  /** q11c: arbitrary GROUPING SETS — ((rf), (ls), ()): the one grouping
+    * shape rollup/cube can't express (per-flag totals and per-status totals
+    * with no (rf, ls) detail rows). Same single Expand+shuffle pass as
+    * q11/q11b, 3 replicas per input row instead of cube's 4. */
+  def q11cGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
   /** q17: exact interpolated quantiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, both linear interpolation on the sorted set). The
     * approximate path at 100 TB is `approx_percentile` (KLL-like sketch,
@@ -208,6 +224,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q11b_cube" -> q11bCube,
+    "q11c_grouping_sets" -> q11cGroupingSets,
     "q17_quantiles" -> q17Quantiles,
     "q18_stats" -> q18Stats,
     "q18b_corr" -> q18bCorr,
@@ -292,5 +309,10 @@ object Analytics {
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "q11c_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c, count(*) AS n
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rf, ls""".stripMargin)
 }

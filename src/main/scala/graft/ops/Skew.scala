@@ -55,13 +55,138 @@ object Skew {
       saltFrom = Some(col("l_orderkey")))
       .orderBy("k")
 
+  // ---- join-side skew -----------------------------------------------------
+
+  /** Salted inner equi-join: spread a hot LEFT key across `buckets` reducer
+    * tasks by salting the left side and replicating the ENTIRE right side
+    * once per salt value. Exact for inner equi-joins: every (l, r) match
+    * pair meets exactly once, under l's salt. Use when hot keys are unknown
+    * or carry many right rows; the price is a `buckets`× shuffle of the
+    * right side, so prefer [[splitSkewJoin]] when the hot slice of the
+    * right side is small enough to broadcast.
+    *
+    * Same retry-safety rule as [[saltedSumCount]]: the left salt must be
+    * deterministic per row (`saltFrom`), never `rand()`. */
+  def saltedEquiJoin(left: DataFrame, leftKey: Column, right: DataFrame,
+      rightKey: Column, saltFrom: Column, buckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
+  /** Hot-slice split inner equi-join — the shape that survives a 100 TB
+    * shuffled fact⋈fact join with a hot foreign key (the null user, the
+    * default tenant): detect the hot left keys with a map-side-combinable
+    * count, broadcast ONLY the right rows for those keys to the hot left
+    * slice, and shuffle-join the cold remainder as usual. The union is
+    * exactly the plain inner join (hot/cold partition the left rows; the
+    * right filter drops no match for the hot slice).
+    *
+    * Hot detection is exact, not sampled: the per-key count partials
+    * combine map-side, so even the hot key's count costs one row per map
+    * task at the shuffle. The driver collect is bounded by construction —
+    * at most `1/hotShare` keys can exceed `hotShare` of the rows — and the
+    * broadcast right slice is (hot keys × right rows per key), which is
+    * small exactly when this strategy applies; use [[saltedEquiJoin]]
+    * otherwise. AQE's skew-split handles the mild runtime case; this
+    * operator is for the structural hot key you know survives every run.
+    *
+    * Cost accounting: one column-less `count()` (parquet answers it from
+    * footer metadata), one map-side-combined key-count pass, then the two
+    * join branches each scan `left` with the hot-set filter pushed to the
+    * parquet reader. At 100 TB you'd amortize the stats pass into a
+    * persisted key-frequency stage (or a seeded sample) — the join result
+    * is identical for ANY hot set, so detection precision affects only the
+    * plan, never the answer. */
+  def splitSkewJoin(left: DataFrame, leftKeyName: String, right: DataFrame,
+      rightKeyName: String, hotShare: Double = 0.01,
+      shuffleCold: Boolean = false): DataFrame = {
+    require(hotShare > 0 && hotShare < 1, s"hotShare must be in (0,1): $hotShare")
+    val lk = col(leftKeyName)
+    val threshold = left.count() * hotShare
+    val hotKeys = left.groupBy(lk.as("__k")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > threshold)
+      .select(col("__k")).collect().map(_.get(0)).toSeq
+    val cond = lk === col(rightKeyName)
+    // shuffleCold pins the cold branch to a shuffled join (audit use: at
+    // sf-test sizes AQE broadcasts a right side a 100 TB run couldn't)
+    val coldRight = if (shuffleCold) right.hint("merge") else right
+    if (hotKeys.isEmpty) left.join(coldRight, cond)
+    else {
+      val hotRight = right.filter(col(rightKeyName).isin(hotKeys: _*))
+      left.filter(!lk.isin(hotKeys: _*)).join(coldRight, cond)
+        .unionByName(left.filter(lk.isin(hotKeys: _*)).join(broadcast(hotRight), cond))
+    }
+  }
+
+  /** The q24 fact side: lineitem with a synthetic hot foreign key — a
+    * quarter of the fact table re-points at order 1 (the "default tenant"
+    * pattern; the driver data's keys are uniform, so the hot key is
+    * derived). Deterministic, and expressible identically in DuckDB. */
+  def q24Fact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).withColumn("jk",
+      when(col("l_orderkey") % 4 === 0, lit(1L)).otherwise(col("l_orderkey")))
+
+  /** Naive shuffled twin of [[q24SkewJoin]] (audit baseline: one reducer
+    * owns ~25% of the fact rows). Broadcast of the right side is what AQE
+    * would pick at sf-test sizes — and exactly what a 100 TB orders table
+    * forbids — so the audit path disables it via a merge hint. */
+  def q24NaiveJoin(spark: SparkSession, dir: String): DataFrame =
+    q24Agg(q24Fact(spark, dir)
+      .join(Tables.orders(spark, dir).hint("merge"), col("jk") === col("o_orderkey")))
+
+  private def q24Agg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Tables.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy("o_orderpriority")
+
+  /** q24: join-side skew, handled. The hot slice (key 1, ~25% of lineitem)
+    * joins its single order row by broadcast; the cold 75% shuffle-joins
+    * normally. No reducer ever sees the hot key's fan-in. Revenue through
+    * integer cents → partitioning-invariant. */
+  def q24SkewJoin(spark: SparkSession, dir: String): DataFrame =
+    q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk", Tables.orders(spark, dir), "o_orderkey"))
+
+  /** Audit twins (BenchScaling skew leg) — all three pin the bulk join to
+    * a shuffled merge join so the ONLY variable is hot-key handling:
+    * naive = one reducer owns the hot key (the 100 TB straggler; AQE's
+    * skew split stays dormant below its 256 MB partition threshold, which
+    * is exactly the audit regime), salted = replicate-right over 16 salt
+    * buckets, split = hot-slice broadcast + cold shuffle. */
+  def q24NaiveAudit(spark: SparkSession, dir: String): DataFrame =
+    q24NaiveJoin(spark, dir)
+
+  def q24SaltedAudit(spark: SparkSession, dir: String): DataFrame =
+    q24Agg(saltedEquiJoin(
+      q24Fact(spark, dir), col("jk"),
+      Tables.orders(spark, dir).hint("merge"), col("o_orderkey"),
+      saltFrom = xxhash64(col("l_orderkey"), col("l_linenumber"))))
+
+  def q24SplitAudit(spark: SparkSession, dir: String): DataFrame =
+    q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk",
+      Tables.orders(spark, dir), "o_orderkey", shuffleCold = true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_skew_agg" -> q23SkewAgg)
+    "q23_skew_agg" -> q23SkewAgg,
+    "q24_skew_join" -> q24SkewJoin)
 
   val oracle: Map[String, String] = Map(
     "q23_skew_agg" ->
       s"""SELECT l_returnflag AS k,
          |  CAST(sum(${Tables.centsSql("l_quantity")}) AS BIGINT) AS total,
          |  count(*) AS n
-         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin)
+         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
+    "q24_skew_join" ->
+      s"""WITH l AS (
+         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_orderkey END AS jk,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem)
+         |SELECT o_orderpriority, count(*) AS n,
+         |  CAST(sum(${Tables.centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM l JOIN orders ON jk = o_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

@@ -38,6 +38,55 @@ class ScaleSpec extends SparkTestBase {
     assert(q.collect().length == 3, "l_returnflag has 3 keys")
   }
 
+  test("salted equi-join is exact under a hot key") {
+    val s = spark
+    import s.implicits._
+    // 50% of left rows on key 1; right key unique
+    val left = s.range(0, 20000)
+      .select(col("id"), when(col("id") % 2 === 0, 1L).otherwise(col("id")).as("jk"))
+    val right = s.range(0, 20000).select(col("id").as("rk"), (col("id") * 3).as("payload"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "rk", "payload").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = norm(left.join(right, col("jk") === col("rk")))
+    val salted = Skew.saltedEquiJoin(left, col("jk"), right, col("rk"),
+      saltFrom = col("id"), buckets = 8)
+    assert(norm(salted) == plain)
+    // the salt must survive into the join keys, not fold away
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from the join plan:\n$plan")
+  }
+
+  test("q24: split skew join equals the naive join; hot slice broadcasts, cold slice shuffles") {
+    val split = Skew.q24SkewJoin(spark, sf0001)
+    val naive = Skew.q24NaiveJoin(spark, sf0001)
+    assert(split.collect().toSeq == naive.collect().toSeq)
+    // at sf-test sizes AQE broadcasts the cold side too (orders fits the
+    // threshold); disable auto-broadcast to see the 100 TB plan, where only
+    // the operator's explicit hot-slice broadcast() hint survives
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val plan = Skew.q24SkewJoin(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hot slice must join by broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold slice must stay a shuffled join:\n$plan")
+      assert(plan.contains("Union"), s"expected hot/cold union:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("split skew join with no hot key degrades to the plain join") {
+    val s = spark
+    import s.implicits._
+    val left = s.range(0, 1000).select(col("id"), (col("id") % 200).as("jk"))
+    val right = s.range(0, 200).select(col("id").as("rk"))
+    val out = Skew.splitSkewJoin(left, "jk", right, "rk", hotShare = 0.05)
+    assert(out.count() == 1000)
+    assert(!out.queryExecution.executedPlan.toString.contains("Union"),
+      "uniform keys must not produce a hot/cold split")
+  }
+
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
