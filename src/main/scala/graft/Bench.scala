@@ -99,10 +99,15 @@ object Bench {
     val qs = results.map { case (k, v) => Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // a filtered run must not masquerade as a full-surface total
+    // a filtered run must not masquerade as a full-surface total, and a
+    // warm-median run (REPEAT>=2, see caveat above) must not masquerade
+    // as a cold single-run total
     val metric =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "partial_total" else "total"
-    println(s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "partial_total"
+      else if (repeat > 1) "warm_total"
+      else "total"
+    val repeatField = if (repeat > 1) s""","repeat":$repeat""" else ""
+    println(s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}$repeatField}""")
     spark.stop()
   }
 }

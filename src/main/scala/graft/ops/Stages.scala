@@ -41,8 +41,45 @@ import scala.collection.concurrent.TrieMap
   * a checkpoint preserves partition layout, not a contract.
   */
 object Stages {
-  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // key: (session, sfDir, stage name, resolved stage root) — the root is
+  // part of the key so toggling spark.graft.stageDir mid-session builds
+  // the new mode's stage instead of silently serving the old mode's
+  private val cache = TrieMap.empty[(SparkSession, String, String, Option[String]), DataFrame]
   private val centCache = TrieMap.empty[(SparkSession, String, Int), Seq[(Long, Seq[Long])]]
+
+  /** Contexts that already carry the eviction listener. */
+  private val hooked = TrieMap.empty[org.apache.spark.SparkContext, Unit]
+
+  /** Drop every entry owned by `sc` — wired to onApplicationEnd below, so
+    * a long-lived JVM cycling applications (a notebook server, a test
+    * runner) can't accumulate entries whose localCheckpoint blocks are
+    * already dead with their executors. No unpersist: the context is
+    * gone, there is nothing to release but the map entries. */
+  private[graft] def evict(sc: org.apache.spark.SparkContext): Unit = {
+    cache.keys.filter(_._1.sparkContext eq sc).foreach(cache.remove)
+    centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
+    hooked.remove(sc)
+  }
+
+  private[graft] def cachedEntryCount: Int = cache.size + centCache.size
+
+  private def hookEviction(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    hooked.getOrElseUpdate(sc, {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(sc)
+      })
+    })
+  }
+
+  /** Entries whose context is already stopped are unreachable garbage
+    * (their blocks died with the executors) — purged on the build slow
+    * path, which is the only place the map grows. */
+  private def purgeStopped(): Unit = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
+  }
 
   /** The parquet-stage root, if configured: runtime conf first (testable
     * per session; an EMPTY conf value explicitly forces localCheckpoint
@@ -61,9 +98,12 @@ object Stages {
     * all stages is fine: builds are rare and heavy, lookups after the
     * first never reach it (fast-path get). */
   private def stage(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    cache.get((spark, dir, name)).getOrElse(synchronized {
-      cache.getOrElseUpdate((spark, dir, name), stageRoot(spark) match {
+      (build: => DataFrame): DataFrame = {
+    val key = (spark, dir, name, stageRoot(spark))
+    cache.get(key).getOrElse(synchronized {
+      purgeStopped()
+      hookEviction(spark)
+      cache.getOrElseUpdate(key, key._4 match {
         case Some(root) =>
           // one subdir per (sfDir, stage): the sanitized path plus its
           // hash keeps parallel scale factors from colliding under one
@@ -78,6 +118,7 @@ object Stages {
         case None => build.localCheckpoint(true)
       })
     })
+  }
 
   /** x2's exact 3-gram-Jaccard near-dup pairs (d1, d2, inter, n1, n2,
     * jac_s4), unsorted. */

@@ -1,20 +1,26 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
 /** Driver-gate harnesses for the two stream-only operators (SURVEY.md
-  * §2.3 s8/s9): each runs the REAL streaming pipeline — MemoryStream
-  * source, the production transform from [[Streams]], memory sink — one
-  * multi-batch pass over the sf tables, then returns the sink as a batch
-  * DataFrame so the driver's DuckDB hash gate finally sees both rows.
-  * The MemoryStream feed is a verify-scale harness (the production
-  * source is a file/Kafka WAL, WalPipeline); the transform under test is
+  * §2.3 s8/s9): each runs the REAL streaming pipeline — file-arrival
+  * source (the production ingress shape), the production transform from
+  * [[Streams]], memory sink — one multi-batch pass over the sf tables,
+  * then returns the sink as a batch DataFrame so the driver's DuckDB
+  * hash gate finally sees both rows. The transform under test is
   * byte-identical to the one StreamsSpec's golden scenarios cover.
+  *
+  * The feed is staged as [[gateBatches]] contiguous chunk files cut by
+  * key RANGE and written by executors — the driver never collects the
+  * corpus (it only renames part files and stamps mod-times so the file
+  * source replays chunks in log order), so the gate has no driver-memory
+  * ceiling: pointed at a larger SF it scales with the cluster, not the
+  * driver heap.
   *
   * Determinism: events are fed in log order split across several
   * micro-batches (so cross-batch state transitions are exercised, not
@@ -28,6 +34,52 @@ object StreamGate {
 
   /** Micro-batches per gate run: >1 so state survives batch boundaries. */
   private val gateBatches = 4
+
+  /** Stage `df` as [[gateBatches]] parquet files in a fresh temp dir, in
+    * `orderCol` order: chunk i holds the i-th contiguous key-range slice
+    * (ranges, not row-number windows — a global row_number would funnel
+    * the corpus through one task), and gets a strictly increasing
+    * mod-time so the file source's oldest-first listing replays the log
+    * in order, one file per micro-batch. Caller must delete the dir. */
+  private def stageFeed(df: DataFrame, orderCol: String): Path = {
+    val dir = Files.createTempDirectory("graft_gate_feed_")
+    val mm = df.agg(min(col(orderCol)), max(col(orderCol))).collect()(0)
+    if (!mm.isNullAt(0)) {
+      val lo = mm.getLong(0)
+      val span = mm.getLong(1) - lo + 1
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      (0 until gateBatches).foreach { i =>
+        val chunk = df.filter(Tables.fdiv(
+          (col(orderCol) - lit(lo)) * lit(gateBatches.toLong), lit(span)) === lit(i.toLong))
+        val out = dir.resolve(s"chunk$i")
+        chunk.coalesce(1).write.mode("overwrite").parquet(out.toString)
+        out.toFile.listFiles().filter(_.getName.startsWith("part-")).zipWithIndex
+          .foreach { case (p, j) =>
+            val dst = dir.resolve(f"b$i%02d_$j.parquet")
+            Files.move(p.toPath, dst)
+            dst.toFile.setLastModified(t0 + i * 60000L)
+          }
+        deleteRecursively(out)
+      }
+    }
+    dir
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(p.toFile)
+  }
+
+  /** One-file-per-trigger parquet stream over a staged feed dir. */
+  private def feedStream(spark: SparkSession, dir: Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
 
   /** Shuffle-partition cap for the gate's streaming run. Stateful
     * operators open one state store per shuffle partition per
@@ -63,25 +115,21 @@ object StreamGate {
     * verbatim — purchases matched to the latest prior same-user view. */
   def s9TemporalAsof(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val log = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .as[(Long, Long, String)].collect()
-      .sortBy(_._1)
-      .map { case (e, u, t) => ProbeEvent(e, u, t) }
-    val name = s"s9_gate_${runId.incrementAndGet()}"
-    val ms = MemoryStream[ProbeEvent]
-    val q = Streams.temporalAsofStream(ms.toDS())
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    feedThenStop(spark, name, q) {
-      log.grouped(math.max(1, (log.length + gateBatches - 1) / gateBatches))
-        .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-    }
-    val sink = detachSink(spark, name)
-    sink
-      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
-        col("priorViewId").as("prior_view_id"))
-      .orderBy("event_id")
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("event_type").as("eventType"))
+    val feedDir = stageFeed(log, "eventId")
+    try {
+      val name = s"s9_gate_${runId.incrementAndGet()}"
+      val q = Streams.temporalAsofStream(
+          feedStream(spark, feedDir, log.schema).as[ProbeEvent])
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+          col("priorViewId").as("prior_view_id"))
+        .orderBy("event_id")
+    } finally deleteRecursively(feedDir)
   }
 
   /** Run the feed, then stop the query; if the feed FAILS, also drop the
@@ -121,28 +169,25 @@ object StreamGate {
     * hit (one-sided error), and its false-positive surplus stayed within
     * max(1, n_keys/20) (20× slack over the configured fpp=1e-3). */
   def s8NoveltyStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L))).collect()(0).getLong(0)
     val indexDocs = d.filter(col("doc_id") <= thr)
     val arrivals = d.filter(col("doc_id") > thr)
-      .as[(Long, String)].collect().sortBy(_._1)
-    val name = s"s8_gate_${runId.incrementAndGet()}"
-    val ms = MemoryStream[(Long, String)]
-    val q = Streams.noveltyStream(spark, ms.toDF().toDF("doc_id", "text"), indexDocs)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    feedThenStop(spark, name, q) {
-      arrivals.grouped(math.max(1, (arrivals.length + gateBatches - 1) / gateBatches))
-        .foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-    }
+    val feedDir = stageFeed(arrivals, "doc_id")
+    val streamed = try {
+      val name = s"s8_gate_${runId.incrementAndGet()}"
+      val q = Streams.noveltyStream(
+          spark, feedStream(spark, feedDir, arrivals.schema), indexDocs)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+        .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
+    } finally deleteRecursively(feedDir)
     // exact twin of the probe: x36's hit counts, read from the shared
     // stage (identical 90/10 split and gram keys — the lineage runs once
     // per session across x36 and this gate)
     val exact = graft.ops.Stages.x36Hits(spark, dir)
       .select(col("doc_id"), col("n_keys"), col("n_hit"))
-    val streamed = detachSink(spark, name)
-      .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
     streamed.join(exact, Seq("doc_id"))
       .select(col("doc_id"), col("n_keys"), col("n_hit"),
         (col("n_keys_s") === col("n_keys")).cast("long").as("keys_match"),

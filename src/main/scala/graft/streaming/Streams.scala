@@ -310,12 +310,16 @@ object Streams {
     val grams3 = graft.ops.PipelineOps.gramHashes(3)
     // NOT distinct'd: a bloom is a set, so deduplicating its input only
     // mattered for expectedNumItems sizing. Sizing now comes from a
-    // single-row approx_count_distinct over the same frame (+20%
-    // headroom, 4× the sketch's rsd) — near-distinct bits on repetitive
-    // corpora where the raw occurrence count would inflate the broadcast
-    // filter, and still no shuffle anywhere in the build: the sizing
-    // aggregate and the bloom aggregation are two shuffle-free passes
-    // over one persisted gram frame.
+    // single-row approx_count_distinct over the same frame (+50%
+    // headroom, 10× the sketch's rsd — a tail-case sketch underestimate
+    // inside that margin cannot undersize the filter; past it the
+    // realized false-positive rate degrades smoothly above `fpp`, which
+    // is therefore a TARGET under sketch-based sizing, not a bound) —
+    // near-distinct bits on repetitive corpora where the raw occurrence
+    // count would inflate the broadcast filter, and still no shuffle
+    // anywhere in the build: the sizing aggregate and the bloom
+    // aggregation are two shuffle-free passes over one persisted gram
+    // frame.
     val idx = indexDocs
       .select(graft.ops.TextOps.toks(col("text")).as("w"))
       .select(explode(grams3).as("h"))
@@ -323,7 +327,12 @@ object Streams {
     val bloom =
       try {
         val n = idx.agg(approx_count_distinct(col("h"), 0.05)).collect()(0).getLong(0)
-        idx.stat.bloomFilter("h", math.max(n + n / 5, 1L), fpp)
+        require(n >= 0, s"negative distinct-gram estimate: $n")
+        val capacity = math.max(n + n / 2, 1L)
+        spark.sparkContext.setJobDescription(
+          s"noveltyStream bloom build: capacity=$capacity fpp=$fpp (est n=$n)")
+        try idx.stat.bloomFilter("h", capacity, fpp)
+        finally spark.sparkContext.setJobDescription(null)
       } finally idx.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)

@@ -1,0 +1,48 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Stage-cache lifecycle: mode-aware keys and context eviction. */
+class StagesSpec extends SparkTestBase {
+
+  test("toggling the stage mode mid-session serves the new mode without clear()") {
+    Stages.clear()
+    val modeKey = "spark.graft.stageDir"
+    val prev = spark.conf.getOption(modeKey)
+    try {
+      spark.conf.set(modeKey, "") // explicit localCheckpoint mode
+      val mem = Stages.x9Scores(spark, sf0001)
+      assert(mem.queryExecution.analyzed.toString.contains("LogicalRDD"),
+        "empty stageDir must build a localCheckpoint stage")
+      val root = Files.createTempDirectory("graft-stages-mode").toString
+      spark.conf.set(modeKey, root)
+      // no Stages.clear() here — the resolved root is part of the cache key
+      val pq = Stages.x9Scores(spark, sf0001)
+      assert(pq.queryExecution.analyzed.toString.contains("parquet"),
+        s"stageDir=$root must build a parquet stage without clear():\n" +
+          pq.queryExecution.analyzed)
+      assert(pq.collect().toSet == mem.collect().toSet, "modes must agree on data")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+      Stages.clear()
+    }
+  }
+
+  test("evict(sc) drops every entry owned by the context") {
+    Stages.clear()
+    Stages.x9Scores(spark, sf0001)
+    Stages.x16Centroids(spark, sf0001)
+    assert(Stages.cachedEntryCount >= 2)
+    Stages.evict(spark.sparkContext)
+    assert(Stages.cachedEntryCount == 0,
+      "application-end eviction must drop the context's stage entries")
+    // the cache must rebuild cleanly after eviction
+    assert(Stages.x9Scores(spark, sf0001).count() > 0)
+    Stages.clear()
+  }
+}
