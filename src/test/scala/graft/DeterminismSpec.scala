@@ -26,6 +26,9 @@ class DeterminismSpec extends SparkTestBase {
     // the custom physical operator: a partition-local merge is the classic
     // place for partitioning-dependent results to sneak in
     "q16b_asof_native",
+    // the split skew join: hot/cold branch union + exact hot detection
+    // must not depend on how the stats pass or the branches partition
+    "q24_skew_join",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —
