@@ -145,14 +145,14 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   * per-left-row it runs two `UnsafeProjection`s and the comparators, where
   * the built-in SortMergeJoinExec it displaces would do produce-side
   * whole-stage codegen. The committed `graft.BenchScaling` audit (README
-  * "Scaling audit") puts numbers on that trade at sf0.1 replicated
-  * 1×/2×/4×: the native operator beats the fully-codegen'd composed
-  * union+window twin at EVERY factor (1×: 0.59–0.75 s vs 0.95–1.18 s;
-  * 4×: 0.77–1.41 s vs 0.83–1.59 s on ~400k events), because it removes a
-  * union, a second sort payload, and the window buffer — the per-row
-  * projection cost is immaterial next to the shuffle+sort that dominates
-  * both forms. A `CodegenSupport` merge remains an upside, not a need.
-  */
+  * "Scaling audit") puts numbers on that trade at sf0.1 replicated up to
+  * 64× (~6.4M events): the native operator beats the fully-codegen'd
+  * composed union+window twin at EVERY factor, and the margin GROWS with
+  * data — 1×: 0.59–0.75 s vs 0.95–1.18 s; 16×: 1.10 s vs 1.68 s; 64×:
+  * 1.36 s vs 9.30 s (~7×) — because it removes a union, a second sort
+  * payload, and the window buffer, and those are the terms that scale
+  * with the data while the per-row projection cost stays flat per row.
+  * A `CodegenSupport` merge remains an upside, not a need. */
 case class AsofJoinExec(
     leftKey: Expression,
     leftTime: Expression,
