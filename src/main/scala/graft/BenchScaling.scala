@@ -20,7 +20,11 @@ import graft.ops.Relational
   * with the corpus would be the bug this audit exists to catch.
   *
   * Run: `sbt "runMain graft.BenchScaling [baseSfDir]"` (default sf0.1).
-  * Prints one JSON line per factor; ratios land in README.
+  * Prints one JSON line per factor; ratios land in README. Factors ≥64
+  * need `SPARK_DRIVER_MEM=32g`: the replicated build outgrows the
+  * default 8g single-JVM heap (the failure mode is a broadcast OOM
+  * AFTER the smaller factors' lines printed — a missing tail line in
+  * the output means the run died, not that the factor was skipped).
   */
 object BenchScaling {
   /** Replication factors; override with SPARK_GRAFT_SCALE_FACTORS=1,4,16
