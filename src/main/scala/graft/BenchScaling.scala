@@ -66,7 +66,7 @@ object BenchScaling {
     // All three twins pin the bulk join to shuffled merge (Skew scaladoc);
     // naive should bend with the factor, salted/split should track the
     // linear core
-    "q24_naive_join" -> fx(graft.ops.Skew.q24NaiveAudit _),
+    "q24_naive_join" -> fx(graft.ops.Skew.q24NaiveJoin _),
     "q24_salted_join" -> fx(graft.ops.Skew.q24SaltedAudit _),
     "q24_split_join" -> fx(graft.ops.Skew.q24SplitAudit _),
     // the custom operator vs its composed twin, same data, same factor

@@ -151,15 +151,13 @@ object Skew {
   def q24SkewJoin(spark: SparkSession, dir: String): DataFrame =
     q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk", Tables.orders(spark, dir), "o_orderkey"))
 
-  /** Audit twins (BenchScaling skew leg) — all three pin the bulk join to
-    * a shuffled merge join so the ONLY variable is hot-key handling:
-    * naive = one reducer owns the hot key (the 100 TB straggler; AQE's
-    * skew split stays dormant below its 256 MB partition threshold, which
-    * is exactly the audit regime), salted = replicate-right over 16 salt
-    * buckets, split = hot-slice broadcast + cold shuffle. */
-  def q24NaiveAudit(spark: SparkSession, dir: String): DataFrame =
-    q24NaiveJoin(spark, dir)
-
+  /** Audit twins (BenchScaling skew leg; [[q24NaiveJoin]] is the third) —
+    * all three pin the bulk join to a shuffled merge join so the ONLY
+    * variable is hot-key handling: naive = one reducer owns the hot key
+    * (the 100 TB straggler; AQE's skew split stays dormant below its
+    * 256 MB partition threshold, which is exactly the audit regime),
+    * salted = replicate-right over 16 salt buckets, split = hot-slice
+    * broadcast + cold shuffle. */
   def q24SaltedAudit(spark: SparkSession, dir: String): DataFrame =
     q24Agg(saltedEquiJoin(
       q24Fact(spark, dir), col("jk"),
