@@ -106,8 +106,12 @@ object Skew {
     require(hotShare > 0 && hotShare < 1, s"hotShare must be in (0,1): $hotShare")
     val lk = col(leftKeyName)
     val threshold = left.count() * hotShare
+    // null keys never match an inner equi-join, so a "hot" null key needs
+    // no hot-slice handling — and it MUST be excluded: a null inside an
+    // isin() list makes both branch predicates evaluate to null on every
+    // row (three-valued logic), silently emptying the whole join
     val hotKeys = left.groupBy(lk.as("__k")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > threshold)
+      .filter(col("__c") > threshold && col("__k").isNotNull)
       .select(col("__k")).collect().map(_.get(0)).toSeq
     val cond = lk === col(rightKeyName)
     // shuffleCold pins the cold branch to a shuffled join (audit use: at

@@ -76,6 +76,18 @@ class ScaleSpec extends SparkTestBase {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("split skew join ignores a hot NULL key (which would poison the isin branches)") {
+    val s = spark
+    import s.implicits._
+    // 60% of left keys are null (far above hotShare); the rest are uniform
+    val left = s.range(0, 1000)
+      .select(col("id"), when(col("id") % 5 < 3, lit(null)).otherwise(col("id") % 100).as("jk"))
+    val right = s.range(0, 100).select(col("id").as("rk"))
+    val out = Skew.splitSkewJoin(left, "jk", right, "rk", hotShare = 0.05)
+    val plain = left.join(right, col("jk") === col("rk"))
+    assert(out.count() == plain.count() && out.count() == 400)
+  }
+
   test("split skew join with no hot key degrades to the plain join") {
     val s = spark
     import s.implicits._
