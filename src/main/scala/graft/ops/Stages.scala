@@ -58,7 +58,10 @@ object Stages {
   private[graft] def evict(sc: org.apache.spark.SparkContext): Unit = {
     cache.keys.filter(_._1.sparkContext eq sc).foreach(cache.remove)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
-    hooked.remove(sc)
+    // a LIVE context keeps its hook (the listener stays registered on the
+    // bus either way — dropping the marker would make the next build add
+    // a duplicate listener); a stopped context's marker is garbage
+    if (sc.isStopped) hooked.remove(sc)
   }
 
   private[graft] def cachedEntryCount: Int = cache.size + centCache.size

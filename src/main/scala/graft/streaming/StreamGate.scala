@@ -38,11 +38,18 @@ object StreamGate {
   /** Stage `df` as [[gateBatches]] parquet files in a fresh temp dir, in
     * `orderCol` order: chunk i holds the i-th contiguous key-range slice
     * (ranges, not row-number windows — a global row_number would funnel
-    * the corpus through one task), and gets a strictly increasing
-    * mod-time so the file source's oldest-first listing replays the log
-    * in order, one file per micro-batch. Caller must delete the dir. */
+    * the corpus through one SCAN task; here the scan+filter stays
+    * parallel and only the post-shuffle write of each bounded chunk is
+    * single-task), and gets a strictly increasing mod-time so the file
+    * source's oldest-first listing replays the log in order, one file
+    * per micro-batch. All file manipulation goes through the session's
+    * Hadoop FileSystem, so the staging dir may live on a cluster FS —
+    * the driver renames and stamps times, it never reads the data.
+    * Caller must delete the dir. */
   private def stageFeed(df: DataFrame, orderCol: String): Path = {
     val dir = Files.createTempDirectory("graft_gate_feed_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sessionState.newHadoopConf())
     val mm = df.agg(min(col(orderCol)), max(col(orderCol))).collect()(0)
     if (!mm.isNullAt(0)) {
       val lo = mm.getLong(0)
@@ -51,15 +58,15 @@ object StreamGate {
       (0 until gateBatches).foreach { i =>
         val chunk = df.filter(Tables.fdiv(
           (col(orderCol) - lit(lo)) * lit(gateBatches.toLong), lit(span)) === lit(i.toLong))
-        val out = dir.resolve(s"chunk$i")
-        chunk.coalesce(1).write.mode("overwrite").parquet(out.toString)
-        out.toFile.listFiles().filter(_.getName.startsWith("part-")).zipWithIndex
-          .foreach { case (p, j) =>
-            val dst = dir.resolve(f"b$i%02d_$j.parquet")
-            Files.move(p.toPath, dst)
-            dst.toFile.setLastModified(t0 + i * 60000L)
+        val out = new org.apache.hadoop.fs.Path(dir.resolve(s"chunk$i").toString)
+        chunk.repartition(1).write.mode("overwrite").parquet(out.toString)
+        fs.listStatus(out).map(_.getPath).filter(_.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (p, j) =>
+            val dst = new org.apache.hadoop.fs.Path(dir.toString, f"b$i%02d_$j.parquet")
+            fs.rename(p, dst)
+            fs.setTimes(dst, t0 + i * 60000L, -1)
           }
-        deleteRecursively(out)
+        fs.delete(out, true)
       }
     }
     dir

@@ -329,10 +329,12 @@ object Streams {
         val n = idx.agg(approx_count_distinct(col("h"), 0.05)).collect()(0).getLong(0)
         require(n >= 0, s"negative distinct-gram estimate: $n")
         val capacity = math.max(n + n / 2, 1L)
-        spark.sparkContext.setJobDescription(
+        val sc = spark.sparkContext
+        val prevDesc = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(
           s"noveltyStream bloom build: capacity=$capacity fpp=$fpp (est n=$n)")
         try idx.stat.bloomFilter("h", capacity, fpp)
-        finally spark.sparkContext.setJobDescription(null)
+        finally sc.setJobDescription(prevDesc)
       } finally idx.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
     val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)

@@ -11,6 +11,12 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  /** Shared recursive delete for specs that stage scratch dirs. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -105,12 +105,7 @@ class ScaleSpec extends SparkTestBase {
     Seq("orders_b", "lineitem_b").foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(loc)
-      }
+      if (loc.exists()) graft.SparkTestBase.deleteRecursively(loc)
     }
     Sources.writeBucketed(
       graft.model.Tables.orders(s, sf0001), "orders_b", "o_orderkey", 8)

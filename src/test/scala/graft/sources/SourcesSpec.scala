@@ -111,8 +111,7 @@ class SourcesSpec extends SparkTestBase {
       val dst = watch.resolve(s"w$i.parquet")
       Files.move(part.toPath, dst)
       dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
-      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-      rm(tmp.toFile)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
     }
     // each pass is a fresh query over the SAME checkpoint — the second
     // start is a restart, recovering offsets and register state
