@@ -99,6 +99,42 @@ class ScaleSpec extends SparkTestBase {
       "uniform keys must not produce a hot/cold split")
   }
 
+  test("property: both skew joins equal the plain join on arbitrary skewed corpora") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // left: mixture of one hot key, a uniform tail, and nulls; right:
+    // 0..60 with 1-3 duplicate rows per key (multi-row matches exercise
+    // the fan-out path both mitigations must preserve exactly)
+    val rowGen = Gen.frequency(
+      (5, Gen.const(Option(7L))),
+      (4, Gen.choose(0L, 60L).map(Option(_))),
+      (1, Gen.const(Option.empty[Long])))
+    val leftGen = Gen.listOfN(800, rowGen)
+    val dupGen = Gen.listOfN(61, Gen.choose(1, 3))
+    for (seed <- 1L to 6L) {
+      val left = sample(leftGen, seed).zipWithIndex
+        .map { case (k, i) => (i.toLong, k) }.toDF("id", "jk")
+      val right = sample(dupGen, seed + 100).zipWithIndex
+        .flatMap { case (d, k) => (0 until d).map(j => (k.toLong, k * 10L + j)) }
+        .toDF("rk", "payload")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "rk", "payload").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val plain = norm(left.join(right, col("jk") === col("rk")))
+      val hotShare = Seq(0.01, 0.05, 0.3)(seed.toInt % 3)
+      assert(norm(Skew.splitSkewJoin(left, "jk", right, "rk", hotShare)) == plain,
+        s"split != plain at seed $seed hotShare $hotShare")
+      val buckets = Seq(2, 5, 16)(seed.toInt % 3)
+      assert(norm(Skew.saltedEquiJoin(left, col("jk"), right, col("rk"),
+        saltFrom = col("id"), buckets = buckets)) == plain,
+        s"salted != plain at seed $seed buckets $buckets")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
