@@ -40,6 +40,19 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format Spark supports natively (no extra
+    * jar; the avro CONNECTOR is absent from this build, so avro is
+    * deliberately not offered). Same pushdown/pruning contract as
+    * parquet: predicates and projections reach the scan
+    * (`PushedFilters`/`ReadSchema` — asserted in SourcesSpec), so a
+    * warehouse already on ORC plugs in without a rewrite. Also valid as
+    * `walFileStream(format = "orc")` for the streaming ingress. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def csv(spark: SparkSession, path: String, schema: StructType = null,
       header: Boolean = true): DataFrame = {
     val r = spark.read.option("header", header.toString)

@@ -93,6 +93,40 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("orc round-trips the WAL tables with pushdown intact; feeds the WAL stream") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-orc")
+    val ev = graft.model.Tables.events(s, sf0001)
+    Sources.writeOrc(ev, s"$tmp/events_orc")
+    val back = Sources.orc(s, s"$tmp/events_orc")
+    assert(back.count() == ev.count())
+    assert(back.schema == ev.schema)
+    // the columnar contract: filter and projection must reach the ORC scan
+    val plan = back.filter(col("user_id") === 7L).select("event_id", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)")
+      || plan.contains("PushedFilters: [isnotnull(user_id"),
+      s"expected user_id filter pushed to the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      s"expected 2-column pruned ORC read:\n$plan")
+    // streaming ingress: the WAL file stream reads ORC drops like parquet
+    val walDir = Files.createTempDirectory("graft-orc-wal")
+    ev.limit(10)
+      .select(col("event_id").as("id"), col("user_id").as("entityId"),
+        col("event_type").as("operation"), col("props").as("payload"))
+      .write.mode("overwrite").orc(walDir.toString)
+    val q = Sources.walFileStream(s, walDir.toString, format = "orc")
+      .writeStream.format("memory").queryName("orc_wal_gate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("orc_wal_gate").count() == 10)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView("orc_wal_gate")
+    }
+  }
+
   test("walFileStream drives the S9 temporal as-of e2e; restart replays without rewind") {
     val s = spark
     import s.implicits._
