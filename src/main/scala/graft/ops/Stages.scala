@@ -66,6 +66,20 @@ object Stages {
 
   private[graft] def cachedEntryCount: Int = cache.size + centCache.size
 
+  /** Explicit per-session release, for long-lived JVMs cycling many
+    * sessions over ONE live context (a notebook server): Spark has no
+    * session-end listener event, so a session owner that is done should
+    * call this to unpersist the session's localCheckpoint blocks rather
+    * than leaving them pinned until application end. Parquet-mode stages
+    * hold no blocks; their entries are just dropped. */
+  def evictSession(spark: SparkSession): Unit = {
+    cache.keys.filter(_._1 eq spark).foreach { k =>
+      cache.remove(k).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
+    centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
+  }
+
   private def hookEviction(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
     hooked.getOrElseUpdate(sc, {

@@ -33,6 +33,19 @@ class StagesSpec extends SparkTestBase {
     }
   }
 
+  test("evictSession releases one session's entries; an unrelated session's survive") {
+    Stages.clear()
+    val other = spark.newSession()
+    Stages.x9Scores(spark, sf0001)
+    Stages.x9Scores(other, sf0001)
+    assert(Stages.cachedEntryCount == 2)
+    Stages.evictSession(other)
+    assert(Stages.cachedEntryCount == 1,
+      "evicting one session must leave the other session's stages cached")
+    assert(Stages.x9Scores(spark, sf0001).count() > 0)
+    Stages.clear()
+  }
+
   test("evict(sc) drops every entry owned by the context") {
     Stages.clear()
     Stages.x9Scores(spark, sf0001)
