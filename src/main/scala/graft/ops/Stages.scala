@@ -44,8 +44,26 @@ object Stages {
   // key: (session, sfDir, stage name, resolved stage root) — the root is
   // part of the key so toggling spark.graft.stageDir mid-session builds
   // the new mode's stage instead of silently serving the old mode's
-  private val cache = TrieMap.empty[(SparkSession, String, String, Option[String]), DataFrame]
+  private type Key = (SparkSession, String, String, Option[String])
+  private val cache = TrieMap.empty[Key, DataFrame]
   private val centCache = TrieMap.empty[(SparkSession, String, Int), Seq[(Long, Seq[Long])]]
+
+  /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
+    * `Dataset.unpersist` only uncaches CacheManager entries — it does NOT
+    * release a checkpoint's blocks — so release goes through these
+    * handles. Releasing invalidates the stage by design: localCheckpoint
+    * truncates lineage, so an unpersisted stage cannot recompute; evict
+    * only when the owning session's consumers are done. */
+  private val pinnedRdds = TrieMap.empty[Key, Seq[org.apache.spark.rdd.RDD[_]]]
+
+  /** Drop one entry and unpersist its pinned checkpoint blocks. */
+  private def release(k: Key): Unit = {
+    cache.remove(k)
+    pinnedRdds.remove(k).foreach(_.foreach { r =>
+      try r.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    })
+  }
 
   /** Contexts that already carry the eviction listener. */
   private val hooked = TrieMap.empty[org.apache.spark.SparkContext, Unit]
@@ -57,6 +75,7 @@ object Stages {
     * gone, there is nothing to release but the map entries. */
   private[graft] def evict(sc: org.apache.spark.SparkContext): Unit = {
     cache.keys.filter(_._1.sparkContext eq sc).foreach(cache.remove)
+    pinnedRdds.keys.filter(_._1.sparkContext eq sc).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
@@ -71,12 +90,12 @@ object Stages {
     * session-end listener event, so a session owner that is done should
     * call this to unpersist the session's localCheckpoint blocks rather
     * than leaving them pinned until application end. Parquet-mode stages
-    * hold no blocks; their entries are just dropped. */
-  def evictSession(spark: SparkSession): Unit = {
-    cache.keys.filter(_._1 eq spark).foreach { k =>
-      cache.remove(k).foreach(df =>
-        try df.unpersist() catch { case _: Throwable => () })
-    }
+    * hold no blocks; their entries are just dropped. Synchronized with
+    * the build monitor so an in-flight build can't slip an entry past
+    * the eviction's key snapshot. NOTE: released stages cannot recompute
+    * (see [[pinnedRdds]]) — call only when this session is done. */
+  def evictSession(spark: SparkSession): Unit = synchronized {
+    cache.keys.filter(_._1 eq spark).foreach(release)
     centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
   }
 
@@ -132,7 +151,14 @@ object Stages {
           val path = s"$root/stage_${tag}_$name"
           build.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
-        case None => build.localCheckpoint(true)
+        case None =>
+          val cp = build.localCheckpoint(true)
+          // retain the checkpointed RDD handle: it is the ONLY way to
+          // release the blocks later (Dataset.unpersist won't)
+          pinnedRdds.put(key, cp.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          })
+          cp
       })
     })
   }
@@ -183,10 +209,8 @@ object Stages {
     * configs — e.g. DeterminismSpec's shuffle-partition sweep — must
     * clear between runs or the cache would mask the property under
     * test). */
-  def clear(): Unit = {
-    cache.values.foreach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
-    }
+  def clear(): Unit = synchronized {
+    cache.keys.foreach(release)
     cache.clear()
     centCache.clear()
   }

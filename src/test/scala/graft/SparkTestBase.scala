@@ -17,6 +17,11 @@ object SparkTestBase {
     f.delete()
   }
 
+  /** Shared deterministic ScalaCheck sampling for property specs. */
+  def sampleGen[A](g: org.scalacheck.Gen[A], seed: Long): A =
+    g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed)).get
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

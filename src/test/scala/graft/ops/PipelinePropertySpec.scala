@@ -16,7 +16,7 @@ class PipelinePropertySpec extends SparkTestBase {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def sample[A](g: Gen[A], seed: Long): A =
-    g.apply(Gen.Parameters.default, Seed(seed)).get
+    graft.SparkTestBase.sampleGen(g, seed)
 
   test("winnowing: selection equals brute force and every shingle window is covered") {
     val s = spark

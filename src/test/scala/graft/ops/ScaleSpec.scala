@@ -103,9 +103,7 @@ class ScaleSpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    def sample[A](g: Gen[A], seed: Long): A =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
+    import graft.SparkTestBase.{sampleGen => sample}
     // left: mixture of one hot key, a uniform tail, and nulls; right:
     // 0..60 with 1-3 duplicate rows per key (multi-row matches exercise
     // the fan-out path both mitigations must preserve exactly)

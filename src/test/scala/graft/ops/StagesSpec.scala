@@ -33,17 +33,38 @@ class StagesSpec extends SparkTestBase {
     }
   }
 
-  test("evictSession releases one session's entries; an unrelated session's survive") {
+  test("evictSession releases one session's BLOCKS; an unrelated session's survive") {
     Stages.clear()
-    val other = spark.newSession()
-    Stages.x9Scores(spark, sf0001)
-    Stages.x9Scores(other, sf0001)
-    assert(Stages.cachedEntryCount == 2)
-    Stages.evictSession(other)
-    assert(Stages.cachedEntryCount == 1,
-      "evicting one session must leave the other session's stages cached")
-    assert(Stages.x9Scores(spark, sf0001).count() > 0)
-    Stages.clear()
+    val modeKey = "spark.graft.stageDir"
+    val prev = spark.conf.getOption(modeKey)
+    try {
+      spark.conf.set(modeKey, "") // force localCheckpoint mode (blocks exist)
+      val other = spark.newSession()
+      other.conf.set(modeKey, "")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      Stages.x9Scores(spark, sf0001)
+      val afterMine = spark.sparkContext.getPersistentRDDs.keySet
+      Stages.x9Scores(other, sf0001)
+      val otherIds = spark.sparkContext.getPersistentRDDs.keySet -- afterMine
+      val myIds = afterMine -- before
+      assert(myIds.nonEmpty && otherIds.nonEmpty, "each build must pin checkpoint blocks")
+      assert(Stages.cachedEntryCount == 2)
+      Stages.evictSession(other)
+      val left = spark.sparkContext.getPersistentRDDs.keySet
+      // Dataset.unpersist would NOT release these — the pinned-RDD path must
+      assert((left & otherIds).isEmpty,
+        s"evicted session's checkpoint blocks still persisted: ${left & otherIds}")
+      assert(myIds.subsetOf(left),
+        "evicting one session must not release the other session's blocks")
+      assert(Stages.cachedEntryCount == 1)
+      assert(Stages.x9Scores(spark, sf0001).count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+      Stages.clear()
+    }
   }
 
   test("evict(sc) drops every entry owned by the context") {
