@@ -111,6 +111,19 @@ object BenchScaling {
       graft.ops.VectorOps.x14CosineNeardupB(s, d,
         5 + (31 - Integer.numberOfLeadingZeros(math.max(f, 1))))))
 
+  /** Audit entries that read the embeddings table (whose replication is
+    * capped at dim=64 distinct circular shifts) and the documents table —
+    * a leg that selects neither skips the corresponding replication
+    * entirely, which both avoids wasted writes and lets relational-only
+    * legs run at factors past the embedding-shift cap. */
+  private val embeddingsUsers = Set("x14_cosine_neardup", "x16_ivf_ann",
+    "x27_semantic_dedup", "x16_ivf_ann_scaledk", "x27_semantic_dedup_scaledk",
+    "x14_cosine_neardup_scaledbits")
+  private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
+    "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
+    "x25_boilerplate", "x26_winnowing", "x28_surprisal",
+    "x36_incremental_dedup", "x38_pipeline_e2e")
+
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high
     * factors without the fixed-parameter vector trio. */
@@ -187,10 +200,12 @@ object BenchScaling {
         replicate(src, keys, reps)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
-      replicateDocs(Tables.table(spark, base, "documents"), k)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      replicateEmbeddings(Tables.table(spark, base, "embeddings"), k)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      if (selected.exists(s => documentsUsers(s._1)))
+        replicateDocs(Tables.table(spark, base, "documents"), k)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      if (selected.exists(s => embeddingsUsers(s._1)))
+        replicateEmbeddings(Tables.table(spark, base, "embeddings"), k)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()

@@ -145,14 +145,16 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   * per-left-row it runs two `UnsafeProjection`s and the comparators, where
   * the built-in SortMergeJoinExec it displaces would do produce-side
   * whole-stage codegen. The committed `graft.BenchScaling` audit (README
-  * "Scaling audit") puts numbers on that trade at sf0.1 replicated up to
-  * 64× (~6.4M events): the native operator beats the fully-codegen'd
-  * composed union+window twin at EVERY factor, and the margin GROWS with
-  * data — 1×: 0.59–0.75 s vs 0.95–1.18 s; 16×: 1.10 s vs 1.68 s; 64×:
-  * 1.36 s vs 9.30 s (~7×) — because it removes a union, a second sort
-  * payload, and the window buffer, and those are the terms that scale
-  * with the data while the per-row projection cost stays flat per row.
-  * A `CodegenSupport` merge remains an upside, not a need. */
+  * "Scaling audit", 64×/128× legs) puts numbers on that trade at sf0.1
+  * replicated up to 128× (~12.8M events): the native operator beats the
+  * fully-codegen'd composed union+window twin at EVERY factor in every
+  * session — by a steady 5–10% on a quiet session (both forms step
+  * linearly), and by up to ~7× when the session carries memory pressure
+  * from preceding fact shuffles, where the composed form's union sort
+  * degrades while this merge (one buffered right row, no union, no
+  * window buffer) holds its time. The per-row interpreted-projection
+  * overhead is inside the 5–10% steady-state margin, so a
+  * `CodegenSupport` merge remains an upside, not a need. */
 case class AsofJoinExec(
     leftKey: Expression,
     leftTime: Expression,
