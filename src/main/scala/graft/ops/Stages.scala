@@ -111,10 +111,15 @@ object Stages {
 
   /** Entries whose context is already stopped are unreachable garbage
     * (their blocks died with the executors) — purged on the build slow
-    * path, which is the only place the map grows. */
+    * path, which is the only place the maps grow. Covers every map,
+    * including the pinned-RDD handles and the listener markers: this is
+    * the backstop for the case where onApplicationEnd never arrived
+    * (LiveListenerBus drops events when its queue overflows). */
   private def purgeStopped(): Unit = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    pinnedRdds.keys.filter(_._1.sparkContext.isStopped).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
+    hooked.keys.filter(_.isStopped).foreach(hooked.remove)
   }
 
   /** The parquet-stage root, if configured: runtime conf first (testable
@@ -210,7 +215,9 @@ object Stages {
     * clear between runs or the cache would mask the property under
     * test). */
   def clear(): Unit = synchronized {
-    cache.keys.foreach(release)
+    // union of key sets: a pinned-RDD entry can outlive its cache entry
+    // (purgeStopped removes cache rows for stopped contexts first)
+    (cache.keySet ++ pinnedRdds.keySet).foreach(release)
     cache.clear()
     centCache.clear()
   }

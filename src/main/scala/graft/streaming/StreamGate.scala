@@ -35,6 +35,9 @@ object StreamGate {
   /** Micro-batches per gate run: >1 so state survives batch boundaries. */
   private val gateBatches = 4
 
+  private def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+
   /** Stage `df` as [[gateBatches]] parquet files in a fresh temp dir, in
     * `orderCol` order: chunk i holds the i-th contiguous key-range slice
     * (ranges, not row-number windows — a global row_number would funnel
@@ -45,39 +48,57 @@ object StreamGate {
     * per micro-batch. All file manipulation goes through the session's
     * Hadoop FileSystem, so the staging dir may live on a cluster FS —
     * the driver renames and stamps times, it never reads the data.
-    * Caller must delete the dir. */
+    * Caller must delete the dir via [[deleteFeed]]. */
   private def stageFeed(df: DataFrame, orderCol: String): Path = {
     val dir = Files.createTempDirectory("graft_gate_feed_")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      df.sparkSession.sessionState.newHadoopConf())
+    val fs = hadoopFs(df.sparkSession)
     val mm = df.agg(min(col(orderCol)), max(col(orderCol))).collect()(0)
     if (!mm.isNullAt(0)) {
       val lo = mm.getLong(0)
       val span = mm.getLong(1) - lo + 1
       val t0 = System.currentTimeMillis() - 3600L * 1000
-      (0 until gateBatches).foreach { i =>
+      val staged = (0 until gateBatches).flatMap { i =>
         val chunk = df.filter(Tables.fdiv(
           (col(orderCol) - lit(lo)) * lit(gateBatches.toLong), lit(span)) === lit(i.toLong))
         val out = new org.apache.hadoop.fs.Path(dir.resolve(s"chunk$i").toString)
         chunk.repartition(1).write.mode("overwrite").parquet(out.toString)
-        fs.listStatus(out).map(_.getPath).filter(_.getName.startsWith("part-"))
-          .zipWithIndex.foreach { case (p, j) =>
+        val moved = fs.listStatus(out).map(_.getPath).filter(_.getName.startsWith("part-"))
+          .zipWithIndex.map { case (p, j) =>
             val dst = new org.apache.hadoop.fs.Path(dir.toString, f"b$i%02d_$j.parquet")
-            fs.rename(p, dst)
+            // rename reports most failures by RETURNING false, and the
+            // delete below would then destroy the unmoved chunk — check
+            if (!fs.rename(p, dst))
+              throw new java.io.IOException(s"gate feed staging: failed to move $p to $dst")
             fs.setTimes(dst, t0 + i * 60000L, -1)
+            dst
           }
         fs.delete(out, true)
+        moved
       }
+      // the replay order IS the s9 correctness contract; on a store where
+      // setTimes is a no-op the file source would batch arbitrarily —
+      // fail loudly instead
+      val times = staged.map(p => fs.getFileStatus(p).getModificationTime)
+      require(times == times.sorted && times.distinct.size == times.size,
+        s"gate feed staging: mod-times not strictly increasing ($times) — " +
+          "this FileSystem does not honor setTimes; the file-source replay order would be arbitrary")
     }
     dir
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  /** Delete a staged feed dir on BOTH filesystems it may touch: the
+    * session's Hadoop FS (where scheme-less writes actually landed —
+    * fs.defaultFS on a cluster) and the driver-local temp dir created by
+    * Files.createTempDirectory. On a local-FS session both are the same
+    * path; delete() tolerates the second call finding nothing. */
+  private def deleteFeed(spark: SparkSession, dir: Path): Unit = {
+    try hadoopFs(spark).delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    catch { case scala.util.control.NonFatal(_) => () }
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
-    rm(p.toFile)
+    rm(dir.toFile)
   }
 
   /** One-file-per-trigger parquet stream over a staged feed dir. */
@@ -136,7 +157,7 @@ object StreamGate {
         .select(col("eventId").as("event_id"), col("userId").as("user_id"),
           col("priorViewId").as("prior_view_id"))
         .orderBy("event_id")
-    } finally deleteRecursively(feedDir)
+    } finally deleteFeed(spark, feedDir)
   }
 
   /** Run the feed, then stop the query; if the feed FAILS, also drop the
@@ -189,7 +210,7 @@ object StreamGate {
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
         .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
-    } finally deleteRecursively(feedDir)
+    } finally deleteFeed(spark, feedDir)
     // exact twin of the probe: x36's hit counts, read from the shared
     // stage (identical 90/10 split and gram keys — the lineage runs once
     // per session across x36 and this gate)
