@@ -137,6 +137,43 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** q17b: the 100 TB quantile path GATED — `approx_percentile` (GK-style
+    * mergeable sketch, no global sort) with its rank-error guarantee
+    * checked exactly, in the q9b/s8 verdict-row idiom. The sketch VALUE is
+    * merge-order-dependent (unlike HLL, quantile sketches are not
+    * partitioning-invariant), so the dumped row carries only exact,
+    * deterministic columns: the exact p50 plus a 0/1 flag that the sketch
+    * value's true rank sits within the documented ±n/accuracy window
+    * (accuracy 100 → ±1% of n; the flag is stable under any partitioning
+    * as long as the sketch honors its contract, which DeterminismSpec
+    * sweeps). Oracle = exact median + literal-1 flag. */
+  def q17bApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val accuracy = 100
+    val li = lineitem(spark, dir)
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 100)").as("approx_p50"),
+        cents(expr("percentile(l_quantity, 0.5)")).as("p50_c"),
+        count(lit(1)).as("n"))
+    // exact rank of the sketch value: rows strictly below / at-or-below it
+    val ranked = li.select(col("l_returnflag").as("rf2"), col("l_quantity"))
+      .join(sk, col("rf2") === col("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p50_c"), col("n"))
+      .agg(
+        sum(when(col("l_quantity") < col("approx_p50"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("l_quantity") <= col("approx_p50"), 1L).otherwise(0L)).as("n_le"))
+    // GK guarantee at rank r = 0.5·n with error ε = 1/accuracy:
+    // some value with rank in [r − εn, r + εn] was returned, i.e.
+    // n_lt ≤ r + εn and n_le ≥ r − εn
+    val eps = graft.model.Tables.fdiv(col("n"), lit(accuracy.toLong))
+    val target = graft.model.Tables.fdiv(col("n"), lit(2L))
+    ranked.select(
+      col("l_returnflag"), col("p50_c"), col("n"),
+      (col("n_lt") <= target + eps && col("n_le") >= target - eps)
+        .cast("long").as("sketch_in_bound"))
+      .orderBy("l_returnflag")
+  }
+
   /** q18: statistical moments with INTEGER-EXACT internals — mean and
     * sample variance derived from scaled-int power sums, so the result is
     * partitioning-invariant (a naive stddev_samp over doubles is
@@ -226,6 +263,7 @@ object Analytics {
     "q11b_cube" -> q11bCube,
     "q11c_grouping_sets" -> q11cGroupingSets,
     "q17_quantiles" -> q17Quantiles,
+    "q17b_approx_quantiles" -> q17bApproxQuantiles,
     "q18_stats" -> q18Stats,
     "q18b_corr" -> q18bCorr,
     "q19_pivot" -> q19Pivot,
@@ -249,6 +287,12 @@ object Analytics {
          |  ${centsSql("quantile_cont(l_quantity, 0.5)")} AS p50_c,
          |  ${centsSql("quantile_cont(l_quantity, 0.9)")} AS p90_c,
          |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q17b_approx_quantiles" ->
+      s"""SELECT l_returnflag,
+         |  ${centsSql("quantile_cont(l_quantity, 0.5)")} AS p50_c,
+         |  count(*) AS n,
+         |  CAST(1 AS BIGINT) AS sketch_in_bound
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q18_stats" ->
       s"""WITH s AS (SELECT l_returnflag,
