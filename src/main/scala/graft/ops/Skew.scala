@@ -76,6 +76,25 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Map-side-combinable per-key row counts of `df` — the stats frame
+    * [[splitSkewJoin]] consumes: one row per distinct key (null
+    * included), columns `__k` (key) and `__c` (count). Stage the result
+    * (see `Stages.q24KeyCounts`) when the same left side is joined more
+    * than once per session. */
+  def keyCounts(df: DataFrame, keyName: String): DataFrame =
+    df.groupBy(col(keyName).as("__k")).agg(count(lit(1)).as("__c"))
+
+  /** Unpersist the blocks a `localCheckpoint(true)` frame pins.
+    * `Dataset.unpersist` only uncaches CacheManager entries, never
+    * checkpoint blocks — release goes through the LogicalRDD handles. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { r =>
+      try r.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Hot-slice split inner equi-join — the shape that survives a 100 TB
     * shuffled fact⋈fact join with a hot foreign key (the null user, the
     * default tenant): detect the hot left keys with a map-side-combinable
@@ -93,26 +112,41 @@ object Skew {
     * otherwise. AQE's skew-split handles the mild runtime case; this
     * operator is for the structural hot key you know survives every run.
     *
-    * Cost accounting: one column-less `count()` (parquet answers it from
-    * footer metadata), one map-side-combined key-count pass, then the two
-    * join branches each scan `left` with the hot-set filter pushed to the
-    * parquet reader. At 100 TB you'd amortize the stats pass into a
-    * persisted key-frequency stage (or a seeded sample) — the join result
-    * is identical for ANY hot set, so detection precision affects only the
-    * plan, never the answer. */
+    * Cost accounting: ONE map-side-combined key-count pass over `left`
+    * (materialized so the threshold read and the hot-key read don't each
+    * rescan it; the row total is the sum of the per-key counts, so no
+    * separate `count()` job), then the two join branches each scan `left`
+    * with the hot-set filter pushed to the parquet reader. At 100 TB the
+    * stats pass is amortized into a persisted key-frequency stage: pass
+    * `stats = Some(...)` (the [[keyCounts]] shape, e.g.
+    * `Stages.q24KeyCounts`) and the call scans `left` only for the join
+    * branches — the join result is identical for ANY hot set, so
+    * detection precision affects only the plan, never the answer. */
   def splitSkewJoin(left: DataFrame, leftKeyName: String, right: DataFrame,
       rightKeyName: String, hotShare: Double = 0.01,
-      shuffleCold: Boolean = false): DataFrame = {
+      shuffleCold: Boolean = false,
+      stats: Option[DataFrame] = None): DataFrame = {
     require(hotShare > 0 && hotShare < 1, s"hotShare must be in (0,1): $hotShare")
     val lk = col(leftKeyName)
-    val threshold = left.count() * hotShare
+    // `owned` = the stats pass this call materialized itself (released
+    // after the two bounded reads); a caller-provided stage is left alone
+    val (counts, owned) = stats match {
+      case Some(s) => (s, None)
+      case None =>
+        val cp = keyCounts(left, leftKeyName).localCheckpoint(eager = true)
+        (cp, Some(cp))
+    }
     // null keys never match an inner equi-join, so a "hot" null key needs
     // no hot-slice handling — and it MUST be excluded: a null inside an
     // isin() list makes both branch predicates evaluate to null on every
     // row (three-valued logic), silently emptying the whole join
-    val hotKeys = left.groupBy(lk.as("__k")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > threshold && col("__k").isNotNull)
-      .select(col("__k")).collect().map(_.get(0)).toSeq
+    val hotKeys = try {
+      val totalRow = counts.agg(sum(col("__c")).as("t")).first()
+      val threshold =
+        (if (totalRow.isNullAt(0)) 0.0 else totalRow.getLong(0).toDouble) * hotShare
+      counts.filter(col("__c") > threshold && col("__k").isNotNull)
+        .select(col("__k")).collect().map(_.get(0)).toSeq
+    } finally owned.foreach(releaseCheckpoint)
     val cond = lk === col(rightKeyName)
     // shuffleCold pins the cold branch to a shuffled join (audit use: at
     // sf-test sizes AQE broadcasts a right side a 100 TB run couldn't)
@@ -151,9 +185,12 @@ object Skew {
   /** q24: join-side skew, handled. The hot slice (key 1, ~25% of lineitem)
     * joins its single order row by broadcast; the cold 75% shuffle-joins
     * normally. No reducer ever sees the hot key's fan-in. Revenue through
-    * integer cents → partitioning-invariant. */
+    * integer cents → partitioning-invariant. Hot detection reads the
+    * staged key-frequency table ([[Stages.q24KeyCounts]]) — the fact side
+    * pays its stats scan once per session, not once per call. */
   def q24SkewJoin(spark: SparkSession, dir: String): DataFrame =
-    q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk", Tables.orders(spark, dir), "o_orderkey"))
+    q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk", Tables.orders(spark, dir), "o_orderkey",
+      stats = Some(Stages.q24KeyCounts(spark, dir))))
 
   /** Audit twins (BenchScaling skew leg; [[q24NaiveJoin]] is the third) —
     * all three pin the bulk join to a shuffled merge join so the ONLY
@@ -170,7 +207,8 @@ object Skew {
 
   def q24SplitAudit(spark: SparkSession, dir: String): DataFrame =
     q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk",
-      Tables.orders(spark, dir), "o_orderkey", shuffleCold = true))
+      Tables.orders(spark, dir), "o_orderkey", shuffleCold = true,
+      stats = Some(Stages.q24KeyCounts(spark, dir))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_skew_agg" -> q23SkewAgg,

@@ -71,11 +71,14 @@ object Stages {
   /** Drop every entry owned by `sc` — wired to onApplicationEnd below, so
     * a long-lived JVM cycling applications (a notebook server, a test
     * runner) can't accumulate entries whose localCheckpoint blocks are
-    * already dead with their executors. No unpersist: the context is
-    * gone, there is nothing to release but the map entries. */
+    * already dead with their executors. On a STOPPED context there is
+    * nothing to unpersist (the blocks died with the executors) — bare map
+    * removal; on a live one the entries go through [[release]], because a
+    * dropped handle is the only way the blocks ever get freed. */
   private[graft] def evict(sc: org.apache.spark.SparkContext): Unit = {
-    cache.keys.filter(_._1.sparkContext eq sc).foreach(cache.remove)
-    pinnedRdds.keys.filter(_._1.sparkContext eq sc).foreach(pinnedRdds.remove)
+    val owned = (cache.keySet ++ pinnedRdds.keySet).filter(_._1.sparkContext eq sc)
+    if (sc.isStopped) owned.foreach { k => cache.remove(k); pinnedRdds.remove(k) }
+    else owned.foreach(release)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
@@ -201,6 +204,16 @@ object Stages {
     * arrivals once per session. */
   def x36Hits(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x36_hits")(PipelineOps.x36HitsUnsorted(spark, dir))
+
+  /** q24's fact-side key-frequency table (`__k`, `__c`): one row per
+    * distinct join key of `Skew.q24Fact`, two longs — the persisted
+    * key-frequency stage the [[graft.ops.Skew.splitSkewJoin]] scaladoc
+    * names as the 100 TB form. Staged so the registered q24 query and its
+    * audit twins detect hot keys from ONE stats scan of the fact side per
+    * session instead of one per call; the bounded threshold/hot-key reads
+    * then hit the materialized stage. */
+  def q24KeyCounts(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "q24_keycounts")(Skew.keyCounts(Skew.q24Fact(spark, dir), "jk"))
 
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per

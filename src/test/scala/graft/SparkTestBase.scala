@@ -11,9 +11,11 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
-  /** Shared recursive delete for specs that stage scratch dirs. */
+  /** Shared recursive delete for specs that stage scratch dirs.
+    * listFiles() returns null on IO error or a concurrent delete. */
   def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
 
