@@ -15,12 +15,14 @@ import graft.model.Tables
   * hash gate finally sees both rows. The transform under test is
   * byte-identical to the one StreamsSpec's golden scenarios cover.
   *
-  * The feed is staged as [[gateBatches]] contiguous chunk files cut by
-  * key RANGE and written by executors — the driver never collects the
-  * corpus (it only renames part files and stamps mod-times so the file
-  * source replays chunks in log order), so the gate has no driver-memory
-  * ceiling: pointed at a larger SF it scales with the cluster, not the
-  * driver heap.
+  * The feed is staged by ONE `repartitionByRange` executor write as
+  * contiguous key-range files of ~[[targetRowsPerFile]] rows each,
+  * grouped into [[gateBatches]] chunks of `filesPerTrigger` files — the
+  * driver never collects the corpus (it only renames part files and
+  * stamps mod-times so the file source replays chunks in log order), so
+  * the gate has neither a driver-memory ceiling nor a single-task write
+  * ceiling: pointed at a larger SF it stages more files, not bigger
+  * ones, and scales with the cluster.
   *
   * Determinism: events are fed in log order split across several
   * micro-batches (so cross-batch state transitions are exercised, not
@@ -35,46 +37,61 @@ object StreamGate {
   /** Micro-batches per gate run: >1 so state survives batch boundaries. */
   private val gateBatches = 4
 
+  /** Target rows per staged file: bounds what any single post-shuffle
+    * write task owns. Chunk count stays [[gateBatches]]; FILE count grows
+    * with the feed, so no task ever funnels 1/gateBatches of the corpus
+    * (the round-8 ceiling) — a 16× feed just stages 16× the files. */
+  private[streaming] val targetRowsPerFile = 25000L
+
+  /** A staged feed: the dir plus how many files form one micro-batch. */
+  private[streaming] final case class Feed(dir: Path, filesPerTrigger: Int)
+
   private def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
 
-  /** Stage `df` as [[gateBatches]] parquet files in a fresh temp dir, in
-    * `orderCol` order: chunk i holds the i-th contiguous key-range slice
-    * (ranges, not row-number windows — a global row_number would funnel
-    * the corpus through one SCAN task; here the scan+filter stays
-    * parallel and only the post-shuffle write of each bounded chunk is
-    * single-task), and gets a strictly increasing mod-time so the file
-    * source's oldest-first listing replays the log in order, one file
-    * per micro-batch. All file manipulation goes through the session's
-    * Hadoop FileSystem, so the staging dir may live on a cluster FS —
-    * the driver renames and stamps times, it never reads the data.
-    * Caller must delete the dir via [[deleteFeed]]. */
-  private def stageFeed(df: DataFrame, orderCol: String): Path = {
+  /** Stage `df` as ordered parquet files in a fresh temp dir, in
+    * `orderCol` order: ONE `repartitionByRange` write job cuts the feed
+    * into contiguous key-range slices (ascending partition id = ascending
+    * range, so the part-file NAME order is the log order), every write
+    * task owns about [[targetRowsPerFile]] rows, and each file gets a
+    * strictly increasing mod-time so the file source's oldest-first
+    * listing replays the log in order. A micro-batch is
+    * `filesPerTrigger` consecutive files (= one key-range chunk of
+    * 1/[[gateBatches]] of the feed); intra-batch order is the
+    * transform's job to resolve, exactly as before. All file
+    * manipulation goes through the session's Hadoop FileSystem, so the
+    * staging dir may live on a cluster FS — the driver renames and
+    * stamps times, it never reads the data. Caller must delete the dir
+    * via [[deleteFeed]]. */
+  private[streaming] def stageFeed(df: DataFrame, orderCol: String): Feed = {
     val dir = Files.createTempDirectory("graft_gate_feed_")
     val fs = hadoopFs(df.sparkSession)
-    val mm = df.agg(min(col(orderCol)), max(col(orderCol))).collect()(0)
-    if (!mm.isNullAt(0)) {
-      val lo = mm.getLong(0)
-      val span = mm.getLong(1) - lo + 1
+    val n = df.count()
+    var filesPerChunk = 1
+    if (n > 0) {
+      // files per chunk from the feed size (capped: each extra file is a
+      // listing + scheduling cost, and 32 slices per chunk already means
+      // no task writes more than ~1/128 of the corpus)
+      filesPerChunk = math.min(32L,
+        (n + targetRowsPerFile * gateBatches - 1) / (targetRowsPerFile * gateBatches)).toInt
+      val out = new org.apache.hadoop.fs.Path(dir.resolve("staged").toString)
+      df.repartitionByRange(gateBatches * filesPerChunk, col(orderCol))
+        .write.mode("overwrite").parquet(out.toString)
       val t0 = System.currentTimeMillis() - 3600L * 1000
-      val staged = (0 until gateBatches).flatMap { i =>
-        val chunk = df.filter(Tables.fdiv(
-          (col(orderCol) - lit(lo)) * lit(gateBatches.toLong), lit(span)) === lit(i.toLong))
-        val out = new org.apache.hadoop.fs.Path(dir.resolve(s"chunk$i").toString)
-        chunk.repartition(1).write.mode("overwrite").parquet(out.toString)
-        val moved = fs.listStatus(out).map(_.getPath).filter(_.getName.startsWith("part-"))
-          .zipWithIndex.map { case (p, j) =>
-            val dst = new org.apache.hadoop.fs.Path(dir.toString, f"b$i%02d_$j.parquet")
-            // rename reports most failures by RETURNING false, and the
-            // delete below would then destroy the unmoved chunk — check
-            if (!fs.rename(p, dst))
-              throw new java.io.IOException(s"gate feed staging: failed to move $p to $dst")
-            fs.setTimes(dst, t0 + i * 60000L, -1)
-            dst
-          }
-        fs.delete(out, true)
-        moved
-      }
+      // sparse ranges may leave empty partitions (no part file emitted);
+      // name order of the emitted files is still the range order
+      val staged = fs.listStatus(out).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.map { case (p, k) =>
+          val dst = new org.apache.hadoop.fs.Path(dir.toString, f"b$k%04d.parquet")
+          // rename reports most failures by RETURNING false, and the
+          // delete below would then destroy the unmoved file — check
+          if (!fs.rename(p, dst))
+            throw new java.io.IOException(s"gate feed staging: failed to move $p to $dst")
+          fs.setTimes(dst, t0 + k * 60000L, -1)
+          dst
+        }.toSeq
+      fs.delete(out, true)
       // the replay order IS the s9 correctness contract; on a store where
       // setTimes is a no-op the file source would batch arbitrarily —
       // fail loudly instead
@@ -83,7 +100,7 @@ object StreamGate {
         s"gate feed staging: mod-times not strictly increasing ($times) — " +
           "this FileSystem does not honor setTimes; the file-source replay order would be arbitrary")
     }
-    dir
+    Feed(dir, filesPerChunk)
   }
 
   /** Delete a staged feed dir on BOTH filesystems it may touch: the
@@ -91,7 +108,7 @@ object StreamGate {
     * fs.defaultFS on a cluster) and the driver-local temp dir created by
     * Files.createTempDirectory. On a local-FS session both are the same
     * path; delete() tolerates the second call finding nothing. */
-  private def deleteFeed(spark: SparkSession, dir: Path): Unit = {
+  private[streaming] def deleteFeed(spark: SparkSession, dir: Path): Unit = {
     try hadoopFs(spark).delete(new org.apache.hadoop.fs.Path(dir.toString), true)
     catch { case scala.util.control.NonFatal(_) => () }
     def rm(f: java.io.File): Unit = {
@@ -101,13 +118,15 @@ object StreamGate {
     rm(dir.toFile)
   }
 
-  /** One-file-per-trigger parquet stream over a staged feed dir. */
-  private def feedStream(spark: SparkSession, dir: Path,
+  /** Chunk-per-trigger parquet stream over a staged feed: one micro-batch
+    * consumes the next `filesPerTrigger` oldest files = one contiguous
+    * key-range chunk. */
+  private def feedStream(spark: SparkSession, feed: Feed,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
+      .option("maxFilesPerTrigger", feed.filesPerTrigger)
+      .parquet(feed.dir.toString)
 
   /** Shuffle-partition cap for the gate's streaming run. Stateful
     * operators open one state store per shuffle partition per
@@ -146,18 +165,18 @@ object StreamGate {
     val log = Tables.events(spark, dir)
       .select(col("event_id").as("eventId"), col("user_id").as("userId"),
         col("event_type").as("eventType"))
-    val feedDir = stageFeed(log, "eventId")
+    val feed = stageFeed(log, "eventId")
     try {
       val name = s"s9_gate_${runId.incrementAndGet()}"
       val q = Streams.temporalAsofStream(
-          feedStream(spark, feedDir, log.schema).as[ProbeEvent])
+          feedStream(spark, feed, log.schema).as[ProbeEvent])
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
         .select(col("eventId").as("event_id"), col("userId").as("user_id"),
           col("priorViewId").as("prior_view_id"))
         .orderBy("event_id")
-    } finally deleteFeed(spark, feedDir)
+    } finally deleteFeed(spark, feed.dir)
   }
 
   /** Run the feed, then stop the query; if the feed FAILS, also drop the
@@ -201,16 +220,16 @@ object StreamGate {
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L))).collect()(0).getLong(0)
     val indexDocs = d.filter(col("doc_id") <= thr)
     val arrivals = d.filter(col("doc_id") > thr)
-    val feedDir = stageFeed(arrivals, "doc_id")
+    val feed = stageFeed(arrivals, "doc_id")
     val streamed = try {
       val name = s"s8_gate_${runId.incrementAndGet()}"
       val q = Streams.noveltyStream(
-          spark, feedStream(spark, feedDir, arrivals.schema), indexDocs)
+          spark, feedStream(spark, feed, arrivals.schema), indexDocs)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
         .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
-    } finally deleteFeed(spark, feedDir)
+    } finally deleteFeed(spark, feed.dir)
     // exact twin of the probe: x36's hit counts, read from the shared
     // stage (identical 90/10 split and gram keys — the lineage runs once
     // per session across x36 and this gate)

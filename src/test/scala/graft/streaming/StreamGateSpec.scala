@@ -2,6 +2,15 @@ package graft.streaming
 
 import graft.SparkTestBase
 
+/** A local FS whose setTimes does not stick (every call pins the same
+  * constant) — the degraded-store shape StreamGate's staging guard exists
+  * to catch. Top-level with a no-arg constructor so Hadoop can reflect it
+  * from `fs.file.impl`. */
+class FrozenTimesFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long, atime: Long): Unit =
+    super.setTimes(p, 946684800000L, atime) // 2000-01-01, for every file
+}
+
 /** The stream-gate harnesses (StreamGate) feed the REAL streaming
   * transforms from the sf tables and dump the sink for the driver's
   * DuckDB compare — these tests pin the same equivalences locally. */
@@ -12,6 +21,56 @@ class StreamGateSpec extends SparkTestBase {
     val want = graft.ops.Windows.q16Asof(spark, sf0001).collect().map(_.toString).toSeq
     assert(got == want, s"rows ${got.size} vs ${want.size}; " +
       s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
+  }
+
+  test("feed staging splits a large feed into bounded range-ordered files (no 1/4-corpus write task)") {
+    val s = spark
+    // 300k rows ≫ targetRowsPerFile·gateBatches: the round-8 staging
+    // would write 75k-row files from single tasks; now each file is a
+    // bounded contiguous key-range slice and a micro-batch is
+    // filesPerTrigger consecutive files
+    val n = 12 * StreamGate.targetRowsPerFile
+    val feed = StreamGate.stageFeed(
+      s.range(0, n).select(org.apache.spark.sql.functions.col("id")), "id")
+    try {
+      assert(feed.filesPerTrigger == 3, s"expected 3 files per chunk, got ${feed.filesPerTrigger}")
+      val files = new java.io.File(feed.dir.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(files.length == 12, s"expected 12 staged files, got ${files.length}")
+      // name order must be key order: per-file [min,max] ranges strictly
+      // ascending and non-overlapping — that IS the log-replay guarantee
+      val ranges = files.map { f =>
+        val r = s.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min("id"),
+            org.apache.spark.sql.functions.max("id"),
+            org.apache.spark.sql.functions.count("id")).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      ranges.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) => assert(hi < lo,
+        s"file ranges overlap or regress: $hi !< $lo in ${ranges.toSeq}") }
+      // every write task owned a bounded slice (range partitioner is
+      // sampled, so allow 2x the target)
+      ranges.foreach { case (_, _, c) => assert(c <= 2 * StreamGate.targetRowsPerFile,
+        s"a staged file holds $c rows — write task not bounded") }
+      assert(ranges.map(_._3).sum == n)
+      // mod-times strictly increase in name order (replay order contract)
+      val times = files.map(_.lastModified()).toSeq
+      assert(times == times.sorted && times.distinct.size == times.size)
+    } finally StreamGate.deleteFeed(s, feed.dir)
+  }
+
+  test("feed staging fails loudly on a store that does not honor setTimes") {
+    // session-level confs flow into SessionState.newHadoopConf(), which is
+    // where stageFeed gets its FileSystem; cache off so the wrapper is
+    // actually instantiated instead of the processwide file:// instance
+    val s2 = spark.newSession()
+    s2.conf.set("fs.file.impl", classOf[FrozenTimesFileSystem].getName)
+    s2.conf.set("fs.file.impl.disable.cache", "true")
+    val ex = intercept[IllegalArgumentException] {
+      StreamGate.stageFeed(
+        s2.range(0, 1000).select(org.apache.spark.sql.functions.col("id")), "id")
+    }
+    assert(ex.getMessage.contains("does not honor setTimes"), ex.getMessage)
   }
 
   test("s8 gate: exact counts cover every arrival and all verdict flags hold") {
