@@ -69,14 +69,48 @@ object BenchScaling {
     "q24_naive_join" -> fx(graft.ops.Skew.q24NaiveJoin _),
     "q24_salted_join" -> fx(graft.ops.Skew.q24SaltedAudit _),
     "q24_split_join" -> fx(graft.ops.Skew.q24SplitAudit _),
+    // the many-right-rows-per-hot-key shape (saltedEquiJoin's claimed
+    // niche): both hot masses concentrate under the key offset (≡0 mod 4
+    // and mod 10), so the emitted hot product grows ×factor² — run these
+    // legs on a SMALL base (sf0.01) and modest factors
+    "q25_naive_join" -> fx(graft.ops.Skew.q25NaiveJoin _),
+    "q25_salted_join" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.Skew.q25SaltedAudit(s, d)),
+    // salted parallelism = buckets: the ∝-cores setting for this host
+    "q25_salted32_join" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.Skew.q25SaltedAudit(s, d, buckets = 32)),
+    "q25_split_join" -> fx(graft.ops.Skew.q25SplitAudit _),
     // the custom operator vs its composed twin, same data, same factor
     "q16_asof" -> fx(graft.ops.Windows.q16Asof _),
     "q16b_asof_native" -> fx(graft.ops.Windows.q16bAsofNative _),
+    // round-9 coverage: the previously unaudited families (windows,
+    // scalars, analytics, the streaming batch analogues) — all replicate
+    // through the keyed fact tables, so a replication leg is just a key
+    // selection away; per-replica window partitions / group keys / join
+    // matches are unchanged by construction (disjoint key namespaces)
+    "q7_window_rank" -> fx(graft.ops.Windows.q7WindowRank _),
+    "q8_window_frame" -> fx(graft.ops.Windows.q8WindowFrame _),
+    "q12_scalar_str_date" -> fx(graft.ops.Scalars.q12ScalarStrDate _),
+    "q13b_map_ops" -> fx(graft.ops.Scalars.q13bMapOps _),
+    "q17_quantiles" -> fx(graft.ops.Analytics.q17Quantiles _),
+    "q18_stats" -> fx(graft.ops.Analytics.q18Stats _),
+    "q19_pivot" -> fx(graft.ops.Analytics.q19Pivot _),
+    "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
+    "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
+    "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),
+    "s5_dedup_replay" -> fx(graft.ops.StreamingBatch.s5DedupReplay _),
+    "s6_interval_join" -> fx(graft.ops.StreamingBatch.s6IntervalJoin _),
+    "s7_stream_enrich" -> fx(graft.ops.StreamingBatch.s7StreamEnrich _),
     // the dedup/scoring stack (README "Scaling audit", first table) —
     // documents replicate with DISJOINT token namespaces, so per-replica
     // shingle-df distributions are unchanged and replicas never pair
     "x1_dedup_exact" -> fx(graft.ops.TextOps.x1DedupExact _),
     "x2_dedup_near" -> fx(graft.ops.TextOps.x2DedupNear _),
+    // the df-cap knob APPLIED (tight cap = bounded per-shingle pair
+    // contribution): the measured form of x2's output-linear growth note —
+    // the registered query and its oracle stay at the default cap
+    "x2_dedup_near_tightdf" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.TextOps.x2DedupNearDf(s, d, 10)),
     "x13_minhash_lsh" -> fx(graft.ops.TextOps.x13MinhashLsh _),
     "x23_simhash_neardup" -> fx(graft.ops.PipelineOps.x23SimhashNeardup _),
     "x24_dedup_clusters" -> fx(graft.ops.PipelineOps.x24DedupClusters _),
@@ -120,6 +154,7 @@ object BenchScaling {
     "x27_semantic_dedup", "x16_ivf_ann_scaledk", "x27_semantic_dedup_scaledk",
     "x14_cosine_neardup_scaledbits")
   private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
+    "x2_dedup_near_tightdf",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e")

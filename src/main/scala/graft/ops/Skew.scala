@@ -76,24 +76,29 @@ object Skew {
       .drop("__salt")
   }
 
-  /** Map-side-combinable per-key row counts of `df` — the stats frame
-    * [[splitSkewJoin]] consumes: one row per distinct key (null
-    * included), columns `__k` (key) and `__c` (count). Stage the result
-    * (see `Stages.q24KeyCounts`) when the same left side is joined more
-    * than once per session. */
+  /** Map-side-combinable per-key row counts of `df` — the FULL stats
+    * shape [[splitSkewJoin]] consumes: one row per distinct key (null
+    * included), columns `__k` (key) and `__c` (count). */
   def keyCounts(df: DataFrame, keyName: String): DataFrame =
     df.groupBy(col(keyName).as("__k")).agg(count(lit(1)).as("__c"))
 
-  /** Unpersist the blocks a `localCheckpoint(true)` frame pins.
-    * `Dataset.unpersist` only uncaches CacheManager entries, never
-    * checkpoint blocks — release goes through the LogicalRDD handles. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach { r =>
-      try r.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+  /** The BOUNDED stats artifact worth persisting across calls (see
+    * `Stages.q24KeyStats`): the top `cap` keys by count plus the row
+    * total as a constant `__t` column — ≤ cap rows, never corpus-keyed,
+    * so it can be staged in memory at any corpus size (materializing the
+    * FULL key-count frame was measured to cost tens of seconds at 64×;
+    * a key-frequency table over 100 TB is itself big data). EXACT for any
+    * detection with hotShare ≥ 1/cap: strictly more than total/cap rows
+    * pigeonholes at most cap−1 keys, and all of them sort into the top
+    * cap by count. The row total rides the same pass as a footer-cheap
+    * `count()` on the unmodified source frame. */
+  def hotKeyStats(df: DataFrame, keyName: String, cap: Int = 1000): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    keyCounts(df, keyName)
+      .orderBy(col("__c").desc)
+      .limit(cap)
+      .withColumn("__t", lit(df.count()))
+  }
 
   /** Hot-slice split inner equi-join — the shape that survives a 100 TB
     * shuffled fact⋈fact join with a hot foreign key (the null user, the
@@ -112,15 +117,15 @@ object Skew {
     * otherwise. AQE's skew-split handles the mild runtime case; this
     * operator is for the structural hot key you know survives every run.
     *
-    * Cost accounting: ONE map-side-combined key-count pass over `left`
-    * (materialized so the threshold read and the hot-key read don't each
-    * rescan it; the row total is the sum of the per-key counts, so no
-    * separate `count()` job), then the two join branches each scan `left`
-    * with the hot-set filter pushed to the parquet reader. At 100 TB the
-    * stats pass is amortized into a persisted key-frequency stage: pass
-    * `stats = Some(...)` (the [[keyCounts]] shape, e.g.
-    * `Stages.q24KeyCounts`) and the call scans `left` only for the join
-    * branches — the join result is identical for ANY hot set, so
+    * Cost accounting: one column-less `count()` (parquet answers it from
+    * footer metadata), one map-side-combined key-count pass, then the two
+    * join branches each scan `left` with the hot-set filter pushed to the
+    * parquet reader. At 100 TB the stats pass is amortized into a
+    * persisted stage: pass `stats = Some(...)` — either the full
+    * [[keyCounts]] shape, or the BOUNDED [[hotKeyStats]] shape (`__t`
+    * column present; its cap must satisfy hotShare ≥ 1/cap, e.g.
+    * `Stages.q24KeyStats`) — and the call never scans `left` for
+    * detection at all. The join result is identical for ANY hot set, so
     * detection precision affects only the plan, never the answer. */
   def splitSkewJoin(left: DataFrame, leftKeyName: String, right: DataFrame,
       rightKeyName: String, hotShare: Double = 0.01,
@@ -128,25 +133,29 @@ object Skew {
       stats: Option[DataFrame] = None): DataFrame = {
     require(hotShare > 0 && hotShare < 1, s"hotShare must be in (0,1): $hotShare")
     val lk = col(leftKeyName)
-    // `owned` = the stats pass this call materialized itself (released
-    // after the two bounded reads); a caller-provided stage is left alone
-    val (counts, owned) = stats match {
-      case Some(s) => (s, None)
-      case None =>
-        val cp = keyCounts(left, leftKeyName).localCheckpoint(eager = true)
-        (cp, Some(cp))
-    }
     // null keys never match an inner equi-join, so a "hot" null key needs
     // no hot-slice handling — and it MUST be excluded: a null inside an
     // isin() list makes both branch predicates evaluate to null on every
     // row (three-valued logic), silently emptying the whole join
-    val hotKeys = try {
-      val totalRow = counts.agg(sum(col("__c")).as("t")).first()
-      val threshold =
-        (if (totalRow.isNullAt(0)) 0.0 else totalRow.getLong(0).toDouble) * hotShare
-      counts.filter(col("__c") > threshold && col("__k").isNotNull)
-        .select(col("__k")).collect().map(_.get(0)).toSeq
-    } finally owned.foreach(releaseCheckpoint)
+    val hotKeys = stats match {
+      case Some(s) =>
+        // bounded hotKeyStats carry the row total in __t (their count sum
+        // covers only the retained top keys); full keyCounts sum to it
+        val total: Double =
+          if (s.columns.contains("__t"))
+            s.select(col("__t")).head(1).headOption.map(_.getLong(0).toDouble).getOrElse(0.0)
+          else {
+            val r = s.agg(sum(col("__c"))).first()
+            if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
+          }
+        s.filter(col("__c") > total * hotShare && col("__k").isNotNull)
+          .select(col("__k")).collect().map(_.get(0)).toSeq
+      case None =>
+        val threshold = left.count() * hotShare
+        keyCounts(left, leftKeyName)
+          .filter(col("__c") > threshold && col("__k").isNotNull)
+          .select(col("__k")).collect().map(_.get(0)).toSeq
+    }
     val cond = lk === col(rightKeyName)
     // shuffleCold pins the cold branch to a shuffled join (audit use: at
     // sf-test sizes AQE broadcasts a right side a 100 TB run couldn't)
@@ -186,11 +195,11 @@ object Skew {
     * joins its single order row by broadcast; the cold 75% shuffle-joins
     * normally. No reducer ever sees the hot key's fan-in. Revenue through
     * integer cents → partitioning-invariant. Hot detection reads the
-    * staged key-frequency table ([[Stages.q24KeyCounts]]) — the fact side
+    * staged bounded key stats ([[Stages.q24KeyStats]]) — the fact side
     * pays its stats scan once per session, not once per call. */
   def q24SkewJoin(spark: SparkSession, dir: String): DataFrame =
     q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk", Tables.orders(spark, dir), "o_orderkey",
-      stats = Some(Stages.q24KeyCounts(spark, dir))))
+      stats = Some(Stages.q24KeyStats(spark, dir))))
 
   /** Audit twins (BenchScaling skew leg; [[q24NaiveJoin]] is the third) —
     * all three pin the bulk join to a shuffled merge join so the ONLY
@@ -208,7 +217,57 @@ object Skew {
   def q24SplitAudit(spark: SparkSession, dir: String): DataFrame =
     q24Agg(splitSkewJoin(q24Fact(spark, dir), "jk",
       Tables.orders(spark, dir), "o_orderkey", shuffleCold = true,
-      stats = Some(Stages.q24KeyCounts(spark, dir))))
+      stats = Some(Stages.q24KeyStats(spark, dir))))
+
+  // ---- q25 audit family: saltedEquiJoin's claimed niche -------------------
+
+  /** The q25 right side: orders where ONE key owns thousands of rows —
+    * every o_orderkey ≡ 0 (mod 10) re-points at key 1, so at sf0.01 key 1
+    * carries ~1.5k order rows and the BenchScaling key offset (≡0 mod 10)
+    * concentrates the slice ×factor. Combined with [[q24Fact]]'s hot left
+    * quarter this is the many-right-rows-per-hot-key shape
+    * [[saltedEquiJoin]]'s scaladoc claims: the hot-slice broadcast
+    * [[splitSkewJoin]] leans on is no longer one row but a slice growing
+    * with the corpus. Audit-only (BenchScaling q25 legs + the ScaleSpec
+    * three-way equality pin); product rows = hotLeft × hotRight make this
+    * shape quadratic under concentration, so legs run on small bases. */
+  def q25Right(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).withColumn("rk",
+      when(col("o_orderkey") % 10 === 0, lit(1L)).otherwise(col("o_orderkey")))
+
+  private def q25Agg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Tables.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy("o_orderpriority")
+
+  /** Naive twin: the hot reducer owns hotLeft + hotRight AND emits the
+    * full hotLeft×hotRight product alone. */
+  def q25NaiveJoin(spark: SparkSession, dir: String): DataFrame =
+    q25Agg(q24Fact(spark, dir)
+      .join(q25Right(spark, dir).hint("merge"), col("jk") === col("rk")))
+
+  /** Salted twin: left spread over `buckets` salt values, right (hot
+    * slice included) replicated ×buckets — each (key, salt) reducer emits
+    * product/buckets. Salted parallelism is CAPPED at `buckets`, so the
+    * audit drives it at the default 16 and at 32 (= the bench core
+    * count): buckets ∝ cores is the knob that keeps salted ahead once
+    * the emitted product dominates. */
+  def q25SaltedAudit(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame =
+    q25Agg(saltedEquiJoin(
+      q24Fact(spark, dir), col("jk"),
+      q25Right(spark, dir).hint("merge"), col("rk"),
+      saltFrom = xxhash64(col("l_orderkey"), col("l_linenumber")),
+      buckets = buckets))
+
+  /** Split twin: the thousands-row hot slice is broadcast to every left
+    * scan task — the cost [[saltedEquiJoin]] exists to avoid when the
+    * slice × executor count outgrows memory. */
+  def q25SplitAudit(spark: SparkSession, dir: String): DataFrame =
+    q25Agg(splitSkewJoin(q24Fact(spark, dir), "jk",
+      q25Right(spark, dir), "rk", shuffleCold = true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_skew_agg" -> q23SkewAgg,

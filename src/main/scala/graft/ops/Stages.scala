@@ -28,8 +28,9 @@ import scala.collection.concurrent.TrieMap
   *    durable parquet-between-phases shape the same pipeline has at
   *    100 TB (survives executor loss, holds no block-manager memory).
   *    The root is per-RUN scratch space, not a cross-session cache:
-  *    every session rewrites its stages (mode overwrite), so two LIVE
-  *    sessions must not share one root — give each its own.
+  *    each session writes under its own `run_<id>` subdirectory, so
+  *    live sessions may share one root without clobbering each other;
+  *    [[evictSession]] deletes the departing session's subdirectory.
   *
   * The cached frames are the BOUNDED artifacts of the pipeline — pair
   * lists capped upstream by df caps/banding and the label table (one row
@@ -80,6 +81,7 @@ object Stages {
     if (sc.isStopped) owned.foreach { k => cache.remove(k); pinnedRdds.remove(k) }
     else owned.foreach(release)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
+    runIds.keys.filter(_.sparkContext eq sc).foreach(runIds.remove)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
     // a duplicate listener); a stopped context's marker is garbage
@@ -100,6 +102,19 @@ object Stages {
   def evictSession(spark: SparkSession): Unit = synchronized {
     cache.keys.filter(_._1 eq spark).foreach(release)
     centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
+    // parquet mode: this session's run_<id> scratch subdir is dead with
+    // its entries — best-effort delete through the session's FS (a live
+    // session was just required by the contract above). Resolve the dir
+    // BEFORE dropping the run id; stageRoot would mint a fresh id
+    val dir = if (runIds.contains(spark)) stageRoot(spark) else None
+    runIds.remove(spark)
+    dir.foreach { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        org.apache.hadoop.fs.FileSystem
+          .get(p.toUri, spark.sessionState.newHadoopConf()).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def hookEviction(spark: SparkSession): Unit = {
@@ -122,18 +137,35 @@ object Stages {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     pinnedRdds.keys.filter(_._1.sparkContext.isStopped).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
+    runIds.keys.filter(_.sparkContext.isStopped).foreach(runIds.remove)
     hooked.keys.filter(_.isStopped).foreach(hooked.remove)
   }
+
+  /** Per-session run tag under the configured stage root: two LIVE
+    * sessions pointed at one root used to silently overwrite each other's
+    * stage files (documented as forbidden, previously unenforced); each
+    * session now writes under its own `run_<id>` subdirectory, so sharing
+    * a root is safe — at the price of each session building its own
+    * stages, which is the parquet mode's per-run-scratch contract anyway.
+    * [[evictSession]] deletes the session's subdirectory. */
+  private val runIds = TrieMap.empty[SparkSession, String]
+
+  private def runTag(spark: SparkSession): String =
+    runIds.getOrElseUpdate(spark,
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
 
   /** The parquet-stage root, if configured: runtime conf first (testable
     * per session; an EMPTY conf value explicitly forces localCheckpoint
     * even when the env var is exported — tests of the default mode rely
-    * on that), env var as the deployment default. */
-  private def stageRoot(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.stageDir") match {
+    * on that), env var as the deployment default. The resolved root is
+    * session-scoped (see [[runIds]]). */
+  private def stageRoot(spark: SparkSession): Option[String] = {
+    val base = spark.conf.getOption("spark.graft.stageDir") match {
       case Some(v) => Some(v).filter(_.nonEmpty)
       case None    => sys.env.get("SPARK_GRAFT_STAGE_DIR").filter(_.nonEmpty)
     }
+    base.map(r => s"${r.stripSuffix("/")}/run_${runTag(spark)}")
+  }
 
   /** Builds are serialized: TrieMap.getOrElseUpdate may evaluate the
     * by-name op in two racing threads and discard one result — harmless
@@ -205,15 +237,17 @@ object Stages {
   def x36Hits(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x36_hits")(PipelineOps.x36HitsUnsorted(spark, dir))
 
-  /** q24's fact-side key-frequency table (`__k`, `__c`): one row per
-    * distinct join key of `Skew.q24Fact`, two longs — the persisted
-    * key-frequency stage the [[graft.ops.Skew.splitSkewJoin]] scaladoc
+  /** q24's fact-side BOUNDED key stats (`Skew.hotKeyStats` shape: top
+    * 1000 keys by count + the row total as `__t`, ≤ 1001 values) — the
+    * persisted stats stage the [[graft.ops.Skew.splitSkewJoin]] scaladoc
     * names as the 100 TB form. Staged so the registered q24 query and its
     * audit twins detect hot keys from ONE stats scan of the fact side per
-    * session instead of one per call; the bounded threshold/hot-key reads
-    * then hit the materialized stage. */
-  def q24KeyCounts(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "q24_keycounts")(Skew.keyCounts(Skew.q24Fact(spark, dir), "jk"))
+    * session instead of one per call; exact for any hotShare ≥ 0.001
+    * (pigeonhole — see hotKeyStats). Deliberately NOT the full key-count
+    * frame: that is corpus-keyed (tens of millions of rows at the 64×
+    * audit leg) and materializing it cost more than the scans it saved. */
+  def q24KeyStats(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "q24_keystats")(Skew.hotKeyStats(Skew.q24Fact(spark, dir), "jk"))
 
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per

@@ -106,6 +106,20 @@ object TextOps {
   def x2DedupNear(spark: SparkSession, dir: String): DataFrame =
     Stages.x2Pairs(spark, dir).orderBy("d1", "d2")
 
+  /** [[x2DedupNear]] with the document-frequency cap as a parameter — the
+    * corpus-scale knob (x2's output grows with the PAIR LIST, and the cap
+    * is what bounds each shingle's contribution to ≤ C(cap,2) pairs; a
+    * boilerplate-heavy corpus tightens it, a curated one can relax it).
+    * Jaccard is consistently over the cap-pruned shingle set, so a
+    * different cap is a different — still sound — similarity contract,
+    * not a corruption (OpsSpec pins both regimes). The registered query
+    * and its oracle stay at the default [[x2DfCap]]; this variant
+    * computes fresh, bypassing the [[Stages.x2Pairs]] stage. */
+  def x2DedupNearDf(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    x2DedupNearOn(shingleHash64Rows(spark, dir)
+      .select(col("doc_id"), shiftrightunsigned(col("h0"), 32).as("k")),
+      sorted = true, dfCap = dfCap)
+
   /** x2's pair core without the output sort — the stage body behind
     * [[Stages.x2Pairs]]. */
   private[ops] def x2PairsUnsorted(spark: SparkSession, dir: String): DataFrame =
@@ -128,7 +142,9 @@ object TextOps {
     * |distinct shingles| index, never the corpus. At 100 TB the index is
     * the natural materialized pipeline stage and everything downstream
     * of it is bounded small data. */
-  private[graft] def x2DedupNearOn(keyRows: DataFrame, sorted: Boolean = true): DataFrame = {
+  private[graft] def x2DedupNearOn(keyRows: DataFrame, sorted: Boolean = true,
+      dfCap: Int = x2DfCap): DataFrame = {
+    require(dfCap >= 2, s"dfCap must admit at least one pair (>= 2): $dfCap")
     val kd = keyRows.select(col("doc_id"), col("k"))
     // df cap, applied BEFORE any posting list materializes: a boilerplate
     // shingle with huge df must never build a df-sized collect_list
@@ -142,7 +158,7 @@ object TextOps {
     val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
     val byK = kd
       .withColumn("df", count(lit(1)).over(wk))
-      .filter(col("df") <= x2DfCap)
+      .filter(col("df") <= dfCap)
       .groupBy(col("k"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       // The index feeds three consumers (pair gen + two size joins);

@@ -153,8 +153,10 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   * from preceding fact shuffles, where the composed form's union sort
   * degrades while this merge (one buffered right row, no union, no
   * window buffer) holds its time. The per-row interpreted-projection
-  * overhead is inside the 5–10% steady-state margin, so a
-  * `CodegenSupport` merge remains an upside, not a need. */
+  * overhead is inside the 5–10% steady-state margin the operator already
+  * WINS by, so the codegen question is CLOSED (round 9, SURVEY §8): a
+  * `CodegenSupport` merge is not planned — re-open only on a measured
+  * regression at a scale the 128× legs didn't reach. */
 case class AsofJoinExec(
     leftKey: Expression,
     leftTime: Expression,

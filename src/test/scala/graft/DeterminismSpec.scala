@@ -57,10 +57,13 @@ class DeterminismSpec extends SparkTestBase {
       consumers.lazyZip(local).lazyZip(parquet).foreach { (n, l, p) =>
         assert(l == p, s"$n differs between localCheckpoint and parquet stages")
       }
-      // the parquet mode actually materialized stages on disk
-      val written = new java.io.File(tmp).listFiles()
-      assert(written != null && written.exists(_.getName.startsWith("stage_")),
-        s"no parquet stage written under $tmp")
+      // the parquet mode actually materialized stages on disk — under the
+      // session's run_<id> subdir (the shared-root isolation layer)
+      val written = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("run_"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      assert(written.exists(_.getName.startsWith("stage_")),
+        s"no parquet stage written under $tmp/run_*")
     } finally {
       s.conf.unset("spark.graft.stageDir")
       graft.ops.Stages.clear()

@@ -155,6 +155,25 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getLong(5) == 10000L)
   }
 
+  test("x2: public df-cap knob — relaxed cap matches the registered query, tight cap stays bounded") {
+    import spark.implicits._
+    // driver corpus max df = 25: a cap of 1000 and the default 50 are both
+    // inactive, so the knob at a relaxed setting must reproduce the
+    // registered pairs exactly
+    val reg = TextOps.x2DedupNear(spark, sf001).collect().toSeq
+    assert(TextOps.x2DedupNearDf(spark, sf001, 1000).collect().toSeq == reg)
+    // tight cap on a hot-shingle corpus: the df=10 boilerplate key is
+    // dropped at cap 5, so output is the one true pair, not C(10,2)
+    val hot = (1 to 10).map(d => (d.toLong, 0xFFFFFFFFL))
+    val shared = for (d <- 1 to 2; g <- 1 to 20) yield (d.toLong, g.toLong)
+    val out = TextOps.x2DedupNearOn((hot ++ shared).toDF("doc_id", "k"), dfCap = 5).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    // cap below any pair is a contract error, not silent emptiness
+    intercept[IllegalArgumentException] {
+      TextOps.x2DedupNearOn(shared.toDF("doc_id", "k"), dfCap = 1)
+    }
+  }
+
   test("x13: band df cap drops degenerate hot buckets before pairing") {
     import spark.implicits._
     // one hot bucket shared by 100 docs (a boilerplate flood whose

@@ -88,27 +88,29 @@ class ScaleSpec extends SparkTestBase {
     assert(out.count() == plain.count() && out.count() == 400)
   }
 
-  test("q24 hot-key stats are staged: fact side scanned once per session, stats reads hit the materialized stage") {
+  test("q24 hot-key stats are staged: fact side scanned once per session, stats reads hit the bounded stage") {
     Stages.clear()
-    val stage1 = Stages.q24KeyCounts(spark, sf0001)
+    val stage1 = Stages.q24KeyStats(spark, sf0001)
     // the stage is a materialized artifact (LogicalRDD after checkpoint),
     // not a live parquet lineage — so the threshold/hot-key reads in
     // splitSkewJoin cannot re-scan lineitem
     assert(stage1.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr
-    }.nonEmpty, "q24 key-count stage must be materialized, not a parquet re-read")
+    }.nonEmpty, "q24 key-stats stage must be materialized, not a parquet re-read")
+    // BOUNDED: never corpus-keyed (the full key-count frame is)
+    assert(stage1.count() <= 1000, "staged stats must be the bounded top-k form")
     // re-request serves the same frame: the stats pass ran once
-    assert(Stages.q24KeyCounts(spark, sf0001) eq stage1)
+    assert(Stages.q24KeyStats(spark, sf0001) eq stage1)
     // the registered query + audit twin consume the stage without adding entries
     val n = Stages.cachedEntryCount
     val fromStage = Skew.q24SkewJoin(spark, sf0001)
     Skew.q24SplitAudit(spark, sf0001)
-    assert(Stages.cachedEntryCount == n, "q24 must reuse the staged key counts")
+    assert(Stages.cachedEntryCount == n, "q24 must reuse the staged key stats")
     // and the staged detection changes nothing about the answer
     assert(fromStage.collect().toSeq == Skew.q24NaiveJoin(spark, sf0001).collect().toSeq)
   }
 
-  test("split skew join accepts precomputed stats and stays exact (incl. empty left)") {
+  test("split skew join accepts precomputed stats — full and bounded shapes — and stays exact") {
     val s = spark
     import s.implicits._
     val left = s.range(0, 2000)
@@ -118,14 +120,22 @@ class ScaleSpec extends SparkTestBase {
       df.select("id", "rk", "payload").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val plain = norm(left.join(right, col("jk") === col("rk")))
-    val stats = Skew.keyCounts(left, "jk")
     assert(norm(Skew.splitSkewJoin(left, "jk", right, "rk", hotShare = 0.05,
-      stats = Some(stats))) == plain)
-    // empty left: sum(__c) is null — must degrade to the (empty) plain join
+      stats = Some(Skew.keyCounts(left, "jk")))) == plain)
+    // bounded shape: cap far below the distinct-key count still detects
+    // the hot key exactly (hotShare 0.05 >= 1/cap) and joins identically
+    val bounded = Skew.hotKeyStats(left, "jk", cap = 20)
+    assert(bounded.count() == 20 &&
+      bounded.select(col("__t")).first().getLong(0) == 2000L)
+    assert(norm(Skew.splitSkewJoin(left, "jk", right, "rk", hotShare = 0.05,
+      stats = Some(bounded))) == plain)
+    // empty left: no readable total — must degrade to the (empty) plain join
     val empty = left.filter(lit(false))
     assert(Skew.splitSkewJoin(empty, "jk", right, "rk").count() == 0)
     assert(Skew.splitSkewJoin(empty, "jk", right, "rk",
       stats = Some(Skew.keyCounts(empty, "jk"))).count() == 0)
+    assert(Skew.splitSkewJoin(empty, "jk", right, "rk",
+      stats = Some(Skew.hotKeyStats(empty, "jk", cap = 20))).count() == 0)
   }
 
   test("split skew join with no hot key degrades to the plain join") {
@@ -171,6 +181,15 @@ class ScaleSpec extends SparkTestBase {
         saltFrom = col("id"), buckets = buckets)) == plain,
         s"salted != plain at seed $seed buckets $buckets")
     }
+  }
+
+  test("q25: the many-right-rows hot-key twins all agree (saltedEquiJoin's niche shape)") {
+    // key 1 owns ~25% of left rows AND ~10% of right rows — the product
+    // fan-out both mitigations must preserve exactly
+    val naive = Skew.q25NaiveJoin(spark, sf0001).collect().toSeq
+    assert(naive.nonEmpty)
+    assert(Skew.q25SaltedAudit(spark, sf0001).collect().toSeq == naive)
+    assert(Skew.q25SplitAudit(spark, sf0001).collect().toSeq == naive)
   }
 
   test("bucketed tables join without a shuffle") {

@@ -67,6 +67,37 @@ class StagesSpec extends SparkTestBase {
     }
   }
 
+  test("two live sessions sharing one parquet stage root write distinct run subdirs") {
+    Stages.clear()
+    val modeKey = "spark.graft.stageDir"
+    val prev = spark.conf.getOption(modeKey)
+    val root = Files.createTempDirectory("graft-stages-shared").toString
+    try {
+      spark.conf.set(modeKey, root)
+      val other = spark.newSession()
+      other.conf.set(modeKey, root)
+      val a = Stages.x9Scores(spark, sf0001)
+      val b = Stages.x9Scores(other, sf0001)
+      def runDirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("run_")).map(_.getName).toSet
+      assert(runDirs.size == 2,
+        s"each live session must own its own run subdir under a shared root: $runDirs")
+      // no clobbering: both frames read their own files and agree on data
+      assert(a.collect().toSet == b.collect().toSet)
+      // departing session takes its scratch with it; the survivor's stays
+      Stages.evictSession(other)
+      assert(runDirs.size == 1, s"evicted session's run subdir must be deleted: $runDirs")
+      assert(a.collect().nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+      Stages.clear()
+      graft.SparkTestBase.deleteRecursively(new java.io.File(root))
+    }
+  }
+
   test("evict(sc) drops every entry owned by the context") {
     Stages.clear()
     Stages.x9Scores(spark, sf0001)
