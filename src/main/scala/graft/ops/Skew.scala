@@ -63,7 +63,12 @@ object Skew {
     * pair meets exactly once, under l's salt. Use when hot keys are unknown
     * or carry many right rows; the price is a `buckets`× shuffle of the
     * right side, so prefer [[splitSkewJoin]] when the hot slice of the
-    * right side is small enough to broadcast.
+    * right side is small enough to broadcast. MEASURED (README
+    * "Many-right-rows skew leg", round 9): on the q25 shape this beats
+    * the naive join at every factor and beats split too once `buckets`
+    * is sized to the available parallelism — salted parallelism is
+    * capped at `buckets`, so leaving it at 16 on a 32-core host gives
+    * split the lead back at high factors.
     *
     * Same retry-safety rule as [[saltedSumCount]]: the left salt must be
     * deterministic per row (`saltFrom`), never `rand()`. */
