@@ -74,12 +74,20 @@ object BenchScaling {
     // and mod 10), so the emitted hot product grows ×factor² — run these
     // legs on a SMALL base (sf0.01) and modest factors
     "q25_naive_join" -> fx(graft.ops.Skew.q25NaiveJoin _),
-    "q25_salted_join" -> ((s: SparkSession, d: String, _: Int) =>
+    // q25_salted16_join: distinct from the REGISTERED q25_salted_join,
+    // which runs the same operator at 1%/1% concentration
+    "q25_salted16_join" -> ((s: SparkSession, d: String, _: Int) =>
       graft.ops.Skew.q25SaltedAudit(s, d)),
     // salted parallelism = buckets: the ∝-cores setting for this host
     "q25_salted32_join" -> ((s: SparkSession, d: String, _: Int) =>
       graft.ops.Skew.q25SaltedAudit(s, d, buckets = 32)),
     "q25_split_join" -> fx(graft.ops.Skew.q25SplitAudit _),
+    // q26: the bloom semi-join reduction vs its unprobed twin — the
+    // delta is the fact shuffle the probe prunes before it happens
+    // (replicas keep their own urgent 20%, so selectivity is
+    // factor-invariant while the shuffle saving grows with the corpus)
+    "q26_bloom_join" -> fx(Relational.q26BloomJoin _),
+    "q26_plain_join" -> fx(Relational.q26PlainAudit _),
     // the custom operator vs its composed twin, same data, same factor
     "q16_asof" -> fx(graft.ops.Windows.q16Asof _),
     "q16b_asof_native" -> fx(graft.ops.Windows.q16bAsofNative _),

@@ -154,7 +154,56 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** q26: runtime bloom-filter semi-join reduction — the shuffle killer
+    * Spark's own `InjectRuntimeFilter` gates behind cost heuristics, made
+    * explicit and deterministic. The niche: a filtered dim side too big
+    * at 100 TB for a broadcast HASH join (tens of millions of keys × row
+    * payload), whose BLOOM is still megabytes (≈14.4 bits/key at fpp
+    * 1e-3). Build it driver-side in one dim-sized pass
+    * (`DataFrameStatFunctions.bloomFilter` — the s8 pattern; the collect
+    * is bloom BITS, never rows), broadcast it, and drop ~4/5 of the fact
+    * rows BEFORE the shuffle. False positives survive the probe but die
+    * in the join, so the result is exactly the plain join's — the probe
+    * moves bytes-shuffled, never the answer. The dim side pins a merge
+    * join because the operator's niche IS the non-broadcastable dim; at
+    * test SF AQE would broadcast it and the plan would stop being the
+    * 100 TB plan. ScaleSpec pins the probe's position below the join and
+    * that pruning actually bites (passed ≪ fact rows, ≥ matched rows). */
+  def q26BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q26Dim(spark, dir)
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.001)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((k: Long) => bc.value.mightContain(k)).withName("bloom_probe")
+    q26Agg(q26Fact(spark, dir)
+      .filter(probe(col("l_orderkey")))
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+  }
+
+  /** Unprobed twin of [[q26BloomJoin]] (BenchScaling audit baseline): the
+    * FULL fact table enters the merge-join shuffle — the delta vs q26 is
+    * exactly the shuffle the bloom probe prunes before it happens. */
+  def q26PlainAudit(spark: SparkSession, dir: String): DataFrame =
+    q26Agg(q26Fact(spark, dir)
+      .join(q26Dim(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey")))
+
+  private def q26Dim(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+
+  private def q26Fact(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+
+  private def q26Agg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_bloom_join" -> q26BloomJoin,
     "q21_local_supplier" -> q21LocalSupplier,
     "q22_market_share" -> q22MarketShare,
     "q1_scan_filter" -> q1ScanFilter,
@@ -166,6 +215,12 @@ object Relational {
     "q15_range_join" -> q15RangeJoin)
 
   val oracle: Map[String, String] = Map(
+    "q26_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q22_market_share" ->
       s"""WITH rev AS (
          |  SELECT year(o_orderdate) AS yr, s_nationkey,

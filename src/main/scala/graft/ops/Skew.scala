@@ -274,9 +274,31 @@ object Skew {
     q25Agg(splitSkewJoin(q24Fact(spark, dir), "jk",
       q25Right(spark, dir), "rk", shuffleCold = true))
 
+  /** q25: the salted equi-join wired into the query surface, on a
+    * registered-surface-safe cut of the audit shape above — 1% of
+    * lineitem AND 1% of orders re-point at key 1 (the audit twins
+    * concentrate 25% / 10%, which is quadratic under replication: fine
+    * for short legs, hostile for the per-round sf0.1 bench). The hot key
+    * still owns a right SLICE (~1.5k order rows at sf0.1), not a single
+    * row — exactly the shape where [[splitSkewJoin]]'s hot-slice
+    * broadcast stops scaling and [[saltedEquiJoin]] is the right tool.
+    * The salt spreads the hot left slice over 16 reducer buckets and
+    * replicates the right side ×16; the result is exactly the plain
+    * join's (each match pair meets once), so the oracle is the unsalted
+    * SQL. */
+  def q25SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).withColumn("jk",
+      when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val r = Tables.orders(spark, dir).withColumn("rk",
+      when(col("o_orderkey") % 100 === 0, lit(1L)).otherwise(col("o_orderkey")))
+    q25Agg(saltedEquiJoin(l, col("jk"), r, col("rk"),
+      saltFrom = xxhash64(col("l_orderkey"), col("l_linenumber"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_skew_agg" -> q23SkewAgg,
-    "q24_skew_join" -> q24SkewJoin)
+    "q24_skew_join" -> q24SkewJoin,
+    "q25_salted_join" -> q25SaltedJoin)
 
   val oracle: Map[String, String] = Map(
     "q23_skew_agg" ->
@@ -292,5 +314,18 @@ object Skew {
          |SELECT o_orderpriority, count(*) AS n,
          |  CAST(sum(${Tables.centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
          |FROM l JOIN orders ON jk = o_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q25_salted_join" ->
+      s"""WITH l AS (
+         |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN 1 ELSE l_orderkey END AS jk,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE o_orderkey END AS rk,
+         |    o_orderpriority
+         |  FROM orders)
+         |SELECT o_orderpriority, count(*) AS n,
+         |  CAST(sum(${Tables.centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM l JOIN r ON jk = rk
          |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

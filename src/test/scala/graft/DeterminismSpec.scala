@@ -30,6 +30,12 @@ class DeterminismSpec extends SparkTestBase {
     // the split skew join: hot/cold branch union + exact hot detection
     // must not depend on how the stats pass or the branches partition
     "q24_skew_join",
+    // the salted equi-join: salt routing re-buckets the shuffle, which
+    // must never reach the result
+    "q25_salted_join",
+    // the bloom semi-join reduction: the probe's false-positive set must
+    // die in the join, never in the answer
+    "q26_bloom_join",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —

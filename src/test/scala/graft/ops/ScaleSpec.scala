@@ -192,6 +192,46 @@ class ScaleSpec extends SparkTestBase {
     assert(Skew.q25SplitAudit(spark, sf0001).collect().toSeq == naive)
   }
 
+  test("q25_salted_join (registered) salts the join and equals its unsalted twin") {
+    val reg = Skew.q25SaltedJoin(spark, sf0001)
+    // the salt must survive into the physical join keys — otherwise the
+    // registered row silently degrades to the plain join it mitigates
+    assert(reg.queryExecution.executedPlan.toString.contains("__salt"),
+      "registered q25 plan lost its salt keys")
+    val l = graft.model.Tables.lineitem(spark, sf0001).withColumn("jk",
+      when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val r = graft.model.Tables.orders(spark, sf0001).withColumn("rk",
+      when(col("o_orderkey") % 100 === 0, lit(1L)).otherwise(col("o_orderkey")))
+    val plain = l.join(r, col("jk") === col("rk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.model.Tables.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(reg.collect().toSeq == plain)
+  }
+
+  test("q26 bloom probe prunes the fact side below a merge join") {
+    val plan = Relational.q26BloomJoin(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), "probe filter missing from the physical plan")
+    assert(plan.contains("SortMergeJoin"), "dim side must not broadcast (the operator's niche)")
+    // pruning bites AND is sound: the probe keeps every matched fact row
+    // (blooms have no false negatives) plus at most an fpp-bounded
+    // overhang, well under half the fact table at ~20% dim selectivity
+    val fact = graft.model.Tables.lineitem(spark, sf0001)
+    val dim = graft.model.Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.001)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((k: Long) => bc.value.mightContain(k))
+    val matched = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val passed = fact.filter(probe(col("l_orderkey"))).count()
+    val total = fact.count()
+    assert(passed >= matched, s"bloom rejected a true match: passed=$passed matched=$matched")
+    assert(passed <= matched + math.max(10L, total / 100),
+      s"false-positive overhang past the fpp bound: passed=$passed matched=$matched total=$total")
+    assert(passed < total / 2, s"pruning didn't bite: passed=$passed of $total")
+  }
+
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
