@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -161,22 +162,44 @@ object Relational {
     * payload), whose BLOOM is still megabytes (≈14.4 bits/key at fpp
     * 1e-3). Build it driver-side in one dim-sized pass
     * (`DataFrameStatFunctions.bloomFilter` — the s8 pattern; the collect
-    * is bloom BITS, never rows), broadcast it, and drop ~4/5 of the fact
-    * rows BEFORE the shuffle. False positives survive the probe but die
-    * in the join, so the result is exactly the plain join's — the probe
-    * moves bytes-shuffled, never the answer. The dim side pins a merge
-    * join because the operator's niche IS the non-broadcastable dim; at
-    * test SF AQE would broadcast it and the plan would stop being the
-    * 100 TB plan. ScaleSpec pins the probe's position below the join and
-    * that pruning actually bites (passed ≪ fact rows, ≥ matched rows). */
+    * is bloom BITS, never rows), plant it as a codegen'd probe on the
+    * fact scan ([[q26Probe]]), and drop ~4/5 of the fact rows BEFORE the
+    * shuffle. False positives survive the probe but die in the join, so
+    * the result is exactly the plain join's — the probe moves
+    * bytes-shuffled, never the answer. The dim side pins a merge join
+    * because the operator's niche IS the non-broadcastable dim; at test
+    * SF AQE would broadcast it and the plan would stop being the 100 TB
+    * plan. ScaleSpec pins the probe's position below the join, that
+    * pruning actually bites (passed ≪ fact rows, ≥ matched rows), and
+    * the CLAIM itself — the probed plan shuffles a fraction of its
+    * unprobed twin's bytes (wall time at local[32] is the wrong meter:
+    * memory-speed shuffles make the probe a net loss there; the saved
+    * bytes are what a cluster NIC would not move). */
   def q26BloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = q26Dim(spark, dir)
-    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.001)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val probe = udf((k: Long) => bc.value.mightContain(k)).withName("bloom_probe")
     q26Agg(q26Fact(spark, dir)
-      .filter(probe(col("l_orderkey")))
+      .filter(q26Probe(dim, col("l_orderkey")))
       .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+  }
+
+  /** The probe predicate: a driver-built sketch bloom over the dim keys
+    * (`stat.bloomFilter` puts RAW longs, so the probe value is the raw
+    * key — no hash on either side), serialized into a plan literal and
+    * evaluated by Spark's own codegen'd `BloomFilterMightContain` — the
+    * expression `InjectRuntimeFilter` plants, minus its cost gates. A
+    * plan-literal bloom ships with the task binaries exactly like a
+    * broadcast would; at a bloom too big for that (hundreds of MB), the
+    * scalar-subquery form InjectRuntimeFilter uses is the escape hatch.
+    * A UDF probe was measured first: it breaks whole-stage codegen on
+    * the fact scan and cost more than the shuffle it saved at every
+    * local[32] factor. */
+  private[graft] def q26Probe(dim: DataFrame, value: Column): Column = {
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.001)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bos.toByteArray)),
+      GraftBridge.expression(value)))
   }
 
   /** Unprobed twin of [[q26BloomJoin]] (BenchScaling audit baseline): the
