@@ -176,31 +176,38 @@ object Relational {
     * memory-speed shuffles make the probe a net loss there; the saved
     * bytes are what a cluster NIC would not move). */
   def q26BloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val dim = q26Dim(spark, dir)
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(Stages.q26Bloom(spark, dir))),
+      GraftBridge.expression(col("l_orderkey"))))
     q26Agg(q26Fact(spark, dir)
-      .filter(q26Probe(dim, col("l_orderkey")))
-      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+      .filter(probe)
+      .join(q26Dim(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey")))
   }
 
-  /** The probe predicate: a driver-built sketch bloom over the dim keys
-    * (`stat.bloomFilter` puts RAW longs, so the probe value is the raw
-    * key — no hash on either side), serialized into a plan literal and
-    * evaluated by Spark's own codegen'd `BloomFilterMightContain` — the
+  /** The serialized probe bloom: a driver-built sketch bloom over the
+    * dim keys (`stat.bloomFilter` puts RAW longs, so the probe value is
+    * the raw key — no hash on either side), to be planted as a plan
+    * literal under Spark's own codegen'd `BloomFilterMightContain` — the
     * expression `InjectRuntimeFilter` plants, minus its cost gates. A
     * plan-literal bloom ships with the task binaries exactly like a
     * broadcast would; at a bloom too big for that (hundreds of MB), the
     * scalar-subquery form InjectRuntimeFilter uses is the escape hatch.
     * A UDF probe was measured first: it breaks whole-stage codegen on
     * the fact scan and cost more than the shuffle it saved at every
-    * local[32] factor. */
-  private[graft] def q26Probe(dim: DataFrame, value: Column): Column = {
+    * local[32] factor. The registered query reads this through
+    * [[Stages.q26Bloom]], so one session builds it once. */
+  private[graft] def q26BloomBytes(dim: DataFrame): Array[Byte] = {
     val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.001)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    GraftBridge.column(BloomFilterMightContain(
-      GraftBridge.expression(lit(bos.toByteArray)),
-      GraftBridge.expression(value)))
+    bos.toByteArray
   }
+
+  /** Probe predicate over an explicit dim frame (tests; uncached). */
+  private[graft] def q26Probe(dim: DataFrame, value: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(q26BloomBytes(dim))),
+      GraftBridge.expression(value)))
 
   /** Unprobed twin of [[q26BloomJoin]] (BenchScaling audit baseline): the
     * FULL fact table enters the merge-join shuffle — the delta vs q26 is
@@ -209,7 +216,7 @@ object Relational {
     q26Agg(q26Fact(spark, dir)
       .join(q26Dim(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey")))
 
-  private def q26Dim(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def q26Dim(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))

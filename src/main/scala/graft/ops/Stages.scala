@@ -48,6 +48,9 @@ object Stages {
   private type Key = (SparkSession, String, String, Option[String])
   private val cache = TrieMap.empty[Key, DataFrame]
   private val centCache = TrieMap.empty[(SparkSession, String, Int), Seq[(Long, Seq[Long])]]
+  // small driver-held binary artifacts (serialized blooms): bounded by
+  // construction, no executor blocks to release — bare map hygiene only
+  private val blobCache = TrieMap.empty[(SparkSession, String, String), Array[Byte]]
 
   /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
     * `Dataset.unpersist` only uncaches CacheManager entries — it does NOT
@@ -81,6 +84,7 @@ object Stages {
     if (sc.isStopped) owned.foreach { k => cache.remove(k); pinnedRdds.remove(k) }
     else owned.foreach(release)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
+    blobCache.keys.filter(_._1.sparkContext eq sc).foreach(blobCache.remove)
     runIds.keys.filter(_.sparkContext eq sc).foreach(runIds.remove)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
@@ -88,7 +92,7 @@ object Stages {
     if (sc.isStopped) hooked.remove(sc)
   }
 
-  private[graft] def cachedEntryCount: Int = cache.size + centCache.size
+  private[graft] def cachedEntryCount: Int = cache.size + centCache.size + blobCache.size
 
   /** Explicit per-session release, for long-lived JVMs cycling many
     * sessions over ONE live context (a notebook server): Spark has no
@@ -102,6 +106,7 @@ object Stages {
   def evictSession(spark: SparkSession): Unit = synchronized {
     cache.keys.filter(_._1 eq spark).foreach(release)
     centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
+    blobCache.keys.filter(_._1 eq spark).foreach(blobCache.remove)
     // parquet mode: this session's run_<id> scratch subdir is dead with
     // its entries — best-effort delete through the session's FS (a live
     // session was just required by the contract above). Resolve the dir
@@ -137,6 +142,7 @@ object Stages {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     pinnedRdds.keys.filter(_._1.sparkContext.isStopped).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
+    blobCache.keys.filter(_._1.sparkContext.isStopped).foreach(blobCache.remove)
     runIds.keys.filter(_.sparkContext.isStopped).foreach(runIds.remove)
     hooked.keys.filter(_.isStopped).foreach(hooked.remove)
   }
@@ -249,6 +255,15 @@ object Stages {
   def q24KeyStats(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "q24_keystats")(Skew.hotKeyStats(Skew.q24Fact(spark, dir), "jk"))
 
+  /** q26's serialized dim-key bloom — bounded by construction (bloom
+    * BITS, never rows; ~14.4 bits/key at fpp 1e-3), built once per
+    * (session, sfDir) so the registered q26 query, its audit twin runs,
+    * and any other caller plant the SAME literal from ONE dim stats
+    * pass — the amortized form the q24 stats stage established. */
+  def q26Bloom(spark: SparkSession, dir: String): Array[Byte] =
+    blobCache.getOrElseUpdate((spark, dir, "q26_bloom"),
+      Relational.q26BloomBytes(Relational.q26Dim(spark, dir)))
+
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per
     * (session, sfDir); consumed by x16's IVF probe and x27's SemDeDup
@@ -267,5 +282,6 @@ object Stages {
     (cache.keySet ++ pinnedRdds.keySet).foreach(release)
     cache.clear()
     centCache.clear()
+    blobCache.clear()
   }
 }

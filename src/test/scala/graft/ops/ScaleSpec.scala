@@ -229,6 +229,20 @@ class ScaleSpec extends SparkTestBase {
     assert(passed < total / 2, s"pruning didn't bite: passed=$passed of $total")
   }
 
+  test("q26 builds its probe bloom once per session and evicts with it") {
+    Stages.clear()
+    try {
+      val b1 = Stages.q26Bloom(spark, sf0001)
+      assert(b1.nonEmpty)
+      assert(Stages.q26Bloom(spark, sf0001) eq b1, "second request must serve the cached bloom")
+      val n = Stages.cachedEntryCount
+      Relational.q26BloomJoin(spark, sf0001).collect()
+      assert(Stages.cachedEntryCount == n, "registered q26 must reuse the staged bloom")
+      Stages.evictSession(spark)
+      assert(Stages.cachedEntryCount == 0, "evictSession must drop the bloom entry")
+    } finally Stages.clear()
+  }
+
   /** Total shuffle bytes written by the fully-executed plan — read off
     * the exchange nodes' SQL metrics after the action, no listener race. */
   private def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
