@@ -160,11 +160,12 @@ object Relational {
     * explicit and deterministic. The niche: a filtered dim side too big
     * at 100 TB for a broadcast HASH join (tens of millions of keys × row
     * payload), whose BLOOM is still megabytes (≈14.4 bits/key at fpp
-    * 1e-3). Build it driver-side in one dim-sized pass
+    * 1e-3). Build it driver-side in two dim-sized passes — an exact key
+    * count for sizing, then the bloom aggregation
     * (`DataFrameStatFunctions.bloomFilter` — the s8 pattern; the collect
-    * is bloom BITS, never rows), plant it as a codegen'd probe on the
+    * is bloom BITS, never rows) — plant it as a codegen'd probe on the
     * fact scan ([[q26Probe]]), and drop ~4/5 of the fact rows BEFORE the
-    * shuffle. False positives survive the probe but die in the join, so
+    * shuffle. Both passes are staged per session ([[Stages.q26Bloom]]). False positives survive the probe but die in the join, so
     * the result is exactly the plain join's — the probe moves
     * bytes-shuffled, never the answer. The dim side pins a merge join
     * because the operator's niche IS the non-broadcastable dim; at test
@@ -175,14 +176,10 @@ object Relational {
     * unprobed twin's bytes (wall time at local[32] is the wrong meter:
     * memory-speed shuffles make the probe a net loss there; the saved
     * bytes are what a cluster NIC would not move). */
-  def q26BloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val probe = GraftBridge.column(BloomFilterMightContain(
-      GraftBridge.expression(lit(Stages.q26Bloom(spark, dir))),
-      GraftBridge.expression(col("l_orderkey"))))
+  def q26BloomJoin(spark: SparkSession, dir: String): DataFrame =
     q26Agg(q26Fact(spark, dir)
-      .filter(probe)
+      .filter(probeColumn(Stages.q26Bloom(spark, dir), col("l_orderkey")))
       .join(q26Dim(spark, dir).hint("merge"), col("l_orderkey") === col("o_orderkey")))
-  }
 
   /** The serialized probe bloom: a driver-built sketch bloom over the
     * dim keys (`stat.bloomFilter` puts RAW longs, so the probe value is
@@ -203,11 +200,17 @@ object Relational {
     bos.toByteArray
   }
 
+  /** The one place the probe expression is built — the registered query
+    * (staged bytes) and the test probe (explicit dim) must stay the same
+    * shape. */
+  private def probeColumn(bytes: Array[Byte], value: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bytes)),
+      GraftBridge.expression(value)))
+
   /** Probe predicate over an explicit dim frame (tests; uncached). */
   private[graft] def q26Probe(dim: DataFrame, value: Column): Column =
-    GraftBridge.column(BloomFilterMightContain(
-      GraftBridge.expression(lit(q26BloomBytes(dim))),
-      GraftBridge.expression(value)))
+    probeColumn(q26BloomBytes(dim), value)
 
   /** Unprobed twin of [[q26BloomJoin]] (BenchScaling audit baseline): the
     * FULL fact table enters the merge-join shuffle — the delta vs q26 is

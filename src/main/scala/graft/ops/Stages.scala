@@ -260,9 +260,18 @@ object Stages {
     * (session, sfDir) so the registered q26 query, its audit twin runs,
     * and any other caller plant the SAME literal from ONE dim stats
     * pass — the amortized form the q24 stats stage established. */
-  def q26Bloom(spark: SparkSession, dir: String): Array[Byte] =
-    blobCache.getOrElseUpdate((spark, dir, "q26_bloom"),
-      Relational.q26BloomBytes(Relational.q26Dim(spark, dir)))
+  def q26Bloom(spark: SparkSession, dir: String): Array[Byte] = {
+    val key = (spark, dir, "q26_bloom")
+    // same discipline as [[stage]]: fast-path get, build under the one
+    // monitor — a lock-free getOrElseUpdate could run the dim jobs twice
+    // AND slip an entry past evictSession's synchronized key snapshot
+    blobCache.get(key).getOrElse(synchronized {
+      purgeStopped()
+      hookEviction(spark)
+      blobCache.getOrElseUpdate(key,
+        Relational.q26BloomBytes(Relational.q26Dim(spark, dir)))
+    })
+  }
 
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per

@@ -218,8 +218,9 @@ class ScaleSpec extends SparkTestBase {
     // (blooms have no false negatives) plus at most an fpp-bounded
     // overhang, well under half the fact table at ~20% dim selectivity
     val fact = graft.model.Tables.lineitem(spark, sf0001)
-    val dim = graft.model.Tables.orders(spark, sf0001)
-      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    // the REGISTERED dim definition, not an inline copy — if the
+    // operator's dim drifts, this test must drift with it
+    val dim = Relational.q26Dim(spark, sf0001)
     val matched = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
     val passed = fact.filter(Relational.q26Probe(dim, col("l_orderkey"))).count()
     val total = fact.count()
