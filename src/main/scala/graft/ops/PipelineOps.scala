@@ -842,7 +842,54 @@ object PipelineOps {
       .orderBy("writer", "shard_id")
   }
 
+  // ---- x39: deterministic global training-order shuffle ----
+
+  /** x39: epoch-seeded global shuffle order — every training run needs
+    * the corpus in a reproducible pseudo-random order (and a DIFFERENT
+    * one per epoch), which at 100 TB must not mean a global
+    * single-partition sort-rank. Order key = md5(doc_id ":" seed) (md5
+    * is the engine-shared hash — x20 precedent), rank assignment is the
+    * distributed two-phase form: repartitionByRange cuts the corpus into
+    * contiguous key slices, each slice sorts and row_numbers LOCALLY
+    * (window partitioned by slice, never global), and slice offsets come
+    * from a bounded slice-count frame (≤ shuffle.partitions rows;
+    * its cumulative window runs over that tiny frame only) broadcast
+    * back. The emitted position is the TOTAL-ORDER rank, so it is
+    * invariant to where repartitionByRange's sampled boundaries land —
+    * sampling moves rows between adjacent slices, never changes any
+    * row's rank. One corpus shuffle total; oracle is the single
+    * row_number window DuckDB can afford at sf scale. */
+  def x39ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    x39ShuffleOrderSeeded(spark, dir, 0L)
+
+  /** The seeded form: seed = epoch (or any replay tag). */
+  def x39ShuffleOrderSeeded(spark: SparkSession, dir: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("h"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = d.repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // bounded: one row per slice; the offset window orders slices by pid
+    // (ascending pid = ascending key range, a repartitionByRange
+    // guarantee) over ≤ `parts` rows — deliberately tiny, never corpus
+    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    ranged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("off") + col("rn") - 1).cast(LongType).as("pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_shuffle_order" -> x39ShuffleOrder,
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
     "x20_stratified_sample" -> x20StratifiedSample,
@@ -905,6 +952,10 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x39_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x18_chunking" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,

@@ -36,6 +36,9 @@ class DeterminismSpec extends SparkTestBase {
     // the bloom semi-join reduction: the probe's false-positive set must
     // die in the join, never in the answer
     "q26_bloom_join",
+    // the global shuffle order: rank comes from sampled range boundaries
+    // + per-slice windows — the total-order rank must not see either
+    "x39_shuffle_order",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —

@@ -429,6 +429,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x39: shuffle order is the exact md5-rank permutation; seeds reshuffle") {
+    val got = PipelineOps.x39ShuffleOrder(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force twin: global sort by the same shared hash
+    val want = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(concat(col("doc_id").cast("string"), lit(":0"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == want, "distributed rank must equal the brute-force global sort rank")
+    assert(got.values.toSeq.sorted == (0L until got.size).toSeq, "pos must be a permutation")
+    // the epoch feature: a different seed is a genuinely different order
+    val seeded = PipelineOps.x39ShuffleOrderSeeded(spark, sf0001, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeded.keySet == got.keySet)
+    assert(seeded != got, "seed 1 must not reproduce seed 0's order")
+  }
+
   test("x32: repetition scores match brute-force 2-gram and token counts") {
     val docs = graft.model.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
