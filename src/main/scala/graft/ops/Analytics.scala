@@ -258,8 +258,48 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** q27: frequent items (heavy hitters) — the third sketch family next to
+    * HLL (q9b) and GK quantiles (q17b), gated in the same verdict-row
+    * idiom. Input is the zipf-shaped bigram stream of `documents` (916
+    * distinct bigrams at sf0.01, ~5% of them above the threshold — the
+    * token unigrams are near-uniform, so bigrams are where a heavy-hitter
+    * sketch means something). The sketch is Spark's `stat.freqItems`
+    * (Misra–Gries/KPS, mergeable, ≤ 1/support counters): with capacity
+    * support 0.001 it GUARANTEES every item of true share > 0.1% is in
+    * the candidate set under any partitioning (MG merge adds the error
+    * bounds, never breaks the one-sided guarantee). The exact filter runs
+    * at 0.15% — margin above the sketch bound, the q9b trick — with
+    * INTEGER arithmetic (`cnt·10000 > n_total·15`, exact in both
+    * engines), so the dumped rows are the exact heavy hitters + a
+    * sketch-membership flag the oracle pins to literal 1. The candidate
+    * set itself is partitioning-dependent near the boundary and is never
+    * emitted. 100 TB path: the sketch is the single-pass answer (constant
+    * memory, mergeable); the exact count twin exists for the gate. The
+    * candidate collect is bounded by construction: ≤ 1/support = 1000
+    * strings. */
+  def q27FreqItems(spark: SparkSession, dir: String): DataFrame = {
+    val sketchSupport = 0.001 // sketch capacity: guarantees share > 0.1%
+    val bgs = documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2) // <2 tokens → no bigrams (both engines)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val cand = bgs.stat.freqItems(Seq("bg"), sketchSupport)
+      .collect()(0).getSeq[String](0).toSeq.sorted
+    val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // total from the count frame, not a third corpus scan — the groupBy
+    // exchange is an identical subplan, so this side reads ReusedExchange
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(15L)) // share > 0.15%
+      .select(col("bg"), col("cnt"),
+        array_contains(typedLit(cand), col("bg")).cast("long").as("in_sketch"))
+      .orderBy("bg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
+    "q27_freq_items" -> q27FreqItems,
     "q11b_cube" -> q11bCube,
     "q11c_grouping_sets" -> q11cGroupingSets,
     "q17_quantiles" -> q17Quantiles,
@@ -273,6 +313,14 @@ object Analytics {
     "q11_rollup" -> q11Rollup)
 
   val oracle: Map[String, String] = Map(
+    "q27_freq_items" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |t AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),
+        |c AS (SELECT bg, count(*) AS cnt FROM t GROUP BY bg),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT bg, cnt, CAST(1 AS BIGINT) AS in_sketch
+        |FROM c WHERE cnt * 10000 > (SELECT n_total FROM n) * 15
+        |ORDER BY bg""".stripMargin,
     "q9_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
         |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n

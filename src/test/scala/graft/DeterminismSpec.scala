@@ -36,6 +36,10 @@ class DeterminismSpec extends SparkTestBase {
     // the bloom semi-join reduction: the probe's false-positive set must
     // die in the join, never in the answer
     "q26_bloom_join",
+    // the heavy-hitter sketch: the freqItems candidate set IS
+    // partitioning-dependent near the boundary; the verdict row (exact
+    // hitters + guaranteed-side membership flag) must not be
+    "q27_freq_items",
     // the global shuffle order: rank comes from sampled range boundaries
     // + per-slice windows — the total-order rank must not see either
     "x39_shuffle_order",

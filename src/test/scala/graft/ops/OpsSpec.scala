@@ -41,6 +41,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q27: heavy hitters are exact, above threshold, and all sketch-covered") {
+    import org.apache.spark.sql.functions._
+    val bgs = graft.model.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val exact = bgs.groupBy("bg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val expected = exact.filter { case (_, c) => c * 10000L > total * 15L }
+    val rows = Analytics.q27FreqItems(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet == expected.keySet,
+      "emitted set must be exactly the share > 0.15% bigrams")
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)), s"count drifted for ${r.getString(0)}")
+      assert(r.getLong(2) == 1L,
+        s"${r.getString(0)} above 1.5x the sketch bound but missing from freqItems " +
+          "candidates — the Misra-Gries one-sided guarantee is broken")
+    }
+  }
+
   test("x1: dedup keeps one row per distinct text") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val kept = TextOps.x1DedupExact(spark, sf0001)
