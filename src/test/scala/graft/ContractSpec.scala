@@ -21,6 +21,16 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q27's total side reuses the count exchange, not a second corpus scan") {
+    val spark = SparkTestBase.session
+    val df = graft.ops.Analytics.q27FreqItems(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE applies exchange reuse at stage materialization
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "expected the n_total aggregate to read the bigram-count shuffle " +
+        s"as ReusedExchange; got:\n$plan")
+  }
+
   test("no query plans a CartesianProduct") {
     val spark = SparkTestBase.session
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
