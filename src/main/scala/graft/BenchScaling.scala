@@ -103,6 +103,18 @@ object BenchScaling {
     "q17_quantiles" -> fx(graft.ops.Analytics.q17Quantiles _),
     "q18_stats" -> fx(graft.ops.Analytics.q18Stats _),
     "q19_pivot" -> fx(graft.ops.Analytics.q19Pivot _),
+    // the heavy-hitter sketch, fixed knobs (threshold share shrinks the
+    // qualifying set as the corpus replicates — measures the fixed-capacity
+    // sketch + count cost) and the scaled form (threshold AND capacity
+    // divided by the factor: per-replica qualifying set constant, output
+    // rows ×f — the honest "more corpus" shape). The scaled form is
+    // capped at factor ≤ 10 by Spark's own freqItems floor (support ≥
+    // 1e-4, i.e. ≤ 10k counters) — past that, the 100 TB form is a custom
+    // MG Aggregator with deeper capacity; the q27FreqItemsAt require
+    // fails loudly rather than silently voiding the guarantee margin
+    "q27_freq_items" -> fx(graft.ops.Analytics.q27FreqItems _),
+    "q27_freq_items_scaledsupport" -> ((s: SparkSession, d: String, f: Int) =>
+      graft.ops.Analytics.q27FreqItemsAt(s, d, 15L, 10000L * f, 0.001 / f)),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),
@@ -163,6 +175,7 @@ object BenchScaling {
     "x14_cosine_neardup_scaledbits")
   private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
     "x2_dedup_near_tightdf",
+    "q27_freq_items", "q27_freq_items_scaledsupport",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e")

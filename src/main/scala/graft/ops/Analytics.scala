@@ -277,8 +277,21 @@ object Analytics {
     * memory, mergeable); the exact count twin exists for the gate. The
     * candidate collect is bounded by construction: ≤ 1/support = 1000
     * strings. */
-  def q27FreqItems(spark: SparkSession, dir: String): DataFrame = {
-    val sketchSupport = 0.001 // sketch capacity: guarantees share > 0.1%
+  def q27FreqItems(spark: SparkSession, dir: String): DataFrame =
+    q27FreqItemsAt(spark, dir, 15L, 10000L, 0.001)
+
+  /** q27's parameterized form: exact threshold share = num/den, sketch
+    * capacity support as given (must stay below num/den so the one-sided
+    * guarantee covers every emitted row). The scaling audit divides both
+    * by the replication factor — replicas have disjoint bigram
+    * namespaces, so per-replica counts are constant while the total
+    * grows ×f; scaling the knobs keeps the per-replica qualifying set
+    * fixed and the output rows ×f (output-linear, the honest "more
+    * corpus" shape). */
+  def q27FreqItemsAt(spark: SparkSession, dir: String,
+      supportNum: Long, supportDen: Long, sketchSupport: Double): DataFrame = {
+    require(supportNum.toDouble / supportDen > sketchSupport,
+      "exact threshold must exceed the sketch capacity support")
     val bgs = documents(spark, dir)
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2) // <2 tokens → no bigrams (both engines)
@@ -291,7 +304,7 @@ object Analytics {
     // exchange is an identical subplan, so this side reads ReusedExchange
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     counts.crossJoin(broadcast(total))
-      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(15L)) // share > 0.15%
+      .filter(col("cnt") * lit(supportDen) > col("n_total") * lit(supportNum))
       .select(col("bg"), col("cnt"),
         array_contains(typedLit(cand), col("bg")).cast("long").as("in_sketch"))
       .orderBy("bg")
