@@ -115,6 +115,12 @@ object BenchScaling {
     "q27_freq_items" -> fx(graft.ops.Analytics.q27FreqItems _),
     "q27_freq_items_scaledsupport" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.Analytics.q27FreqItemsAt(s, d, 15L, 10000L * f, 0.001 / f)),
+    // the native MG aggregate has no such floor: the scaled form (k ×f,
+    // threshold ÷f — constant per-replica qualifying set, output ×f)
+    // runs at every factor the builtin's variant cannot
+    "q27b_freq_deep" -> fx(graft.ops.Analytics.q27bFreqDeep _),
+    "q27b_freq_deep_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
+      graft.ops.Analytics.q27bFreqDeepAt(s, d, 5L, 100000L * f, 50000 * f)),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),
@@ -176,6 +182,7 @@ object BenchScaling {
   private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
     "x2_dedup_near_tightdf",
     "q27_freq_items", "q27_freq_items_scaledsupport",
+    "q27b_freq_deep", "q27b_freq_deep_scaledk",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -108,6 +108,12 @@ object GraftExtensions {
           intLit("rolling_hash_windows", args(1), "window"),
           longLit("rolling_hash_windows", args(2), "base"),
           longLit("rolling_hash_windows", args(3), "mod"))
+      }),
+    ("freq_items_mg",
+      new ExpressionInfo(classOf[FreqItemsMG].getName, "freq_items_mg"),
+      (args: Seq[Expression]) => {
+        requireArity("freq_items_mg", args, 2)
+        FreqItemsMG(args(0), intLit("freq_items_mg", args(1), "k"))
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),

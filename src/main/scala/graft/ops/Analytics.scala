@@ -310,9 +310,48 @@ object Analytics {
       .orderBy("bg")
   }
 
+  /** q27b: heavy hitters BELOW the builtin's reach — the same verdict-row
+    * shape as q27, but the exact threshold sits at a 0.005% share, under
+    * `stat.freqItems`' hard floor (support ≥ 1e-4 → no guarantee below a
+    * 0.01% share, the measured ceiling in the README's q27 scaling leg).
+    * The sketch is graft's own Misra–Gries aggregate
+    * ([[graft.functions.FreqItemsMG]], k = 50 000 counters → one-sided
+    * guarantee at a 1/(k+1) ≈ 0.002% share, 2.5× margin under the
+    * threshold): a real partial aggregate — map-side MG summaries merged
+    * through the shuffle (Agarwal et al. mergeable-summaries combine),
+    * amortized O(1) per row via lazy decrements, k counters per task. At
+    * 100 TB the sketch pass is the answer; the exact count twin exists
+    * for the gate, as in q9b/q17b/q27. */
+  def q27bFreqDeep(spark: SparkSession, dir: String): DataFrame =
+    q27bFreqDeepAt(spark, dir, 5L, 100000L, 50000)
+
+  /** q27b parameterized (threshold share = num/den, k MG counters); the
+    * scaling audit scales threshold ÷f and k ×f together, the same
+    * knob convention as q27's scaled variant — but with no API ceiling. */
+  def q27bFreqDeepAt(spark: SparkSession, dir: String,
+      supportNum: Long, supportDen: Long, k: Int): DataFrame = {
+    require(supportNum * (k + 1L) > supportDen,
+      "exact threshold must exceed the MG guarantee bound 1/(k+1)")
+    val bgs = documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val sk = bgs.agg(
+      graft.functions.FreqItemsMG.freqItemsMg(col("bg"), k).as("cand"))
+    val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total)).crossJoin(broadcast(sk))
+      .filter(col("cnt") * lit(supportDen) > col("n_total") * lit(supportNum))
+      .select(col("bg"), col("cnt"),
+        map_contains_key(col("cand"), col("bg")).cast("long").as("in_sketch"))
+      .orderBy("bg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q27_freq_items" -> q27FreqItems,
+    "q27b_freq_deep" -> q27bFreqDeep,
     "q11b_cube" -> q11bCube,
     "q11c_grouping_sets" -> q11cGroupingSets,
     "q17_quantiles" -> q17Quantiles,
@@ -333,6 +372,14 @@ object Analytics {
         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
         |SELECT bg, cnt, CAST(1 AS BIGINT) AS in_sketch
         |FROM c WHERE cnt * 10000 > (SELECT n_total FROM n) * 15
+        |ORDER BY bg""".stripMargin,
+    "q27b_freq_deep" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |t AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),
+        |c AS (SELECT bg, count(*) AS cnt FROM t GROUP BY bg),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT bg, cnt, CAST(1 AS BIGINT) AS in_sketch
+        |FROM c WHERE cnt * 100000 > (SELECT n_total FROM n) * 5
         |ORDER BY bg""".stripMargin,
     "q9_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,

@@ -40,6 +40,9 @@ class DeterminismSpec extends SparkTestBase {
     // partitioning-dependent near the boundary; the verdict row (exact
     // hitters + guaranteed-side membership flag) must not be
     "q27_freq_items",
+    // the native MG aggregate: partial summaries merge in shuffle order —
+    // the merged candidate set shifts at the boundary, the verdict must not
+    "q27b_freq_deep",
     // the global shuffle order: rank comes from sampled range boundaries
     // + per-slice windows — the total-order rank must not see either
     "x39_shuffle_order",

@@ -11,6 +11,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r == 32.0)
   }
 
+  test("freq_items_mg is callable from SQL and finds the group-wise heavy hitter") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT g, map_contains_key(freq_items_mg(t, 2), 'hot') AS has_hot
+        |FROM VALUES ('a','hot'),('a','hot'),('a','hot'),('a','x'),('a','y'),
+        |            ('b','hot'),('b','hot'),('b','z') AS v(g, t)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.length == 2 && r.forall(_.getBoolean(1)),
+      "the dominant item must be present in every group's MG summary")
+  }
+
   test("two dot_arr instances in one projection codegen without collision") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -64,6 +64,31 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q27b: deep-threshold hitters exact and fully covered by the MG aggregate") {
+    import org.apache.spark.sql.functions._
+    val bgs = graft.model.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val exact = bgs.groupBy("bg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val expected = exact.filter { case (_, c) => c * 100000L > total * 5L }
+    val rows = Analytics.q27bFreqDeep(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)))
+      assert(r.getLong(2) == 1L,
+        s"${r.getString(0)} above 2.5x the MG bound but missing from the summary")
+    }
+    // the deep threshold genuinely reaches below the builtin's floor:
+    // the registered 0.005% share is under freqItems' 1e-4 support minimum
+    assertThrows[IllegalArgumentException](
+      bgs.stat.freqItems(Seq("bg"), 0.00005))
+  }
+
   test("x1: dedup keeps one row per distinct text") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val kept = TextOps.x1DedupExact(spark, sf0001)
