@@ -348,10 +348,41 @@ object Analytics {
       .orderBy("bg")
   }
 
+  /** q27c: GROUPED heavy hitters — per-language bigram hitters at a
+    * share > 0.05% of the GROUP's total, the shape `stat.freqItems`
+    * cannot express at all (it is whole-DataFrame only; a per-group run
+    * would need one job per group). [[graft.functions.FreqItemsMG]] is a
+    * real aggregate, so `groupBy(lang).agg(freq_items_mg(bg, k))` gives
+    * every group its own mergeable summary in ONE pass — map-side
+    * partials per (partition × group), merged per group through the
+    * shuffle. Guarantee per group: undercount ≤ N_g/(k+1); k = 5000 →
+    * 0.02% of the group, 2.5× under the threshold. The exact twin joins
+    * back on `lang` (broadcast: one row per language); totals derive
+    * from the count frame (ReusedExchange, q27's idiom). Verdict-row
+    * gate as q27/q27b. */
+  def q27cFreqGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5000
+    val bgs = documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val sk = bgs.groupBy(col("lang"))
+      .agg(graft.functions.FreqItemsMG.freqItemsMg(col("bg"), k).as("cand"))
+    val counts = bgs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_total"))
+    counts.join(broadcast(totals), "lang").join(broadcast(sk), "lang")
+      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(5L)) // share > 0.05% of group
+      .select(col("lang"), col("bg"), col("cnt"),
+        map_contains_key(col("cand"), col("bg")).cast("long").as("in_sketch"))
+      .orderBy("lang", "bg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q27_freq_items" -> q27FreqItems,
     "q27b_freq_deep" -> q27bFreqDeep,
+    "q27c_freq_grouped" -> q27cFreqGrouped,
     "q11b_cube" -> q11bCube,
     "q11c_grouping_sets" -> q11cGroupingSets,
     "q17_quantiles" -> q17Quantiles,
@@ -381,6 +412,15 @@ object Analytics {
         |SELECT bg, cnt, CAST(1 AS BIGINT) AS in_sketch
         |FROM c WHERE cnt * 100000 > (SELECT n_total FROM n) * 5
         |ORDER BY bg""".stripMargin,
+    "q27c_freq_grouped" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |t AS (SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),
+        |c AS (SELECT lang, bg, count(*) AS cnt FROM t GROUP BY lang, bg),
+        |n AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY lang)
+        |SELECT c.lang, bg, cnt, CAST(1 AS BIGINT) AS in_sketch
+        |FROM c JOIN n ON c.lang = n.lang
+        |WHERE cnt * 10000 > n_total * 5
+        |ORDER BY c.lang, bg""".stripMargin,
     "q9_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
         |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n

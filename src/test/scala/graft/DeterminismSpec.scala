@@ -43,6 +43,9 @@ class DeterminismSpec extends SparkTestBase {
     // the native MG aggregate: partial summaries merge in shuffle order —
     // the merged candidate set shifts at the boundary, the verdict must not
     "q27b_freq_deep",
+    // per-group MG summaries: group-local merge trees vary with the
+    // shuffle; each group's verdict must not
+    "q27c_freq_grouped",
     // the global shuffle order: rank comes from sampled range boundaries
     // + per-slice windows — the total-order rank must not see either
     "x39_shuffle_order",

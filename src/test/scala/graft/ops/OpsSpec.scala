@@ -89,6 +89,28 @@ class OpsSpec extends SparkTestBase {
       bgs.stat.freqItems(Seq("bg"), 0.00005))
   }
 
+  test("q27c: per-group hitters exact, above each group's threshold, sketch-covered") {
+    import org.apache.spark.sql.functions._
+    val bgs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val exact = bgs.groupBy("lang", "bg").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expected = exact.filter { case ((lang, _), c) => c * 10000L > totals(lang) * 5L }
+    val rows = Analytics.q27cFreqGrouped(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expected.keySet)
+    assert(rows.map(_.getString(0)).distinct.length > 1, "needs multiple language groups")
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected((r.getString(0), r.getString(1))))
+      assert(r.getLong(3) == 1L,
+        s"(${r.getString(0)}, ${r.getString(1)}) above 2.5x the group MG bound but absent")
+    }
+  }
+
   test("x1: dedup keeps one row per distinct text") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val kept = TextOps.x1DedupExact(spark, sf0001)
