@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -245,13 +245,87 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** S10 MG capacity and slot count. k matches the batch q27c (so the
+    * oracle is q27c's SQL verbatim); [[s10Slots]] spreads each language
+    * over that many disjoint-token state keys. */
+  private val s10K = 5000
+  private[streaming] val s10Slots = 8
+
+  /** s10 gate: continuous heavy-hitter tracking ([[Streams.freqStream]],
+    * per-(lang, slot) MG summaries in transformWithState state) over the
+    * document bigram stream, fed in doc_id order across [[gateBatches]]
+    * micro-batches. Slots partition the token space by hash, so the
+    * final per-language candidate set is the UNION of each slot's last
+    * emission — distributed, no driver merge, no read-time MG pruning.
+    * Verdict row = the batch q27c shape: exact per-(lang, bigram) counts
+    * (batch twin, same lineage as q27c) for every group hitter above a
+    * 0.05% group share, plus the flag that the streamed summary held it
+    * (guaranteed: per-slot bound N_slot/(k+1) ≤ 0.02% of the group). */
+  def s10FreqStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val feed = stageFeed(docs, "doc_id")
+    val latest = try {
+      val name = s"s10_gate_${runId.incrementAndGet()}"
+      val q = Streams.freqStream(s10Tokens(feedStream(spark, feed, docs.schema)), s10K)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    } finally deleteFeed(spark, feed.dir)
+    s10Verdict(spark, dir, latest)
+  }
+
+  /** The s10 stream transform: document rows → slotted bigram tokens
+    * (shared by the gate and the restart e2e). */
+  private[streaming] def s10Tokens(docs: DataFrame): Dataset[FreqToken] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+      .select(col("lang"),
+        pmod(xxhash64(col("bg")), lit(s10Slots.toLong)).cast("int").as("slot"),
+        col("bg"))
+      .as[FreqToken]
+  }
+
+  /** The s10 verdict: last emission per (lang, slot) → slot-union
+    * candidate set → exact q27c count/total twin with the membership
+    * flag (one candidate row per (lang, bg) by slot-disjointness). */
+  private[streaming] def s10Verdict(spark: SparkSession, dir: String,
+      emissions: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("slot")).orderBy(col("upd").desc)
+    val cand = emissions
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("lang"), explode(map_keys(col("cand"))).as("bg"))
+    val bgs = Tables.documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val counts = bgs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_total"))
+    counts.join(broadcast(totals), "lang")
+      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(5L))
+      .join(cand.withColumn("in_sketch", lit(1L)), Seq("lang", "bg"), "left")
+      .select(col("lang"), col("bg"), col("cnt"),
+        coalesce(col("in_sketch"), lit(0L)).as("in_sketch"))
+      .orderBy("lang", "bg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_novelty_stream" -> s8NoveltyStream,
-    "s9_temporal_asof" -> s9TemporalAsof)
+    "s9_temporal_asof" -> s9TemporalAsof,
+    "s10_freq_stream" -> s10FreqStream)
 
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
     "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
+    // s10's verdict row is the batch q27c shape: its oracle verbatim
+    "s10_freq_stream" -> graft.ops.Analytics.oracle("q27c_freq_grouped"),
     "s8_novelty_stream" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 3

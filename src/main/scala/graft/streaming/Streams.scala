@@ -86,6 +86,51 @@ class TemporalAsofProcessor extends StatefulProcessor[Long, ProbeEvent, AsofMatc
   }
 }
 
+/** One token occurrence in the heavy-hitter stream: `slot` is a
+  * DETERMINISTIC hash of the token (`pmod(xxhash64(bg), P)`), so one
+  * token always lands in one slot — the per-(lang, slot) summaries
+  * partition the token space disjointly, and "merging" them back is a
+  * plain union. */
+case class FreqToken(lang: String, slot: Int, bg: String)
+
+/** One per-batch emission of a (lang, slot) summary: `upd` is the
+  * key's update ordinal (the gate keeps the row with the max), `cand`
+  * the current Misra–Gries candidates with effective counts. */
+case class FreqSummaryEmit(lang: String, slot: Int, upd: Long, cand: Map[String, Long])
+
+/** S10 state machine: one [[graft.functions.MGSummary]] per (lang, slot),
+  * carried across micro-batches as its serialized form (the same bytes
+  * the batch aggregate ships through the shuffle), re-emitted after every
+  * batch that touches the key. The one-sided MG guarantee is
+  * arrival-order-independent, which is the only property the gate's
+  * verdict row reads — the candidate SET may differ between runs at the
+  * boundary, exactly like the batch q27 family. */
+class FreqStreamProcessor(k: Int)
+  extends StatefulProcessor[(String, Int), FreqToken, FreqSummaryEmit] {
+  @transient private var summary: ValueState[Array[Byte]] = _
+  @transient private var updates: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    summary = getHandle.getValueState[Array[Byte]](
+      "summary", Encoders.BINARY, TTLConfig.NONE)
+    updates = getHandle.getValueState[Long](
+      "updates", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: (String, Int), rows: Iterator[FreqToken],
+      timers: TimerValues): Iterator[FreqSummaryEmit] = {
+    val m =
+      if (summary.exists()) graft.functions.MGSummary.deserialize(k, summary.get())
+      else new graft.functions.MGSummary(k)
+    rows.foreach(t => m.add(org.apache.spark.unsafe.types.UTF8String.fromString(t.bg)))
+    summary.update(m.serialize())
+    val upd = (if (updates.exists()) updates.get() else 0L) + 1L
+    updates.update(upd)
+    val cand = m.counts.map { case (s, c) => s.toString -> (c - m.debt) }.toMap
+    Iterator.single(FreqSummaryEmit(key._1, key._2, upd, cand))
+  }
+}
+
 /** S1–S5 (SURVEY.md §2.3): the reference's consume loop
   * (`WalConsumer.java:130-179`) re-expressed as Structured Streaming.
   *
@@ -283,6 +328,23 @@ object Streams {
     events
       .groupByKey(_.userId)
       .transformWithState(new TemporalAsofProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** S10: continuous heavy-hitter tracking — the streaming twin of the
+    * batch q27c: per-(lang, slot) Misra–Gries summaries maintained in
+    * transformWithState state across micro-batches. The slot is a
+    * deterministic token hash, so the P summaries per language cover
+    * DISJOINT token sub-universes: state updates shuffle over G×P keys
+    * (no single-task group funnel — the q23 hot-key problem designed out
+    * of the state layer), and the final per-language candidate set is
+    * the plain union of its slots, no MG pruning at read time. Guarantee
+    * per token: undercount ≤ N_slot/(k+1) ≤ N_group/(k+1) — at least as
+    * strong as the batch aggregate's. */
+  def freqStream(tokens: Dataset[FreqToken], k: Int): Dataset[FreqSummaryEmit] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(t => (t.lang, t.slot))
+      .transformWithState(new FreqStreamProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
   /** S5: replay suppression by id within the watermark — the streaming

@@ -53,7 +53,10 @@ class DeterminismSpec extends SparkTestBase {
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —
     // state-store folds and the bloom probe must not see partitioning
-    "s8_novelty_stream", "s9_temporal_asof")
+    "s8_novelty_stream", "s9_temporal_asof",
+    // the streaming MG summaries: per-(lang, slot) state across batches;
+    // the slot-union membership verdict must not see partitioning
+    "s10_freq_stream")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -23,6 +23,69 @@ class StreamGateSpec extends SparkTestBase {
       s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
   }
 
+  test("s10 gate == batch q27c grouped hitters, every flag guaranteed-covered") {
+    val got = StreamGate.s10FreqStream(spark, sf0001).collect()
+    val want = graft.ops.Analytics.q27cFreqGrouped(spark, sf0001).collect()
+      .map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == want,
+      s"rows ${got.length} vs ${want.size}")
+    assert(got.nonEmpty && got.forall(_.getLong(3) == 1L),
+      "a group hitter above 2.5x the per-slot MG bound was absent from the streamed summary")
+  }
+
+  test("s10 restart: MG state survives a checkpointed restart without rewind") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val watch = Files.createTempDirectory("graft-s10drop")
+    val ckpt = Files.createTempDirectory("graft-s10ckpt").toString
+    val sink = Files.createTempDirectory("graft-s10sink").toString
+    val docs = graft.model.Tables.documents(s, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(): Unit = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val tokens = StreamGate.s10Tokens(
+          s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+            .parquet(watch.toString))
+        val q = Streams.freqStream(tokens, 5000)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, docs.filter(col("doc_id") <= mid))
+    runPass()
+    assert(s.read.parquet(sink).count() > 0, "first half emitted no summaries")
+    dropChunk(1, docs.filter(col("doc_id") > mid))
+    runPass()
+    // a rewound (recounted) first half would inflate summary counts past
+    // the exact counts; a lost state would break the membership guarantee.
+    // Parity with the batch q27c checks both at once.
+    val got = StreamGate.s10Verdict(s, sf0001, s.read.parquet(sink))
+      .collect().map(_.toString).toSeq
+    val want = graft.ops.Analytics.q27cFreqGrouped(s, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == want, s"rows ${got.size} vs ${want.size}; " +
+      s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
+  }
+
   test("feed staging splits a large feed into bounded range-ordered files (no 1/4-corpus write task)") {
     val s = spark
     // 300k rows ≫ targetRowsPerFile·gateBatches: the round-8 staging
