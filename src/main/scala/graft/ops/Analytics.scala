@@ -288,15 +288,34 @@ object Analytics {
     * grows ×f; scaling the knobs keeps the per-replica qualifying set
     * fixed and the output rows ×f (output-linear, the honest "more
     * corpus" shape). */
+  /** The q27-family bigram stream: one (lang, bg) row per adjacent token
+    * pair of `documents`; docs with <2 tokens dropped in BOTH engines
+    * (oracle twin: `WHERE len(string_split(...)) >= 2`). ONE definition
+    * shared by q27/q27b (which prune `lang` away), q27c, and the s10
+    * stream gate — the stream/batch parity gate (s10's oracle is q27c's
+    * SQL verbatim) rides on these lineages never diverging. */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+
+  /** q27c's exact twin, shared with the s10 verdict: per-(lang, bigram)
+    * counts above the 0.05% group-share threshold (integer-exact). */
+  private[graft] def q27cExactHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docBigrams(documents(spark, dir))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_total"))
+    counts.join(broadcast(totals), "lang")
+      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(5L))
+      .select(col("lang"), col("bg"), col("cnt"))
+  }
+
   def q27FreqItemsAt(spark: SparkSession, dir: String,
       supportNum: Long, supportDen: Long, sketchSupport: Double): DataFrame = {
     require(supportNum.toDouble / supportDen > sketchSupport,
       "exact threshold must exceed the sketch capacity support")
-    val bgs = documents(spark, dir)
-      .select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2) // <2 tokens → no bigrams (both engines)
-      .select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val bgs = docBigrams(documents(spark, dir)).select(col("bg"))
     val cand = bgs.stat.freqItems(Seq("bg"), sketchSupport)
       .collect()(0).getSeq[String](0).toSeq.sorted
     val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
@@ -332,11 +351,7 @@ object Analytics {
       supportNum: Long, supportDen: Long, k: Int): DataFrame = {
     require(supportNum * (k + 1L) > supportDen,
       "exact threshold must exceed the MG guarantee bound 1/(k+1)")
-    val bgs = documents(spark, dir)
-      .select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    val bgs = docBigrams(documents(spark, dir)).select(col("bg"))
     val sk = bgs.agg(
       graft.functions.FreqItemsMG.freqItemsMg(col("bg"), k).as("cand"))
     val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
@@ -362,17 +377,9 @@ object Analytics {
     * gate as q27/q27b. */
   def q27cFreqGrouped(spark: SparkSession, dir: String): DataFrame = {
     val k = 5000
-    val bgs = documents(spark, dir)
-      .select(col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
-    val sk = bgs.groupBy(col("lang"))
+    val sk = docBigrams(documents(spark, dir)).groupBy(col("lang"))
       .agg(graft.functions.FreqItemsMG.freqItemsMg(col("bg"), k).as("cand"))
-    val counts = bgs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_total"))
-    counts.join(broadcast(totals), "lang").join(broadcast(sk), "lang")
-      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(5L)) // share > 0.05% of group
+    q27cExactHitters(spark, dir).join(broadcast(sk), "lang")
       .select(col("lang"), col("bg"), col("cnt"),
         map_contains_key(col("cand"), col("bg")).cast("long").as("in_sketch"))
       .orderBy("lang", "bg")

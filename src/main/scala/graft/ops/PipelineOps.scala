@@ -857,32 +857,52 @@ object PipelineOps {
     * back. The emitted position is the TOTAL-ORDER rank, so it is
     * invariant to where repartitionByRange's sampled boundaries land —
     * sampling moves rows between adjacent slices, never changes any
-    * row's rank. One corpus shuffle total; oracle is the single
-    * row_number window DuckDB can afford at sf scale. */
+    * row's rank.
+    *
+    * The slice-local rank is a `mapPartitions` counter over the
+    * range-sorted slice — the one genuinely per-partition-imperative
+    * step (brief tier d), and deliberately so: a
+    * `Window.partitionBy(spark_partition_id())` formulation reads
+    * cleaner but Catalyst cannot see that pid is clustered under
+    * RangePartitioning (pid-clustering holds physically by definition,
+    * but EnsureRequirements reasons symbolically), so it inserts a
+    * SECOND full-corpus hashpartitioning(pid) exchange and discards the
+    * range sort — double the shuffle weight at 100 TB. With the counter,
+    * the rank costs ONE corpus shuffle (the range); the trailing
+    * orderBy(doc_id) is the oracle-dump convention, not the operator.
+    * Oracle is the single row_number window DuckDB can afford at sf
+    * scale. */
   def x39ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
     x39ShuffleOrderSeeded(spark, dir, 0L)
 
   /** The seeded form: seed = epoch (or any replay tag). */
   def x39ShuffleOrderSeeded(spark: SparkSession, dir: String, seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir)
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val local = documents(spark, dir)
       .select(col("doc_id"),
         md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("h"))
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = d.repartitionByRange(parts, col("h"), col("doc_id"))
+      .as[(Long, String)]
+      .repartitionByRange(parts, col("h"), col("doc_id"))
       .sortWithinPartitions(col("h"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .mapPartitions { it =>
+        // slice-local rank by sorted arrival order — see the scaladoc
+        // for why this is a counter and not a pid window
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (id, _) => i += 1; (pid, id, i) }
+      }
+      .toDF("pid", "doc_id", "rn")
     // bounded: one row per slice; the offset window orders slices by pid
     // (ascending pid = ascending key range, a repartitionByRange
     // guarantee) over ≤ `parts` rows — deliberately tiny, never corpus
-    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .withColumn("off",
         coalesce(sum(col("n")).over(
           Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("off"))
-    ranged
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))))
+    local
       .join(broadcast(offsets), "pid")
       .select(col("doc_id"), (col("off") + col("rn") - 1).cast(LongType).as("pos"))
       .orderBy("doc_id")

@@ -85,7 +85,7 @@ object Stages {
     else owned.foreach(release)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
     blobCache.keys.filter(_._1.sparkContext eq sc).foreach(blobCache.remove)
-    runIds.keys.filter(_.sparkContext eq sc).foreach(runIds.remove)
+    runIds.keys.filter(_.sparkContext eq sc).foreach(dropRunScratch)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
     // a duplicate listener); a stopped context's marker is garbage
@@ -108,18 +108,27 @@ object Stages {
     centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
     blobCache.keys.filter(_._1 eq spark).foreach(blobCache.remove)
     // parquet mode: this session's run_<id> scratch subdir is dead with
-    // its entries — best-effort delete through the session's FS (a live
-    // session was just required by the contract above). Resolve the dir
-    // BEFORE dropping the run id; stageRoot would mint a fresh id
-    val dir = if (runIds.contains(spark)) stageRoot(spark) else None
-    runIds.remove(spark)
-    dir.foreach { d =>
-      try {
+    // its entries
+    dropRunScratch(spark)
+  }
+
+  /** Drop a session's run id, deleting its parquet-mode `run_<id>`
+    * scratch subdir first (after the id is dropped the path is
+    * unreachable — [[stageRoot]] would mint a fresh one). Best-effort:
+    * conf/FS access can fail on a stopping context, and a leaked dir is
+    * disk, not correctness — but every eviction path ([[evictSession]],
+    * application-end [[evict]], the [[purgeStopped]] backstop) must at
+    * least ATTEMPT it, or a JVM cycling sessions over one shared stage
+    * root grows a corpus-sized orphan per run. */
+  private def dropRunScratch(spark: SparkSession): Unit = {
+    try {
+      if (runIds.contains(spark)) stageRoot(spark).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         org.apache.hadoop.fs.FileSystem
           .get(p.toUri, spark.sessionState.newHadoopConf()).delete(p, true)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    runIds.remove(spark)
   }
 
   private def hookEviction(spark: SparkSession): Unit = {
@@ -143,7 +152,7 @@ object Stages {
     pinnedRdds.keys.filter(_._1.sparkContext.isStopped).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
     blobCache.keys.filter(_._1.sparkContext.isStopped).foreach(blobCache.remove)
-    runIds.keys.filter(_.sparkContext.isStopped).foreach(runIds.remove)
+    runIds.keys.filter(_.sparkContext.isStopped).foreach(dropRunScratch)
     hooked.keys.filter(_.isStopped).foreach(hooked.remove)
   }
 
@@ -153,7 +162,8 @@ object Stages {
     * session now writes under its own `run_<id>` subdirectory, so sharing
     * a root is safe — at the price of each session building its own
     * stages, which is the parquet mode's per-run-scratch contract anyway.
-    * [[evictSession]] deletes the session's subdirectory. */
+    * Every eviction path deletes the subdirectory via
+    * [[dropRunScratch]]. */
   private val runIds = TrieMap.empty[SparkSession, String]
 
   private def runTag(spark: SparkSession): String =

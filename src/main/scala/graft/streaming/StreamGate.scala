@@ -65,6 +65,14 @@ object StreamGate {
     * via [[deleteFeed]]. */
   private[streaming] def stageFeed(df: DataFrame, orderCol: String): Feed = {
     val dir = Files.createTempDirectory("graft_gate_feed_")
+    // staging failure (rename IOException, the setTimes require below)
+    // must not orphan the corpus-sized copy already written — the
+    // callers' try/finally only guards feeds that were RETURNED
+    try stageFeedInto(df, orderCol, dir)
+    catch { case t: Throwable => deleteFeed(df.sparkSession, dir); throw t }
+  }
+
+  private def stageFeedInto(df: DataFrame, orderCol: String, dir: Path): Feed = {
     val fs = hadoopFs(df.sparkSession)
     val n = df.count()
     var filesPerChunk = 1
@@ -280,11 +288,7 @@ object StreamGate {
   private[streaming] def s10Tokens(docs: DataFrame): Dataset[FreqToken] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
-      .select(col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+    graft.ops.Analytics.docBigrams(docs)
       .select(col("lang"),
         pmod(xxhash64(col("bg")), lit(s10Slots.toLong)).cast("int").as("slot"),
         col("bg"))
@@ -301,15 +305,7 @@ object StreamGate {
     val cand = emissions
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("lang"), explode(map_keys(col("cand"))).as("bg"))
-    val bgs = Tables.documents(spark, dir)
-      .select(col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
-    val counts = bgs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_total"))
-    counts.join(broadcast(totals), "lang")
-      .filter(col("cnt") * lit(10000L) > col("n_total") * lit(5L))
+    graft.ops.Analytics.q27cExactHitters(spark, dir)
       .join(cand.withColumn("in_sketch", lit(1L)), Seq("lang", "bg"), "left")
       .select(col("lang"), col("bg"), col("cnt"),
         coalesce(col("in_sketch"), lit(0L)).as("in_sketch"))
