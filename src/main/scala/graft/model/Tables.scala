@@ -28,17 +28,34 @@ object Tables {
     * `user_id` ↔ `entity_id`, `event_type` ↔ `operation`,
     * `props` ↔ `entity_bytes` (JSON payload instead of opaque bytes).
     *
-    * The parquet stores `ts` as timestamp[ns]; Spark's parquet reader only
-    * exposes INT64(TIMESTAMP(NANOS)) via the nanosAsLong legacy conf, so we
-    * normalize to TimestampType (truncating ns → µs, which matches what the
-    * DuckDB oracle's ms/µs-level functions observe).
+    * The driver has generated `ts` in two physical forms across rounds, and
+    * both must land on identical TimestampType (LTZ) values so every
+    * downstream operator and oracle comparison is format-independent:
+    *   - timestamp[ns]: Spark only exposes INT64(TIMESTAMP(NANOS)) via the
+    *     nanosAsLong legacy conf → read as Long, truncate ns → µs (matches
+    *     what the DuckDB oracle's ms/µs-level functions observe).
+    *   - timestamp[us] naive (isAdjustedToUTC=false): with inferTimestampNTZ
+    *     disabled the scan itself yields TimestampType under the session
+    *     UTC zone — conversion happens IN the parquet reader, so predicates
+    *     on `ts` still push down to the scan (a cast-wrapped column would
+    *     block pushdown, which at 100 TB means losing row-group pruning on
+    *     the time axis). All graft entry points pin
+    *     spark.sql.session.timeZone=UTC, so the naive µs values are read as
+    *     the same instants DuckDB sees.
+    * The TimestampNTZ cast backstop covers a schema cached before the conf
+    * was set (NTZ → LTZ under UTC is value-identity).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
