@@ -385,8 +385,49 @@ object Analytics {
       .orderBy("lang", "bg")
   }
 
+  /** q28: incremental distinct counting via MERGEABLE HLL sketches — the
+    * sketch-rollup pattern that replaces rescans at 100 TB: aggregate the
+    * raw stream ONCE into fine-grained (daily) DataSketches HLL sketches,
+    * then answer every coarser question (weekly, all-time) by unioning
+    * the stored sketches — `hll_union_agg` over binary sketch columns,
+    * never a second pass over the corpus. The q9b/q17b/q27 verdict-row
+    * idiom gates it: the dumped rows are the EXACT distinct user counts
+    * per ISO week (plus a 'total' row) with an
+    * `in_bound = |union-estimate − exact| ≤ 3·rse·exact` flag the oracle
+    * pins to 1; the raw estimate (engine-specific) is never emitted.
+    * Estimate invariance: HLL union is a register-wise max — commutative
+    * and associative — so unlike MG's boundary-dependent candidate set,
+    * the unioned estimate itself is identical under any partitioning or
+    * merge tree (DeterminismSpec sweeps it). The exact twin exists FOR
+    * the gate; the production path is sketch build + union alone.
+    * rse = 1.04/√2^lgK at Spark's default lgConfigK = 12. */
+  def q28HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rse = 1.04 / math.sqrt((1 << 12).toDouble)
+    // Monday-based week truncation matches DuckDB's ISO date_trunc('week')
+    val e = events(spark, dir).select(
+      date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+      to_date(col("ts")).as("d"),
+      col("user_id"))
+    val daily = e.groupBy(col("wk"), col("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily.groupBy(col("wk")).agg(hll_union_agg(col("sk")).as("sk"))
+    val total = weekly.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("total").as("wk"), col("sk"))
+    val est = weekly.unionByName(total)
+      .select(col("wk"), hll_sketch_estimate(col("sk")).as("approx"))
+    val exact = e.groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n_users"))
+      .unionByName(e.agg(countDistinct(col("user_id")).as("n_users"))
+        .select(lit("total").as("wk"), col("n_users")))
+    est.join(exact, "wk")
+      .select(col("wk"), col("n_users"),
+        (abs(col("approx").cast("double") - col("n_users").cast("double"))
+          <= lit(3 * rse) * col("n_users").cast("double")).cast("long").as("in_bound"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
+    "q28_hll_rollup" -> q28HllRollup,
     "q27_freq_items" -> q27FreqItems,
     "q27b_freq_deep" -> q27bFreqDeep,
     "q27c_freq_grouped" -> q27cFreqGrouped,
@@ -403,6 +444,12 @@ object Analytics {
     "q11_rollup" -> q11Rollup)
 
   val oracle: Map[String, String] = Map(
+    "q28_hll_rollup" ->
+      """WITH e AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, user_id FROM events),
+        |u AS (SELECT wk, count(DISTINCT user_id) AS n_users FROM e GROUP BY wk
+        |      UNION ALL SELECT 'total', count(DISTINCT user_id) FROM e)
+        |SELECT wk, CAST(n_users AS BIGINT) AS n_users, CAST(1 AS BIGINT) AS in_bound
+        |FROM u ORDER BY wk""".stripMargin,
     "q27_freq_items" ->
       """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
         |t AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),

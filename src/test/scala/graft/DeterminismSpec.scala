@@ -49,6 +49,9 @@ class DeterminismSpec extends SparkTestBase {
     // the global shuffle order: rank comes from sampled range boundaries
     // + per-slice windows — the total-order rank must not see either
     "x39_shuffle_order",
+    // the HLL sketch rollup: union is register-wise max (merge-tree
+    // invariant by construction) — the verdict row must prove it
+    "q28_hll_rollup",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —

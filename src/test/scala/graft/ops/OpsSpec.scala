@@ -706,4 +706,22 @@ class OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("q28: union of fine-grained HLL sketches ≡ one direct sketch (mergeability)") {
+    // the property the rollup pattern rests on: build per-day sketches,
+    // union them, and the estimate must equal a sketch built over the
+    // whole window in one pass — HLL union is a register-wise max, so
+    // the two paths land on the SAME registers, not merely close ones
+    val e = graft.model.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val unioned = e.groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = e.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(unioned == direct, s"rollup estimate $unioned != direct $direct")
+    val exact = e.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(unioned - exact).toDouble <= math.max(3 * 0.0163 * exact, 1.0),
+      s"estimate $unioned outside 3·rse of exact $exact")
+  }
 }
