@@ -425,9 +425,49 @@ object Analytics {
       .orderBy("wk")
   }
 
+  /** q28b: approximate per-key counts via a Count-Min sketch — the
+    * point-query companion to q28's distinct rollup, Spark's builtin
+    * `count_min_sketch` aggregate (mergeable: cell-wise addition, so the
+    * merged sketch — and every estimate read from it — is EXACTLY
+    * partition-invariant, like q28's register-max and unlike MG's
+    * boundary-dependent candidates). Two guarantees gate the verdict
+    * rows (the q9b idiom — exact counts dumped, sketch values never):
+    * `over_ok` pins CMS's deterministic one-sidedness (estimates never
+    * undercount, Cormode–Muthukrishnan 2005) and `within_bound` pins
+    * est ≤ exact + εN (holds with prob ≥ confidence per key; ε = 0.001,
+    * so the slack is integer-exact at any corpus size). The probe is a
+    * driver-side read of ONE aggregated sketch (bounded by construction:
+    * depth·width cells ≈ 7×2000 longs, independent of corpus size)
+    * against the top-20 keys — the exact top-k twin exists FOR the gate;
+    * the production path ships the fixed-size sketch and probes ad-hoc
+    * keys with no per-key state. Ties at the top-k boundary break on
+    * user_id in both engines, so the emitted key set is deterministic. */
+  def q28bCmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val e = events(spark, dir).select(col("user_id"))
+    val skBytes = e
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // εN slack straight from the sketch's own stream length — no extra job
+    val slack = math.ceil(eps * sketch.totalCount()).toLong
+    val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(20)
+      .collect().map { r =>
+        val (u, c) = (r.getLong(0), r.getLong(1))
+        val est = sketch.estimateCount(u)
+        (u, c, if (est >= c) 1L else 0L, if (est <= c + slack) 1L else 0L)
+      }.toSeq
+    spark.createDataFrame(top)
+      .toDF("user_id", "cnt", "over_ok", "within_bound")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q28_hll_rollup" -> q28HllRollup,
+    "q28b_cms_counts" -> q28bCmsCounts,
     "q27_freq_items" -> q27FreqItems,
     "q27b_freq_deep" -> q27bFreqDeep,
     "q27c_freq_grouped" -> q27cFreqGrouped,
@@ -444,6 +484,12 @@ object Analytics {
     "q11_rollup" -> q11Rollup)
 
   val oracle: Map[String, String] = Map(
+    "q28b_cms_counts" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(1 AS BIGINT) AS over_ok, CAST(1 AS BIGINT) AS within_bound
+        |FROM t ORDER BY user_id""".stripMargin,
     "q28_hll_rollup" ->
       """WITH e AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, user_id FROM events),
         |u AS (SELECT wk, count(DISTINCT user_id) AS n_users FROM e GROUP BY wk

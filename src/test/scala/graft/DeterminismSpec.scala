@@ -52,6 +52,9 @@ class DeterminismSpec extends SparkTestBase {
     // the HLL sketch rollup: union is register-wise max (merge-tree
     // invariant by construction) — the verdict row must prove it
     "q28_hll_rollup",
+    // the CMS point probe: cell-wise-additive merge + a top-k twin whose
+    // boundary ties break on user_id — neither may see partitioning
+    "q28b_cms_counts",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —
