@@ -312,14 +312,61 @@ object StreamGate {
       .orderBy("lang", "bg")
   }
 
+  /** s11 gate: continuous distinct-user counting — the streaming twin of
+    * the batch HLL rollup (q28), and deliberately the most Spark-native
+    * stateful shape in the repo: a plain streaming aggregation
+    * `groupBy(week).agg(approx_count_distinct(user))`, where the state
+    * store row IS the mergeable HLL++ buffer (fixed-size per group, no
+    * user set ever materialized — the property that makes continuous
+    * distinct viable at 100 TB of arrivals). No custom state logic: the
+    * partial-aggregate machinery that merges sketch buffers through a
+    * batch shuffle is exactly what merges them across micro-batches.
+    * The gate runs complete mode into the memory sink (final table =
+    * final counts); the production path is update mode + an event-time
+    * watermark so closed weeks' state evicts. Verdict row = q9b idiom:
+    * exact weekly distincts (batch twin) + a 3·rsd bound flag the
+    * oracle pins to 1; the raw estimate is never emitted. */
+  def s11DistinctStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val rsd = 0.05
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    def weekly(df: DataFrame): DataFrame = df.select(
+      date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+      col("user_id"))
+    val feed = stageFeed(e, "event_id")
+    val streamed = try {
+      val name = s"s11_gate_${runId.incrementAndGet()}"
+      val q = weekly(feedStream(spark, feed, e.schema))
+        .groupBy(col("wk"))
+        .agg(approx_count_distinct(col("user_id"), rsd).as("approx"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    } finally deleteFeed(spark, feed.dir)
+    weekly(e).groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n_users"))
+      .join(streamed, "wk")
+      .select(col("wk"), col("n_users"),
+        (abs(col("approx").cast("double") - col("n_users").cast("double"))
+          <= lit(3 * rsd) * col("n_users").cast("double")).cast("long").as("in_bound"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_novelty_stream" -> s8NoveltyStream,
     "s9_temporal_asof" -> s9TemporalAsof,
-    "s10_freq_stream" -> s10FreqStream)
+    "s10_freq_stream" -> s10FreqStream,
+    "s11_distinct_stream" -> s11DistinctStream)
 
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
     "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
+    // s11: exact weekly distincts + the bound flag pinned to 1 (the
+    // q28 shape without its total row)
+    "s11_distinct_stream" ->
+      """WITH e AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, user_id FROM events)
+        |SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(1 AS BIGINT) AS in_bound
+        |FROM e GROUP BY wk ORDER BY wk""".stripMargin,
     // s10's verdict row is the batch q27c shape: its oracle verbatim
     "s10_freq_stream" -> graft.ops.Analytics.oracle("q27c_freq_grouped"),
     "s8_novelty_stream" ->

@@ -62,7 +62,11 @@ class DeterminismSpec extends SparkTestBase {
     "s8_novelty_stream", "s9_temporal_asof",
     // the streaming MG summaries: per-(lang, slot) state across batches;
     // the slot-union membership verdict must not see partitioning
-    "s10_freq_stream")
+    "s10_freq_stream",
+    // the streaming HLL aggregation: sketch buffers merge through the
+    // state store across batches — the bound verdict must not see
+    // the stateful shuffle's partitioning
+    "s11_distinct_stream")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint
