@@ -121,6 +121,14 @@ object BenchScaling {
     "q27b_freq_deep" -> fx(graft.ops.Analytics.q27bFreqDeep _),
     "q27b_freq_deep_scaledk" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.Analytics.q27bFreqDeepAt(s, d, 5L, 100000L * f, 50000 * f)),
+    // the sketch-rollup pair: replicas add disjoint users on the SAME
+    // weeks, so weekly cardinality grows ×f while sketch size (HLL
+    // registers, CMS cells) stays fixed — the constant-state claim is
+    // exactly what the ratio measures. The exact twins inside each
+    // verdict query scale like the linear core, so the line stays
+    // data-linear even as the sketch side stays flat
+    "q28_hll_rollup" -> fx(graft.ops.Analytics.q28HllRollup _),
+    "q28b_cms_counts" -> fx(graft.ops.Analytics.q28bCmsCounts _),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),

@@ -707,6 +707,37 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("q28: sketches survive parquet round-trip — stored history + new increment union") {
+    // the deployment shape behind the rollup: yesterday's daily sketches
+    // live ON DISK as a binary column; today's increment is sketched from
+    // raw and unioned with the stored history — never a rescan. The
+    // estimate must be identical to sketching the whole corpus directly.
+    val e = graft.model.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val cut = e.agg(max(col("d"))).collect()(0).getDate(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-store").toString
+    try {
+      e.filter(col("d") < lit(cut)).groupBy(col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val increment = e.filter(col("d") === lit(cut)).groupBy(col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = stored.unionByName(increment)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+        .collect()(0).getLong(0)
+      val direct = e.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+        .collect()(0).getLong(0)
+      assert(rolled == direct,
+        s"stored-history rollup $rolled != direct whole-corpus sketch $direct")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("q28: union of fine-grained HLL sketches ≡ one direct sketch (mergeability)") {
     // the property the rollup pattern rests on: build per-day sketches,
     // union them, and the estimate must equal a sketch built over the
