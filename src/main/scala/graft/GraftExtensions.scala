@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -114,6 +114,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("freq_items_mg", args, 2)
         FreqItemsMG(args(0), intLit("freq_items_mg", args(1), "k"))
+      }),
+    ("theta_sketch",
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => {
+        requireArity("theta_sketch", args, 2)
+        ThetaSketchAgg(args(0), intLit("theta_sketch", args(1), "lgK"))
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),

@@ -464,10 +464,59 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q28c: audience OVERLAP from stored sketches — the set-operation
+    * capability HLL cannot provide (HLL union answers |A ∪ B| only): a
+    * Theta sketch retains the k smallest key hashes, i.e. a uniform
+    * sample of the key space, so per-week sketches support
+    * INTERSECTION estimates — distinct users active in both week w and
+    * week w+1 — with no history rescan and no pairwise user join
+    * ([[graft.functions.ThetaSketchAgg]], Apache DataSketches theta,
+    * the library Spark's own HLL functions ship with). One sketch per
+    * week (mergeable partial aggregate through the shuffle), adjacent
+    * pairs intersected driver-side from the collected sketch frame
+    * (bounded by construction: #weeks × ≤ 2^lgK hashes). Verdict rows
+    * (q9b idiom): the EXACT co-active counts — a distinct frame
+    * self-joined on (user, week+7), the twin that exists for the gate —
+    * plus an `in_bound` flag the oracle pins to 1. At the gate SFs the
+    * sketches hold every user hash (exact mode), so the intersection
+    * estimate is exact and trivially in bound; at 100 TB the same plan
+    * answers from fixed-size sketches with the published theta error. */
+  def q28cThetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketchAgg
+    val u = events(spark, dir).select(
+      date_trunc("week", col("ts")).cast("date").as("wkd"), col("user_id"))
+    val sketches = u.groupBy(col("wkd"))
+      .agg(ThetaSketchAgg.thetaSketch(col("user_id")).as("sk"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getAs[Array[Byte]](1)).toMap
+    val estRows = sketches.toSeq
+      .flatMap { case (w, sk) =>
+        sketches.get(w.plusDays(7)).map { nxt =>
+          (w.toString, w.plusDays(7).toString,
+            math.rint(ThetaSketchAgg.intersectEstimate(sk, nxt)).toLong)
+        }
+      }
+    val est = spark.createDataFrame(estRows).toDF("wk", "wk_next", "approx")
+    val d = u.distinct()
+    val exact = d.as("ea").join(d.as("eb"),
+        col("eb.user_id") === col("ea.user_id") &&
+          col("eb.wkd") === date_add(col("ea.wkd"), 7))
+      .groupBy(col("ea.wkd").cast("string").as("wk"))
+      .agg(count(lit(1)).as("n_both"))
+    est.join(exact, Seq("wk"), "left")
+      .select(col("wk"), col("wk_next"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (abs(col("approx").cast("double") - coalesce(col("n_both"), lit(0L)).cast("double"))
+          <= greatest(lit(3 * 0.0163) * coalesce(col("n_both"), lit(0L)).cast("double"), lit(1.0)))
+          .cast("long").as("in_bound"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q28_hll_rollup" -> q28HllRollup,
     "q28b_cms_counts" -> q28bCmsCounts,
+    "q28c_theta_overlap" -> q28cThetaOverlap,
     "q27_freq_items" -> q27FreqItems,
     "q27b_freq_deep" -> q27bFreqDeep,
     "q27c_freq_grouped" -> q27cFreqGrouped,
@@ -484,6 +533,17 @@ object Analytics {
     "q11_rollup" -> q11Rollup)
 
   val oracle: Map[String, String] = Map(
+    "q28c_theta_overlap" ->
+      """WITH e AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wkd, user_id FROM events),
+        |w AS (SELECT DISTINCT wkd FROM e),
+        |p AS (SELECT wkd AS a, wkd + 7 AS b FROM w WHERE wkd + 7 IN (SELECT wkd FROM w)),
+        |x AS (SELECT p.a, p.b, count(eb.user_id) AS n_both
+        |      FROM p JOIN e ea ON ea.wkd = p.a
+        |      LEFT JOIN e eb ON eb.wkd = p.b AND eb.user_id = ea.user_id
+        |      GROUP BY p.a, p.b)
+        |SELECT CAST(a AS VARCHAR) AS wk, CAST(b AS VARCHAR) AS wk_next,
+        |  CAST(n_both AS BIGINT) AS n_both, CAST(1 AS BIGINT) AS in_bound
+        |FROM x ORDER BY wk""".stripMargin,
     "q28b_cms_counts" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)

@@ -55,6 +55,10 @@ class DeterminismSpec extends SparkTestBase {
     // the CMS point probe: cell-wise-additive merge + a top-k twin whose
     // boundary ties break on user_id — neither may see partitioning
     "q28b_cms_counts",
+    // the theta overlap: per-week unions merge through the shuffle and
+    // the intersection reads the collected sketches — exact mode at
+    // this SF, so the whole row set must be partition-invariant
+    "q28c_theta_overlap",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —

@@ -22,6 +22,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       "the dominant item must be present in every group's MG summary")
   }
 
+  test("theta_sketch is callable from SQL and intersects exactly in exact mode") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT g, theta_sketch(v, 12) AS sk
+        |FROM VALUES ('a',1L),('a',2L),('a',3L),('b',2L),('b',3L),('b',4L) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val est = graft.functions.ThetaSketchAgg.intersectEstimate(
+      r(0).getAs[Array[Byte]](1), r(1).getAs[Array[Byte]](1))
+    assert(math.rint(est).toLong == 2L, s"|{1,2,3} ∩ {2,3,4}| must be 2, got $est")
+  }
+
   test("two dot_arr instances in one projection codegen without collision") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -738,6 +738,30 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q28c: theta intersection is exact in exact mode, under any grouping") {
+    // the overlap operator's footing: while each sketch holds ≤ 2^lgK keys,
+    // intersection estimates are exact — check against a brute-force
+    // overlap on the real corpus, with sketches built per day and
+    // unioned into weeks (exercising the partial-merge path)
+    import graft.functions.ThetaSketchAgg
+    val u = graft.model.Tables.events(spark, sf0001).select(
+      date_trunc("week", col("ts")).cast("date").as("wkd"),
+      to_date(col("ts")).as("d"), col("user_id"))
+    val weeks = u.groupBy(col("wkd"))
+      .agg(ThetaSketchAgg.thetaSketch(col("user_id")).as("sk"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getAs[Array[Byte]](1)).toMap
+    val distinctPairs = u.select(col("wkd"), col("user_id")).distinct().collect()
+      .groupBy(_.getDate(0).toLocalDate).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val adjacent = weeks.keys.filter(w => weeks.contains(w.plusDays(7)))
+    assert(adjacent.nonEmpty)
+    adjacent.foreach { w =>
+      val est = ThetaSketchAgg.intersectEstimate(weeks(w), weeks(w.plusDays(7)))
+      val exact = (distinctPairs(w) & distinctPairs(w.plusDays(7))).size
+      assert(math.rint(est).toLong == exact.toLong,
+        s"week $w: theta intersection $est != exact overlap $exact")
+    }
+  }
+
   test("q28: union of fine-grained HLL sketches ≡ one direct sketch (mergeability)") {
     // the property the rollup pattern rests on: build per-day sketches,
     // union them, and the estimate must equal a sketch built over the
