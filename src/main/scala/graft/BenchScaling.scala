@@ -129,6 +129,10 @@ object BenchScaling {
     // data-linear even as the sketch side stays flat
     "q28_hll_rollup" -> fx(graft.ops.Analytics.q28HllRollup _),
     "q28b_cms_counts" -> fx(graft.ops.Analytics.q28bCmsCounts _),
+    // theta: at 16× (24k users/week > 2^12 nominal) the sketches cross
+    // into estimation mode — the timing stays flat either way; the
+    // registered gate runs at SFs where exact mode holds
+    "q28c_theta_overlap" -> fx(graft.ops.Analytics.q28cThetaOverlap _),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),
