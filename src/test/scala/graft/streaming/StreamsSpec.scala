@@ -139,6 +139,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s11 production form: update-mode windowed distinct sketch under a watermark") {
+    // the registered s11 gate runs complete mode; the 100 TB form it
+    // documents is THIS: update mode + event-time watermark, where each
+    // window's state row is the HLL++ buffer and closed windows evict.
+    // Pin that the final per-window estimates match exact distincts and
+    // that a beyond-late row is dropped rather than reopening its window.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val ev = ms.toDS().toDF("ts", "user_id")
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("window.start").as("start"), col("approx"))
+    val q = agg.writeStream.format("memory").queryName("s11prod")
+      .outputMode("update").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 0), 1L), (t(1, 10), 2L), (t(1, 20), 1L), (t(2, 30), 9L))
+      q.processAllAvailable() // watermark → 02:20, hour-1 window is closed
+      ms.addData((t(1, 30), 3L), (t(2, 40), 10L)) // 01:30 is beyond-late
+      q.processAllAvailable()
+      val rows = s.table("s11prod").collect()
+        .groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getLong(1)).last).toMap
+      // at 3 distinct values the sketch is exact; the late user 3 must
+      // NOT have reopened hour 1 (its last emission stays 2 distinct)
+      assert(rows(t(1, 0)) == 2L, s"hour-1 window must hold {1,2}: $rows")
+      assert(rows(t(2, 0)) == 2L, s"hour-2 window must hold {9,10}: $rows")
+    } finally q.stop()
+  }
+
   test("s5: dropDuplicatesWithinWatermark suppresses replayed ids") {
     val s = spark
     import s.implicits._
