@@ -11,6 +11,27 @@ import graft.streaming.{WalRecord, Streams, TestSink}
   * streaming throughput vs the reference's serialized ceiling. */
 class ScaleSpec extends SparkTestBase {
 
+  test("q28: the sketch path partial-aggregates map-side (no raw-row funnel)") {
+    // the 100 TB claim behind the rollup family: sketch buffers combine
+    // BEFORE the shuffle, so each exchange carries one buffer per
+    // (partition × group), never raw rows. TypedImperativeAggregates
+    // plan as ObjectHashAggregate partial/final pairs — pin both the
+    // operator and its partial mode on the daily-sketch stage
+    val e = graft.model.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val plan = e.groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"sketch agg not object-hash:\n$plan")
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"no map-side partial sketch aggregation:\n$plan")
+    val theta = e.groupBy(col("d"))
+      .agg(graft.functions.ThetaSketchAgg.thetaSketch(col("user_id")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(theta.contains("partial_theta_sketch"),
+      s"no map-side partial theta aggregation:\n$theta")
+  }
+
   test("salted two-phase aggregate is exact under a hot key") {
     val s = spark
     import s.implicits._
