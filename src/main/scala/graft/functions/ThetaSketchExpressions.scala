@@ -57,6 +57,11 @@ case class ThetaSketchAgg(
     if (v != null) v match {
       case l: Long => buffer.update(l)
       case i: Int  => buffer.update(i.toLong)
+      case other => // checkInputDataTypes admits only Long/Int today; a
+        // future type widening must extend BOTH places, not MatchError here
+        throw new IllegalStateException(
+          s"theta_sketch: unsupported input value class ${other.getClass.getName} " +
+            s"for declared type ${child.dataType}")
     }
     buffer
   }
@@ -100,6 +105,14 @@ object ThetaSketchAgg {
   /** Driver-side estimate of a stored compact sketch. */
   def estimate(bytes: Array[Byte]): Double =
     CompactSketch.wrap(Memory.wrap(bytes)).getEstimate
+
+  /** True while the stored sketch is in EXACT mode (theta == 1: every
+    * key hash retained, nothing sampled). Consumers that pin exactness
+    * (q28c's in_bound=1 oracle) must check this and fail loudly when a
+    * bigger corpus crosses into estimation mode, where intersection
+    * error follows the union size, not the overlap. */
+  def isExact(bytes: Array[Byte]): Boolean =
+    !CompactSketch.wrap(Memory.wrap(bytes)).isEstimationMode
 
   /** Driver-side intersection estimate of two stored compact sketches. */
   def intersectEstimate(a: Array[Byte], b: Array[Byte], lgK: Int = defaultLgK): Double = {

@@ -44,10 +44,22 @@ object Tables {
     *     the same instants DuckDB sees.
     * The TimestampNTZ cast backstop covers a schema cached before the conf
     * was set (NTZ → LTZ under UTC is value-identity).
+    *
+    * SESSION-CONF INVARIANT: the two pins below are session-global and
+    * stay set for the session's lifetime — they CANNOT be save/restored
+    * around this call, because parquet reads are lazy and the conf is
+    * consulted again at execution time, after this method returned. The
+    * invariant a host application must hold: no graft table relies on NTZ
+    * inference (verified — every other table is numeric/string/binary),
+    * and any NON-graft read in the same session that needs NTZ inference
+    * or INT64(NANOS)-as-timestamp must use its own SparkSession
+    * (`spark.newSession()` isolates runtime conf; TablesSpec pins that).
+    * The set is read-checked so repeated calls never touch the conf map
+    * after the first.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pinConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    pinConf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType =>
@@ -57,6 +69,11 @@ object Tables {
       case _ => df
     }
   }
+
+  /** Set a session conf only when it differs — see the invariant note on
+    * [[events]]. */
+  private def pinConf(spark: SparkSession, key: String, value: String): Unit =
+    if (!spark.conf.getOption(key).contains(value)) spark.conf.set(key, value)
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -435,9 +435,13 @@ object Analytics {
     * `over_ok` pins CMS's deterministic one-sidedness (estimates never
     * undercount, Cormode–Muthukrishnan 2005) and `within_bound` pins
     * est ≤ exact + εN (holds with prob ≥ confidence per key; ε = 0.001,
-    * so the slack is integer-exact at any corpus size). The probe is a
+    * so the slack is integer-exact at any corpus size). Confidence is
+    * 0.9999 — per-key failure 1e-4 puts the ACROSS-20-probed-keys failure
+    * odds at ~2e-3, so a driver data regeneration can't realistically
+    * flip the pinned gate (at the old 0.99 the union bound allowed ~18%);
+    * the price is depth 14 instead of 7, still a fixed ~220 KB sketch. The probe is a
     * driver-side read of ONE aggregated sketch (bounded by construction:
-    * depth·width cells ≈ 7×2000 longs, independent of corpus size)
+    * depth·width cells ≈ 14×2000 longs, independent of corpus size)
     * against the top-20 keys — the exact top-k twin exists FOR the gate;
     * the production path ships the fixed-size sketch and probes ad-hoc
     * keys with no per-key state. Ties at the top-k boundary break on
@@ -446,7 +450,7 @@ object Analytics {
     val eps = 0.001
     val e = events(spark, dir).select(col("user_id"))
     val skBytes = e
-      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("sk"))
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.9999), lit(42)).as("sk"))
       .collect()(0).getAs[Array[Byte]](0)
     val sketch = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(skBytes))
@@ -489,6 +493,19 @@ object Analytics {
       .agg(ThetaSketchAgg.thetaSketch(col("user_id")).as("sk"))
       .collect()
       .map(r => r.getDate(0).toLocalDate -> r.getAs[Array[Byte]](1)).toMap
+    // The in_bound=1 oracle pin assumes EXACT mode (≤ 2^lgK distinct
+    // users per week, theta == 1), where the intersection estimate is the
+    // true overlap. In estimation mode intersection error scales with the
+    // UNION size and overlap fraction — a 3·rse-of-overlap bound would be
+    // the wrong guarantee — so a corpus that crosses the line must fail
+    // loudly here, not flake at the gate.
+    sketches.foreach { case (w, sk) =>
+      if (!ThetaSketchAgg.isExact(sk))
+        throw new IllegalStateException(
+          s"q28c: week $w theta sketch left exact mode (> ${1 << ThetaSketchAgg.defaultLgK} " +
+            "distinct users); the exact-overlap gate no longer applies — raise lgK " +
+            "or re-derive in_bound from the union-size error analysis")
+    }
     val estRows = sketches.toSeq
       .flatMap { case (w, sk) =>
         sketches.get(w.plusDays(7)).map { nxt =>

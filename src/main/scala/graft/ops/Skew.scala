@@ -275,22 +275,28 @@ object Skew {
       q25Right(spark, dir), "rk", shuffleCold = true))
 
   /** q25: the salted equi-join wired into the query surface, on a
-    * registered-surface-safe cut of the audit shape above — 1% of
-    * lineitem AND 1% of orders re-point at key 1 (the audit twins
-    * concentrate 25% / 10%, which is quadratic under replication: fine
-    * for short legs, hostile for the per-round sf0.1 bench). The hot key
-    * still owns a right SLICE (~1.5k order rows at sf0.1), not a single
-    * row — exactly the shape where [[splitSkewJoin]]'s hot-slice
-    * broadcast stops scaling and [[saltedEquiJoin]] is the right tool.
-    * The salt spreads the hot left slice over 16 reducer buckets and
+    * registered-surface-safe cut of the audit shape above. The hot slice
+    * is pinned to CONSTANT key ranges, not corpus shares: lineitem keys
+    * 1–400 (~1.6k rows at any SF — orderkeys are dense from 0 in the
+    * driver data, so the range exists at every SF) re-point at key 1, and
+    * order keys 1–100 (exactly 100 rows) do the same. Share-based
+    * concentration on BOTH sides (the previous `% 100` cut) made the
+    * registered line's emitted hot product grow ×sf² — ~9M rows at sf0.1
+    * and suite-dominating at the next sf bump — while a constant cut
+    * emits ~160k hot rows at EVERY sf, so the bench line tracks the
+    * operator, not the shape's quadratic tax. The hot key still owns a
+    * right SLICE (100 order rows), the many-right-rows form
+    * [[saltedEquiJoin]] exists for; the share-driven niche MEASUREMENT
+    * lives in the audit legs above, where factors are controlled. The
+    * salt spreads the hot left slice over 16 reducer buckets and
     * replicates the right side ×16; the result is exactly the plain
     * join's (each match pair meets once), so the oracle is the unsalted
     * SQL. */
   def q25SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).withColumn("jk",
-      when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
+      when(col("l_orderkey").between(1, 400), lit(1L)).otherwise(col("l_orderkey")))
     val r = Tables.orders(spark, dir).withColumn("rk",
-      when(col("o_orderkey") % 100 === 0, lit(1L)).otherwise(col("o_orderkey")))
+      when(col("o_orderkey").between(1, 100), lit(1L)).otherwise(col("o_orderkey")))
     q25Agg(saltedEquiJoin(l, col("jk"), r, col("rk"),
       saltFrom = xxhash64(col("l_orderkey"), col("l_linenumber"))))
   }
@@ -317,11 +323,11 @@ object Skew {
          |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q25_salted_join" ->
       s"""WITH l AS (
-         |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN 1 ELSE l_orderkey END AS jk,
+         |  SELECT CASE WHEN l_orderkey BETWEEN 1 AND 400 THEN 1 ELSE l_orderkey END AS jk,
          |    l_extendedprice, l_discount
          |  FROM lineitem),
          |r AS (
-         |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE o_orderkey END AS rk,
+         |  SELECT CASE WHEN o_orderkey BETWEEN 1 AND 100 THEN 1 ELSE o_orderkey END AS rk,
          |    o_orderpriority
          |  FROM orders)
          |SELECT o_orderpriority, count(*) AS n,
