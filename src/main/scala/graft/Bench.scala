@@ -108,6 +108,15 @@ object Bench {
       else "total"
     val repeatField = if (repeat > 1) s""","repeat":$repeat""" else ""
     println(s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}$repeatField}""")
+    // Per-table corpus fingerprint next to every bench reading (file, not
+    // stdout: the driver's tail capture is bounded and must keep seeing
+    // exactly one metric line). Makes round-over-round bench deltas
+    // attributable when the driver regenerates the test data — the r9
+    // 3–5× events/documents outliers were undiagnosable without this.
+    try CorpusStats.write(spark, sfDir, "CORPUS_STATS_BENCH.json")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] corpus stats failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -70,6 +70,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-table corpus fingerprint, so this dump's numbers stay
+    // attributable after the next test-data regeneration; best-effort —
+    // a stats failure must not veto an otherwise-green dump
+    try CorpusStats.write(spark, sfDir, s"$outDir/corpus_stats.json")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] corpus stats failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
     // A throwing query must fail the run loudly, not just log: with exit 0
     // the missing result dir would silently drop out of the oracle compare.

@@ -870,6 +870,16 @@ object PipelineOps {
     * range sort — double the shuffle weight at 100 TB. With the counter,
     * the rank costs ONE corpus shuffle (the range); the trailing
     * orderBy(doc_id) is the oracle-dump convention, not the operator.
+    *
+    * The ranked slice feeds TWO consumers — the per-slice count
+    * aggregate and the final join — so it is lazily localCheckpoint'd:
+    * the offset subtree (executed first, as the join's broadcast side)
+    * materializes the blocks, the join's main side reads them back, and
+    * the range shuffle + counter run EXACTLY once (OpsSpec pins both
+    * plan scans to one checkpointed RDD). At 100 TB the same two-reader
+    * shape would stage the epoch's rank manifest to parquet instead
+    * (executor-memory blocks don't survive executor loss; an epoch
+    * order is worth persisting anyway for resumable training).
     * Oracle is the single row_number window DuckDB can afford at sf
     * scale. */
   def x39ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
@@ -894,6 +904,9 @@ object PipelineOps {
         it.map { case (id, _) => i += 1; (pid, id, i) }
       }
       .toDF("pid", "doc_id", "rn")
+      // lazy checkpoint: both consumers below share ONE computed RDD —
+      // see the single-pass note in the scaladoc
+      .localCheckpoint(false)
     // bounded: one row per slice; the offset window orders slices by pid
     // (ascending pid = ascending key range, a repartitionByRange
     // guarantee) over ≤ `parts` rows — deliberately tiny, never corpus

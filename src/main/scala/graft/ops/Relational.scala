@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -202,11 +201,10 @@ object Relational {
 
   /** The one place the probe expression is built — the registered query
     * (staged bytes) and the test probe (explicit dim) must stay the same
-    * shape. */
+    * shape. Shared with the S8 stream probe via
+    * [[graft.functions.BloomProbe]]. */
   private def probeColumn(bytes: Array[Byte], value: Column): Column =
-    GraftBridge.column(BloomFilterMightContain(
-      GraftBridge.expression(lit(bytes)),
-      GraftBridge.expression(value)))
+    graft.functions.BloomProbe.mightContain(bytes, value)
 
   /** Probe predicate over an explicit dim frame (tests; uncached). */
   private[graft] def q26Probe(dim: DataFrame, value: Column): Column =

@@ -326,29 +326,43 @@ object StreamGate {
     * watermark so closed weeks' state evicts. Verdict row = q9b idiom:
     * exact weekly distincts (batch twin) + a 3·rsd bound flag the
     * oracle pins to 1; the raw estimate is never emitted. */
-  def s11DistinctStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
-    val rsd = 0.05
+  /** The s11 stream shape, shared by the gate and the restart e2e: rsd,
+    * the week projection, and the streaming HLL aggregation whose state
+    * row IS the sketch buffer. */
+  private[streaming] val s11Rsd = 0.05
+  private[streaming] def s11Weekly(df: DataFrame): DataFrame = df.select(
+    date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+    col("user_id"))
+  private[streaming] def s11Aggregate(df: DataFrame): DataFrame =
+    s11Weekly(df).groupBy(col("wk"))
+      .agg(approx_count_distinct(col("user_id"), s11Rsd).as("approx"))
+
+  /** The s11 verdict join: exact weekly distincts (batch twin) + the
+    * 3·rsd bound flag the oracle pins to 1. */
+  private[streaming] def s11Verdict(spark: SparkSession, dir: String,
+      streamed: DataFrame): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"))
-    def weekly(df: DataFrame): DataFrame = df.select(
-      date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
-      col("user_id"))
+    s11Weekly(e).groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n_users"))
+      .join(streamed, "wk")
+      .select(col("wk"), col("n_users"),
+        (abs(col("approx").cast("double") - col("n_users").cast("double"))
+          <= lit(3 * s11Rsd) * col("n_users").cast("double")).cast("long").as("in_bound"))
+      .orderBy("wk")
+  }
+
+  def s11DistinctStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
     val feed = stageFeed(e, "event_id")
     val streamed = try {
       val name = s"s11_gate_${runId.incrementAndGet()}"
-      val q = weekly(feedStream(spark, feed, e.schema))
-        .groupBy(col("wk"))
-        .agg(approx_count_distinct(col("user_id"), rsd).as("approx"))
+      val q = s11Aggregate(feedStream(spark, feed, e.schema))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
     } finally deleteFeed(spark, feed.dir)
-    weekly(e).groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n_users"))
-      .join(streamed, "wk")
-      .select(col("wk"), col("n_users"),
-        (abs(col("approx").cast("double") - col("n_users").cast("double"))
-          <= lit(3 * rsd) * col("n_users").cast("double")).cast("long").as("in_bound"))
-      .orderBy("wk")
+    s11Verdict(spark, dir, streamed)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -357,16 +357,22 @@ object Streams {
   /** S8: continuous-ingest novelty screening — the streaming twin of the
     * batch x36: each arriving document is scored against a BLOOM FILTER
     * of the static corpus's 3-gram index, built once driver-side
-    * (`DataFrameStatFunctions.bloomFilter`) and broadcast. The stream
-    * side is completely STATELESS — per-row gram hashing plus an O(1)
-    * membership probe, no streaming aggregation, no state store, no
-    * watermark — which is what lets it run at ingest line rate; the
-    * bloom's one-sided error only ever UNDERcounts novelty (a false
-    * positive claims a gram was seen), so `novelty_per_1000` is a lower
-    * bound and the `is_novel` screen errs toward keeping the pairwise
-    * verify stage in the loop. At a 100 TB index you size
-    * `expectedNumItems`/`fpp` (bits ≈ -n·ln(fpp)/ln²2) or shard the
-    * stream by gram hash into the batch x36 shape instead. */
+    * (`DataFrameStatFunctions.bloomFilter`) and planted as a PLAN
+    * LITERAL under Spark's native `might_contain` probe
+    * ([[graft.functions.BloomProbe.countMaybeHits]] — the q26 form; the
+    * literal ships with the task binaries like a broadcast would, and no
+    * ScalaUDF enters the stream plan). The bloom is built over
+    * `xxhash64(gram)` longs — the domain the builtin probes — and the
+    * probe side applies the same hash inside a HOF fold, so build and
+    * probe agree per gram. The stream side is completely STATELESS —
+    * per-row gram hashing plus an O(1) membership probe, no streaming
+    * aggregation, no state store, no watermark — which is what lets it
+    * run at ingest line rate; the bloom's one-sided error only ever
+    * UNDERcounts novelty (a false positive claims a gram was seen), so
+    * `novelty_per_1000` is a lower bound and the `is_novel` screen errs
+    * toward keeping the pairwise verify stage in the loop. At a 100 TB
+    * index you size `expectedNumItems`/`fpp` (bits ≈ -n·ln(fpp)/ln²2) or
+    * shard the stream by gram hash into the batch x36 shape instead. */
   def noveltyStream(spark: SparkSession, docs: DataFrame, indexDocs: DataFrame,
       fpp: Double = 0.001): DataFrame = {
     val grams3 = graft.ops.PipelineOps.gramHashes(3)
@@ -378,15 +384,15 @@ object Streams {
     // realized false-positive rate degrades smoothly above `fpp`, which
     // is therefore a TARGET under sketch-based sizing, not a bound) —
     // near-distinct bits on repetitive corpora where the raw occurrence
-    // count would inflate the broadcast filter, and still no shuffle
-    // anywhere in the build: the sizing aggregate and the bloom
-    // aggregation are two shuffle-free passes over one persisted gram
-    // frame.
+    // count would inflate the filter, and still no shuffle anywhere in
+    // the build: the sizing aggregate and the bloom aggregation are two
+    // shuffle-free passes over one persisted gram-hash frame.
     val idx = indexDocs
       .select(graft.ops.TextOps.toks(col("text")).as("w"))
-      .select(explode(grams3).as("h"))
+      .select(explode(grams3).as("g"))
+      .select(xxhash64(col("g")).as("h"))
       .persist()
-    val bloom =
+    val bloomBytes =
       try {
         val n = idx.agg(approx_count_distinct(col("h"), 0.05)).collect()(0).getLong(0)
         require(n >= 0, s"negative distinct-gram estimate: $n")
@@ -395,17 +401,19 @@ object Streams {
         val prevDesc = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription(
           s"noveltyStream bloom build: capacity=$capacity fpp=$fpp (est n=$n)")
-        try idx.stat.bloomFilter("h", capacity, fpp)
-        finally sc.setJobDescription(prevDesc)
+        val bloom =
+          try idx.stat.bloomFilter("h", capacity, fpp)
+          finally sc.setJobDescription(prevDesc)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
       } finally idx.unpersist()
-    val bc = spark.sparkContext.broadcast(bloom)
-    val maybeHits = udf((gs: Seq[String]) => gs.count(bc.value.mightContain(_)).toLong)
     docs
       .select(col("doc_id"), graft.ops.TextOps.toks(col("text")).as("w"))
       .select(col("doc_id"), grams3.as("gs"))
       .select(col("doc_id"),
         size(col("gs")).cast("long").as("n_keys"),
-        maybeHits(col("gs")).as("n_maybe_hit"))
+        graft.functions.BloomProbe.countMaybeHits(bloomBytes, col("gs")).as("n_maybe_hit"))
       .select(col("doc_id"), col("n_keys"), col("n_maybe_hit"),
         // same verdict math as the batch twin: exact integer fdiv, shared cut
         when(col("n_keys") === 0, 1000L)

@@ -106,6 +106,41 @@ class DeterminismSpec extends SparkTestBase {
     }
   }
 
+  test("sketch verdicts hold at parallelism extremes (partitions 1/64 × AQE off/on)") {
+    // the sketch family's emitted rows are exact counts + bound flags,
+    // and the flags read sketch state whose merge TREES differ most at
+    // the parallelism extremes: partitions=1 folds every partial in one
+    // task (deepest sequential merge), 64 on a 6k-row corpus maximizes
+    // near-empty partials, and AQE coalescing re-cuts the tree at
+    // runtime. No flag may flip anywhere in that grid.
+    val sketchRows = Seq("q27b_freq_deep", "q27c_freq_grouped",
+      "q28_hll_rollup", "q28b_cms_counts", "q28c_theta_overlap")
+    val s = spark
+    val origP = s.conf.get("spark.sql.shuffle.partitions")
+    val origAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      sketchRows.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val runs = for (p <- Seq("1", "64"); aqe <- Seq("false", "true")) yield {
+          s.conf.set("spark.sql.shuffle.partitions", p)
+          s.conf.set("spark.sql.adaptive.enabled", aqe)
+          graft.ops.Stages.clear()
+          (p, aqe) -> fn(s, sf0001).collect().map(_.toString).toSeq
+        }
+        val ((rp, rAqe), ref) = runs.head
+        runs.tail.foreach { case ((p, aqe), got) =>
+          assert(got == ref,
+            s"$name: verdict differs between (partitions=$rp, aqe=$rAqe) and " +
+              s"(partitions=$p, aqe=$aqe) — rows ${ref.size} vs ${got.size}")
+        }
+      }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", origP)
+      s.conf.set("spark.sql.adaptive.enabled", origAqe)
+      graft.ops.Stages.clear()
+    }
+  }
+
   test("results are invariant to spark.sql.shuffle.partitions (1, 3, 17)") {
     val s = spark
     val original = s.conf.get("spark.sql.shuffle.partitions")

@@ -517,6 +517,24 @@ class OpsSpec extends SparkTestBase {
     assert(seeded != got, "seed 1 must not reproduce seed 0's order")
   }
 
+  test("x39: the ranked slice is computed once (both consumers share one checkpointed RDD)") {
+    val df = PipelineOps.x39ShuffleOrderSeeded(spark, sf0001, 2L)
+    // the ranked slice appears twice in the plan (offset aggregate +
+    // final join) — single-pass holds iff both scans are the SAME lazily
+    // checkpointed RDD, so the first consumer materializes blocks and
+    // the second reads them back instead of re-running the range
+    // shuffle + counter
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.size == 2, s"expected the ranked slice twice in the plan, got ${rdds.size}")
+    assert(rdds(0) eq rdds(1), "consumers must share one RDD or the counter runs twice")
+    assert(rdds(0).getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "ranked slice must be persist-marked (lazy localCheckpoint)")
+    // and it still computes the right answer through the checkpoint
+    assert(df.count() == graft.model.Tables.documents(spark, sf0001).count())
+  }
+
   test("x32: repetition scores match brute-force 2-gram and token counts") {
     val docs = graft.model.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()

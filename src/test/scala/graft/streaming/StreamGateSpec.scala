@@ -86,6 +86,66 @@ class StreamGateSpec extends SparkTestBase {
       s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
   }
 
+  test("s11 restart: HLL state survives a checkpointed restart (no loss past the bound)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val watch = Files.createTempDirectory("graft-s11drop")
+    val ckpt = Files.createTempDirectory("graft-s11ckpt").toString
+    val e = graft.model.Tables.events(s, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val mid = e.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(name: String): Seq[(String, Long)] = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = StreamGate.s11Aggregate(src)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        s.catalog.dropTempView(name)
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, e.filter(col("event_id") <= mid))
+    assert(runPass("s11r1").nonEmpty, "first half emitted no weekly estimates")
+    dropChunk(1, e.filter(col("event_id") > mid))
+    val got = runPass("s11r2")
+    // recovery evidence: the restarted aggregation must cover ALL weeks
+    // with estimates built on the union of both halves' state. A lost
+    // state store would drop to second-half-only distincts (far past
+    // 3·rsd for the straddled weeks); a replayed first half is absorbed
+    // by HLL idempotence (register max), so within-bound totals mean no
+    // loss AND no rewind damage.
+    val exact = StreamGate.s11Weekly(e)
+      .groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(got.map(_._1) == exact.map(_._1),
+      s"week set diverged: ${got.map(_._1)} vs ${exact.map(_._1)}")
+    got.zip(exact).foreach { case ((wk, approx), (_, n)) =>
+      assert(math.abs(approx.toDouble - n.toDouble) <= 3 * StreamGate.s11Rsd * n,
+        s"week $wk: estimate $approx outside 3·rsd of exact $n after restart")
+    }
+  }
+
   test("feed staging splits a large feed into bounded range-ordered files (no 1/4-corpus write task)") {
     val s = spark
     // 300k rows ≫ targetRowsPerFile·gateBatches: the round-8 staging

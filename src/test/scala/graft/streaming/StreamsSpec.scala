@@ -263,6 +263,12 @@ class StreamsSpec extends SparkTestBase {
       (2L, "one two three four five six seven")).toDF("doc_id", "text")
     val ms = MemoryStream[(Long, String)]
     val stream = Streams.noveltyStream(s, ms.toDS().toDF("doc_id", "text"), index)
+    // the probe must be the native plan-literal might_contain, never a
+    // ScalaUDF (the q26-measured codegen breaker) — pin it on the
+    // analyzed plan, where expressions are visible pre-execution
+    val planStr = stream.queryExecution.analyzed.toString
+    assert(planStr.contains("might_contain"), s"native bloom probe missing:\n$planStr")
+    assert(!planStr.contains("UDF"), s"ScalaUDF crept back into the s8 plan:\n$planStr")
     val q = stream.writeStream.format("memory").queryName("novel").outputMode("append").start()
     try {
       ms.addData(
