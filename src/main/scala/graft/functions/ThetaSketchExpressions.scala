@@ -121,4 +121,23 @@ object ThetaSketchAgg {
     i.intersect(CompactSketch.wrap(Memory.wrap(b)))
     i.getResult.getEstimate
   }
+
+  /** Intersection estimate WITH the library's own error interval:
+    * (lower, estimate, upper) at `numStdDev` standard deviations. This
+    * is the ESTIMATION-MODE consumer API — the bounds come from the
+    * intersection result's effective theta and retained-entry count, so
+    * they carry the union-size-dependent error a bare 3·rse-of-overlap
+    * heuristic gets wrong (the r9 advisory). q28c's registered gate
+    * asserts exact mode because its oracle pins in_bound=1 exactly; a
+    * corpus past 2^lgK distinct keys per sketch answers overlap queries
+    * through THIS method instead (ThetaSketchSpec property-tests the
+    * interval's coverage in estimation mode). */
+  def intersectBounds(a: Array[Byte], b: Array[Byte],
+      numStdDev: Int = 2, lgK: Int = defaultLgK): (Double, Double, Double) = {
+    val i: Intersection = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
+    i.intersect(CompactSketch.wrap(Memory.wrap(a)))
+    i.intersect(CompactSketch.wrap(Memory.wrap(b)))
+    val r = i.getResult
+    (r.getLowerBound(numStdDev), r.getEstimate, r.getUpperBound(numStdDev))
+  }
 }

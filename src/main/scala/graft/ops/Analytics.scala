@@ -379,7 +379,9 @@ object Analytics {
     val k = 5000
     val sk = docBigrams(documents(spark, dir)).groupBy(col("lang"))
       .agg(graft.functions.FreqItemsMG.freqItemsMg(col("bg"), k).as("cand"))
-    q27cExactHitters(spark, dir).join(broadcast(sk), "lang")
+    // exact twin from the shared stage: q27c and the s10 gate pay the
+    // corpus bigram count once per session between them
+    Stages.q27cHitters(spark, dir).join(broadcast(sk), "lang")
       .select(col("lang"), col("bg"), col("cnt"),
         map_contains_key(col("cand"), col("bg")).cast("long").as("in_sketch"))
       .orderBy("lang", "bg")

@@ -253,6 +253,14 @@ object Stages {
   def x36Hits(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x36_hits")(PipelineOps.x36HitsUnsorted(spark, dir))
 
+  /** q27c's exact per-(lang, bigram) heavy hitters (lang, bg, cnt — only
+    * rows above the 0.05% group-share threshold, BOUNDED by construction:
+    * ≤ 2000 hitters per group by pigeonhole) — read by q27c's verdict
+    * join and by the S10 stream gate's exact twin, so a session that runs
+    * both pays the corpus bigram count ONCE (the x36Hits pattern). */
+  def q27cHitters(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "q27c_hitters")(Analytics.q27cExactHitters(spark, dir))
+
   /** q24's fact-side BOUNDED key stats (`Skew.hotKeyStats` shape: top
     * 1000 keys by count + the row total as `__t`, ≤ 1001 values) — the
     * persisted stats stage the [[graft.ops.Skew.splitSkewJoin]] scaladoc

@@ -305,7 +305,8 @@ object StreamGate {
     val cand = emissions
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("lang"), explode(map_keys(col("cand"))).as("bg"))
-    graft.ops.Analytics.q27cExactHitters(spark, dir)
+    // exact twin from the shared stage (same lineage as q27c's verdict)
+    graft.ops.Stages.q27cHitters(spark, dir)
       .join(cand.withColumn("in_sketch", lit(1L)), Seq("lang", "bg"), "left")
       .select(col("lang"), col("bg"), col("cnt"),
         coalesce(col("in_sketch"), lit(0L)).as("in_sketch"))

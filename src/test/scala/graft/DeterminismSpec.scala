@@ -78,7 +78,9 @@ class DeterminismSpec extends SparkTestBase {
     val consumers = Seq("x2_dedup_near", "x13_minhash_lsh", "x24_dedup_clusters",
       "x27_semantic_dedup", "x16_ivf_ann", "x33_dedup_eval", "x35_canonical_pick",
       "x9_quality", "x34_source_report", "x38_pipeline_e2e",
-      "x36_incremental_dedup", "s8_novelty_stream")
+      "x36_incremental_dedup", "s8_novelty_stream",
+      // the q27c exact-hitters stage, via both of its consumers
+      "q27c_freq_grouped", "s10_freq_stream")
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {

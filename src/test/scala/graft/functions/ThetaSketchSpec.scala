@@ -62,6 +62,37 @@ class ThetaSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("estimation mode: the intersection interval covers the true overlap") {
+    // well past 2^12 distinct keys per side, so both sketches sample —
+    // the regime where the plain estimate carries union-size-dependent
+    // error and only the library interval is a valid guarantee. 30
+    // seeded trials at 3 standard deviations: per-trial miss odds ~0.3%,
+    // the run is deterministic so no flake budget is needed.
+    (1 to 30).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      val nA = 20000 + rnd.nextInt(20000)
+      val nB = 20000 + rnd.nextInt(20000)
+      val overlap = 2000 + rnd.nextInt(8000)
+      val base = rnd.nextLong() & 0xffffffffL
+      val a = (0L until nA).map(base + _)
+      val b = (0L until overlap).map(base + _) ++
+        (0L until (nB - overlap)).map(base + 1000000L + _)
+      def sk(vals: Seq[Long]): Array[Byte] = {
+        val u = freshUnion(); vals.foreach(u.update); u.getResult.toByteArray
+      }
+      val (sa, sb) = (sk(a), sk(b))
+      assert(!ThetaSketchAgg.isExact(sa) && !ThetaSketchAgg.isExact(sb),
+        s"trial=$trial: sides must be in estimation mode for this leg")
+      val (lo, est, hi) = ThetaSketchAgg.intersectBounds(sa, sb, numStdDev = 3)
+      assert(lo <= overlap && overlap <= hi,
+        s"trial=$trial: true overlap $overlap outside [$lo, $hi] (est $est)")
+      // the interval is informative, not vacuous: width stays well under
+      // the smaller side's cardinality
+      assert(hi - lo < math.min(nA, nB).toDouble,
+        s"trial=$trial: interval [$lo, $hi] wider than the smaller side")
+    }
+  }
+
   test("driver helpers agree with the library on stored sketch bytes") {
     val u1 = freshUnion(); (1L to 100L).foreach(u1.update)
     val u2 = freshUnion(); (51L to 150L).foreach(u2.update)
