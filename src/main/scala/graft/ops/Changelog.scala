@@ -110,6 +110,65 @@ object Changelog {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** SCD2 version intervals over any DataFrame with the events schema —
+    * shared by c7 (the interval table), c8 (as-of reconstruction) and
+    * tests. Every log record opens a version valid from its own
+    * `event_id` until the key's next record (`-1` = still open); a
+    * DELETE-analog record closes its predecessor but contributes no
+    * visible version itself (filtered by the CALLER so c8 can still see
+    * tombstone boundaries through interval arithmetic alone).
+    *
+    * Plan shape: ONE keyed window (partitionBy user_id, orderBy event_id)
+    * — a single shuffle on the key plus a per-key sort, the same cost
+    * class as the snapshot aggregate. At 100 TB the window never sees a
+    * global sort; each key's history sorts locally within its shuffle
+    * partition. */
+  def scd2Of(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from_id"))
+    ev.select(
+        col("user_id"),
+        col("event_id").as("valid_from_id"),
+        unix_millis(col("ts")).as("valid_from_ms"),
+        col("event_type").as("op"),
+        col("value"))
+      .withColumn("valid_to_id", coalesce(lead(col("valid_from_id"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", when(col("valid_to_id") === -1L, 1L).otherwise(0L))
+  }
+
+  /** c7: changelog → SCD2 dimension (type-2 slowly-changing history).
+    * The reference materializes only the CURRENT state (c1); the interval
+    * table is the warehouse form that answers "state as of ANY time T"
+    * without rescanning the log — c8 reads it with pure interval
+    * arithmetic. Delete-op rows close their predecessor's interval and
+    * are absent from the output, so a key whose last op is the
+    * DELETE-analog has no current version (c1 parity, pinned in OpsSpec). */
+  def c7Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(events(spark, dir))
+      .filter(col("op") =!= "error")
+      .select(col("user_id"), col("valid_from_id"), col("valid_to_id"),
+        col("valid_from_ms"), col("op"), col("value"), col("is_current"))
+      .orderBy("user_id", "valid_from_id")
+
+  /** c8: state as of a fixed log position, answered FROM the SCD2
+    * intervals — the version covering T is `valid_from ≤ T < valid_to`
+    * (open intervals cover everything after their start). T = global
+    * max(event_id)/2, the same mid-log checkpoint c5 uses; the result
+    * must equal c1's snapshot over the truncated log (pinned in OpsSpec).
+    * The cutoff is a broadcast scalar, not a driver constant. */
+  def c8AsofTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cutoff = ev.agg(floor(max(col("event_id")) / 2).cast("long").as("c"))
+    scd2Of(ev)
+      .crossJoin(broadcast(cutoff))
+      .filter(col("valid_from_id") <= col("c") &&
+        (col("valid_to_id") === -1L || col("valid_to_id") > col("c")) &&
+        col("op") =!= "error")
+      .select(col("user_id"), col("valid_from_id").as("asof_event_id"),
+        col("op").as("asof_op"), col("value").as("asof_value"))
+      .orderBy("user_id")
+  }
+
   /** x17: funnel analysis over the event log — users progressing through
     * view → click → purchase in log order. Each stage is an aggregation
     * joined back on the key (three shuffles on user_id, re-usable
@@ -136,7 +195,9 @@ object Changelog {
     "c3_head" -> c3Head,
     "c4_apply_order" -> c4ApplyOrder,
     "c5_idempotency" -> c5Idempotency,
-    "c6_lag" -> c6Lag)
+    "c6_lag" -> c6Lag,
+    "c7_scd2" -> c7Scd2,
+    "c8_asof_time" -> c8AsofTime)
 
   val oracle: Map[String, String] = Map(
     "x17_funnel" ->
@@ -178,5 +239,27 @@ object Changelog {
         |ORDER BY user_id""".stripMargin,
     "c6_lag" ->
       """SELECT event_type, max(epoch_ms(ts)) - min(epoch_ms(ts)) AS lag_ms, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c7_scd2" ->
+      """SELECT user_id, event_id AS valid_from_id,
+        |       coalesce(lead(event_id) OVER w, -1) AS valid_to_id,
+        |       epoch_ms(ts) AS valid_from_ms,
+        |       event_type AS op, value,
+        |       CAST(CASE WHEN lead(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |QUALIFY event_type <> 'error'
+        |ORDER BY user_id, valid_from_id""".stripMargin,
+    "c8_asof_time" ->
+      """WITH cutoff AS (SELECT max(event_id) // 2 AS c FROM events),
+        |v AS (SELECT user_id, event_id AS valid_from_id,
+        |             coalesce(lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id), -1) AS valid_to_id,
+        |             event_type, value
+        |      FROM events)
+        |SELECT v.user_id, v.valid_from_id AS asof_event_id,
+        |       v.event_type AS asof_op, v.value AS asof_value
+        |FROM v, cutoff
+        |WHERE v.valid_from_id <= c AND (v.valid_to_id = -1 OR v.valid_to_id > c)
+        |  AND v.event_type <> 'error'
+        |ORDER BY user_id""".stripMargin)
 }

@@ -13,7 +13,8 @@ import graft.SparkTestBase
 class DeterminismSpec extends SparkTestBase {
 
   private val sample = Seq(
-    "c1_snapshot", "q10_setops", "q11c_grouping_sets", "q17b_approx_quantiles",
+    "c1_snapshot", "c7_scd2", "c8_asof_time",
+    "q10_setops", "q11c_grouping_sets", "q17b_approx_quantiles",
     "q18_stats", "q18b_corr", "q7_window_rank",
     "x2_dedup_near", "x13_minhash_lsh", "x14_cosine_neardup", "x16_ivf_ann",
     "x19_tfidf", "x23_simhash_neardup", "x24_dedup_clusters", "x11b_rolling_fp",

@@ -15,6 +15,42 @@ class OpsSpec extends SparkTestBase {
     assert(df.filter(col("last_event_type") === "error").count() == 0)
   }
 
+  test("c7: SCD2 intervals chain per key; current rows reconcile with c1") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val scd2 = Changelog.scd2Of(ev).cache()
+    // intervals chain: within a key, each row's valid_to is the next
+    // row's valid_from (the full event set, deletes included — the
+    // interval table partitions the log axis with no gaps or overlaps)
+    val chained = scd2
+      .withColumn("next_from", org.apache.spark.sql.functions.lead("valid_from_id", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("valid_from_id")))
+      .filter(col("next_from").isNotNull && col("valid_to_id") =!= col("next_from"))
+    assert(chained.count() == 0, "gap or overlap in SCD2 interval chain")
+    // exactly one open interval per key, and it is the key's max event_id
+    val open = scd2.filter(col("is_current") === 1L)
+    assert(open.groupBy("user_id").count().filter(col("count") =!= 1).count() == 0)
+    // current non-deleted versions == c1 snapshot (key + id + value)
+    val current = Changelog.c7Scd2(spark, sf0001)
+      .filter(col("is_current") === 1L)
+      .select(col("user_id"), col("valid_from_id").as("last_event_id"), col("value").as("last_value"))
+    val snap = Changelog.c1Snapshot(spark, sf0001)
+      .select("user_id", "last_event_id", "last_value")
+    assert(current.exceptAll(snap).count() == 0 && snap.exceptAll(current).count() == 0)
+  }
+
+  test("c8: as-of mid-log state equals the snapshot of the truncated log") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val cutoff = ev.agg(org.apache.spark.sql.functions.floor(max("event_id") / 2))
+      .collect()(0).getLong(0)
+    val expected = Changelog.snapshotOf(ev.filter(col("event_id") <= cutoff))
+      .select(col("user_id"), col("last_event_id").as("asof_event_id"), col("last_value").as("asof_value"))
+    val got = Changelog.c8AsofTime(spark, sf0001)
+      .select("user_id", "asof_event_id", "asof_value")
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("c3: head is the global min event_id") {
     val head = Changelog.c3Head(spark, sf0001).collect()(0).getLong(0)
     val mn = graft.model.Tables.events(spark, sf0001).agg(min("event_id")).collect()(0).getLong(0)
