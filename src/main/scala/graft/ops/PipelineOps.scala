@@ -921,8 +921,111 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x40: bigram LM scoring with stupid backoff ----
+
+  /** Bigram (u, t) occurrences of the token arrays in `df(w)` — built
+    * map-side from the array itself (two slices zipped), never a
+    * positional self-join or per-doc window. */
+  private def bigramsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("u"), b.as("t")))).as("bg"))
+      .select(col("doc_id"), col("bg.u").as("u"), col("bg.t").as("t"))
+
+  /** x40: bigram language-model surprisal with stupid backoff — the
+    * CCNet/KenLM quality-filter shape one order up from x28's unigram:
+    * the LM is TRAINED on a reference half of the corpus (doc_id ≡ 0
+    * mod 2, standing in for "KenLM trained on Wikipedia") and SCORES the
+    * held-out half, so unseen bigrams and OOV tokens genuinely occur and
+    * the backoff path is live. Per scored token:
+    *   - seen bigram:  bits = ⌊log2 c(u)⌋ − ⌊log2 c(u,t)⌋  (≈ −log2 p(t|u))
+    *   - unseen bigram, seen unigram (stupid backoff, Brants et al. 2007,
+    *     α = 0.5 ⇒ +1 bit): bits = 1 + ⌊log2 N⌋ − ⌊log2 c(t)⌋
+    *   - OOV: bits = 1 + ⌊log2 N⌋  (pseudo-count 1)
+    * A document's first token scores against the unigram LM (no context,
+    * no penalty). All-integer (the x28 log2floor recipe) so sums are
+    * exact under any partitioning.
+    *
+    * The keep verdict is RELATIVE, CCNet-style: keep the docs at or below
+    * the corpus's lower-median mean surprisal (absolute bit cuts drift
+    * with ⌊log2 N⌋ as the corpus grows — measured 460 → 505 ×100-bits
+    * between sf0.01 and sf0.1 on identical generators). The median is
+    * exact integer arithmetic over a histogram BOUNDED by construction:
+    * mean_bits_x100 ∈ [0, 6400] (≤ 64 bits/token × 100), so the
+    * cumulative window runs over ≤ 6401 rows no matter the corpus size.
+    *
+    * Plan shape at 100 TB: bigram construction is a per-row array zip
+    * (no shuffle); the LM tables are hash aggregations keyed on (u,t)/t
+    * (map-side combinable, vocab-sized outputs); scoring is three keyed
+    * equi-joins against vocab-sized sides (Spark broadcasts them while
+    * they fit, falls back to shuffle joins when the vocab outgrows the
+    * executors — both correct) and one per-doc aggregation. The
+    * reference half never re-scans for scoring: its two count tables ARE
+    * the model. */
+  def x40BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val refD = d.filter(col("doc_id") % 2 === 0)
+    val scoreD = d.filter(col("doc_id") % 2 === 1)
+    val tokRef = refD.select(explode(col("w")).as("t"))
+    val uni = tokRef.groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
+    val total = tokRef.agg(count(lit(1)).as("n_total"))
+    val bigc = bigramsOf(refD).groupBy(col("u"), col("t")).agg(count(lit(1)).as("cnt_ut"))
+
+    val occBigram = bigramsOf(scoreD)
+      .join(bigc, Seq("u", "t"), "left")
+      .join(uni.select(col("t").as("u"), col("cnt_t").as("cnt_u")), Seq("u"), "left")
+      .join(uni, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        // cnt_ut non-null implies cnt_u non-null (a seen bigram's left
+        // token is in the reference vocab by construction)
+        when(col("cnt_ut").isNotNull, log2floor(col("cnt_u")) - log2floor(col("cnt_ut")))
+          .when(col("cnt_t").isNotNull, lit(1L) + log2floor(col("n_total")) - log2floor(col("cnt_t")))
+          .otherwise(lit(1L) + log2floor(col("n_total"))).as("bits"),
+        when(col("cnt_ut").isNull, 1L).otherwise(0L).as("bo"),
+        when(col("cnt_t").isNull, 1L).otherwise(0L).as("oov"))
+    val occFirst = scoreD
+      .select(col("doc_id"), element_at(col("w"), 1).as("t"))
+      .join(uni, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("cnt_t").isNotNull, log2floor(col("n_total")) - log2floor(col("cnt_t")))
+          .otherwise(log2floor(col("n_total"))).as("bits"),
+        lit(0L).as("bo"),
+        when(col("cnt_t").isNull, 1L).otherwise(0L).as("oov"))
+
+    val per = occBigram.unionByName(occFirst)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"),
+        sum(col("bo")).as("n_backoff"), sum(col("oov")).as("n_oov"))
+      .withColumn("mean_bits_x100", fdiv(lit(100L) * col("sum_bits"), col("n_tok")))
+      // two consumers below (histogram + final join) share one computed
+      // frame — same single-pass trick as x39's ranked slice
+      .localCheckpoint(false)
+    // bounded histogram (≤ 6401 distinct means); the single-partition
+    // cumulative window is over that bounded frame, never the corpus
+    val hist = per.groupBy(col("mean_bits_x100")).agg(count(lit(1)).as("c"))
+    val cut = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("mean_bits_x100"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n_docs"))))
+      // lower median: smallest mean with cumulative count ≥ half the docs
+      .filter(col("cum") * 2 >= col("n_docs"))
+      .agg(min(col("mean_bits_x100")).as("cut"))
+    per.crossJoin(broadcast(cut))
+      .withColumn("keep", when(col("mean_bits_x100") <= col("cut"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("n_backoff"),
+        col("n_oov"), col("mean_bits_x100"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_shuffle_order" -> x39ShuffleOrder,
+    "x40_bigram_lm" -> x40BigramLm,
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
     "x20_stratified_sample" -> x20StratifiedSample,
@@ -989,6 +1092,51 @@ object PipelineOps {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) - 1 AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x40_bigram_lm" -> {
+      val mean = fdivSql("100 * CAST(sum(bits) AS BIGINT)", "count(*)")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tr AS (SELECT unnest(w) AS t FROM d WHERE doc_id % 2 = 0),
+         |uni AS (SELECT t, count(*) AS cnt_t FROM tr GROUP BY t),
+         |tot AS (SELECT count(*) AS n_total FROM tr),
+         |bigr AS (SELECT bg.u AS u, bg.t AS t, count(*) AS cnt_ut FROM (
+         |    SELECT unnest(list_transform(range(1, len(w)), i -> struct_pack(u := w[i], t := w[i+1]))) AS bg
+         |    FROM d WHERE doc_id % 2 = 0) GROUP BY bg.u, bg.t),
+         |sb AS (SELECT doc_id, bg.u AS u, bg.t AS t FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(u := w[i], t := w[i+1]))) AS bg
+         |    FROM d WHERE doc_id % 2 = 1)),
+         |ob AS (SELECT doc_id,
+         |    CASE WHEN b.cnt_ut IS NOT NULL THEN (length(bin(uu.cnt_t)) - 1) - (length(bin(b.cnt_ut)) - 1)
+         |         WHEN ut.cnt_t IS NOT NULL THEN 1 + (length(bin(tot.n_total)) - 1) - (length(bin(ut.cnt_t)) - 1)
+         |         ELSE 1 + (length(bin(tot.n_total)) - 1) END AS bits,
+         |    CASE WHEN b.cnt_ut IS NULL THEN 1 ELSE 0 END AS bo,
+         |    CASE WHEN ut.cnt_t IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM sb LEFT JOIN bigr b ON sb.u = b.u AND sb.t = b.t
+         |          LEFT JOIN uni uu ON sb.u = uu.t
+         |          LEFT JOIN uni ut ON sb.t = ut.t
+         |          CROSS JOIN tot),
+         |os AS (SELECT doc_id,
+         |    CASE WHEN u2.cnt_t IS NOT NULL THEN (length(bin(tot.n_total)) - 1) - (length(bin(u2.cnt_t)) - 1)
+         |         ELSE (length(bin(tot.n_total)) - 1) END AS bits,
+         |    0 AS bo,
+         |    CASE WHEN u2.cnt_t IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM (SELECT doc_id, w[1] AS t FROM d WHERE doc_id % 2 = 1) f
+         |       LEFT JOIN uni u2 ON f.t = u2.t CROSS JOIN tot),
+         |allo AS (SELECT * FROM ob UNION ALL SELECT * FROM os),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |    CAST(sum(bo) AS BIGINT) AS n_backoff,
+         |    CAST(sum(oov) AS BIGINT) AS n_oov,
+         |    $mean AS mean_bits_x100
+         |  FROM allo GROUP BY doc_id),
+         |hist AS (SELECT mean_bits_x100 AS m, count(*) AS c FROM per GROUP BY m),
+         |cut AS (SELECT min(m) AS cut FROM
+         |    (SELECT m, sum(c) OVER (ORDER BY m) AS cum FROM hist),
+         |    (SELECT sum(c) AS n_docs FROM hist)
+         |  WHERE cum * 2 >= n_docs)
+         |SELECT doc_id, n_tok, sum_bits, n_backoff, n_oov, mean_bits_x100,
+         |  CAST(CASE WHEN mean_bits_x100 <= cut THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM per, cut ORDER BY doc_id""".stripMargin
+    },
     "x18_chunking" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,

@@ -25,6 +25,10 @@ class DeterminismSpec extends SparkTestBase {
     "x28_surprisal", "x30_mixture", "x31_packing",
     "x33_dedup_eval", "x34_source_report", "x35_canonical_pick",
     "x36_incremental_dedup",
+    // the bigram LM: three left joins against vocab tables + a
+    // checkpointed per-doc frame + the bounded-histogram median cut —
+    // none of it may see partitioning
+    "x40_bigram_lm",
     // the custom physical operator: a partition-local merge is the classic
     // place for partitioning-dependent results to sneak in
     "q16b_asof_native",

@@ -471,6 +471,45 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x40: bigram LM scores match a brute-force stupid-backoff model; keep is the lower-median cut") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val ref = docs.filter(_._1 % 2 == 0)
+    val uni = ref.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val big = ref.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val nTotal = ref.map(_._2.size).sum.toLong
+    def b(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    val expected = docs.filter(_._1 % 2 == 1).map { case (id, w) =>
+      val first = uni.get(w.head).map(c => b(nTotal) - b(c)).getOrElse(b(nTotal))
+      val rest = w.sliding(2).filter(_.size == 2).map { p =>
+        big.get((p(0), p(1))) match {
+          case Some(cut) => b(uni(p(0))) - b(cut)
+          case None => uni.get(p(1)) match {
+            case Some(ct) => 1 + b(nTotal) - b(ct)
+            case None => 1 + b(nTotal)
+          }
+        }
+      }.sum
+      id -> (w.size.toLong, first + rest)
+    }.toMap
+    val means = expected.values.map { case (n, s) => math.floorDiv(100L * s, n) }.toSeq.sorted
+    val cut = means(math.max(0, (means.size + 1) / 2 - 1))
+    val rows = PipelineOps.x40BigramLm(spark, sf0001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (id, nTok, sumBits, mean, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))
+      val (en, es) = expected(id)
+      assert(nTok == en && sumBits == es, s"doc $id: ($nTok,$sumBits) != ($en,$es)")
+      assert(mean == math.floorDiv(100L * es, en))
+      assert(keep == (if (mean <= cut) 1L else 0L), s"doc $id: keep vs cut $cut")
+    }
+    // the relative cut actually splits the corpus (both classes non-empty)
+    assert(rows.count(_.getLong(6) == 1L) > 0 && rows.count(_.getLong(6) == 0L) > 0)
+  }
+
   test("x29: contamination verdicts match brute-force 4-gram overlap; bench join is broadcast") {
     val docs = graft.model.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
