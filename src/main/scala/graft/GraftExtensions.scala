@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, KllMergeAgg, KllSketchAgg, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -120,6 +120,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("theta_sketch", args, 2)
         ThetaSketchAgg(args(0), intLit("theta_sketch", args(1), "lgK"))
+      }),
+    ("kll_sketch",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      (args: Seq[Expression]) => {
+        requireArity("kll_sketch", args, 2)
+        KllSketchAgg(args(0), intLit("kll_sketch", args(1), "k"))
+      }),
+    ("kll_merge",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge"),
+      (args: Seq[Expression]) => {
+        requireArity("kll_merge", args, 2)
+        KllMergeAgg(args(0), intLit("kll_merge", args(1), "k"))
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),

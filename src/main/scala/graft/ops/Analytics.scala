@@ -531,8 +531,93 @@ object Analytics {
       .orderBy("wk")
   }
 
+  /** q29: QUANTILE rollup from stored mergeable KLL sketches — the
+    * member that completes the sketch warehouse (q28 HLL = distinct,
+    * q28b CMS + q27b MG = frequency, q28c Theta = set ops, q29 KLL =
+    * quantiles): per-day sketches of the event value (cents-scaled
+    * long) built ONCE, rolled up to weekly and all-time by merging the
+    * stored bytes ([[graft.functions.KllSketchAgg]] /
+    * [[graft.functions.KllMergeAgg]]) — never a history rescan, and the
+    * all-time percentile never re-sorts 100 TB (the exact q17 path's
+    * cost). Driver reads are bounded by construction: #weeks sketches
+    * × ~3 KB each.
+    *
+    * Gate (q9b verdict-row idiom): dumped rows are (wk, pct, exact n,
+    * in_bound) — the sketch's p50/p90/p99 answers are checked against
+    * their EXACT rank span in one scan (per-week thresholds broadcast
+    * back as columns; the all-time thresholds ride the same scan and
+    * sum across weeks). in_bound is the TIE-AWARE rank condition in
+    * pure integer math: the returned value's exact rank span
+    * [count(<q), count(≤q)] must intersect [p−2ε(k), p+2ε(k)] — under
+    * duplicates the inclusive rank alone can exceed p by the atom's
+    * whole mass even from a perfect sketch (measured in
+    * KllSketchSpec's boundary-biased generator), so span-intersection
+    * is the correct distribution-free contract. KLL's guarantee is on
+    * RANK, and compaction flips random coins — two runs may store
+    * different bytes — so rank-with-slack is the ONLY correct gate:
+    * never pin estimate or byte equality. 2ε keeps the ~27 pinned
+    * flags safe across driver data regenerations (measured max
+    * deviation ≈ 1.0ε over 1200 merged-sketch checks). */
+  def q29KllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketchAgg
+    val e = events(spark, dir)
+      .select(
+        date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+        to_date(col("ts")).as("d"),
+        cents(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+    val daily = e.groupBy(col("wk"), col("d"))
+      .agg(KllSketchAgg.kllSketch(col("v")).as("sk"))
+    val weekly = daily.groupBy(col("wk")).agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
+    val wkSketch = weekly.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq.sortBy(_._1)
+    val totalSketch = weekly.agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val ps = Seq(50L -> 0.5, 90L -> 0.9, 99L -> 0.99)
+    // integer slack in basis points: |c·10000 − pct_bp·n| ≤ slackBp·n
+    val slackBp = math.ceil(2 * KllSketchAgg.epsilon() * 10000).toLong
+    val thrDf = spark.createDataFrame(
+        wkSketch.map { case (wk, sk) =>
+          (wk, KllSketchAgg.quantile(sk, 0.5), KllSketchAgg.quantile(sk, 0.9),
+            KllSketchAgg.quantile(sk, 0.99))
+        })
+      .toDF("wk", "q50", "q90", "q99")
+    val Seq(t50, t90, t99) = ps.map(p => KllSketchAgg.quantile(totalSketch, p._2))
+    val le = (q: org.apache.spark.sql.Column) => sum((col("v") <= q).cast("long"))
+    val lt = (q: org.apache.spark.sql.Column) => sum((col("v") < q).cast("long"))
+    val perWeek = e.join(broadcast(thrDf), "wk")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n"),
+        lt(col("q50")), le(col("q50")), lt(col("q90")), le(col("q90")),
+        lt(col("q99")), le(col("q99")),
+        lt(lit(t50)), le(lit(t50)), lt(lit(t90)), le(lit(t90)),
+        lt(lit(t99)), le(lit(t99)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (2 to 7 by 2).map(i => (r.getLong(i), r.getLong(i + 1))),
+        (8 to 13 by 2).map(i => (r.getLong(i), r.getLong(i + 1)))))
+    // tie-aware: [count(<q), count(≤q)] must intersect [p−2ε, p+2ε]
+    val inBound = (cLt: Long, cLe: Long, pctBp: Long, n: Long) =>
+      if (cLt * 10000L <= (pctBp + slackBp) * n &&
+        cLe * 10000L >= (pctBp - slackBp) * n) 1L else 0L
+    val weekRows = perWeek.flatMap { case (wk, n, own, _) =>
+      ps.map(_._1).zip(own).map { case (pct, (cLt, cLe)) =>
+        (wk, pct, n, inBound(cLt, cLe, pct * 100, n))
+      }
+    }
+    val nTot = perWeek.map(_._2).sum
+    val totalRows = ps.map(_._1).zipWithIndex.map { case (pct, i) =>
+      ("total", pct, nTot,
+        inBound(perWeek.map(_._4(i)._1).sum, perWeek.map(_._4(i)._2).sum, pct * 100, nTot))
+    }
+    spark.createDataFrame((weekRows ++ totalRows).toSeq)
+      .toDF("wk", "pct", "n", "in_bound")
+      .orderBy("wk", "pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
+    "q29_kll_rollup" -> q29KllRollup,
     "q28_hll_rollup" -> q28HllRollup,
     "q28b_cms_counts" -> q28bCmsCounts,
     "q28c_theta_overlap" -> q28cThetaOverlap,
@@ -569,6 +654,14 @@ object Analytics {
         |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
         |  CAST(1 AS BIGINT) AS over_ok, CAST(1 AS BIGINT) AS within_bound
         |FROM t ORDER BY user_id""".stripMargin,
+    "q29_kll_rollup" ->
+      """WITH w AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, count(*) AS n
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1
+        |           UNION ALL
+        |           SELECT 'total', count(*) FROM events WHERE value IS NOT NULL)
+        |SELECT wk, CAST(p.pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n, CAST(1 AS BIGINT) AS in_bound
+        |FROM w CROSS JOIN (VALUES (50), (90), (99)) AS p(pct)
+        |ORDER BY wk, pct""".stripMargin,
     "q28_hll_rollup" ->
       """WITH e AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, user_id FROM events),
         |u AS (SELECT wk, count(DISTINCT user_id) AS n_users FROM e GROUP BY wk

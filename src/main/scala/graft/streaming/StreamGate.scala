@@ -366,11 +366,46 @@ object StreamGate {
     s11Verdict(spark, dir, streamed)
   }
 
+  /** s12 gate: continuous SCD2 maintenance ([[Streams.scd2Stream]],
+    * transformWithState one-open-version-per-key) over the sf event log
+    * fed in log order. The append stream is a CDC-out feed: every
+    * version is emitted open (valid_to_id = -1) and re-emitted closed
+    * when its successor arrives, so the gate applies the documented
+    * consumer rule — keep max(valid_to_id) per (user, valid_from_id)
+    * version key — and the reconstructed table must be EXACTLY the
+    * batch SCD2 build: c7's oracle verbatim. Error-op rows close their
+    * predecessor but emit no visible version, same as c7. */
+  def s12Scd2Stream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    import spark.implicits._
+    val log = Tables.events(spark, dir)
+      .select(col("event_id").as("eventId"), unix_millis(col("ts")).as("tsMs"),
+        col("user_id").as("userId"), col("event_type").as("op"), col("value"))
+    val feed = stageFeed(log, "eventId")
+    val emissions = try {
+      val name = s"s12_gate_${runId.incrementAndGet()}"
+      val q = Streams.scd2Stream(feedStream(spark, feed, log.schema).as[Scd2Record])
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    } finally deleteFeed(spark, feed.dir)
+    emissions
+      .groupBy(col("userId").as("user_id"), col("validFromId").as("valid_from_id"))
+      .agg(max(col("validToId")).as("valid_to_id"),
+        max(col("validFromMs")).as("valid_from_ms"),
+        max(col("op")).as("op"), max(col("value")).as("value"))
+      .filter(col("op") =!= "error")
+      .withColumn("is_current", when(col("valid_to_id") === -1L, 1L).otherwise(0L))
+      .select(col("user_id"), col("valid_from_id"), col("valid_to_id"),
+        col("valid_from_ms"), col("op"), col("value"), col("is_current"))
+      .orderBy("user_id", "valid_from_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_novelty_stream" -> s8NoveltyStream,
     "s9_temporal_asof" -> s9TemporalAsof,
     "s10_freq_stream" -> s10FreqStream,
-    "s11_distinct_stream" -> s11DistinctStream)
+    "s11_distinct_stream" -> s11DistinctStream,
+    "s12_scd2_stream" -> s12Scd2Stream)
 
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
@@ -384,6 +419,8 @@ object StreamGate {
         |FROM e GROUP BY wk ORDER BY wk""".stripMargin,
     // s10's verdict row is the batch q27c shape: its oracle verbatim
     "s10_freq_stream" -> graft.ops.Analytics.oracle("q27c_freq_grouped"),
+    // s12 in log order ≡ the batch SCD2 build: c7's oracle verbatim
+    "s12_scd2_stream" -> graft.ops.Changelog.oracle("c7_scd2"),
     "s8_novelty_stream" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 3

@@ -131,6 +131,52 @@ class FreqStreamProcessor(k: Int)
   }
 }
 
+/** One CDC record for the SCD2 maintenance stream (S12): the events-row
+  * shape with the timestamp pre-projected to epoch millis. */
+case class Scd2Record(eventId: Long, tsMs: Long, userId: Long, op: String, value: Double)
+
+/** One emitted SCD2 version (S12). `validToId == -1` while the version
+  * is open; a later record for the key RE-EMITS the version closed, so
+  * the append stream is a CDC-out feed a warehouse upserts by the
+  * (userId, validFromId) version key — consumers keep the row with the
+  * max validToId (closed beats open: real ids are nonnegative). */
+case class Scd2Version(userId: Long, validFromId: Long, validToId: Long,
+    validFromMs: Long, op: String, value: Double)
+
+/** S12 state machine: continuous SCD2 maintenance — the streaming twin
+  * of the batch interval build ([[graft.ops.Changelog.scd2Of]]). State
+  * per key is ONE open version (the same O(1)-per-key footing as the
+  * temporal as-of register): each arriving record closes the open
+  * version (re-emitting it with its valid_to) and opens its own. A
+  * replayed/late record at-or-behind the open version is ignored rather
+  * than rewinding emitted intervals (at-least-once posture — emitted
+  * closed versions are immutable history). Records inside one batch-key
+  * group apply in log order, so intra-batch version chains come out
+  * exactly like the batch window. */
+class Scd2Processor extends StatefulProcessor[Long, Scd2Record, Scd2Version] {
+  @transient private var open: ValueState[Scd2Version] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[Scd2Version](
+      "open", Encoders.product[Scd2Version], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Scd2Record],
+      timers: TimerValues): Iterator[Scd2Version] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+    var cur = if (open.exists()) Some(open.get()) else None
+    rows.toSeq.sortBy(_.eventId).foreach { r =>
+      if (cur.forall(_.validFromId < r.eventId)) {
+        cur.foreach(v => out += v.copy(validToId = r.eventId))
+        val opened = Scd2Version(key, r.eventId, -1L, r.tsMs, r.op, r.value)
+        out += opened
+        cur = Some(opened)
+      }
+    }
+    cur.foreach(open.update)
+    out.iterator
+  }
+}
+
 /** S1–S5 (SURVEY.md §2.3): the reference's consume loop
   * (`WalConsumer.java:130-179`) re-expressed as Structured Streaming.
   *
@@ -328,6 +374,20 @@ object Streams {
     events
       .groupByKey(_.userId)
       .transformWithState(new TemporalAsofProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** S12: continuous SCD2 maintenance ([[Scd2Processor]]) — changelog in,
+    * version-interval CDC feed out. One shuffle on the key, one open
+    * version of state per key regardless of history length (closed
+    * intervals leave the state store the moment they're emitted — at
+    * 100 TB the interval TABLE lives in the warehouse the append stream
+    * feeds, never in state). Equals the batch c7 build when records
+    * arrive in log order (the WAL contract). */
+  def scd2Stream(records: Dataset[Scd2Record]): Dataset[Scd2Version] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.userId)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
   }
 
   /** S10: continuous heavy-hitter tracking — the streaming twin of the

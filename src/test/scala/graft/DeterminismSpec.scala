@@ -64,6 +64,10 @@ class DeterminismSpec extends SparkTestBase {
     // the intersection reads the collected sketches — exact mode at
     // this SF, so the whole row set must be partition-invariant
     "q28c_theta_overlap",
+    // the KLL quantile rollup: compaction is RANDOMIZED, so the sketch
+    // bytes legitimately differ run to run — only the 2ε-slack rank
+    // verdict may reach the output, and IT must not see partitioning
+    "q29_kll_rollup",
     // native per-row expressions + the e2e stage composition
     "x7_simhash", "x38_pipeline_e2e",
     // the stream-gate harnesses: a real multi-batch streaming run each —
@@ -75,7 +79,11 @@ class DeterminismSpec extends SparkTestBase {
     // the streaming HLL aggregation: sketch buffers merge through the
     // state store across batches — the bound verdict must not see
     // the stateful shuffle's partitioning
-    "s11_distinct_stream")
+    "s11_distinct_stream",
+    // the streaming SCD2 build: open/closed emission pairs collapse by
+    // max(valid_to) — neither the state shuffle nor the collapse may
+    // leak partitioning into the reconstructed interval table
+    "s12_scd2_stream")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint
@@ -121,7 +129,7 @@ class DeterminismSpec extends SparkTestBase {
     // near-empty partials, and AQE coalescing re-cuts the tree at
     // runtime. No flag may flip anywhere in that grid.
     val sketchRows = Seq("q27b_freq_deep", "q27c_freq_grouped",
-      "q28_hll_rollup", "q28b_cms_counts", "q28c_theta_overlap")
+      "q28_hll_rollup", "q28b_cms_counts", "q28c_theta_overlap", "q29_kll_rollup")
     val s = spark
     val origP = s.conf.get("spark.sql.shuffle.partitions")
     val origAqe = s.conf.get("spark.sql.adaptive.enabled")

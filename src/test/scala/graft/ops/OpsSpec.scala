@@ -872,4 +872,58 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(unioned - exact).toDouble <= math.max(3 * 0.0163 * exact, 1.0),
       s"estimate $unioned outside 3·rse of exact $exact")
   }
+
+  test("q29: stored KLL sketches survive parquet + merge within the rank bound") {
+    // the quantile-warehouse deployment shape: daily sketches live ON
+    // DISK as a binary column; the all-time percentile merges the stored
+    // bytes (kll_merge) and must answer within 2ε normalized rank of the
+    // exact corpus quantile — byte/estimate EQUALITY is deliberately not
+    // asserted (KLL compaction is randomized; rank-with-slack is the
+    // only sound contract, same as the q29 gate)
+    import graft.functions.KllSketchAgg
+    val e = graft.model.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("d"), graft.model.Tables.cents(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-store").toString
+    try {
+      e.groupBy(col("d")).agg(KllSketchAgg.kllSketch(col("v")).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = spark.read.parquet(dir)
+        .agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val vals = e.select(col("v")).collect().map(_.getLong(0)).sorted
+      assert(KllSketchAgg.streamLength(merged) == vals.length.toLong,
+        "stored-sketch merge lost items")
+      val eps = KllSketchAgg.epsilon()
+      Seq(0.5, 0.9, 0.99).foreach { p =>
+        // tie-aware (the q29 gate's condition): [count(<q), count(≤q)]/n
+        // must intersect p ± 2ε
+        val q = KllSketchAgg.quantile(merged, p)
+        val (rLt, rLe) = (vals.count(_ < q).toDouble / vals.length,
+          vals.count(_ <= q).toDouble / vals.length)
+        assert(rLt <= p + 2 * eps && rLe >= p - 2 * eps,
+          s"p=$p: merged-store quantile $q rank span [$rLt, $rLe] misses p±2eps")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
+    val rows = Analytics.q29KllRollup(spark, sf0001).collect()
+    val weeks = rows.map(_.getString(0)).distinct
+    assert(weeks.contains("total"), "missing all-time row")
+    assert(rows.length == weeks.length * 3, "expected 3 pct rows per week")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1L,
+        s"(${r.getString(0)}, p${r.getLong(1)}) fell out of the 2*eps rank bound")
+    }
+    // the per-week n column is the exact row count the oracle recomputes
+    val n = graft.model.Tables.events(spark, sf0001)
+      .filter(graft.model.Tables.cents(col("value")).isNotNull).count()
+    assert(rows.filter(_.getString(0) == "total").forall(_.getLong(2) == n))
+  }
 }

@@ -33,6 +33,77 @@ class StreamGateSpec extends SparkTestBase {
       "a group hitter above 2.5x the per-slot MG bound was absent from the streamed summary")
   }
 
+  test("s12 gate == batch c7 SCD2 build on the real event log") {
+    val got = StreamGate.s12Scd2Stream(spark, sf0001).collect().map(_.toString).toSeq
+    val want = graft.ops.Changelog.c7Scd2(spark, sf0001).collect().map(_.toString).toSeq
+    assert(got == want, s"rows ${got.size} vs ${want.size}; " +
+      s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
+  }
+
+  test("s12 restart: open versions survive a checkpointed restart and close correctly") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val watch = Files.createTempDirectory("graft-s12drop")
+    val ckpt = Files.createTempDirectory("graft-s12ckpt").toString
+    val sink = Files.createTempDirectory("graft-s12sink").toString
+    val log = graft.model.Tables.events(s, sf0001)
+      .select(col("event_id").as("eventId"), unix_millis(col("ts")).as("tsMs"),
+        col("user_id").as("userId"), col("event_type").as("op"), col("value"))
+    val mid = log.agg(max(col("eventId"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(): Unit = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(log.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = Streams.scd2Stream(src.as[Scd2Record])
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, log.filter(col("eventId") <= mid))
+    runPass()
+    assert(s.read.parquet(sink).count() > 0, "first half emitted no versions")
+    dropChunk(1, log.filter(col("eventId") > mid))
+    runPass()
+    // a lost state store would leave first-half versions open forever
+    // (their closer arrives in the restarted pass and must find the open
+    // version IN STATE to close it); a rewound first half would emit
+    // duplicate opens that the max(valid_to) collapse absorbs only if
+    // valid_to matches — exact parity with batch c7 checks everything.
+    val got = s.read.parquet(sink)
+      .groupBy(col("userId").as("user_id"), col("validFromId").as("valid_from_id"))
+      .agg(max(col("validToId")).as("valid_to_id"),
+        max(col("validFromMs")).as("valid_from_ms"),
+        max(col("op")).as("op"), max(col("value")).as("value"))
+      .filter(col("op") =!= "error")
+      .withColumn("is_current", when(col("valid_to_id") === -1L, 1L).otherwise(0L))
+      .select(col("user_id"), col("valid_from_id"), col("valid_to_id"),
+        col("valid_from_ms"), col("op"), col("value"), col("is_current"))
+      .orderBy("user_id", "valid_from_id")
+      .collect().map(_.toString).toSeq
+    val want = graft.ops.Changelog.c7Scd2(s, sf0001).collect().map(_.toString).toSeq
+    assert(got == want, s"rows ${got.size} vs ${want.size}; " +
+      s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
+  }
+
   test("s10 restart: MG state survives a checkpointed restart without rewind") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
