@@ -129,6 +129,11 @@ object BenchScaling {
     // data-linear even as the sketch side stays flat
     "q28_hll_rollup" -> fx(graft.ops.Analytics.q28HllRollup _),
     "q28b_cms_counts" -> fx(graft.ops.Analytics.q28bCmsCounts _),
+    // the KLL quantile rollup: replicas add rows on the SAME weeks, so
+    // weekly stream length grows ×f while sketch size stays fixed
+    // (k=200, ~3 KB) — the quantile member of the constant-state claim;
+    // the exact rank-check twin inside the verdict scales linearly
+    "q29_kll_rollup" -> fx(graft.ops.Analytics.q29KllRollup _),
     // theta: at 16× (24k users/week > 2^12 nominal) the sketches cross
     // into estimation mode — the timing stays flat either way; the
     // registered gate runs at SFs where exact mode holds
