@@ -615,9 +615,40 @@ object Analytics {
       .orderBy("wk", "pct")
   }
 
+  /** q30: weekly cohort retention — the event-log staple: users
+    * cohorted by their FIRST active week, then counted distinct per
+    * (cohort, week-offset) cell. The denominator (cohort size) is the
+    * offset-0 cell by construction (a user is always active in their
+    * first week), and retention is emitted as an exact per-mille
+    * integer, never a raw double ratio.
+    *
+    * Plan shape at 100 TB: one distinct over (user, week) — the only
+    * corpus-sized shuffle — then min-per-user (same user partitioning,
+    * exchange reused), a user-keyed equi-join back, and a
+    * (cohort × offset) rollup whose group count is bounded by
+    * #weeks² — map-side combinable, never user-cardinality. No window,
+    * no self-join over raw events. */
+  def q30Retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wkd"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wkd")).as("cw"))
+    val cells = uw.join(cohort, "user_id")
+      .groupBy(col("cw"), (datediff(col("wkd"), col("cw")) / 7).cast("long").as("off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = cells.filter(col("off") === 0L)
+      .select(col("cw"), col("n_active").as("n_cohort"))
+    cells.join(sizes, "cw")
+      .select(col("cw").cast("string").as("cohort_wk"), col("off"),
+        col("n_cohort"), col("n_active"),
+        Tables.fdiv(lit(1000L) * col("n_active"), col("n_cohort")).as("retained_per_1000"))
+      .orderBy("cohort_wk", "off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_distinct" -> q9Distinct,
     "q29_kll_rollup" -> q29KllRollup,
+    "q30_retention" -> q30Retention,
     "q28_hll_rollup" -> q28HllRollup,
     "q28b_cms_counts" -> q28bCmsCounts,
     "q28c_theta_overlap" -> q28cThetaOverlap,
@@ -654,6 +685,16 @@ object Analytics {
         |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
         |  CAST(1 AS BIGINT) AS over_ok, CAST(1 AS BIGINT) AS within_bound
         |FROM t ORDER BY user_id""".stripMargin,
+    "q30_retention" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wkd FROM events),
+        |c AS (SELECT user_id, min(wkd) AS cw FROM uw GROUP BY user_id),
+        |cells AS (SELECT cw, (wkd - cw) // 7 AS off, count(DISTINCT uw.user_id) AS n_active
+        |          FROM uw JOIN c USING (user_id) GROUP BY cw, (wkd - cw) // 7),
+        |s AS (SELECT cw, n_active AS n_cohort FROM cells WHERE off = 0)
+        |SELECT CAST(cells.cw AS VARCHAR) AS cohort_wk, CAST(off AS BIGINT) AS off,
+        |       CAST(n_cohort AS BIGINT) AS n_cohort, CAST(n_active AS BIGINT) AS n_active,
+        |       ${Tables.fdivSql("1000 * n_active", "n_cohort")} AS retained_per_1000
+        |FROM cells JOIN s USING (cw) ORDER BY cohort_wk, off""".stripMargin,
     "q29_kll_rollup" ->
       """WITH w AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, count(*) AS n
         |           FROM events WHERE value IS NOT NULL GROUP BY 1

@@ -1023,9 +1023,49 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x41: corpus snapshot diff ----
+
+  /** x41: dataset snapshot diff — crawl-over-crawl corpus versioning:
+    * which documents were ADDED, REMOVED, CHANGED, or carried UNCHANGED
+    * between two corpus versions. The versions are derived
+    * deterministically from the documents table (the x36 idiom): version
+    * A = the oldest 90% as first crawled; version B = the recrawl —
+    * every 19th doc gone from the source, every 17th≡3 doc re-extracted
+    * with different content, the newest 10% newly discovered.
+    *
+    * Plan shape at 100 TB: content is reduced to its md5 BEFORE the
+    * join, so the full-outer join shuffles (doc_id, 32-byte hash) pairs
+    * — never text bodies — and both sides co-partition on doc_id (with
+    * bucketed snapshot storage the join is shuffle-free). The status
+    * classification is one projection over the joined row; the rollup
+    * is a 4-group map-side-combined aggregate. Emitted rows are the
+    * per-status counts + doc-id range, the shape a crawl-ops dashboard
+    * ingests. */
+  def x41DatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)).as("thr"))
+    val a = d.crossJoin(broadcast(thr)).filter(col("doc_id") <= col("thr"))
+      .select(col("doc_id"), md5(col("text")).as("ha"))
+    val b = d.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 17 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_shuffle_order" -> x39ShuffleOrder,
     "x40_bigram_lm" -> x40BigramLm,
+    "x41_dataset_diff" -> x41DatasetDiff,
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
     "x20_stratified_sample" -> x20StratifiedSample,
@@ -1092,6 +1132,19 @@ object PipelineOps {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) - 1 AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x41_dataset_diff" ->
+      s"""WITH t AS (SELECT ${Tables.fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+         |a AS (SELECT doc_id, md5(text) AS ha FROM documents, t WHERE doc_id <= thr),
+         |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END) AS hb
+         |      FROM documents WHERE doc_id % 19 <> 0),
+         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |             CASE WHEN a.doc_id IS NULL THEN 'added'
+         |                  WHEN b.doc_id IS NULL THEN 'removed'
+         |                  WHEN ha <> hb THEN 'changed' ELSE 'unchanged' END AS status
+         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "x40_bigram_lm" -> {
       val mean = fdivSql("100 * CAST(sum(bits) AS BIGINT)", "count(*)")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -366,6 +366,75 @@ object StreamGate {
     s11Verdict(spark, dir, streamed)
   }
 
+  /** s13 shared shape: weekly `percentile_approx` over the cents-scaled
+    * event value — the state-store row IS the mergeable GK summary
+    * (Greenwald–Khanna via Spark's ApproximatePercentile buffer), the
+    * same minimal-state footing as s11's HLL++ row: no per-value state,
+    * the partial-aggregate machinery that merges summaries through a
+    * batch shuffle merges them across micro-batches. accuracy=1000 ⇒
+    * DETERMINISTIC rank error ≤ 1/1000 (GK's guarantee is worst-case,
+    * not probabilistic); the verdict widens ×2 for the merge path and
+    * checks the TIE-AWARE span condition (q29's contract). */
+  private[streaming] val s13Accuracy = 1000
+  private[streaming] def s13Weekly(df: DataFrame): DataFrame = df.select(
+    date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+    Tables.cents(col("value")).as("v")).filter(col("v").isNotNull)
+  private[streaming] def s13Aggregate(df: DataFrame): DataFrame =
+    s13Weekly(df).groupBy(col("wk"))
+      .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(s13Accuracy)).as("qs"))
+
+  /** The s13 verdict: per (week, pct), the streamed quantile's exact
+    * rank span [count(<q), count(≤q)] must intersect p ± 2/accuracy —
+    * integer math, one scan (thresholds broadcast back as columns, the
+    * q29 shape). Bounded driver reads: #weeks × 3 quantiles. */
+  private[streaming] def s13Verdict(spark: SparkSession, dir: String,
+      streamed: DataFrame): DataFrame = {
+    val slackBp = 2L * 10000L / s13Accuracy
+    val thr = streamed.collect().map { r =>
+      val qs = r.getSeq[Long](1)
+      (r.getString(0), qs(0), qs(1), qs(2))
+    }.toSeq
+    val thrDf = spark.createDataFrame(thr).toDF("wk", "q50", "q90", "q99")
+    val e = s13Weekly(Tables.events(spark, dir))
+    val le = (q: org.apache.spark.sql.Column) => sum((col("v") <= q).cast("long"))
+    val lt = (q: org.apache.spark.sql.Column) => sum((col("v") < q).cast("long"))
+    val perWeek = e.join(broadcast(thrDf), "wk")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n"),
+        lt(col("q50")), le(col("q50")), lt(col("q90")), le(col("q90")),
+        lt(col("q99")), le(col("q99")))
+      .collect()
+    val rows = perWeek.flatMap { r =>
+      val (wk, n) = (r.getString(0), r.getLong(1))
+      Seq(50L, 90L, 99L).zipWithIndex.map { case (pct, i) =>
+        val (cLt, cLe) = (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+        val ok = cLt * 10000L <= (pct * 100 + slackBp) * n &&
+          cLe * 10000L >= (pct * 100 - slackBp) * n
+        (wk, pct, n, if (ok) 1L else 0L)
+      }
+    }
+    spark.createDataFrame(rows.toSeq).toDF("wk", "pct", "n", "in_bound")
+      .orderBy("wk", "pct")
+  }
+
+  /** s13 gate: continuous quantile tracking — q29's streaming twin
+    * (complete-mode gate; update mode + event-time watermark evicting
+    * closed weeks is the production form, like s11). */
+  def s13QuantileStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val feed = stageFeed(e, "event_id")
+    val streamed = try {
+      val name = s"s13_gate_${runId.incrementAndGet()}"
+      val q = s13Aggregate(feedStream(spark, feed, e.schema))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    } finally deleteFeed(spark, feed.dir)
+    s13Verdict(spark, dir, streamed)
+  }
+
   /** s12 gate: continuous SCD2 maintenance ([[Streams.scd2Stream]],
     * transformWithState one-open-version-per-key) over the sf event log
     * fed in log order. The append stream is a CDC-out feed: every
@@ -405,7 +474,8 @@ object StreamGate {
     "s9_temporal_asof" -> s9TemporalAsof,
     "s10_freq_stream" -> s10FreqStream,
     "s11_distinct_stream" -> s11DistinctStream,
-    "s12_scd2_stream" -> s12Scd2Stream)
+    "s12_scd2_stream" -> s12Scd2Stream,
+    "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
@@ -421,6 +491,14 @@ object StreamGate {
     "s10_freq_stream" -> graft.ops.Analytics.oracle("q27c_freq_grouped"),
     // s12 in log order ≡ the batch SCD2 build: c7's oracle verbatim
     "s12_scd2_stream" -> graft.ops.Changelog.oracle("c7_scd2"),
+    // s13: exact weekly n + the tie-aware rank flag pinned to 1 (q29's
+    // weekly rows, no total)
+    "s13_quantile_stream" ->
+      """WITH w AS (SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, count(*) AS n
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT wk, CAST(p.pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n, CAST(1 AS BIGINT) AS in_bound
+        |FROM w CROSS JOIN (VALUES (50), (90), (99)) AS p(pct)
+        |ORDER BY wk, pct""".stripMargin,
     "s8_novelty_stream" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 3

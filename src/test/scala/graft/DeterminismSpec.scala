@@ -29,6 +29,11 @@ class DeterminismSpec extends SparkTestBase {
     // checkpointed per-doc frame + the bounded-histogram median cut —
     // none of it may see partitioning
     "x40_bigram_lm",
+    // the snapshot diff: a full-outer join's null sides drive the status
+    // classification — join partitioning must not reach the rollup
+    "x41_dataset_diff",
+    // cohort retention: distinct → min-per-user → join-back chain
+    "q30_retention",
     // the custom physical operator: a partition-local merge is the classic
     // place for partitioning-dependent results to sneak in
     "q16b_asof_native",
@@ -83,7 +88,11 @@ class DeterminismSpec extends SparkTestBase {
     // the streaming SCD2 build: open/closed emission pairs collapse by
     // max(valid_to) — neither the state shuffle nor the collapse may
     // leak partitioning into the reconstructed interval table
-    "s12_scd2_stream")
+    "s12_scd2_stream",
+    // the streaming GK quantiles: summary buffers merge through the
+    // state store in shuffle-dependent order and GK is order-dependent —
+    // only the deterministic-ε rank verdict may reach the output
+    "s13_quantile_stream")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

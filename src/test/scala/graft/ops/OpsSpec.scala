@@ -912,6 +912,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x41: diff statuses partition the union of both snapshot versions") {
+    val rows = PipelineOps.x41DatasetDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"statuses: ${rows.keySet}")
+    // the four classes partition |A ∪ B| exactly
+    val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"))
+    val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val thr = 9L * maxId / 10L
+    val ids = d.collect().map(_.getLong(0))
+    val union = ids.count(i => i <= thr || i % 19 != 0)
+    assert(rows.values.sum == union.toLong,
+      s"status counts ${rows.values.sum} != |A ∪ B| $union")
+    // spot semantics: added = newest 10% minus source losses; removed =
+    // old docs the recrawl lost
+    assert(rows("added") == ids.count(i => i > thr && i % 19 != 0).toLong)
+    assert(rows("removed") == ids.count(i => i <= thr && i % 19 == 0).toLong)
+    assert(rows("changed") == ids.count(i => i <= thr && i % 19 != 0 && i % 17 == 3).toLong)
+  }
+
   test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
     val rows = Analytics.q29KllRollup(spark, sf0001).collect()
     val weeks = rows.map(_.getString(0)).distinct
