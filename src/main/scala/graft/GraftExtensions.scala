@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, KllMergeAgg, KllSketchAgg, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, KllMergeAgg, KllSketchAgg, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopKByAgg, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -132,6 +132,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("kll_merge", args, 2)
         KllMergeAgg(args(0), intLit("kll_merge", args(1), "k"))
+      }),
+    ("topk_by",
+      new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
+      (args: Seq[Expression]) => {
+        requireArity("topk_by", args, 3)
+        TopKByAgg(args(0), args(1), intLit("topk_by", args(2), "k"))
       }),
     ("simhash_bits",
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),

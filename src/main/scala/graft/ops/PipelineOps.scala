@@ -1062,8 +1062,32 @@ object PipelineOps {
       .orderBy("status")
   }
 
+  /** x42: per-group top-k selection WITHOUT a window sort — "the 5
+    * biggest documents per (lang, source) cell", the shard-QA /
+    * leaderboard shape every corpus report needs. The standard
+    * formulation (`row_number() OVER (PARTITION BY ... ORDER BY ...)
+    * <= k`, the oracle here) shuffles EVERY row to its group's reducer
+    * and sorts whole groups — at 100 TB the biggest cell sort-spills one
+    * task. This form aggregates with graft's [[graft.functions.TopKByAgg]]
+    * mergeable bounded-heap summary instead: map-side partials keep ≤k
+    * pairs per (group × task), only those cross the shuffle, and no
+    * group is ever sorted — selection, not sorting. Ties are impossible
+    * in the ranking itself ((n_chars DESC, doc_id ASC) with unique
+    * doc_id), so the answer is deterministic and hash-gateable. */
+  def x42GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByAgg.topkBy
+    documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(topkBy(col("n_chars"), col("doc_id"), 5).as("tk"))
+      .select(col("lang"), col("source"), posexplode(col("tk")))
+      .select(col("lang"), col("source"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tag").as("doc_id"), col("col.ord").as("n_chars"))
+      .orderBy("lang", "source", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_shuffle_order" -> x39ShuffleOrder,
+    "x42_grouped_topk" -> x42GroupedTopk,
     "x40_bigram_lm" -> x40BigramLm,
     "x41_dataset_diff" -> x41DatasetDiff,
     "x18_chunking" -> x18Chunking,
@@ -1128,6 +1152,13 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x42_grouped_topk" ->
+      """SELECT lang, source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5 ORDER BY lang, source, rnk""".stripMargin,
     "x39_shuffle_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) - 1 AS BIGINT) AS pos

@@ -179,14 +179,71 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** q31: time-series densify + gap fill — the metrics-warehouse staple
+    * missing from plain SQL: give every user a DENSE daily series over
+    * their own active span (calendar days with no events appear as
+    * rows), carrying the last observed daily total forward across the
+    * gaps (LOCF). Forward-fill is the fill-group formulation — portable
+    * to any engine with plain windows, no IGNORE NULLS dependence:
+    * grp = running count of OBSERVED days (gaps don't bump it), so each
+    * (user, grp) partition holds exactly one observed day plus its
+    * trailing gap days, and max-per-partition is the carried value. The
+    * span starts at the user's first observed day, so group 0 is never
+    * empty and the output has no nulls.
+    *
+    * Plan shape at 100 TB: the only corpus-sized shuffle is the
+    * (user, day) daily rollup — map-side combinable. The span aggregate,
+    * grid explode (≤ span days per user), join-back, and both windows
+    * are all user-keyed: one user-cardinality exchange feeds everything
+    * downstream, and no window ever sees an empty partitionBy. Grid
+    * rows are bounded by users × days — a metadata-sized frame next to
+    * the event corpus. */
+  def q31Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(cents(col("value"))).as("day_c"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    val joined = grid.join(daily, Seq("user_id", "d"), "left")
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = joined.withColumn("grp", count(col("day_c")).over(wRun))
+    filled
+      .select(col("user_id"), col("d").cast("string").as("day"),
+        max(col("day_c")).over(Window.partitionBy(col("user_id"), col("grp"))).as("filled_c"),
+        when(col("day_c").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
     "q16_asof" -> q16Asof,
-    "q16b_asof_native" -> q16bAsofNative)
+    "q16b_asof_native" -> q16bAsofNative,
+    "q31_gapfill" -> q31Gapfill)
 
   val oracle: Map[String, String] = Map(
+    "q31_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         |         CAST(sum(${centsSql("value")}) AS BIGINT) AS day_c
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+         |grid AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+         |         FROM span),
+         |j AS (SELECT g.user_id, g.d, daily.day_c
+         |      FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d),
+         |f AS (SELECT user_id, d, day_c,
+         |        count(day_c) OVER (PARTITION BY user_id ORDER BY d
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |      FROM j)
+         |SELECT user_id, CAST(d AS VARCHAR) AS day,
+         |  CAST(max(day_c) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_c,
+         |  CAST(CASE WHEN day_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         |FROM f ORDER BY user_id, day""".stripMargin,
     "q7_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

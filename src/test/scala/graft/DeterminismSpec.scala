@@ -92,7 +92,14 @@ class DeterminismSpec extends SparkTestBase {
     // the streaming GK quantiles: summary buffers merge through the
     // state store in shuffle-dependent order and GK is order-dependent —
     // only the deterministic-ε rank verdict may reach the output
-    "s13_quantile_stream")
+    "s13_quantile_stream",
+    // the dense-grid gap fill: a left join's null side drives the fill
+    // groups and two windows share the user exchange — neither the join
+    // nor the grid explode may leak partitioning into the carried values
+    "q31_gapfill",
+    // the bounded-heap top-k: partial summaries merge in shuffle order;
+    // selection under a total order must make that invisible
+    "x42_grouped_topk")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -33,6 +33,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(math.rint(est).toLong == 2L, s"|{1,2,3} ∩ {2,3,4}| must be 2, got $est")
   }
 
+  test("topk_by is callable from SQL and ranks (ord DESC, tag ASC)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT g, transform(topk_by(o, t, 2), x -> x.tag) AS tags
+        |FROM VALUES ('a', 5L, 1L),('a', 9L, 2L),('a', 9L, 3L),('a', 1L, 4L),
+        |            ('b', 2L, 7L),('b', 2L, 6L) AS v(g, o, t)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r(0).getSeq[Long](1) == Seq(2L, 3L), "ties must break to the smaller tag")
+    assert(r(1).getSeq[Long](1) == Seq(6L, 7L))
+  }
+
   test("two dot_arr instances in one projection codegen without collision") {
     GraftExtensions.register(spark)
     val r = spark.sql(

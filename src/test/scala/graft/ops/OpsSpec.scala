@@ -932,6 +932,58 @@ class OpsSpec extends SparkTestBase {
     assert(rows("changed") == ids.count(i => i <= thr && i % 19 != 0 && i % 17 == 3).toLong)
   }
 
+  test("q31: dense per-user daily grid, LOCF carries the last observed total") {
+    val rows = Windows.q31Gapfill(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // dense: per user, the day span has no holes and matches the row count
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      val lo = java.time.LocalDate.parse(days.head)
+      val hi = java.time.LocalDate.parse(days.last)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1 == rs.length,
+        s"user $u grid has holes")
+      // first grid day is observed by construction (span starts at min(d))
+      assert(rs.sortBy(_._2).head._4 == 0L, s"user $u span starts on a gap")
+    }
+    // LOCF: a gap row carries exactly the previous day's filled value
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(prev, cur) if cur._4 == 1L =>
+          assert(cur._3 == prev._3, s"user $u ${cur._2}: gap not carried forward")
+        case _ =>
+      }
+    }
+    // brute-force parity on the observed cells: filled_c on a non-gap day
+    // is that day's exact cents sum
+    val daily = graft.model.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").cast("string").as("d"))
+      .agg(sum(graft.model.Tables.cents(col("value"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.filter(_._4 == 0L).foreach { case (u, d, c, _) =>
+      assert(daily((u, d)) == c, s"user $u $d observed cell mismatch")
+    }
+  }
+
+  test("x42: grouped top-k equals the window-rank brute force, and partials combine map-side") {
+    val got = PipelineOps.x42GroupedTopk(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(d => (d._1, d._2)).toSeq.flatMap { case ((l, s), ds) =>
+      ds.sortBy(d => (-d._4, d._3)).take(5).zipWithIndex.map { case (d, i) =>
+        (l, s, i + 1L, d._3, d._4)
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == want, "top-k selection diverged from the window-rank order")
+    // the scale claim: the aggregate runs as a partial (map-side combine)
+    // object-hash aggregate — never a window sort over whole groups
+    val plan = PipelineOps.x42GroupedTopk(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topk_by"), s"expected a partial topk_by pass:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
   test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
     val rows = Analytics.q29KllRollup(spark, sf0001).collect()
     val weeks = rows.map(_.getString(0)).distinct
