@@ -161,6 +161,13 @@ object BenchScaling {
     "x26_winnowing" -> fx(graft.ops.PipelineOps.x26Winnowing _),
     "x28_surprisal" -> fx(graft.ops.PipelineOps.x28Surprisal _),
     "x36_incremental_dedup" -> fx(graft.ops.PipelineOps.x36IncrementalDedup _),
+    // grouped top-k: selection (bounded-heap aggregate, ≤k pairs per
+    // group×task through the shuffle) vs the window-rank twin (every row
+    // shuffles to its group's reducer and whole groups sort). Replicas
+    // share the (lang, source) groups, so group size grows ×f with k
+    // fixed — exactly the shape where selection beats sorting
+    "x42_grouped_topk" -> fx(graft.ops.PipelineOps.x42GroupedTopk _),
+    "x42_window_topk" -> fx(graft.ops.PipelineOps.x42WindowAudit _),
     // the composed end-to-end pipeline: stages + joins + packing together
     "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
     // the vector stack — embeddings replicate with vec_id offsets AND a
@@ -202,7 +209,8 @@ object BenchScaling {
     "q27b_freq_deep", "q27b_freq_deep_scaledk",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
-    "x36_incremental_dedup", "x38_pipeline_e2e")
+    "x36_incremental_dedup", "x38_pipeline_e2e",
+    "x42_grouped_topk", "x42_window_topk")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

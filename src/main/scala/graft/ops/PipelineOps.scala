@@ -1062,17 +1062,28 @@ object PipelineOps {
       .orderBy("status")
   }
 
-  /** x42: per-group top-k selection WITHOUT a window sort — "the 5
-    * biggest documents per (lang, source) cell", the shard-QA /
-    * leaderboard shape every corpus report needs. The standard
-    * formulation (`row_number() OVER (PARTITION BY ... ORDER BY ...)
-    * <= k`, the oracle here) shuffles EVERY row to its group's reducer
-    * and sorts whole groups — at 100 TB the biggest cell sort-spills one
-    * task. This form aggregates with graft's [[graft.functions.TopKByAgg]]
-    * mergeable bounded-heap summary instead: map-side partials keep ≤k
-    * pairs per (group × task), only those cross the shuffle, and no
-    * group is ever sorted — selection, not sorting. Ties are impossible
-    * in the ranking itself ((n_chars DESC, doc_id ASC) with unique
+  /** x42: per-group top-k selection WITHOUT a sort — "the 5 biggest
+    * documents per (lang, source) cell", the shard-QA / leaderboard
+    * shape every corpus report needs. Aggregates with graft's
+    * [[graft.functions.TopKByAgg]] mergeable bounded-heap summary:
+    * map-side partials keep ≤k pairs per (group × task), only those
+    * cross the shuffle, and nothing is ever sorted — O(n log k)
+    * selection per task.
+    *
+    * Honest relation to the window form (the oracle here): Spark's own
+    * `InferWindowGroupLimit` (3.5+) rewrites a LITERAL
+    * `row_number() <= k` filter to a partial group-limit below the
+    * exchange, so the optimized window twin ships comparably few rows —
+    * measured, not assumed, in ScaleSpec. What the aggregate form still
+    * buys at 100 TB, pinned there: (a) the rewrite needs the literal
+    * rank predicate over a bare window — k from a join, a rank consumed
+    * in an expression, or any composition the rule can't see falls back
+    * to full-corpus shuffle + sort, the heap form doesn't; (b) even the
+    * rewritten window SORTS every map partition (Sort under the
+    * exchange) where this plan has no Sort node at all; (c) being an
+    * aggregate FUNCTION it composes with other aggregates in the same
+    * groupBy pass and yields the per-group array directly. Ties are
+    * impossible in the ranking ((n_chars DESC, doc_id ASC), unique
     * doc_id), so the answer is deterministic and hash-gateable. */
   def x42GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByAgg.topkBy
@@ -1082,6 +1093,24 @@ object PipelineOps {
       .select(col("lang"), col("source"), posexplode(col("tk")))
       .select(col("lang"), col("source"), (col("pos") + 1).cast(LongType).as("rnk"),
         col("col.tag").as("doc_id"), col("col.ord").as("n_chars"))
+      .orderBy("lang", "source", "rnk")
+  }
+
+  /** Audit twin of x42 (BenchScaling only, never registered): the same
+    * answer via the standard window-rank formulation — every row
+    * shuffles to its (lang, source) reducer and each group is sorted
+    * whole. The measured delta against the heap aggregate is x42's
+    * scale claim. */
+  def x42WindowAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("source"), col("rnk").cast(LongType).as("rnk"),
+        col("doc_id"), col("n_chars"))
       .orderBy("lang", "source", "rnk")
   }
 

@@ -301,6 +301,58 @@ class ScaleSpec extends SparkTestBase {
     assert(probed * 2 < plain, s"probe did not cut the shuffle: probed=$probed plain=$plain")
   }
 
+  test("x42's heap aggregate: window-twin parity, bytes vs the un-rewritten window, no map-side sort") {
+    // Credit where due, measured here rather than assumed: Spark's own
+    // InferWindowGroupLimit (3.5+) rewrites `row_number() ... <= lit(k)`
+    // to a partial group-limit BELOW the exchange, so the optimized
+    // window twin ships ~as few rows as the heap aggregate. What the
+    // heap form still buys at 100 TB, and what this test pins:
+    //   (a) the group-limit rewrite needs a LITERAL rank predicate over
+    //       a bare window — with it disabled (the stand-in for every
+    //       shape the rewrite can't see: k from a join, rank consumed in
+    //       an expression, engines without the rule) the window ships
+    //       every row of every group, and the heap form shuffles a small
+    //       fraction of those bytes;
+    //   (b) even the rewritten window SORTS every map partition (a Sort
+    //       node under the exchange — O(n log n) per task) where the
+    //       heap aggregate plans NO sort anywhere: O(n log k) selection;
+    //   (c) both forms agree with brute force exactly.
+    // 200k rows, 4 groups, k=5 across 8 map partitions.
+    import graft.functions.TopKByAgg.topkBy
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 200000, 1, 8)
+      .select((col("id") % 4).as("g"), (col("id") % 9973).as("ord"), col("id").as("tag"))
+    def winForm = df.select(col("g"), col("ord"), col("tag"),
+        row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("ord").desc, col("tag").asc))
+          .cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+      .select(col("g"), col("rn"), col("ord"), col("tag"))
+    val heap = df.groupBy(col("g")).agg(topkBy(col("ord"), col("tag"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1L).as("rn"), col("col.ord").as("ord"), col("col.tag").as("tag"))
+    val heapRows = heap.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val winRows = winForm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(heapRows.toSeq == winRows.toSeq, "the two formulations must agree exactly")
+    // (b) no Sort node anywhere in the heap plan; the window plan has one
+    val heapPlan = heap.queryExecution.executedPlan.toString
+    assert(!heapPlan.contains("Sort "), s"heap form must not sort:\n$heapPlan")
+    assert(winForm.queryExecution.executedPlan.toString.contains("Sort "),
+      "window form is expected to sort its map partitions")
+    // (a) bytes vs the un-rewritten window
+    val thresholdKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val orig = spark.conf.get(thresholdKey)
+    val naiveBytes = try {
+      spark.conf.set(thresholdKey, "-1")
+      shuffledBytes(winForm)
+    } finally spark.conf.set(thresholdKey, orig)
+    val heapBytes = shuffledBytes(heap)
+    assert(heapBytes > 0 && naiveBytes > 0,
+      s"exchange metrics missing: heap=$heapBytes naiveWindow=$naiveBytes")
+    assert(heapBytes * 10 < naiveBytes,
+      s"heap form did not cut the shuffle: heap=$heapBytes naiveWindow=$naiveBytes")
+  }
+
   test("bucketed tables join without a shuffle") {
     val s = spark
     import s.implicits._
