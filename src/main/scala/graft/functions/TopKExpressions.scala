@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   * point: as a [[TypedImperativeAggregate]] buffer it rides Spark's
   * partial-aggregation machinery, so each map task ships AT MOST k pairs
   * per group through the shuffle and no group is ever materialized or
-  * sorted whole. The window-rank formulation of the same query shuffles
+  * sorted whole. One semantic footnote for streaming consumers: unlike
+  * a register-max sketch, selection is NOT replay-idempotent — a
+  * replayed row that still ranks in the top k is inserted again and the
+  * answer would list it twice — so the aggregate assumes an
+  * exactly-once source (Spark's checkpointed file/offset tracking — the
+  * s14 restart e2e pins this), not at-least-once replay. The window-rank formulation of the same query shuffles
   * every row of every group and sort-spills the biggest group on one
   * reducer — at 100 TB with skewed groups that single difference is the
   * job. The heap keeps per-row cost at O(log k) with k·16 bytes of state

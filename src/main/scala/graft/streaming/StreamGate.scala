@@ -469,8 +469,54 @@ object StreamGate {
       .orderBy("user_id", "valid_from_id")
   }
 
+  /** s14 shared shape: weekly "k biggest events by value" where the
+    * state-store row IS graft's [[graft.functions.TopKByAgg]] bounded
+    * heap (≤k pairs per week, fixed-size state like s11's HLL++ row and
+    * s13's GK summary) — the top-k cell of the streaming-twin matrix.
+    * Null values are filtered before the aggregate (matching the
+    * oracle's WHERE), and the ranking (cents DESC, event_id ASC) is a
+    * total order, so the selection is exact. */
+  private[streaming] def s14Weekly(df: DataFrame): DataFrame = df.select(
+    date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+    Tables.cents(col("value")).as("v"), col("event_id"))
+    .filter(col("v").isNotNull)
+
+  private[streaming] def s14Aggregate(df: DataFrame): DataFrame = {
+    import graft.functions.TopKByAgg.topkBy
+    s14Weekly(df).groupBy(col("wk"))
+      .agg(topkBy(col("v"), col("event_id"), 5).as("tk"))
+  }
+
+  /** s14 gate: continuous per-group top-k — x42's streaming twin and
+    * the fourth cell of the streaming-twin matrix (distinct q28↔s11,
+    * frequency q27c↔s10, quantiles q29↔s13, top-k x42↔s14). Because
+    * selection under a total order is EXACT and merge-invariant —
+    * TopKSpec's property — the cross-micro-batch merge cannot drift,
+    * and the gate is the full window-rank SQL oracle, not a bound-flag
+    * verdict: the strongest gate in the streaming family. Complete-mode
+    * memory sink like s11/s13; update mode + an event-time watermark
+    * evicting closed weeks is the production form. */
+  def s14TopkStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val feed = stageFeed(e, "event_id")
+    val streamed = try {
+      val name = s"s14_gate_${runId.incrementAndGet()}"
+      val q = s14Aggregate(feedStream(spark, feed, e.schema))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    } finally deleteFeed(spark, feed.dir)
+    streamed
+      .select(col("wk"), posexplode(col("tk")))
+      .select(col("wk"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tag").as("event_id"), col("col.ord").as("v"))
+      .orderBy("wk", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_novelty_stream" -> s8NoveltyStream,
+    "s14_topk_stream" -> s14TopkStream,
     "s9_temporal_asof" -> s9TemporalAsof,
     "s10_freq_stream" -> s10FreqStream,
     "s11_distinct_stream" -> s11DistinctStream,
@@ -480,6 +526,16 @@ object StreamGate {
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
     "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
+    // s14: exact selection ⇒ the full window-rank oracle, no bound flag
+    "s14_topk_stream" ->
+      s"""SELECT wk, CAST(rnk AS BIGINT) AS rnk, event_id, v FROM (
+         |  SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk, event_id,
+         |    ${Tables.centsSql("value")} AS v,
+         |    row_number() OVER (
+         |      PARTITION BY CAST(date_trunc('week', ts) AS DATE)
+         |      ORDER BY ${Tables.centsSql("value")} DESC, event_id ASC) AS rnk
+         |  FROM events WHERE value IS NOT NULL)
+         |WHERE rnk <= 5 ORDER BY wk, rnk""".stripMargin,
     // s11: exact weekly distincts + the bound flag pinned to 1 (the
     // q28 shape without its total row)
     "s11_distinct_stream" ->

@@ -99,7 +99,11 @@ class DeterminismSpec extends SparkTestBase {
     "q31_gapfill",
     // the bounded-heap top-k: partial summaries merge in shuffle order;
     // selection under a total order must make that invisible
-    "x42_grouped_topk")
+    "x42_grouped_topk",
+    // its streaming twin: the same buffers merging through the state
+    // store across micro-batches — exact parity is the gate, so the
+    // full row set must be partition-invariant
+    "s14_topk_stream")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

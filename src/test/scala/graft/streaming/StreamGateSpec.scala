@@ -217,6 +217,71 @@ class StreamGateSpec extends SparkTestBase {
     }
   }
 
+  test("s14 restart: top-k state survives a checkpointed restart (exact parity)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val watch = Files.createTempDirectory("graft-s14drop")
+    val ckpt = Files.createTempDirectory("graft-s14ckpt").toString
+    val e = graft.model.Tables.events(s, sf0001)
+      .select(col("event_id"), col("ts"), col("value"))
+    val mid = e.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(name: String): Seq[(String, Seq[(Long, Long)])] = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = StreamGate.s14Aggregate(src)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+          .toSeq.sortBy(_._1)
+        s.catalog.dropTempView(name)
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, e.filter(col("event_id") <= mid))
+    assert(runPass("s14r1").nonEmpty, "first half emitted no weekly top-k")
+    dropChunk(1, e.filter(col("event_id") > mid))
+    val got = runPass("s14r2")
+    // recovery evidence: unlike the sketch twins, selection is EXACT —
+    // the restarted aggregation's weekly top-5 must equal the batch
+    // window-rank over the union of both halves, element for element.
+    // A lost state store would surface second-half-only winners; the
+    // file source's checkpointed offset tracking (exactly-once) is the
+    // no-rewind side.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wk")).orderBy(col("v").desc, col("event_id").asc)
+    val exact = StreamGate.s14Weekly(e)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq)
+      .toSeq.sortBy(_._1)
+    assert(got.map(_._1) == exact.map(_._1),
+      s"week set diverged: ${got.map(_._1)} vs ${exact.map(_._1)}")
+    got.zip(exact).foreach { case ((wk, tk), (_, want)) =>
+      assert(tk == want, s"week $wk: top-k after restart $tk != batch $want")
+    }
+  }
+
   test("feed staging splits a large feed into bounded range-ordered files (no 1/4-corpus write task)") {
     val s = spark
     // 300k rows ≫ targetRowsPerFile·gateBatches: the round-8 staging
