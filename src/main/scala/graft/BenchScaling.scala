@@ -155,6 +155,10 @@ object BenchScaling {
     "x2_dedup_near_tightdf" -> ((s: SparkSession, d: String, _: Int) =>
       graft.ops.TextOps.x2DedupNearDf(s, d, 10)),
     "x13_minhash_lsh" -> fx(graft.ops.TextOps.x13MinhashLsh _),
+    // substring dedup: disjoint per-replica token namespaces mean the
+    // shared-gram sets are replica-local — gram volume grows ×f, the
+    // span work per doc is unchanged; the honest linear shape
+    "x43_substring_dedup" -> fx(graft.ops.TextOps.x43SubstringDedup _),
     "x23_simhash_neardup" -> fx(graft.ops.PipelineOps.x23SimhashNeardup _),
     "x24_dedup_clusters" -> fx(graft.ops.PipelineOps.x24DedupClusters _),
     "x25_boilerplate" -> fx(graft.ops.PipelineOps.x25Boilerplate _),
@@ -207,7 +211,7 @@ object BenchScaling {
     "x2_dedup_near_tightdf",
     "q27_freq_items", "q27_freq_items_scaledsupport",
     "q27b_freq_deep", "q27b_freq_deep_scaledk",
-    "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters",
+    "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters", "x43_substring_dedup",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x42_grouped_topk", "x42_window_topk")

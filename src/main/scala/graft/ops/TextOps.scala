@@ -457,7 +457,57 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc)
       .limit(20)
 
+  /** x43: exact SUBSTRING-level dedup — the span-granular member of the
+    * dedup family (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022): where x1/x2/x13 decide per
+    * DOCUMENT, x43 finds the duplicated token spans themselves. A token
+    * k-gram (k=5) occurring in ≥2 documents marks its span duplicated;
+    * per doc the marked [p, p+k) intervals are unioned (the classic
+    * sorted-merge identity: Σ min(k, next−p), last span pays k) and the
+    * duplicated-token fraction is emitted per-mille — the number a
+    * pre-training filter thresholds on, and the span inventory a
+    * passage-removal pass would consume.
+    *
+    * Plan shape at 100 TB: positional gram hashes are a per-row
+    * codegen'd HOF (no shuffle); shared-gram detection is ONE
+    * map-side-combinable count over gram hashes (hot stop-grams are
+    * combiner-absorbed, never a reducer funnel); the join-back is an
+    * equi-join on the hash against the ≥2-df slice; the interval union
+    * is a per-doc window (lead) + keyed sum — both on the doc exchange.
+    * Nothing is all-pairs, nothing driver-side; total shuffle ∝ corpus
+    * gram count, the same asymptotics as the suffix-array build the
+    * paper uses, expressed as three relational passes. */
+  def x43SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val grams = d.select(col("doc_id"), posexplode(
+        when(size(col("w")) >= k, expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          .otherwise(expr("array()"))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
+    val shared = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val covered = grams.join(shared, "h")
+      .withColumn("nxt", lead(col("p"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("nxt") - col("p"))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("cov")).as("dup_tokens"))
+    d.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        fdiv(lit(1000L) * coalesce(col("dup_tokens"), lit(0L)), col("n_tokens")).as("dup_per_1000"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x43_substring_dedup" -> x43SubstringDedup,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_near" -> x2DedupNear,
     "x13_minhash_lsh" -> x13MinhashLsh,
@@ -479,6 +529,25 @@ object TextOps {
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    "x43_substring_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 5
+         |        THEN list_transform(range(1, len(w) - 3),
+         |               i -> md5(array_to_string(w[i : i + 4], ' ')))
+         |        ELSE [] END AS gs FROM d),
+         |p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS p, unnest(gs) AS h FROM g),
+         |sh AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT p.doc_id, p.p,
+         |         lead(p.p) OVER (PARTITION BY p.doc_id ORDER BY p.p) AS nxt
+         |       FROM p JOIN sh ON p.h = sh.h),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |         CAST(sum(CASE WHEN nxt IS NULL THEN 5 ELSE least(5, nxt - p) END) AS BIGINT) AS dup_tokens
+         |        FROM dp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  ${Tables.fdivSql("1000 * coalesce(dup_tokens, 0)", "len(w)")} AS dup_per_1000
+         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

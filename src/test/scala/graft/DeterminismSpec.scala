@@ -103,7 +103,11 @@ class DeterminismSpec extends SparkTestBase {
     // its streaming twin: the same buffers merging through the state
     // store across micro-batches — exact parity is the gate, so the
     // full row set must be partition-invariant
-    "s14_topk_stream")
+    "s14_topk_stream",
+    // substring dedup: a gram-hash df filter + join-back + per-doc lead
+    // window — neither the shared-gram shuffle nor the interval merge
+    // may leak partitioning into the coverage counts
+    "x43_substring_dedup")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -984,6 +984,32 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
   }
 
+  test("x43: duplicated-span coverage equals the brute-force interval union") {
+    val k = 5
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val gramDocs = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, w) =>
+      (0 to w.length - k).foreach { i =>
+        gramDocs.getOrElseUpdate(w.slice(i, i + k).mkString(" "), scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val want = docs.map { case (id, w) =>
+      val ps = (0 to w.length - k).filter(i => gramDocs(w.slice(i, i + k).mkString(" ")).size >= 2)
+      // brute-force union of the [p, p+k) intervals via a position set
+      val coveredSet = ps.flatMap(p => p until p + k).toSet
+      (id, w.length.toLong, ps.length.toLong, coveredSet.size.toLong,
+        1000L * coveredSet.size / w.length)
+    }.sortBy(_._1)
+    val got = TextOps.x43SubstringDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq,
+      s"first diff: ${got.zip(want).find(t => t._1 != t._2)}")
+    // the corpus genuinely exercises partial spans, not just full-doc dups
+    assert(got.exists(r => r._4 > 0 && r._4 < r._2), "no partial duplicated span in corpus")
+  }
+
   test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
     val rows = Analytics.q29KllRollup(spark, sf0001).collect()
     val weeks = rows.map(_.getString(0)).distinct
