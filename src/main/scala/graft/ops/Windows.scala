@@ -183,21 +183,21 @@ object Windows {
     * missing from plain SQL: give every user a DENSE daily series over
     * their own active span (calendar days with no events appear as
     * rows), carrying the last observed daily total forward across the
-    * gaps (LOCF). Forward-fill is the fill-group formulation — portable
-    * to any engine with plain windows, no IGNORE NULLS dependence:
-    * grp = running count of OBSERVED days (gaps don't bump it), so each
-    * (user, grp) partition holds exactly one observed day plus its
-    * trailing gap days, and max-per-partition is the carried value. The
-    * span starts at the user's first observed day, so group 0 is never
-    * empty and the output has no nulls.
+    * gaps (LOCF). Forward-fill is `last(day_c) IGNORE NULLS` over the running
+    * frame — ONE Window node under one user exchange. The ORACLE keeps
+    * the fill-group formulation (grp = running count of OBSERVED days,
+    * then max per (user, grp)) — the portable twin for engines whose
+    * window functions lack IGNORE NULLS; the two are identity-equal
+    * because each fill group holds exactly one observed day. The span
+    * starts at the user's first observed day, so the first row is
+    * always observed and the output has no nulls.
     *
     * Plan shape at 100 TB: the only corpus-sized shuffle is the
     * (user, day) daily rollup — map-side combinable. The span aggregate,
-    * grid explode (≤ span days per user), join-back, and both windows
-    * are all user-keyed: one user-cardinality exchange feeds everything
-    * downstream, and no window ever sees an empty partitionBy. Grid
-    * rows are bounded by users × days — a metadata-sized frame next to
-    * the event corpus. */
+    * grid explode (≤ span days per user), join-back, and the single
+    * window are all user-keyed, and no window ever sees an empty
+    * partitionBy. Grid rows are bounded by users × days — a
+    * metadata-sized frame next to the event corpus. */
   def q31Gapfill(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
@@ -209,10 +209,9 @@ object Windows {
     val joined = grid.join(daily, Seq("user_id", "d"), "left")
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = joined.withColumn("grp", count(col("day_c")).over(wRun))
-    filled
+    joined
       .select(col("user_id"), col("d").cast("string").as("day"),
-        max(col("day_c")).over(Window.partitionBy(col("user_id"), col("grp"))).as("filled_c"),
+        last(col("day_c"), ignoreNulls = true).over(wRun).as("filled_c"),
         when(col("day_c").isNull, 1L).otherwise(0L).as("is_gap"))
       .orderBy("user_id", "day")
   }
