@@ -44,6 +44,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r(1).getSeq[Long](1) == Seq(6L, 7L))
   }
 
+  test("topk_by composes with other aggregates in one grouped pass") {
+    // the (c) leg of x42's niche: an aggregate FUNCTION shares the
+    // groupBy pass with count/sum — the window formulation needs a
+    // separate windowed scan. One ObjectHashAggregate chain, no Window.
+    GraftExtensions.register(spark)
+    val df = spark.sql(
+      """SELECT g, count(*) AS n, sum(o) AS tot, transform(topk_by(o, t, 1), x -> x.tag)[0] AS best
+        |FROM VALUES ('a', 5L, 1L),('a', 9L, 2L),('b', 2L, 7L) AS v(g, o, t)
+        |GROUP BY g ORDER BY g""".stripMargin)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 2L, 14L, 2L), ("b", 1L, 2L, 7L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected one object-hash agg pass:\n$plan")
+    assert(!plan.contains("Window"), s"no window scan expected:\n$plan")
+  }
+
   test("two dot_arr instances in one projection codegen without collision") {
     GraftExtensions.register(spark)
     val r = spark.sql(

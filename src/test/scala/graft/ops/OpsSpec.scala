@@ -717,7 +717,8 @@ class OpsSpec extends SparkTestBase {
       "x28" -> PipelineOps.x28Surprisal _,
       "x29" -> PipelineOps.x29Decontam _,
       "x32" -> PipelineOps.x32Repetition _,
-      "x36" -> PipelineOps.x36IncrementalDedup _)
+      "x36" -> PipelineOps.x36IncrementalDedup _,
+      "x43" -> TextOps.x43SubstringDedup _)
     ops.foreach { case (name, fn) =>
       val rows = fn(spark, dir).collect() // must not throw on gram-less docs
       rows.foreach(r => (0 until r.length).foreach(i =>
@@ -729,6 +730,14 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(x36(100L) == (0L, 0L), s"dup doc must score novelty 0: ${x36(100L)}")
     assert(x36(101L) == (1000L, 1L), s"gram-less new doc is vacuously novel: ${x36(101L)}")
+    // x43: the 5-token dup pair shares its single 5-gram → both fully
+    // covered; every shorter doc is gram-less → zero coverage
+    val x43 = TextOps.x43SubstringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    Seq(4L, 100L).foreach(id =>
+      assert(x43(id) == ((5L, 5L, 1000L)), s"doc $id: ${x43(id)}"))
+    Seq(0L, 1L, 2L, 3L, 101L).foreach(id =>
+      assert(x43(id)._2 == 0L, s"doc $id must have zero dup coverage: ${x43(id)}"))
     // x32 on a 1-token doc: no 2-grams, dup2 = 0, top share = 1000
     val x32 = PipelineOps.x32Repetition(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
