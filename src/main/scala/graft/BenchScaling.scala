@@ -138,6 +138,12 @@ object BenchScaling {
     // into estimation mode — the timing stays flat either way; the
     // registered gate runs at SFs where exact mode holds
     "q28c_theta_overlap" -> fx(graft.ops.Analytics.q28cThetaOverlap _),
+    // round-10 event-analytics rows: replicas add disjoint users on the
+    // SAME weeks — q30's (cohort × offset) cell count stays #weeks²-
+    // bounded while cell populations grow ×f; q31's grid rows grow ×f
+    // with per-user span work unchanged. Both should track the linear core
+    "q30_retention" -> fx(graft.ops.Analytics.q30Retention _),
+    "q31_gapfill" -> fx(graft.ops.Windows.q31Gapfill _),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),
@@ -174,6 +180,11 @@ object BenchScaling {
     "x42_window_topk" -> fx(graft.ops.PipelineOps.x42WindowAudit _),
     // the composed end-to-end pipeline: stages + joins + packing together
     "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
+    // the held-out bigram LM: disjoint token namespaces grow the vocab and
+    // bigram count tables ×f; per-doc scoring work is unchanged
+    "x40_bigram_lm" -> fx(graft.ops.PipelineOps.x40BigramLm _),
+    // the snapshot diff: (doc_id, md5) pairs ×f through the full-outer join
+    "x41_dataset_diff" -> fx(graft.ops.PipelineOps.x41DatasetDiff _),
     // the vector stack — embeddings replicate with vec_id offsets AND a
     // per-replica circular component shift, so replicas stay disjoint in
     // cosine space (identical copies would pair across replicas and fake
@@ -214,6 +225,7 @@ object BenchScaling {
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters", "x43_substring_dedup",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
+    "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
