@@ -971,6 +971,11 @@ class OpsSpec extends SparkTestBase {
     rows.filter(_._4 == 0L).foreach { case (u, d, c, _) =>
       assert(daily((u, d)) == c, s"user $u $d observed cell mismatch")
     }
+    // plan pin: LOCF via last() IGNORE NULLS is ONE Window node — the
+    // two-window fill-group formulation lives only in the oracle
+    val plan = Windows.q31Gapfill(spark, sf0001).queryExecution.executedPlan.toString
+    assert("(?m)^\\s*(\\S+ )?Window ".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window node:\n$plan")
   }
 
   test("x42: grouped top-k equals the window-rank brute force, and partials combine map-side") {
@@ -1017,6 +1022,11 @@ class OpsSpec extends SparkTestBase {
       s"first diff: ${got.zip(want).find(t => t._1 != t._2)}")
     // the corpus genuinely exercises partial spans, not just full-doc dups
     assert(got.exists(r => r._4 > 0 && r._4 < r._2), "no partial duplicated span in corpus")
+    // plan pin: the shared-gram df count partial-aggregates map-side
+    // (hot stop-grams absorb in the combiner, never a reducer funnel)
+    val plan = TextOps.x43SubstringDedup(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"expected a map-side partial count over gram hashes:\n$plan")
   }
 
   test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
