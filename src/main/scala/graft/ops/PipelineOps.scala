@@ -1087,11 +1087,16 @@ object PipelineOps {
     * doc_id), so the answer is deterministic and hash-gateable. */
   def x42GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByAgg.topkBy
+    // n_docs rides the SAME aggregate pass — the composed form the
+    // window rewrite can't fuse (it would take a windowed scan plus a
+    // separate count); here it's one ObjectHashAggregate, plan-pinned
+    // in OpsSpec
     documents(spark, dir)
       .groupBy(col("lang"), col("source"))
-      .agg(topkBy(col("n_chars"), col("doc_id"), 5).as("tk"))
-      .select(col("lang"), col("source"), posexplode(col("tk")))
-      .select(col("lang"), col("source"), (col("pos") + 1).cast(LongType).as("rnk"),
+      .agg(count(lit(1)).as("n_docs"), topkBy(col("n_chars"), col("doc_id"), 5).as("tk"))
+      .select(col("lang"), col("source"), col("n_docs"), posexplode(col("tk")))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
         col("col.tag").as("doc_id"), col("col.ord").as("n_chars"))
       .orderBy("lang", "source", "rnk")
   }
@@ -1182,8 +1187,10 @@ object PipelineOps {
 
   val oracle: Map[String, String] = Map(
     "x42_grouped_topk" ->
-      """SELECT lang, source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
+      """SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
         |  SELECT lang, source, doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY lang, source) AS n_docs,
         |    row_number() OVER (PARTITION BY lang, source
         |                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
         |  FROM documents)

@@ -980,15 +980,15 @@ class OpsSpec extends SparkTestBase {
 
   test("x42: grouped top-k equals the window-rank brute force, and partials combine map-side") {
     val got = PipelineOps.x42GroupedTopk(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     val docs = graft.model.Tables.documents(spark, sf0001)
       .select(col("lang"), col("source"), col("doc_id"), col("n_chars")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val want = docs.groupBy(d => (d._1, d._2)).toSeq.flatMap { case ((l, s), ds) =>
       ds.sortBy(d => (-d._4, d._3)).take(5).zipWithIndex.map { case (d, i) =>
-        (l, s, i + 1L, d._3, d._4)
+        (l, s, ds.length.toLong, i + 1L, d._3, d._4)
       }
-    }.sortBy(t => (t._1, t._2, t._3))
+    }.sortBy(t => (t._1, t._2, t._4))
     assert(got.toSeq == want, "top-k selection diverged from the window-rank order")
     // the scale claim: the aggregate runs as a partial (map-side combine)
     // object-hash aggregate — never a window sort over whole groups
