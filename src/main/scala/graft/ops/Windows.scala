@@ -199,7 +199,11 @@ object Windows {
     * partitionBy. Grid rows are bounded by users × days — a
     * metadata-sized frame next to the event corpus. */
   def q31Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    // null-valued events don't count as observed days (the q29/s13
+    // defensive filter): without it, a regenerated corpus where a
+    // user's FIRST day is all-null would put a null into filled_c
     val daily = events(spark, dir)
+      .filter(col("value").isNotNull)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
       .agg(sum(cents(col("value"))).as("day_c"))
     val grid = daily.groupBy(col("user_id"))
@@ -229,7 +233,7 @@ object Windows {
       s"""WITH daily AS (
          |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
          |         CAST(sum(${centsSql("value")}) AS BIGINT) AS day_c
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          |span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
          |grid AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
          |         FROM span),

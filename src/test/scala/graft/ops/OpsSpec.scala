@@ -965,6 +965,7 @@ class OpsSpec extends SparkTestBase {
     // brute-force parity on the observed cells: filled_c on a non-gap day
     // is that day's exact cents sum
     val daily = graft.model.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").cast("string").as("d"))
       .agg(sum(graft.model.Tables.cents(col("value"))).as("c"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
