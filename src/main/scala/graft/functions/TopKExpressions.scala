@@ -97,11 +97,16 @@ case class TopKByAgg(
   override def left: Expression = ord
   override def right: Expression = tag
 
-  override def checkInputDataTypes(): TypeCheckResult = (ord.dataType, tag.dataType) match {
-    case (LongType | IntegerType, LongType | IntegerType) => TypeCheckResult.TypeCheckSuccess
-    case (o, t) => TypeCheckResult.TypeCheckFailure(
-      s"topk_by expects integral (ord, tag) columns, got ($o, $t)")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    // k is validated here, not just in TopKBuffer's constructor: an
+    // invalid k from SQL must fail at ANALYSIS time, not as a task-time
+    // IllegalArgumentException on some executor
+    if (k < 1) TypeCheckResult.TypeCheckFailure(s"topk_by requires k >= 1, got $k")
+    else (ord.dataType, tag.dataType) match {
+      case (LongType | IntegerType, LongType | IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (o, t) => TypeCheckResult.TypeCheckFailure(
+        s"topk_by expects integral (ord, tag) columns, got ($o, $t)")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

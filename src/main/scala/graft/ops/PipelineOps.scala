@@ -1091,7 +1091,14 @@ object PipelineOps {
     // window rewrite can't fuse (it would take a windowed scan plus a
     // separate count); here it's one ObjectHashAggregate, plan-pinned
     // in OpsSpec
+    // the explicit null filter keeps the aggregate and window-rank
+    // formulations identity-equal under ANY corpus: topk_by skips
+    // null-ord rows while a window rank would order them (DESC
+    // nulls-last) into small groups' top-5 — today's corpus has no null
+    // n_chars, but parity must not depend on that invariant (the oracle
+    // and the window audit carry the same filter)
     documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), topkBy(col("n_chars"), col("doc_id"), 5).as("tk"))
       .select(col("lang"), col("source"), col("n_docs"), posexplode(col("tk")))
@@ -1111,6 +1118,7 @@ object PipelineOps {
     val w = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     documents(spark, dir)
+      .filter(col("n_chars").isNotNull) // identity with x42 — see its scaladoc
       .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 5)
@@ -1193,7 +1201,7 @@ object PipelineOps {
         |    count(*) OVER (PARTITION BY lang, source) AS n_docs,
         |    row_number() OVER (PARTITION BY lang, source
         |                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |WHERE rnk <= 5 ORDER BY lang, source, rnk""".stripMargin,
     "x39_shuffle_order" ->
       """SELECT doc_id,

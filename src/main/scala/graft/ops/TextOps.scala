@@ -470,7 +470,11 @@ object TextOps {
     *
     * Plan shape at 100 TB: positional gram hashes are a per-row
     * codegen'd HOF (no shuffle); shared-gram detection is ONE
-    * map-side-combinable count over gram hashes (hot stop-grams are
+    * map-side-combinable aggregate over gram hashes — "occurs in ≥2
+    * distinct docs" ⟺ `min(doc_id) ≠ max(doc_id)`, so a min/max pair
+    * does it in a single exchange where `count(DISTINCT doc_id) >= 2`
+    * would plan TWO (a (h, doc_id) dedup pass, then the count) on the
+    * biggest intermediate this query has (hot stop-grams are
     * combiner-absorbed, never a reducer funnel); the join-back is an
     * equi-join on the hash against the ≥2-df slice; the interval union
     * is a per-doc window (lead) + keyed sum — both on the doc exchange.
@@ -481,14 +485,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
-    val grams = d.select(col("doc_id"), posexplode(
-        when(size(col("w")) >= k, expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
-          .otherwise(expr("array()"))))
-      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
-    val shared = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
+    val grams = x43Grams(d, k)
+    val shared = x43SharedGrams(grams)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val covered = grams.join(shared, "h")
       .withColumn("nxt", lead(col("p"), 1).over(w))
@@ -505,6 +503,25 @@ object TextOps {
         fdiv(lit(1000L) * coalesce(col("dup_tokens"), lit(0L)), col("n_tokens")).as("dup_per_1000"))
       .orderBy("doc_id")
   }
+
+  /** x43's positional gram frame: (doc_id, p, h) — one row per token
+    * k-gram, hash and 1-based start position, via a codegen'd HOF (no
+    * shuffle). Split out so the plan test pins the detection subplan. */
+  private[graft] def x43Grams(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"), posexplode(
+        when(size(col("w")) >= k, expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          .otherwise(expr("array()"))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
+
+  /** x43's shared-gram detection: the hashes occurring in ≥2 distinct
+    * docs, as ONE map-side-combinable min/max aggregate (single
+    * exchange — see the x43 scaladoc; `countDistinct >= 2` would plan
+    * two). */
+  private[graft] def x43SharedGrams(grams: DataFrame): DataFrame =
+    grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+      .filter(col("d_min") =!= col("d_max")).select(col("h"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x43_substring_dedup" -> x43SubstringDedup,

@@ -999,6 +999,18 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
   }
 
+  test("topk_by: k < 1 fails at analysis time, not as a task-time error") {
+    graft.model.Tables.documents(spark, sf0001).createOrReplaceTempView("x42_kcheck")
+    try {
+      Seq(0, -3).foreach { k =>
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql(s"SELECT topk_by(n_chars, doc_id, $k) FROM x42_kcheck")
+        }
+        assert(e.getMessage.contains("k >= 1"), s"k=$k: ${e.getMessage}")
+      }
+    } finally spark.catalog.dropTempView("x42_kcheck")
+  }
+
   test("x43: duplicated-span coverage equals the brute-force interval union") {
     val k = 5
     val docs = graft.model.Tables.documents(spark, sf0001)
@@ -1023,11 +1035,32 @@ class OpsSpec extends SparkTestBase {
       s"first diff: ${got.zip(want).find(t => t._1 != t._2)}")
     // the corpus genuinely exercises partial spans, not just full-doc dups
     assert(got.exists(r => r._4 > 0 && r._4 < r._2), "no partial duplicated span in corpus")
-    // plan pin: the shared-gram df count partial-aggregates map-side
-    // (hot stop-grams absorb in the combiner, never a reducer funnel)
-    val plan = TextOps.x43SubstringDedup(spark, sf0001).queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count"),
-      s"expected a map-side partial count over gram hashes:\n$plan")
+    // plan pin: shared-gram detection is ONE map-side-combinable
+    // min/max aggregate — exactly one exchange over the positional-gram
+    // intermediate (countDistinct >= 2 would plan two: a (h, doc_id)
+    // dedup pass, then the count), and the partials absorb hot
+    // stop-grams in the combiner, never a reducer funnel
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val d = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val detection = TextOps.x43SharedGrams(TextOps.x43Grams(d, 5))
+    detection.collect() // AQE resolves its stages only after execution
+    val root = detection.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def countExchanges(p: SparkPlan): Int = p match {
+      case q: QueryStageExec => countExchanges(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(countExchanges).sum
+      case other => other.children.map(countExchanges).sum
+    }
+    assert(countExchanges(root) == 1,
+      s"expected exactly one exchange in shared-gram detection:\n$root")
+    val detStr = root.toString
+    assert(detStr.contains("partial_min") && detStr.contains("partial_max"),
+      s"expected map-side partial min/max over gram hashes:\n$detStr")
   }
 
   test("q29: verdict frame shape — every (week, pct) row pinned in bound") {
