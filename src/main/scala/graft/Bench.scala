@@ -68,7 +68,13 @@ object Bench {
       "stage:x36_hits" -> (() => { graft.ops.Stages.x36Hits(spark, sfDir); () }),
       "stage:q27c_hitters" -> (() => { graft.ops.Stages.q27cHitters(spark, sfDir); () }),
       "stage:q24_keystats" -> (() => { graft.ops.Stages.q24KeyStats(spark, sfDir); () }),
-      "stage:q26_bloom" -> (() => { graft.ops.Stages.q26Bloom(spark, sfDir); () }))
+      "stage:q26_bloom" -> (() => { graft.ops.Stages.q26Bloom(spark, sfDir); () }),
+      // the streaming gates' shared replay feeds (events: s9/s11-s14;
+      // documents: s8/s10) — one staging build per table per session
+      "stage:gate_events_feed" ->
+        (() => { graft.streaming.StreamGate.sharedEventsFeed(spark, sfDir); () }),
+      "stage:gate_docs_feed" ->
+        (() => { graft.streaming.StreamGate.sharedDocsFeed(spark, sfDir); () }))
     // skipped under BENCH_ONLY: an isolated line should carry everything
     // it triggers (including a shared build) — that's the point of
     // isolating it. partial_total already marks the regime.

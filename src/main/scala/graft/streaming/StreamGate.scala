@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -45,6 +47,69 @@ object StreamGate {
 
   /** A staged feed: the dir plus how many files form one micro-batch. */
   private[streaming] final case class Feed(dir: Path, filesPerTrigger: Int)
+
+  /** Shared staged feeds, one per (session, sfDir, table): the five
+    * event-log gates (s9/s11/s12/s13/s14) replay the same events table
+    * and the two document gates (s8/s10) the same documents table, but
+    * each used to stage its OWN near-identical key-range copy — six
+    * staging builds of two tables per session, ~16 s of the r10 bench.
+    * The staged frame is the column SUPERSET in the table's log order,
+    * so the row set and replay chunking are identical for every
+    * consumer; each gate projects/renames its columns AFTER the stream
+    * read (parquet column pruning means it pays only for the columns it
+    * touches). s8 filters its arrival slice post-read — its probe is
+    * stateless, so which chunk the arrivals land in cannot change its
+    * output. Feeds die with the application (listener) or via
+    * [[clearFeeds]]; the per-gate try/finally deletion only applies to
+    * unshared feeds (the restart e2e harnesses stage their own). */
+  private val feedCache = TrieMap.empty[(SparkSession, String, String), Feed]
+  private val feedHooked = TrieMap.empty[org.apache.spark.SparkContext, Unit]
+
+  private def cachedFeed(spark: SparkSession, dir: String, table: String)
+      (build: => Feed): Feed = {
+    val key = (spark, dir, table)
+    feedCache.get(key).getOrElse(synchronized {
+      // entries of stopped contexts are unreachable garbage; their dirs
+      // still exist on local disk — deleteFeed's local-rm path clears
+      // them even though the Hadoop FS handle is gone
+      feedCache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach { k =>
+        feedCache.remove(k).foreach(f => deleteFeed(k._1, f.dir))
+      }
+      feedHooked.getOrElseUpdate(spark.sparkContext, {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = clearFeeds()
+        })
+      })
+      feedCache.getOrElseUpdate(key, build)
+    })
+  }
+
+  /** The staged events superset: every column an event-log gate reads,
+    * in log (event_id) order. */
+  private def eventsFeedDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+
+  /** The staged documents superset, in doc_id order. */
+  private def docsFeedDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+
+  /** The shared events feed (staged once per session × sfDir). Public to
+    * graft so Bench can pre-materialize it as its own timed line. */
+  private[graft] def sharedEventsFeed(spark: SparkSession, dir: String): Feed =
+    cachedFeed(spark, dir, "events")(stageFeed(eventsFeedDf(spark, dir), "event_id"))
+
+  /** The shared documents feed (staged once per session × sfDir). */
+  private[graft] def sharedDocsFeed(spark: SparkSession, dir: String): Feed =
+    cachedFeed(spark, dir, "documents")(stageFeed(docsFeedDf(spark, dir), "doc_id"))
+
+  /** Drop and delete every shared feed (tests; application end). */
+  private[graft] def clearFeeds(): Unit = synchronized {
+    feedCache.keys.toSeq.foreach { k =>
+      feedCache.remove(k).foreach(f => deleteFeed(k._1, f.dir))
+    }
+  }
 
   private def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
@@ -170,21 +235,19 @@ object StreamGate {
     * verbatim — purchases matched to the latest prior same-user view. */
   def s9TemporalAsof(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
     import spark.implicits._
-    val log = Tables.events(spark, dir)
-      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-        col("event_type").as("eventType"))
-    val feed = stageFeed(log, "eventId")
-    try {
-      val name = s"s9_gate_${runId.incrementAndGet()}"
-      val q = Streams.temporalAsofStream(
-          feedStream(spark, feed, log.schema).as[ProbeEvent])
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      feedThenStop(spark, name, q) { q.processAllAvailable() }
-      detachSink(spark, name)
-        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
-          col("priorViewId").as("prior_view_id"))
-        .orderBy("event_id")
-    } finally deleteFeed(spark, feed.dir)
+    val feed = sharedEventsFeed(spark, dir)
+    val name = s"s9_gate_${runId.incrementAndGet()}"
+    val q = Streams.temporalAsofStream(
+        feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+          .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+            col("event_type").as("eventType"))
+          .as[ProbeEvent])
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    feedThenStop(spark, name, q) { q.processAllAvailable() }
+    detachSink(spark, name)
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("priorViewId").as("prior_view_id"))
+      .orderBy("event_id")
   }
 
   /** Run the feed, then stop the query; if the feed FAILS, also drop the
@@ -227,17 +290,21 @@ object StreamGate {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L))).collect()(0).getLong(0)
     val indexDocs = d.filter(col("doc_id") <= thr)
-    val arrivals = d.filter(col("doc_id") > thr)
-    val feed = stageFeed(arrivals, "doc_id")
-    val streamed = try {
+    // arrivals come off the shared docs feed, filtered post-read: the
+    // probe is stateless, so the arrivals landing in the feed's tail
+    // chunks (they are the top 10% of the doc_id range) changes nothing
+    val feed = sharedDocsFeed(spark, dir)
+    val streamed = {
       val name = s"s8_gate_${runId.incrementAndGet()}"
       val q = Streams.noveltyStream(
-          spark, feedStream(spark, feed, arrivals.schema), indexDocs)
+          spark, feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+            .filter(col("doc_id") > thr).select(col("doc_id"), col("text")),
+          indexDocs)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
         .select(col("doc_id"), col("n_keys").as("n_keys_s"), col("n_maybe_hit"))
-    } finally deleteFeed(spark, feed.dir)
+    }
     // exact twin of the probe: x36's hit counts, read from the shared
     // stage (identical 90/10 split and gram keys — the lineage runs once
     // per session across x36 and this gate)
@@ -270,16 +337,15 @@ object StreamGate {
     * 0.05% group share, plus the flag that the streamed summary held it
     * (guaranteed: per-slot bound N_slot/(k+1) ≤ 0.02% of the group). */
   def s10FreqStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val feed = stageFeed(docs, "doc_id")
-    val latest = try {
+    val feed = sharedDocsFeed(spark, dir)
+    val latest = {
       val name = s"s10_gate_${runId.incrementAndGet()}"
-      val q = Streams.freqStream(s10Tokens(feedStream(spark, feed, docs.schema)), s10K)
+      val q = Streams.freqStream(
+          s10Tokens(feedStream(spark, feed, docsFeedDf(spark, dir).schema)), s10K)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
-    } finally deleteFeed(spark, feed.dir)
+    }
     s10Verdict(spark, dir, latest)
   }
 
@@ -353,16 +419,15 @@ object StreamGate {
   }
 
   def s11DistinctStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
-    val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"))
-    val feed = stageFeed(e, "event_id")
-    val streamed = try {
+    val feed = sharedEventsFeed(spark, dir)
+    val streamed = {
       val name = s"s11_gate_${runId.incrementAndGet()}"
-      val q = s11Aggregate(feedStream(spark, feed, e.schema))
+      val q = s11Aggregate(feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+          .select(col("event_id"), col("ts"), col("user_id")))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
-    } finally deleteFeed(spark, feed.dir)
+    }
     s11Verdict(spark, dir, streamed)
   }
 
@@ -422,16 +487,15 @@ object StreamGate {
     * (complete-mode gate; update mode + event-time watermark evicting
     * closed weeks is the production form, like s11). */
   def s13QuantileStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
-    val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("value"))
-    val feed = stageFeed(e, "event_id")
-    val streamed = try {
+    val feed = sharedEventsFeed(spark, dir)
+    val streamed = {
       val name = s"s13_gate_${runId.incrementAndGet()}"
-      val q = s13Aggregate(feedStream(spark, feed, e.schema))
+      val q = s13Aggregate(feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+          .select(col("event_id"), col("ts"), col("value")))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
-    } finally deleteFeed(spark, feed.dir)
+    }
     s13Verdict(spark, dir, streamed)
   }
 
@@ -446,17 +510,18 @@ object StreamGate {
     * predecessor but emit no visible version, same as c7. */
   def s12Scd2Stream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
     import spark.implicits._
-    val log = Tables.events(spark, dir)
-      .select(col("event_id").as("eventId"), unix_millis(col("ts")).as("tsMs"),
-        col("user_id").as("userId"), col("event_type").as("op"), col("value"))
-    val feed = stageFeed(log, "eventId")
-    val emissions = try {
+    val feed = sharedEventsFeed(spark, dir)
+    val emissions = {
       val name = s"s12_gate_${runId.incrementAndGet()}"
-      val q = Streams.scd2Stream(feedStream(spark, feed, log.schema).as[Scd2Record])
+      val q = Streams.scd2Stream(
+          feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+            .select(col("event_id").as("eventId"), unix_millis(col("ts")).as("tsMs"),
+              col("user_id").as("userId"), col("event_type").as("op"), col("value"))
+            .as[Scd2Record])
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
-    } finally deleteFeed(spark, feed.dir)
+    }
     emissions
       .groupBy(col("userId").as("user_id"), col("validFromId").as("valid_from_id"))
       .agg(max(col("validToId")).as("valid_to_id"),
@@ -497,16 +562,15 @@ object StreamGate {
     * memory sink like s11/s13; update mode + an event-time watermark
     * evicting closed weeks is the production form. */
   def s14TopkStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
-    val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("value"))
-    val feed = stageFeed(e, "event_id")
-    val streamed = try {
+    val feed = sharedEventsFeed(spark, dir)
+    val streamed = {
       val name = s"s14_gate_${runId.incrementAndGet()}"
-      val q = s14Aggregate(feedStream(spark, feed, e.schema))
+      val q = s14Aggregate(feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+          .select(col("event_id"), col("ts"), col("value")))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       feedThenStop(spark, name, q) { q.processAllAvailable() }
       detachSink(spark, name)
-    } finally deleteFeed(spark, feed.dir)
+    }
     streamed
       .select(col("wk"), posexplode(col("tk")))
       .select(col("wk"), (col("pos") + 1).cast("long").as("rnk"),
