@@ -184,17 +184,30 @@ final class WalPipeline(
     // observe() rides the batch plan (no second pass): the record count
     // lands in every StreamingQueryProgress.observedMetrics, the
     // listener-visible/exportable twin of the WalMetrics gauges.
-    query = records
-      .observe("wal", org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("wal_num_records"))
-      .writeStream
-      .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs,
-        onIoFailure = () => metrics.ioFailure(),
-        onRecovered = () => metrics.recovered(),
-        onIgnored = n => metrics.numIgnoredAlreadyDone.addAndGet(n)))
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(pollMillis))
-      .start()
+    // A start() that fails must not leak its listeners: the reference's
+    // HA story is N competing consumers where the losers fail the lock
+    // race gracefully (`WalConsumer.java:185-193,219-228`); here the
+    // loser is a second pipeline on the SAME checkpoint, refused by
+    // Spark's active-run exclusivity — it must leave the session exactly
+    // as it found it (RecoverySpec's two-instance scenario).
+    try {
+      query = records
+        .observe("wal", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("wal_num_records"))
+        .writeStream
+        .foreachBatch(Streams.foreachBatchSync(sink, retrySleepMs,
+          onIoFailure = () => metrics.ioFailure(),
+          onRecovered = () => metrics.recovered(),
+          onIgnored = n => metrics.numIgnoredAlreadyDone.addAndGet(n)))
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.ProcessingTime(pollMillis))
+        .start()
+    } catch {
+      case t: Throwable =>
+        records.sparkSession.streams.removeListener(metrics)
+        records.sparkSession.streams.removeListener(reporter)
+        throw t
+    }
     metrics.queryId = query.id
     // progress events posted before the assignment above were dropped by
     // the listener's scope filter; replay them (deduplicated by batchId)

@@ -50,6 +50,78 @@ class RecoverySpec extends SparkTestBase {
     } finally p2.close()
   }
 
+  test("two competing consumers: loser fails cleanly, takeover after close, exactly one effect per record") {
+    // The reference's HA story (`/root/reference/README.md:40-43`): N
+    // consumers may run against one WAL; the row lock serializes them —
+    // competitors block/lose the race gracefully
+    // (`WalConsumer.java:185-193`, retry loop `:219-228`) and any
+    // survivor takes over without duplicating effects. Spark form: ONE
+    // checkpoint dir is the lock. With stopActiveRunOnRestart=false a
+    // second pipeline on the same checkpoint is REFUSED at start (the
+    // loser); with the default true it PREEMPTS the incumbent (new-run-
+    // wins). Either way the sink must see exactly one effect per record.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-ha").toString
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    TestSink.reset()
+    val prevConf = s.conf.get("spark.sql.streaming.stopActiveRunOnRestart")
+    try {
+      Seq(WalRecord(0, 1, "ADD", "a0"), WalRecord(1, 2, "ADD", "a1"))
+        .toDF().write.mode("append").parquet(walDir)
+      val p1 = new WalPipeline(Sources.walFileStream(s, walDir), new TestSink,
+        s"$tmp/ckpt", pollMillis = 10L, retrySleepMs = 1L)
+      p1.start()
+      p1.processAllAvailable()
+
+      // -- competitor loses the race: same WAL, same checkpoint --
+      s.conf.set("spark.sql.streaming.stopActiveRunOnRestart", "false")
+      val loser = new WalPipeline(Sources.walFileStream(s, walDir), new TestSink,
+        s"$tmp/ckpt", pollMillis = 10L, retrySleepMs = 1L)
+      val nBefore = s.streams.listListeners().length
+      intercept[IllegalStateException] { loser.start() }
+      // clean loss: no listener leak, the winner's query is untouched
+      // and keeps consuming
+      assert(s.streams.listListeners().length == nBefore,
+        "refused start must unregister its listeners")
+      Seq(WalRecord(2, 1, "UPDATE", "a2"))
+        .toDF().write.mode("append").parquet(walDir)
+      p1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(TestSink.target.asScala.toMap == Map(1L -> "a2", 2L -> "a1"))
+
+      // -- takeover after close(): reference consumer death → survivor --
+      p1.close()
+      Seq(WalRecord(3, 3, "ADD", "a3"))
+        .toDF().write.mode("append").parquet(walDir)
+      val p2 = new WalPipeline(Sources.walFileStream(s, walDir), new TestSink,
+        s"$tmp/ckpt", pollMillis = 10L, retrySleepMs = 1L)
+      p2.start() // same instance class as the loser — now it wins
+      p2.processAllAvailable()
+      assert(TestSink.target.asScala.toMap == Map(1L -> "a2", 2L -> "a1", 3L -> "a3"))
+
+      // -- preemption (Spark default): a new run STOPS the incumbent --
+      s.conf.set("spark.sql.streaming.stopActiveRunOnRestart", "true")
+      val p3 = new WalPipeline(Sources.walFileStream(s, walDir), new TestSink,
+        s"$tmp/ckpt", pollMillis = 10L, retrySleepMs = 1L)
+      val q3 = p3.start()
+      Seq(WalRecord(4, 2, "UPDATE", "a4"))
+        .toDF().write.mode("append").parquet(walDir)
+      p3.processAllAvailable()
+      assert(q3.isActive, "preempting run must be the live one")
+      assert(TestSink.target.asScala.toMap ==
+        Map(1L -> "a2", 2L -> "a4", 3L -> "a3"))
+      p3.close()
+      p2.close() // stopped by the preemption; close() is a clean no-op
+
+      // THE contract: one WAL, three competing consumer instances, and
+      // still exactly one applied effect per record
+      assert(TestSink.effects.asScala == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1),
+        s"effects: ${TestSink.effects.asScala}")
+    } finally s.conf.set("spark.sql.streaming.stopActiveRunOnRestart", prevConf)
+  }
+
   test("abnormal query termination surfaces as INACCESSIBLE_IO_FAILURE") {
     val s = spark
     import s.implicits._

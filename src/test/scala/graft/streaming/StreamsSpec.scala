@@ -372,6 +372,7 @@ class TestSink extends WalSink {
       case _        => TestSink.target.put(r.entityId, r.payload)
     }
     TestSink.appliedThru.put(r.entityId, r.id)
+    TestSink.effects.merge(r.id, 1, (a, b) => Integer.valueOf(a + b))
     true
   }
 }
@@ -380,8 +381,11 @@ object TestSink {
   val target = new ConcurrentHashMap[Long, String]()
   val appliedThru = new ConcurrentHashMap[Long, Long]()
   val failOnceIds = new ConcurrentHashMap[Long, Boolean]()
+  /** record id → times the sink actually APPLIED it (exactly-once-effect
+    * assertions: every value must be 1, however many consumers ran). */
+  val effects = new ConcurrentHashMap[Long, Integer]()
   val alreadyDone = new AtomicInteger(0)
   val retried = new AtomicInteger(0)
   def reset(): Unit = { target.clear(); appliedThru.clear(); failOnceIds.clear()
-    alreadyDone.set(0); retried.set(0) }
+    effects.clear(); alreadyDone.set(0); retried.set(0) }
 }
