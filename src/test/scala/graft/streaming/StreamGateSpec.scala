@@ -217,6 +217,63 @@ class StreamGateSpec extends SparkTestBase {
     }
   }
 
+  test("s13 restart: GK quantile state survives a checkpointed restart within rank bounds") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val watch = Files.createTempDirectory("graft-s13drop")
+    val ckpt = Files.createTempDirectory("graft-s13ckpt").toString
+    val e = graft.model.Tables.events(s, sf0001)
+      .select(col("event_id"), col("ts"), col("value"))
+    val mid = e.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass[T](name: String)(read: org.apache.spark.sql.DataFrame => T): T = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = StreamGate.s13Aggregate(src)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = read(s.table(name))
+        s.catalog.dropTempView(name)
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, e.filter(col("event_id") <= mid))
+    assert(runPass("s13r1")(_.count()) > 0, "first half emitted no weekly quantiles")
+    dropChunk(1, e.filter(col("event_id") > mid))
+    // recovery evidence: the restarted aggregation's per-(week, pct)
+    // thresholds must satisfy the SAME tie-aware rank-span bound the
+    // gate checks, now over the union of both halves. A lost state
+    // store would quantile the second half only (rank error far past
+    // 2/accuracy for the straddled weeks); a rewound first half would
+    // double-weight its values, skewing every rank the same way. The
+    // verdict is computed against exact ranks over the FULL log.
+    val verdict = runPass("s13r2")(streamed =>
+      StreamGate.s13Verdict(s, sf0001, streamed).collect())
+    assert(verdict.nonEmpty, "restarted run produced no verdict rows")
+    verdict.foreach { r =>
+      assert(r.getLong(3) == 1L,
+        s"(${r.getString(0)}, p${r.getLong(1)}) fell out of the rank bound after restart")
+    }
+  }
+
   test("s14 restart: top-k state survives a checkpointed restart (exact parity)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
