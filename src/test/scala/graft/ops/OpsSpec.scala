@@ -864,6 +864,31 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q28c estimation mode: small-lgK overlap intervals cover the exact counts (the 100 TB path)") {
+    // the operator shape past 2^lgK distinct users/week, where the
+    // registered gate fails loudly by design: force estimation mode on
+    // the REAL corpus by shrinking lgK to the library minimum (2^4 = 16
+    // nominal entries ≪ the ~150 weekly distinct users at sf0.01 —
+    // sf0.001's 15/week can't cross the line at any legal lgK), and check
+    // the library-derived interval — whose width follows the
+    // intersection's effective theta and retained count, i.e. the
+    // union-size error analysis — against the exact overlap twin.
+    // Statistics of the assert: each interval is 3 standard deviations
+    // (per-pair miss ~0.3%), and the corpus is regenerated between
+    // rounds, so the leg allows at most ONE miss across the adjacent
+    // weeks (P[>=2 misses] ~ (0.003·n)²/2 — negligible) instead of
+    // pinning every flag.
+    val rows = graft.ops.Analytics.q28cOverlapBounds(spark, sf001, lgK = 4).collect()
+    assert(rows.nonEmpty, "no adjacent-week pairs")
+    assert(rows.forall(_.getLong(3) == 1L),
+      "every weekly sketch must actually be in estimation mode at lgK=4 — " +
+        "if this fires the corpus shrank below ~16 users/week and the leg tests nothing")
+    val misses = rows.filterNot(_.getLong(4) == 1L)
+    assert(misses.length <= 1,
+      s"${misses.length} of ${rows.length} overlap intervals missed the exact count: " +
+        misses.map(_.toString).mkString(", "))
+  }
+
   test("q28: union of fine-grained HLL sketches ≡ one direct sketch (mergeability)") {
     // the property the rollup pattern rests on: build per-day sketches,
     // union them, and the estimate must equal a sketch built over the
