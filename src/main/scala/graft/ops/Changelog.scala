@@ -169,6 +169,33 @@ object Changelog {
       .orderBy("user_id")
   }
 
+  /** c9: WAL log compaction — the retention pass that keeps a changelog
+    * replayable while bounding it to O(keys): per entity only the LATEST
+    * record survives, INCLUDING the delete-analog as a tombstone (unlike
+    * the c1 snapshot, which APPLIES deletes and drops the key — a
+    * compacted log must still tell a late-joining consumer the key was
+    * deleted; Kafka's compacted topics are the canonical form of this
+    * contract). Emits the surviving record plus `n_superseded`, the rows
+    * compaction reclaimed — the number a retention job reports.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combinable aggregate —
+    * struct-max with the unique event_id leading the struct, so max ==
+    * argmax deterministically, and the count rides the same pass. Same
+    * single-exchange cost class as c1's max_by: the shuffle carries one
+    * partial row per (key × input partition), never the log; no window,
+    * no join-back. */
+  def c9Compact(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("last"),
+        count(lit(1)).as("n_rows"))
+      .select(col("user_id"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("op"),
+        col("last.value").as("value"),
+        (col("n_rows") - 1).as("n_superseded"))
+      .orderBy("user_id")
+
   /** x17: funnel analysis over the event log — users progressing through
     * view → click → purchase in log order. Each stage is an aggregation
     * joined back on the key (three shuffles on user_id, re-usable
@@ -197,7 +224,8 @@ object Changelog {
     "c5_idempotency" -> c5Idempotency,
     "c6_lag" -> c6Lag,
     "c7_scd2" -> c7Scd2,
-    "c8_asof_time" -> c8AsofTime)
+    "c8_asof_time" -> c8AsofTime,
+    "c9_compact" -> c9Compact)
 
   val oracle: Map[String, String] = Map(
     "x17_funnel" ->
@@ -219,6 +247,12 @@ object Changelog {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+    "c9_compact" ->
+      """SELECT user_id, event_id, event_type AS op, value,
+        |  CAST(n_rows - 1 AS BIGINT) AS n_superseded
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n_rows FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "c2_backlog" -> "SELECT count(*) AS backlog FROM events",
     "c3_head" ->
       "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id LIMIT 1",

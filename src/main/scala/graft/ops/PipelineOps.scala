@@ -87,6 +87,44 @@ object PipelineOps {
       .orderBy("doc_id", "rn")
   }
 
+  // ---- x44: reproducible fixed-size per-group sample ----
+
+  /** x44: k sample documents per (lang, source) cell — the QA /
+    * eyeballing / labeling draw every corpus report needs, as BOTTOM-k
+    * priority sampling: keep the k smallest md5-derived priorities per
+    * group (min-wise hashing — a uniform sample of the cell, and unlike
+    * rand() the SAME sample on every engine, every run, any
+    * partitioning). Complements x20: x20's hash-threshold filter yields
+    * a fixed RATE (size ∝ stratum); this yields a fixed SIZE per cell
+    * regardless of skew — the shape you want when humans read the rows.
+    *
+    * Spark side: the same mergeable bounded-heap aggregate as x42
+    * ([[graft.functions.TopKByAgg]]) on the NEGATED 48-bit hash
+    * priority — map-side partials keep ≤k pairs per group × task, only
+    * those cross the shuffle, nothing sorts, and the count rides the
+    * same ObjectHashAggregate pass. At 100 TB the alternatives are a
+    * per-group window sort (full shuffle + sort of the corpus) or
+    * TABLESAMPLE (neither per-group nor reproducible); this is the
+    * bounded mergeable form. Ties are broken doc_id-ascending in both
+    * engines (48-bit priorities make them ~impossible anyway), so the
+    * draw is deterministic and hash-gateable. */
+  def x44GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByAgg.topkBy
+    val k = 3
+    val d = documents(spark, dir).select(col("lang"), col("source"), col("doc_id"),
+      // top 48 md5 bits (first 12 hex chars), non-negative — negation
+      // turns topk_by's max-heap into bottom-k-by-hash
+      shiftrightunsigned(
+        graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 16).as("h48"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), topkBy(-col("h48"), col("doc_id"), k).as("tk"))
+      .select(col("lang"), col("source"), col("n_docs"), posexplode(col("tk")))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tag").as("doc_id"), (-col("col.ord")).as("h48"))
+      .orderBy("lang", "source", "rnk")
+  }
+
   // ---- x20: deterministic stratified sampling ----
 
   /** Per-stratum keep-rate: first 16 md5 bits of the doc id under this
@@ -1135,6 +1173,7 @@ object PipelineOps {
     "x18_chunking" -> x18Chunking,
     "x19_tfidf" -> x19Tfidf,
     "x20_stratified_sample" -> x20StratifiedSample,
+    "x44_group_sample" -> x44GroupSample,
     "x21_embed_quant" -> x21EmbedQuant,
     "x22_redact" -> x22Redact,
     "x23_simhash_neardup" -> x23SimhashNeardup,
@@ -1159,6 +1198,14 @@ object PipelineOps {
     (0 until 4).map { i =>
       val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (3 - i))} * $nib)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of x44's 48-bit priority (first 12 hex chars of md5,
+    * same nibble parse as hex16Sql). */
+  private def hex48Sql(h: String): String =
+    (0 until 12).map { i =>
+      val nib = TextOps.nibSql(h, i + 1)
+      s"(${1L << (4 * (11 - i))} * $nib)"
     }.mkString("(", " + ", ")")
 
   /** x31's oracle — a val (not a map self-reference) because x37's
@@ -1291,6 +1338,16 @@ object PipelineOps {
          |  FROM scored)
          |SELECT doc_id, CAST(rn AS BIGINT) AS rn, t AS term, tfidf_x1000
          |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "x44_group_sample" ->
+      s"""WITH h AS (SELECT lang, source, doc_id,
+         |    ${hex48Sql("md5(CAST(doc_id AS VARCHAR))")} AS h48 FROM documents),
+         |r AS (SELECT *, count(*) OVER (PARTITION BY lang, source) AS n_docs,
+         |        row_number() OVER (PARTITION BY lang, source
+         |                           ORDER BY h48 ASC, doc_id ASC) AS rnk
+         |      FROM h)
+         |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(h48 AS BIGINT) AS h48
+         |FROM r WHERE rnk <= 3 ORDER BY lang, source, rnk""".stripMargin,
     "x20_stratified_sample" ->
       s"""WITH h AS (SELECT lang,
          |    ${hex16Sql("md5(CAST(doc_id AS VARCHAR))")} AS h16

@@ -107,7 +107,13 @@ class DeterminismSpec extends SparkTestBase {
     // substring dedup: a gram-hash df filter + join-back + per-doc lead
     // window — neither the shared-gram shuffle nor the interval merge
     // may leak partitioning into the coverage counts
-    "x43_substring_dedup")
+    "x43_substring_dedup",
+    // log compaction: struct-max partials merge in shuffle order; the
+    // unique leading event_id must make that invisible
+    "c9_compact",
+    // bottom-k-by-hash sampling: the drawn doc set must be identical
+    // under any partitioning — the whole point of hash priorities
+    "x44_group_sample")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -1024,6 +1024,59 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
   }
 
+  test("c9: compaction keeps tombstones, one row per key, reclaims backlog - keys rows") {
+    val c9 = Changelog.c9Compact(spark, sf0001).collect()
+    val keys = c9.map(_.getLong(0)).toSet
+    assert(c9.length == keys.size, "compaction must emit exactly one row per entity")
+    // the distinction from the c1 snapshot: keys whose LAST op is the
+    // delete-analog survive compaction as tombstones but are absent from
+    // the applied snapshot — and they are EXACTLY the difference
+    val c1Keys = Changelog.c1Snapshot(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val tombstones = c9.filter(_.getString(2) == "error").map(_.getLong(0)).toSet
+    assert(tombstones.nonEmpty,
+      "corpus has no tombstoned key — the c1/c9 distinction would be untested")
+    assert(keys -- c1Keys == tombstones,
+      s"snapshot-absent keys ${keys -- c1Keys} != tombstoned keys $tombstones")
+    // conservation: reclaimed rows + survivors == the full backlog
+    val backlog = graft.model.Tables.events(spark, sf0001).count()
+    assert(c9.map(_.getLong(4)).sum + keys.size == backlog)
+    // plan pin: one map-side-combinable aggregate, no window/join
+    val plan = Changelog.c9Compact(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") && plan.contains("partial_count"),
+      s"expected map-side partial max/count:\n$plan")
+    assert(!plan.contains("Window"), s"compaction must not plan a window:\n$plan")
+  }
+
+  test("x44: per-group sample equals brute-force bottom-k by md5 priority") {
+    val k = 3
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def h48(id: Long): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    val want = docs.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((lang, src), ds) =>
+      ds.map(d => (d._3, h48(d._3))).sortBy { case (id, h) => (h, id) }.take(k)
+        .zipWithIndex.map { case ((id, h), i) =>
+          (lang, src, ds.length.toLong, (i + 1).toLong, id, h)
+        }
+    }.sorted
+    val got = PipelineOps.x44GroupSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"first diff: ${got.zipAll(want, null, null).find(t => t._1 != t._2)}")
+    // fixed SIZE per cell regardless of skew (the contrast with x20's
+    // fixed-rate filter): every cell with >= k docs contributes exactly k
+    val perCell = got.groupBy(t => (t._1, t._2))
+    assert(perCell.forall { case (_, rows) => rows.length == math.min(k, rows.head._3) })
+    // and the draw composes with the cell count in ONE aggregate pass —
+    // no Sort, no Window (the x42 plan claim, inherited)
+    val plan = PipelineOps.x44GroupSample(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"expected one sort-free aggregate pass:\n$plan")
+  }
+
   test("topk_by: k < 1 fails at analysis time, not as a task-time error") {
     graft.model.Tables.documents(spark, sf0001).createOrReplaceTempView("x42_kcheck")
     try {
