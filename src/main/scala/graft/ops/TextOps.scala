@@ -523,8 +523,47 @@ object TextOps {
       .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
       .filter(col("d_min") =!= col("d_max")).select(col("h"))
 
+  /** x45: cross-source contamination matrix — for every source pair, how
+    * many distinct token 5-grams they SHARE, normalized by the smaller
+    * side ("who copies from whom" — the governance report behind
+    * mixture/licensing/leak decisions; x43 scores duplication per
+    * document, this rolls the same gram evidence up to the source×source
+    * level).
+    *
+    * Plan shape at 100 TB: one (source, gram-hash) dedup exchange; per
+    * gram the state is the SOURCE SET — bounded by the source count
+    * (tens), not the corpus — so the pair explode emits ≤ C(|sources|,2)
+    * rows per gram and the matrix itself is ≤ C(|sources|,2) rows total.
+    * Never a gram self-join (corpus² on hot stop-grams) and never a
+    * doc-level all-pairs; totals broadcast back onto the matrix. */
+  def x45SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val d = documents(spark, dir).select(col("source"), toks(col("text")).as("w"))
+    val g = d.select(col("source"), explode(
+        when(size(col("w")) >= k, expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          .otherwise(expr("array()"))).as("h"))
+      .distinct() // one row per source × gram; reused by totals AND pairs
+    val tot = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = g.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss")) - i - 1),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        fdiv(lit(1000L) * col("n_shared"), least(col("n_a"), col("n_b"))).as("overlap_per_1000"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x43_substring_dedup" -> x43SubstringDedup,
+    "x45_source_overlap" -> x45SourceOverlap,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_near" -> x2DedupNear,
     "x13_minhash_lsh" -> x13MinhashLsh,
@@ -546,6 +585,21 @@ object TextOps {
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    "x45_source_overlap" ->
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 5
+         |        THEN list_transform(range(1, len(w) - 3),
+         |               i -> md5(array_to_string(w[i : i + 4], ' ')))
+         |        ELSE [] END) AS h FROM d),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+         |c AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         |  ${Tables.fdivSql("1000 * n_shared", "least(ta.n, tb.n)")} AS overlap_per_1000
+         |FROM c JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "x43_substring_dedup" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 5

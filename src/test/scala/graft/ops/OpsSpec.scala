@@ -1077,6 +1077,34 @@ class OpsSpec extends SparkTestBase {
       s"expected one sort-free aggregate pass:\n$plan")
   }
 
+  test("x45: source-overlap matrix equals brute-force shared-gram counts, no gram self-join") {
+    val k = 5
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, w) =>
+      (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+    }.toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong, bySource(a).size.toLong, bySource(b).size.toLong,
+      1000L * shared / math.min(bySource(a).size, bySource(b).size))).sorted
+    val got = TextOps.x45SourceOverlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"first diff: ${got.zipAll(want, null, null).find(t => t._1 != t._2)}")
+    assert(got.nonEmpty, "corpus has no cross-source shared grams — matrix untested")
+    // plan pin: the pair generation is the bounded source-set explode,
+    // never a gram-keyed self-join (corpus² on hot stop-grams); the only
+    // joins are the two broadcast total lookups
+    val plan = TextOps.x45SourceOverlap(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"expected broadcast-only joins:\n$plan")
+    assert(plan.contains("collect_set"), s"expected the bounded source-set aggregate:\n$plan")
+  }
+
   test("topk_by: k < 1 fails at analysis time, not as a task-time error") {
     graft.model.Tables.documents(spark, sf0001).createOrReplaceTempView("x42_kcheck")
     try {
