@@ -178,6 +178,18 @@ object BenchScaling {
     // fixed — exactly the shape where selection beats sorting
     "x42_grouped_topk" -> fx(graft.ops.PipelineOps.x42GroupedTopk _),
     "x42_window_topk" -> fx(graft.ops.PipelineOps.x42WindowAudit _),
+    // log compaction: disjoint per-replica users ⇒ keys ×f with per-key
+    // history fixed — the struct-max partials must stay map-side-bound
+    "c9_compact" -> fx(graft.ops.Changelog.c9Compact _),
+    // bottom-k-by-hash sampling: replicas share (lang, source) cells, so
+    // cell size grows ×f with k fixed — the same selection-beats-sorting
+    // shape as x42, now with the hash-priority draw
+    "x44_group_sample" -> fx(graft.ops.PipelineOps.x44GroupSample _),
+    // source-overlap: replicas repeat the same text under the same
+    // sources, so the (source, gram) dedup input grows ×f while its
+    // output (and the matrix) is invariant — the audit isolates the
+    // dedup exchange, the one term that scales
+    "x45_source_overlap" -> fx(graft.ops.TextOps.x45SourceOverlap _),
     // the composed end-to-end pipeline: stages + joins + packing together
     "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
     // the held-out bigram LM: disjoint token namespaces grow the vocab and
@@ -226,7 +238,8 @@ object BenchScaling {
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",
-    "x42_grouped_topk", "x42_window_topk")
+    "x42_grouped_topk", "x42_window_topk",
+    "x44_group_sample", "x45_source_overlap")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high
