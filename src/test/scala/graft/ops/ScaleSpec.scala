@@ -301,6 +301,25 @@ class ScaleSpec extends SparkTestBase {
     assert(probed * 2 < plain, s"probe did not cut the shuffle: probed=$probed plain=$plain")
   }
 
+  test("x43's min/max detection shuffles no more bytes than the countDistinct form, in one exchange") {
+    // the round-11 rewrite's claim, measured: "occurs in >=2 distinct
+    // docs" via min/max is ONE exchange where countDistinct plans two (a
+    // (h, doc_id) dedup pass, then the count) — on the positional-gram
+    // intermediate, the biggest this query has. Bytes are the honest
+    // meter (local shuffles are memory-speed).
+    import org.apache.spark.sql.functions.countDistinct
+    val d = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = graft.ops.TextOps.x43Grams(d, 5)
+    val minmax = shuffledBytes(graft.ops.TextOps.x43SharedGrams(grams))
+    val twoPass = shuffledBytes(grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h")))
+    assert(minmax > 0 && twoPass > 0, s"exchange metrics missing: $minmax / $twoPass")
+    assert(minmax <= twoPass,
+      s"single-exchange detection moved MORE bytes: minmax=$minmax countDistinct=$twoPass")
+  }
+
   test("x42's heap aggregate: window-twin parity, bytes vs the un-rewritten window, no map-side sort") {
     // Credit where due, measured here rather than assumed: Spark's own
     // InferWindowGroupLimit (3.5+) rewrites `row_number() ... <= lit(k)`
