@@ -171,6 +171,72 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s13 production form: update-mode windowed GK quantiles under a watermark") {
+    // the registered s13 gate runs complete mode; its documented 100 TB
+    // form is update mode + event-time watermark, the state row being
+    // the mergeable GK summary and closed windows evicting. Pin the
+    // quantile value and that a beyond-late row cannot reopen a closed
+    // window.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val ev = ms.toDS().toDF("ts", "v")
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(percentile_approx(col("v"), array(lit(0.5)), lit(1000)).as("qs"))
+      .select(col("window.start").as("start"), col("qs").getItem(0).as("p50"))
+    val q = agg.writeStream.format("memory").queryName("s13prod")
+      .outputMode("update").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 0), 10L), (t(1, 10), 20L), (t(1, 20), 30L), (t(2, 30), 7L))
+      q.processAllAvailable() // watermark → 02:20, hour-1 window closed
+      ms.addData((t(1, 30), 1000L), (t(2, 40), 9L)) // 01:30 is beyond-late
+      q.processAllAvailable()
+      val rows = s.table("s13prod").collect()
+        .groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getLong(1)).last).toMap
+      assert(rows(t(1, 0)) == 20L,
+        s"hour-1 median must stay 20 (late 1000 dropped, window closed): $rows")
+      assert(rows(t(2, 0)) == 7L || rows(t(2, 0)) == 8L || rows(t(2, 0)) == 9L,
+        s"hour-2 median of {7,9}: $rows")
+    } finally q.stop()
+  }
+
+  test("s14 production form: update-mode windowed top-k heap under a watermark") {
+    // the heap aggregate is a TypedImperativeAggregate like the GK/HLL
+    // buffers — this pins that it serializes through the streaming state
+    // store in update mode and that closed windows evict (the s14
+    // scaladoc's production-form claim, measured).
+    import graft.functions.TopKByAgg.topkBy
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Long)]
+    val ev = ms.toDS().toDF("ts", "v", "tag")
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(topkBy(col("v"), col("tag"), 2).as("tk"))
+      .select(col("window.start").as("start"), col("tk"))
+    val q = agg.writeStream.format("memory").queryName("s14prod")
+      .outputMode("update").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 0), 5L, 1L), (t(1, 10), 9L, 2L), (t(1, 20), 7L, 3L),
+        (t(2, 30), 4L, 8L))
+      q.processAllAvailable() // hour-1 closed
+      ms.addData((t(1, 30), 100L, 9L), (t(2, 40), 6L, 10L)) // beyond-late
+      q.processAllAvailable()
+      val rows = s.table("s14prod").collect()
+        .groupBy(_.getTimestamp(0)).view.mapValues(_.map(r =>
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).last)
+        .toMap
+      assert(rows(t(1, 0)) == Seq((9L, 2L), (7L, 3L)),
+        s"hour-1 top-2 must exclude the beyond-late 100: $rows")
+      assert(rows(t(2, 0)) == Seq((6L, 10L), (4L, 8L)), s"hour-2 top-2: $rows")
+    } finally q.stop()
+  }
+
   test("s5: dropDuplicatesWithinWatermark suppresses replayed ids") {
     val s = spark
     import s.implicits._
