@@ -718,7 +718,9 @@ class OpsSpec extends SparkTestBase {
       "x29" -> PipelineOps.x29Decontam _,
       "x32" -> PipelineOps.x32Repetition _,
       "x36" -> PipelineOps.x36IncrementalDedup _,
-      "x43" -> TextOps.x43SubstringDedup _)
+      "x43" -> TextOps.x43SubstringDedup _,
+      "x44" -> PipelineOps.x44GroupSample _,
+      "x45" -> TextOps.x45SourceOverlap _)
     ops.foreach { case (name, fn) =>
       val rows = fn(spark, dir).collect() // must not throw on gram-less docs
       rows.foreach(r => (0 until r.length).foreach(i =>
@@ -742,6 +744,16 @@ class OpsSpec extends SparkTestBase {
     val x32 = PipelineOps.x32Repetition(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(x32(0L) == (0L, 1000L), s"1-token doc: ${x32(0L)}")
+    // x45: the only shared gram is the doc-4/100 dup, but it lives
+    // WITHIN src2 — cross-source the matrix must be empty (gram-less
+    // and unshared sources contribute no pair rows, not zero rows)
+    assert(TextOps.x45SourceOverlap(spark, dir).collect().isEmpty,
+      "edge corpus has no CROSS-source shared gram; matrix must be empty")
+    // x44: every cell has < k docs, so each emits its whole membership
+    val x44 = PipelineOps.x44GroupSample(spark, dir).collect()
+    assert(x44.length == 7 && x44.map(_.getLong(4)).toSet ==
+      Set(0L, 1L, 2L, 3L, 4L, 100L, 101L),
+      s"cells smaller than k must emit every doc: ${x44.mkString(", ")}")
   }
 
   test("x37: manifest rows reconcile exactly with the x31 layout") {
