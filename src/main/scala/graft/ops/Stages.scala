@@ -110,6 +110,9 @@ object Stages {
     // parquet mode: this session's run_<id> scratch subdir is dead with
     // its entries
     dropRunScratch(spark)
+    // the stream gates' staged replay feeds are session-pinned disk the
+    // same way — one eviction call frees everything
+    graft.streaming.StreamGate.evictSessionFeeds(spark)
   }
 
   /** Drop a session's run id, deleting its parquet-mode `run_<id>`

@@ -111,6 +111,20 @@ object StreamGate {
     }
   }
 
+  /** Drop and delete one session's shared feeds — wired into
+    * [[graft.ops.Stages.evictSession]], so the documented "one call
+    * frees everything this session pinned" contract covers the staged
+    * feed dirs too (a long-lived JVM cycling sessions over one context
+    * would otherwise keep each dead session's feeds on disk until
+    * application end). A failed staging build never reaches the cache
+    * (getOrElseUpdate inserts only on success), so the next caller
+    * simply rebuilds. */
+  private[graft] def evictSessionFeeds(spark: SparkSession): Unit = synchronized {
+    feedCache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      feedCache.remove(k).foreach(f => deleteFeed(k._1, f.dir))
+    }
+  }
+
   private def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
 
