@@ -48,6 +48,33 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Media table from a REAL file directory — the production ingest
+    * ([[graft.sources.Sources.binaryFiles]]): doc_id is a stable hash of
+    * the file path, format the lowercased extension, dims derived
+    * deterministically from the length (no codecs in this container; a
+    * real header parse plugs into the same decode batch). The payload
+    * column is the file's bytes, untouched. */
+  def mediaFromFiles(spark: SparkSession, path: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = regexp_extract(col("path"), "\\.([^./\\\\]+)$", 1)
+    graft.sources.Sources.binaryFiles(spark, path, glob)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        lower(when(ext === "", lit("bin")).otherwise(ext)).as("format"),
+        (col("length") % 640).cast("int").as("width"),
+        (col("length") % 480).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** The decode entry for ANY media table (synthetic or file-ingested):
+    * per-partition batch, codec init amortized per task. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(decodeBatch)
+  }
+
   /** STUB decode: in production this is the codec call; here it computes
     * deterministic byte statistics so the pipeline is oracle-checkable. */
   private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
@@ -62,13 +89,10 @@ object Multimodal {
 
   /** x15: media pipeline — binary payload → per-partition batch decode;
     * metadata flows through the decode (one scan, no re-join). */
-  def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .mapPartitions(decodeBatch)
+  def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(spark, dir))
       .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("width"))
       .orderBy("doc_id")
-  }
 
   /** x15b: media transforms — the resize / frame-sample verbs of a media
     * pipeline, stubbed deterministically over the opaque payload (resize ≙

@@ -103,6 +103,22 @@ object Sources {
     (good, bad)
   }
 
+  /** Native binary-file ingress — the multimodal INGEST leg: a directory
+    * of media files as (path, modificationTime, length, content), the
+    * payload an opaque binary column with the file metadata typed
+    * alongside. `pathGlobFilter` prunes by name at LISTING time (a
+    * non-matching file is never opened); `recursiveFileLookup` walks
+    * nested shard dirs; `spark.sql.files.maxPartitionBytes` governs how
+    * many files land in one task. Column pruning is real here: a
+    * metadata-only query (count, size histogram, partition planning)
+    * reads no payload bytes at all — asserted in SourcesSpec. Feeds
+    * [[graft.ops.Multimodal.mediaFromFiles]]. */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+
   /** JDBC WAL table — the direct analog of the reference's source. Pass
     * predicates/partitioning options for parallel reads (numPartitions +
     * partitionColumn=id bounds the per-task slice of the log). */

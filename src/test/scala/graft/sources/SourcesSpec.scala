@@ -93,6 +93,41 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("binaryFile ingress: glob prunes at listing, metadata reads skip payload, decode e2e") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-media")
+    Files.createDirectories(dir.resolve("shard0"))
+    Files.write(dir.resolve("shard0/a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("shard0/b.wav"), Array[Byte](10, 20))
+    Files.write(dir.resolve("c.png"), Array[Byte](7))
+    Files.write(dir.resolve("notes.txt"), "x".getBytes)
+    // glob prunes by NAME at listing time (recursive across shard dirs)
+    val pngs = Sources.binaryFiles(s, dir.toString, "*.png")
+    assert(pngs.count() == 2)
+    val all = Sources.binaryFiles(s, dir.toString)
+    assert(all.count() == 4)
+    // a metadata-only query must not read payload bytes: the scan's
+    // ReadSchema carries path/length only, no content column
+    val metaPlan = all.select(col("path"), col("length"))
+      .queryExecution.executedPlan.toString
+    assert(!metaPlan.contains("content"),
+      s"metadata query must prune the payload column:\n$metaPlan")
+    // ingest → typed media rows → the same decode batch x15 uses
+    val feats = graft.ops.Multimodal.decodeFeatures(
+        graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.png"))
+      .collect().sortBy(_.n_bytes)
+    assert(feats.length == 2)
+    assert(feats.map(_.format).toSet == Set("png"))
+    assert(feats.map(f => (f.n_bytes, f.byte_sum)).toSeq == Seq((1L, 7L), (4L, 10L)),
+      feats.mkString(", "))
+    // doc_id is a stable path hash: re-reading yields identical ids
+    val ids1 = graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.png")
+      .collect().map(_.doc_id).sorted.toSeq
+    val ids2 = graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.png")
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(ids1 == ids2 && ids1.distinct.size == 2)
+  }
+
   test("orc round-trips the WAL tables with pushdown intact; feeds the WAL stream") {
     val s = spark
     import s.implicits._
