@@ -561,8 +561,122 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** x46 knobs: the "title" is the first [[x46TitleToks]] tokens of the
+    * document; a pair is emitted when the titles' edit distance is ≤
+    * [[x46EditTau]] and the docs share a language. */
+  val x46TitleToks = 24
+  val x46EditTau = 5
+
+  private def x46Titles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("lang"),
+      concat_ws(" ", slice(toks(col("text")), 1, x46TitleToks)).as("title"))
+      .withColumn("m", length(col("title")).cast(LongType))
+
+  /** Even (τ+1)-way partition of a length-`len` string: 1-based start and
+    * width of segment `i` (0-based); the first len%(τ+1) segments carry
+    * the extra char. Shared by the index and probe sides — the two MUST
+    * agree or candidate recall silently breaks. */
+  private def x46SegStart(len: Column, i: Column): Column =
+    i * floor(len / (x46EditTau + 1)) + least(i, len % (x46EditTau + 1)) + 1
+  private def x46SegLen(len: Column, i: Column): Column =
+    floor(len / (x46EditTau + 1)) +
+      when(i < len % (x46EditTau + 1), lit(1L)).otherwise(lit(0L))
+
+  /** Index side of the PassJoin: each doc of title-length ≥ τ+1 emits its
+    * τ+1 partition segments keyed by (title length, segment index). */
+  private[graft] def x46IndexSegs(t: DataFrame): DataFrame =
+    t.filter(col("m") >= x46EditTau + 1)
+      .select(col("doc_id"), col("lang"), col("m").as("len"), col("title"),
+        explode(sequence(lit(0L), lit(x46EditTau.toLong))).as("i"))
+      .select(col("doc_id"), col("lang"), col("len"), col("i"),
+        col("title").substr(x46SegStart(col("len"), col("i")),
+          x46SegLen(col("len"), col("i"))).as("sub"))
+
+  /** Probe side: each doc emits, for every plausible partner length
+    * len ∈ [m−τ, m+τ] and segment index, the substrings at start shifts
+    * d ∈ [−τ, τ] — the complete candidate window (an untouched segment's
+    * start moves by at most the net indel count before it, ≤ τ). Bounded
+    * fanout: ≤ (2τ+1)²(τ+1) rows per doc before the distinct. */
+  private[graft] def x46ProbeSubs(t: DataFrame): DataFrame =
+    t.filter(col("m") >= x46EditTau + 1)
+      .select(col("doc_id"), col("lang"), col("m"), col("title"),
+        explode(sequence(greatest(col("m") - x46EditTau, lit((x46EditTau + 1).toLong)),
+          col("m") + x46EditTau)).as("len"))
+      .select(col("doc_id"), col("lang"), col("m"), col("title"), col("len"),
+        explode(sequence(lit(0L), lit(x46EditTau.toLong))).as("i"))
+      .select(col("doc_id"), col("lang"), col("m"), col("title"), col("len"), col("i"),
+        explode(sequence(lit(-x46EditTau.toLong), lit(x46EditTau.toLong))).as("d"))
+      .withColumn("pos", x46SegStart(col("len"), col("i")) + col("d"))
+      .withColumn("w", x46SegLen(col("len"), col("i")))
+      .filter(col("pos") >= 1 && col("pos") + col("w") - 1 <= col("m"))
+      .select(col("doc_id"), col("lang"), col("len"), col("i"),
+        col("title").substr(col("pos"), col("w")).as("sub"))
+      .distinct()
+
+  /** x46: exact edit-distance similarity join over document titles —
+    * "which docs start near-identically" (fuzzy-duplicate titles within a
+    * language; the sequence-aware sibling of x2's set-based n-gram
+    * Jaccard). PassJoin (Li, Deng, Feng, PVLDB 2011): partition each
+    * title into τ+1 segments; any string within τ edits of it must
+    * contain one segment VERBATIM at a start shift ≤ τ (pigeonhole — at
+    * least one segment is untouched by any of the ≤ τ edits, and its
+    * position moves only by the net indels before it). So candidate
+    * generation is a pure EQUI-join on (length, segment index, segment
+    * text) + language — never an all-pairs cross product — and the
+    * verify is one thresholded `levenshtein` per surviving pair (early
+    * exit at τ, banded O(τ·len) DP).
+    *
+    * Completeness split: titles shorter than τ+1 chars can have every
+    * char edited (no untouched segment), so docs with m ≤ 2τ pair up in
+    * a per-language short bucket instead (any partner within τ edits is
+    * itself ≤ 2τ long — max(len) bounds the distance); pairs where both
+    * lengths land in [τ+1, 2τ] may surface twice, the pair-level
+    * distinct collapses them.
+    *
+    * Scale notes (100 TB posture): index side emits τ+1 rows/doc, probe
+    * ≤ (2τ+1)²(τ+1) short rows/doc — linear fanout, then one shuffle on
+    * the (len, i, sub) key. Hot segments (boilerplate title prefixes)
+    * fan out like any hot join key — cap by segment df exactly as x2
+    * caps shingle df, or salt via q25's saltedEquiJoin; on this corpus
+    * max segment df is single digits. Verify joins touch only candidate
+    * ids (titles re-joined by id, never carried through the explode). */
+  def x46EditJoin(spark: SparkSession, dir: String): DataFrame =
+    x46PairsFromTitles(x46Titles(spark, dir))
+
+  /** Candidate generation + verify over any (doc_id, lang, title, m)
+    * frame — split out so specs can drive synthetic corpora through the
+    * exact production path. */
+  private[graft] def x46PairsFromTitles(t: DataFrame): DataFrame = {
+    val a = x46IndexSegs(t).select(col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"), col("len"), col("i"), col("sub"))
+    val b = x46ProbeSubs(t).select(col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("len").as("len_b"), col("i").as("i_b"),
+      col("sub").as("sub_b"))
+    val segPairs = a.join(b,
+        col("len") === col("len_b") && col("i") === col("i_b") &&
+          col("sub") === col("sub_b") && col("lang_a") === col("lang_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val s = t.filter(col("m") <= 2 * x46EditTau)
+    val shortPairs = s.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")),
+        col("lang_a") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = segPairs.union(shortPairs).distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("lang"), col("title").as("title_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("title").as("title_b")), "doc_b")
+      .withColumn("dist",
+        call_function("levenshtein", col("title_a"), col("title_b"),
+          lit(x46EditTau)).cast(LongType))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x43_substring_dedup" -> x43SubstringDedup,
+    "x46_edit_join" -> x46EditJoin,
     "x45_source_overlap" -> x45SourceOverlap,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_near" -> x2DedupNear,
@@ -585,6 +699,16 @@ object TextOps {
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    "x46_edit_join" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |        array_to_string(list_slice(string_split(text, ' '), 1, $x46TitleToks), ' ') AS title
+         |      FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+         |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND abs(length(a.title) - length(b.title)) <= $x46EditTau
+         |WHERE levenshtein(a.title, b.title) <= $x46EditTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x45_source_overlap" ->
       s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 5
