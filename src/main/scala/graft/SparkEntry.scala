@@ -25,6 +25,7 @@ object SparkEntry {
       (PipelineOps.queries, PipelineOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (Layout.queries, Layout.oracle),
       (StreamingBatch.queries, StreamingBatch.oracle),
       (graft.streaming.StreamGate.queries, graft.streaming.StreamGate.oracle))
 
