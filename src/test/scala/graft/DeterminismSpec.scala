@@ -116,7 +116,14 @@ class DeterminismSpec extends SparkTestBase {
     "x44_group_sample",
     // source-overlap: collect_set order varies with partitioning; the
     // sort_array + ordered pair explode must make that invisible
-    "x45_source_overlap")
+    "x45_source_overlap",
+    // PassJoin: segment/probe candidate sets vary with nothing, but the
+    // union + distinct + double join-back chain crosses three shuffles —
+    // the verified pair set must be identical under any partitioning
+    "x46_edit_join",
+    // z-order cells: normalization bounds cross a broadcast and the cell
+    // rollup is all integer bit math — neither may see partitioning
+    "x47_zorder")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint
