@@ -190,6 +190,14 @@ object BenchScaling {
     // output (and the matrix) is invariant — the audit isolates the
     // dedup exchange, the one term that scales
     "x45_source_overlap" -> fx(graft.ops.TextOps.x45SourceOverlap _),
+    // PassJoin: disjoint token namespaces keep segments replica-local, so
+    // candidate volume and verified pairs grow ×f with per-pair work
+    // unchanged — index/probe fanout is a per-row constant
+    "x46_edit_join" -> fx(graft.ops.TextOps.x46EditJoin _),
+    // z-order: replicas widen the user-id span, not the row shape — the
+    // per-row bit dilation and the 64-cell map-side rollup must track the
+    // scan linearly
+    "x47_zorder" -> fx(graft.ops.Layout.x47Zorder _),
     // the composed end-to-end pipeline: stages + joins + packing together
     "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
     // the held-out bigram LM: disjoint token namespaces grow the vocab and
@@ -239,7 +247,7 @@ object BenchScaling {
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk",
-    "x44_group_sample", "x45_source_overlap")
+    "x44_group_sample", "x45_source_overlap", "x46_edit_join")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

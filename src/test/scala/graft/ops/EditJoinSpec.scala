@@ -72,9 +72,19 @@ class EditJoinSpec extends SparkTestBase {
       }
       (s1, s)
     }
-    val pairs = (0 until 60).map(i => graft.SparkTestBase.sampleGen(editGen, 1000 + i))
+    // adversarial shapes for the multi-match window bounds: all edits
+    // clustered at one end (max |d| for the first/last segments)
+    val clustered = Seq(
+      ("abcabcabcabcabcabcabcabc", "xxxxx" + "abcabcabcabcabcabcabcabc"), // 5 inserts at 0
+      ("abcabcabcabcabcabcabcabc", "abcabcabcabcabcabcabcabc".drop(5)),  // 5 deletes at 0
+      ("abcabcabcabcabcabcabcabc", "abcabcabcabcabcabcabcabc" + "yyyyy"), // 5 inserts at end
+      ("abcabcabcabcabcabcabcabc", "abcabcabcabcabcabcabcabc".dropRight(5)),
+      ("aaabbbcccaaabbbccc", "bbb" + "aaabbbcccaaabbbccc".dropRight(2)),  // mixed ends
+      ("abababababababab", "babababababababa"))                            // shift-by-one
+    val pairs = ((0 until 200).map(i => graft.SparkTestBase.sampleGen(editGen, 1000 + i))
+      ++ clustered)
       .filter { case (a, b) => lev(a, b) <= tau }
-    assert(pairs.size >= 40, s"generator should mostly stay within tau, got ${pairs.size}")
+    assert(pairs.size >= 160, s"generator should mostly stay within tau, got ${pairs.size}")
     // one operator invocation over all pairs at once: docs 2i / 2i+1 share
     // a private language so only intended pairs can match
     val rows = pairs.zipWithIndex.flatMap { case ((s1, s2), i) =>
@@ -95,9 +105,11 @@ class EditJoinSpec extends SparkTestBase {
     assert(viaOperator(rows) === bruteForce(rows))
   }
 
-  test("x46: plan is equi-join only — no cross product anywhere") {
+  test("x46: plan is equi-join only — no cross product, candidates via shuffle-hash") {
     val plan = TextOps.x46EditJoin(spark, sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.linesIterator.take(40).mkString("\n"))
+    // the candidate join must never sort the probe explosion
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(40).mkString("\n"))
   }
 }
