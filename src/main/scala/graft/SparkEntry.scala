@@ -26,6 +26,7 @@ object SparkEntry {
       (VectorOps.queries, VectorOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Layout.queries, Layout.oracle),
+      (Audit.queries, Audit.oracle),
       (StreamingBatch.queries, StreamingBatch.oracle),
       (graft.streaming.StreamGate.queries, graft.streaming.StreamGate.oracle))
 

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables._
+
+/** Data-quality constraint audit (the Deequ/Great-Expectations shape,
+  * public AWS/OSS practice): declarative constraints over the warehouse
+  * tables, evaluated into one verdict row each — (check_name, checked,
+  * violations, pass). The gate a training-data pipeline runs BEFORE
+  * admitting a crawl/CDC batch into the corpus.
+  *
+  * Scale notes (100 TB posture): every row-level constraint on a table
+  * folds into ONE shared aggregate pass over that table (a `sum(when)`
+  * per constraint — one scan however many constraints), uniqueness adds
+  * the key-distinct term to the same aggregate (Spark plans single
+  * count-distinct alongside plain sums without an Expand), and
+  * referential integrity is one LEFT join against the distinct parent
+  * keys with a null-side count — never a row-by-row lookup. Verdict
+  * frames are 1-row; the union is free. */
+object Audit {
+  /** One-pass row-level checks: each (name, violation-predicate) becomes
+    * a verdict row; adding a check adds a `sum(when)` to ONE aggregate,
+    * not a scan — the 1-row aggregate then explodes into verdict rows,
+    * so the table appears exactly once in the plan (a union of selects
+    * over the agg would copy the whole aggregate subtree per row). */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)],
+      uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    val sums = checks.zipWithIndex.map { case ((_, bad), ix) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"v_$ix") } ++
+      uniqueKey.map { case (_, k) => count_distinct(k).as("d_u") }.toSeq
+    val entries = checks.zipWithIndex.map { case ((n, _), ix) =>
+      struct(lit(n).as("check_name"), col(s"v_$ix").as("violations")) } ++
+      uniqueKey.map { case (n, _) =>
+        struct(lit(n).as("check_name"),
+          (col("checked") - col("d_u")).as("violations")) }.toSeq
+    df.agg(count(lit(1)).as("checked"), sums: _*)
+      .select(col("checked"), explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name").as("check_name"), col("checked"),
+        col("e.violations").as("violations"))
+  }
+
+  /** Referential integrity in one pass: LEFT join the distinct parent
+    * keys and count the null side — checked and violations from the
+    * same scan (the anti-join twin would split them into two). */
+  def fkCheck(name: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame =
+    child.select(col(key))
+      .join(parent.select(col(pkey).as(key)).distinct()
+        .withColumn("__present", lit(1)), Seq(key), "left")
+      .agg(count(lit(1)).as("checked"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(name).as("check_name"), col("checked"), col("violations"))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** x48: the warehouse constraint audit — completeness, domain,
+    * uniqueness, ranges, derived-column consistency, and the
+    * lineitem→orders foreign key, one verdict row per constraint. */
+  def x48ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val li = lineitem(spark, dir)
+    val docs = documents(spark, dir)
+    val verdicts = Seq(
+      rowChecks(e, Seq(
+        "events.value_complete" -> col("value").isNull,
+        "events.ts_complete" -> col("ts").isNull,
+        "events.type_domain" -> !col("event_type").isin(eventTypes: _*)),
+        uniqueKey = Some("events.event_id_unique" -> col("event_id"))),
+      rowChecks(li, Seq(
+        "lineitem.quantity_positive" -> (col("l_quantity") <= 0),
+        "lineitem.discount_range" -> (col("l_discount") < 0 || col("l_discount") > 1))),
+      fkCheck("lineitem.orderkey_fk", li, "l_orderkey",
+        orders(spark, dir), "o_orderkey"),
+      rowChecks(docs, Seq(
+        "documents.nchars_consistent" -> (col("n_chars") =!= length(col("text")))),
+        uniqueKey = Some("documents.doc_id_unique" -> col("doc_id"))))
+    verdicts.reduce(_ unionByName _)
+      .select(col("check_name"), col("checked"), col("violations"),
+        when(col("violations") === 0, 1L).otherwise(0L).as("pass"))
+      .orderBy("check_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_constraint_audit" -> x48ConstraintAudit)
+
+  private val typeList = eventTypes.map(t => s"'$t'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "x48_constraint_audit" ->
+      s"""WITH v AS (
+         |  SELECT 'events.value_complete' AS check_name, count(*) AS checked,
+         |    count(*) - count(value) AS violations FROM events
+         |  UNION ALL SELECT 'events.ts_complete', count(*),
+         |    count(*) - count(ts) FROM events
+         |  UNION ALL SELECT 'events.type_domain', count(*),
+         |    sum(CASE WHEN event_type NOT IN ($typeList) THEN 1 ELSE 0 END) FROM events
+         |  UNION ALL SELECT 'events.event_id_unique', count(*),
+         |    count(*) - count(DISTINCT event_id) FROM events
+         |  UNION ALL SELECT 'lineitem.quantity_positive', count(*),
+         |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+         |  UNION ALL SELECT 'lineitem.discount_range', count(*),
+         |    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) FROM lineitem
+         |  UNION ALL SELECT 'lineitem.orderkey_fk', (SELECT count(*) FROM lineitem),
+         |    (SELECT count(*) FROM lineitem l
+         |      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         |  UNION ALL SELECT 'documents.nchars_consistent', count(*),
+         |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) FROM documents
+         |  UNION ALL SELECT 'documents.doc_id_unique', count(*),
+         |    count(*) - count(DISTINCT doc_id) FROM documents)
+         |SELECT check_name, CAST(checked AS BIGINT) AS checked,
+         |  CAST(violations AS BIGINT) AS violations,
+         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM v ORDER BY check_name""".stripMargin)
+}

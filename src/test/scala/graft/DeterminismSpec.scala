@@ -123,7 +123,10 @@ class DeterminismSpec extends SparkTestBase {
     "x46_edit_join",
     // z-order cells: normalization bounds cross a broadcast and the cell
     // rollup is all integer bit math — neither may see partitioning
-    "x47_zorder")
+    "x47_zorder",
+    // constraint audit: per-table one-pass sums + a count-distinct + the
+    // fk left join — every verdict count must be partition-invariant
+    "x48_constraint_audit")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint
