@@ -198,6 +198,11 @@ object BenchScaling {
     // per-row bit dilation and the 64-cell map-side rollup must track the
     // scan linearly
     "x47_zorder" -> fx(graft.ops.Layout.x47Zorder _),
+    // constraint audit: replicas grow every audited table ×f while the
+    // verdict set stays fixed — the one-scan-per-table claim means the
+    // line must track the scans, with the FK join the only exchange that
+    // grows (distinct parent keys ×f)
+    "x48_constraint_audit" -> fx(graft.ops.Audit.x48ConstraintAudit _),
     // the composed end-to-end pipeline: stages + joins + packing together
     "x38_pipeline_e2e" -> fx(graft.ops.PipelineOps.x38PipelineE2e _),
     // the held-out bigram LM: disjoint token namespaces grow the vocab and
@@ -247,7 +252,8 @@ object BenchScaling {
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk",
-    "x44_group_sample", "x45_source_overlap", "x46_edit_join")
+    "x44_group_sample", "x45_source_overlap", "x46_edit_join",
+    "x48_constraint_audit")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

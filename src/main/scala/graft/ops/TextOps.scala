@@ -191,6 +191,123 @@ object TextOps {
     if (sorted) pairs.orderBy("d1", "d2") else pairs
   }
 
+  /** x49 similarity threshold as an exact rational: Jaccard ≥ 3/5. The
+    * integer admission predicate (1+τ)·|∩| ≥ τ·(|x|+|y|), i.e.
+    * 8·inter ≥ 3·(n1+n2), is shared verbatim with the oracle — the
+    * rounded `scaled4 ≥ 6000` form x2 uses would admit jaccard ≥ 0.59995,
+    * which the prefix-filter lemma does not cover. */
+  private val x49TauNum = 3L
+  private val x49TauDen = 5L
+
+  /** x49: EXACT set-similarity self-join (word-3-gram Jaccard ≥ 0.6) via
+    * AllPairs/PPJoin prefix filtering — the uncapped companion to x2
+    * (reference similarity queries: same family as `x2_dedup_near`,
+    * `/root/reference/README.md:7-16` scope note). x2 bounds candidates
+    * by DROPPING hot shingles (a df cap mirrored in its oracle — a
+    * slightly different, capped similarity contract); x49 keeps every
+    * gram and bounds candidates structurally instead: each doc indexes
+    * only its p = n − ⌈τ·n⌉ + 1 globally-RAREST grams (canonical order:
+    * global df asc, digest asc — the AllPairs rarest-first order), and
+    * the prefix lemma (Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    * guarantees any pair with J ≥ τ shares at least one gram inside both
+    * prefixes. The DuckDB oracle is the BRUTE-FORCE all-shared-gram join,
+    * so the hash gate itself proves the filter lossless.
+    *
+    * Scale notes (100 TB posture): the ranked gram index (one gram-key
+    * exchange for global df, one doc exchange for the rank) is the
+    * natural materialized pipeline stage — localCheckpoint here, a
+    * parquet stage at corpus scale (like x2's posting index); it executes
+    * ONCE and feeds all three consumers (prefix index + both verify
+    * sides — a naive formulation re-runs the shingle explode per
+    * consumer). Candidates come from posting lists of PREFIX entries
+    * only (list length ≤ min(df, docs that rank this gram in their
+    * rarest 40%)) with the τ length filter (3·max(n) ≤ 5·min(n)) applied
+    * during enumeration; verification is one linear join of candidates
+    * against the gram index per side. Candidate volume on a degenerate
+    * all-identical corpus is quadratic — but so is the exact OUTPUT, so
+    * that is an output property, not an index failure; a corpus where
+    * the output itself must stay bounded needs x2's capped contract or
+    * x13's LSH instead. */
+  def x49SetsimJoin(spark: SparkSession, dir: String): DataFrame =
+    x49On(shingleHash64Rows(spark, dir))
+
+  /** Brute-force twin of [[x49SetsimJoin]] (tests only, never
+    * registered): the all-shared-gram join with no prefix filter — the
+    * internal losslessness pin (SetsimSpec asserts byte equality on the
+    * driver corpus and on randomized synthetic corpora). */
+  private[graft] def x49Brute(spark: SparkSession, dir: String): DataFrame =
+    x49BruteOn(shingleHash64Rows(spark, dir))
+
+  private[graft] def x49BruteOn(g0: DataFrame): DataFrame = {
+    val g = g0.localCheckpoint(true)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    g.select(col("doc_id").as("d1"), col("h0"), col("h1"))
+      .join(g.select(col("doc_id").as("d2"), col("h0"), col("h1")), Seq("h0", "h1"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(col("inter") * (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        scaled4(col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac_s4"))
+      .orderBy("d1", "d2")
+  }
+
+  /** [[x49SetsimJoin]] over any (doc_id, h0, h1) gram frame — split out
+    * so the prefix-filter losslessness is testable on synthetic
+    * corpora. */
+  private[graft] def x49On(g0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("h0"), col("h1"))
+    val wD = Window.partitionBy(col("doc_id"))
+    val wR = wD.orderBy(col("df"), col("h0"), col("h1"))
+    // gram index: global df (one gram-key exchange), per-doc rarest-first
+    // rank and set size (both window passes ride ONE doc_id exchange —
+    // same partition keys). Eager checkpoint for the same reason as x2's
+    // posting index: three consumers, diamond plans re-compute, LAZY
+    // races concurrent use. At 100 TB this is the parquet gram stage.
+    val ranked = g0
+      .withColumn("df", count(lit(1)).over(wG))
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wD))
+      .select(col("doc_id"), col("h0"), col("h1"), col("rnk"), col("n"))
+      .localCheckpoint(true)
+    // p = n − ⌈τn⌉ + 1; ceil(3n/5) = floor((3n+4)/5) — exact in double
+    // far past any document size
+    val prefix = ranked.filter(
+      col("rnk") <= col("n") - floor((col("n") * x49TauNum + x49TauDen - 1) / x49TauDen) + 1)
+    // candidates from PREFIX posting lists (inverted index, not a
+    // self-join — the index subtree executes once); sort_array on
+    // struct(doc_id, n) orders by doc_id, so enumeration is strict
+    // d1 < d2; the τ length filter (3·max(n) ≤ 5·min(n)) prunes during
+    // enumeration, before the pair ever exists as a row
+    val cand = prefix
+      .groupBy(col("h0"), col("h1"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        filter(
+          transform(
+            slice(col("ds"), i + 2, size(col("ds")) - i - 1),
+            b => struct(a.getField("doc_id").as("d1"), a.getField("n").as("n1"),
+              b.getField("doc_id").as("d2"), b.getField("n").as("n2"))),
+          p => p.getField("n1") * x49TauNum <= p.getField("n2") * x49TauDen &&
+            p.getField("n2") * x49TauNum <= p.getField("n1") * x49TauDen)))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.n1").as("n1"),
+        col("p.d2").as("d2"), col("p.n2").as("n2"))
+      .distinct()
+    // verify: exact intersection of the FULL gram sets — one linear
+    // equi-join of candidates against the gram index per side
+    cand
+      .join(ranked.select(col("doc_id").as("d1"), col("h0"), col("h1")), Seq("d1"))
+      .join(ranked.select(col("doc_id").as("d2"), col("h0"), col("h1")), Seq("d2", "h0", "h1"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        scaled4(col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac_s4"))
+      .orderBy("d1", "d2")
+  }
+
   /** Document-frequency cap on x13's band buckets: a (band, signature)
     * bucket shared by more than this many documents is dropped before
     * pair enumeration. A bucket with occupancy d yields C(d,2) candidate
@@ -700,6 +817,7 @@ object TextOps {
     "x45_source_overlap" -> x45SourceOverlap,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_near" -> x2DedupNear,
+    "x49_setsim_join" -> x49SetsimJoin,
     "x13_minhash_lsh" -> x13MinhashLsh,
     "x7_simhash" -> x7Simhash,
     "x8_lang_id" -> x8LangId,
@@ -778,6 +896,19 @@ object TextOps {
          |  ${scaled4Sql("inter / (s1.n + s2.n - inter)")} AS jac_s4
          |FROM p JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE ${scaled4Sql("inter / (s1.n + s2.n - inter)")} >= 6000
+         |ORDER BY d1, d2""".stripMargin,
+    // BRUTE FORCE on purpose: the all-shared-gram join with no prefix
+    // filter — the gate hash-matching it proves x49's filter lossless
+    "x49_setsim_join" ->
+      s"""WITH g AS (SELECT doc_id, gh FROM ($shingleHashRowsSql)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+         |  ${scaled4Sql("inter / (s1.n + s2.n - inter)")} AS jac_s4
+         |FROM p JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE ${x49TauNum + x49TauDen} * inter >= $x49TauNum * (s1.n + s2.n)
          |ORDER BY d1, d2""".stripMargin,
     "x13_minhash_lsh" -> {
       val mhs = (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s").mkString(", ")

@@ -126,7 +126,11 @@ class DeterminismSpec extends SparkTestBase {
     "x47_zorder",
     // constraint audit: per-table one-pass sums + a count-distinct + the
     // fk left join — every verdict count must be partition-invariant
-    "x48_constraint_audit")
+    "x48_constraint_audit",
+    // prefix-filtered set-similarity: rank windows, posting-list
+    // enumeration and the double verify join cross four shuffles — the
+    // exact pair set must be identical under any partitioning
+    "x49_setsim_join")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

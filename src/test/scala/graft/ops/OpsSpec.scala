@@ -720,7 +720,8 @@ class OpsSpec extends SparkTestBase {
       "x36" -> PipelineOps.x36IncrementalDedup _,
       "x43" -> TextOps.x43SubstringDedup _,
       "x44" -> PipelineOps.x44GroupSample _,
-      "x45" -> TextOps.x45SourceOverlap _)
+      "x45" -> TextOps.x45SourceOverlap _,
+      "x49" -> TextOps.x49SetsimJoin _)
     ops.foreach { case (name, fn) =>
       val rows = fn(spark, dir).collect() // must not throw on gram-less docs
       rows.foreach(r => (0 until r.length).foreach(i =>
@@ -749,6 +750,11 @@ class OpsSpec extends SparkTestBase {
     // and unshared sources contribute no pair rows, not zero rows)
     assert(TextOps.x45SourceOverlap(spark, dir).collect().isEmpty,
       "edge corpus has no CROSS-source shared gram; matrix must be empty")
+    // x49: the 5-token dup pair shares all 3 shingles (J = 1); every
+    // other doc pair shares ≤1 of 3 grams (J ≤ 1/5) or is gram-less
+    val x49 = TextOps.x49SetsimJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(x49 == Map((4L, 100L) -> 10000L), s"edge x49: $x49")
     // x44: every cell has < k docs, so each emits its whole membership
     val x44 = PipelineOps.x44GroupSample(spark, dir).collect()
     assert(x44.length == 7 && x44.map(_.getLong(4)).toSet ==
