@@ -144,6 +144,11 @@ object BenchScaling {
     // with per-user span work unchanged. Both should track the linear core
     "q30_retention" -> fx(graft.ops.Analytics.q30Retention _),
     "q31_gapfill" -> fx(graft.ops.Windows.q31Gapfill _),
+    // anomaly flags: replicas add disjoint users on the SAME days, so
+    // the daily rollup input grows ×f while the windowed frame stays
+    // |types|×|days| — the line must track the one map-side-combinable
+    // scan, nothing else
+    "q32_anomaly" -> fx(graft.ops.Windows.q32Anomaly _),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),

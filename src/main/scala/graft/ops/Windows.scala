@@ -220,13 +220,57 @@ object Windows {
       .orderBy("user_id", "day")
   }
 
+  /** Minimum prior-day baseline before q32 will flag anything: with
+    * fewer observations the variance estimate is noise (m = 1 would
+    * flag ANY change). Mirrored in the oracle. */
+  val q32MinBaseline = 3L
+
+  /** q32: trailing-window anomaly detection over the per-type daily
+    * event count series — the operational-monitoring staple ("did
+    * clicks spike 3σ above their trailing week?"). The z² test runs in
+    * EXACT integer arithmetic so the flag is hash-gateable: with m
+    * PRIOR observations of sum S and sum-of-squares Q, population
+    * z² > 9  ⟺  (m·x − S)² > 9·(m·Q − S²), no doubles anywhere.
+    *
+    * The baseline frame is the 7 PRIOR days (rowsBetween(-7, -1)), not
+    * the trailing week including today: with the current row inside its
+    * own baseline, a lone outlier among m points caps at
+    * z = √(m−1) ≈ 2.45 and a 3σ test can never fire — the textbook
+    * self-masking mistake. A σ = 0 baseline flags any deviation
+    * (dev² > 0), which is the right call for a constant series.
+    *
+    * Scale notes (100 TB posture): the daily rollup is one map-side-
+    * combinable count whose output is |types|×|days| — tiny however big
+    * the event log; the window then runs on that tiny frame (one
+    * exchange on event_type). Nothing downstream of the first aggregate
+    * ever sees raw events. */
+  def q32Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    daily
+      .select(col("event_type"), col("d").cast("string").as("day"), col("n"),
+        count(lit(1)).over(w).as("m"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("s_prior"),
+        coalesce(sum(col("n") * col("n")).over(w), lit(0L)).as("q_prior"))
+      .withColumn("dev", col("m") * col("n") - col("s_prior"))
+      .select(col("event_type"), col("day"), col("n"), col("m"), col("s_prior"),
+        when(col("m") >= q32MinBaseline &&
+          col("dev") * col("dev") > lit(9L) * (col("m") * col("q_prior") - col("s_prior") * col("s_prior")),
+          1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
     "q16_asof" -> q16Asof,
     "q16b_asof_native" -> q16bAsofNative,
-    "q31_gapfill" -> q31Gapfill)
+    "q31_gapfill" -> q31Gapfill,
+    "q32_anomaly" -> q32Anomaly)
 
   val oracle: Map[String, String] = Map(
     "q31_gapfill" ->
@@ -247,6 +291,26 @@ object Windows {
          |  CAST(max(day_c) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_c,
          |  CAST(CASE WHEN day_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
          |FROM f ORDER BY user_id, day""".stripMargin,
+    "q32_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         |         count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, d, n,
+         |    count(*) OVER tw AS m,
+         |    coalesce(sum(n) OVER tw, 0) AS s_prior,
+         |    coalesce(sum(n * n) OVER tw, 0) AS q_prior
+         |  FROM daily
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY d
+         |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, CAST(d AS VARCHAR) AS day,
+         |  CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+         |  CAST(s_prior AS BIGINT) AS s_prior,
+         |  CAST(CASE WHEN m >= $q32MinBaseline
+         |      AND (m*n - s_prior)*(m*n - s_prior) > 9*(m*q_prior - s_prior*s_prior)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM w ORDER BY event_type, day""".stripMargin,
     "q7_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -130,7 +130,11 @@ class DeterminismSpec extends SparkTestBase {
     // prefix-filtered set-similarity: rank windows, posting-list
     // enumeration and the double verify join cross four shuffles — the
     // exact pair set must be identical under any partitioning
-    "x49_setsim_join")
+    "x49_setsim_join",
+    // anomaly flags: the integer z-square predicate reads a trailing
+    // frame over the daily rollup — neither the rollup shuffle nor the
+    // frame may leak partitioning into a single flag
+    "q32_anomaly")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -1022,6 +1022,53 @@ class OpsSpec extends SparkTestBase {
       s"expected exactly one Window node:\n$plan")
   }
 
+  test("q32: a 3-sigma spike over the prior-week baseline flags, constants never do") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q32").toString
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, java.sql.Timestamp, String, Double)]()
+    var id = 0L
+    (1 to 11).foreach { d =>
+      val nClick = if (d == 11) 100 else 10 // flat baseline, then a 10x spike
+      (0 until nClick).foreach { _ => rows += ((id, 1L, day(d), "click", 1.0)); id += 1 }
+      (0 until 10).foreach { _ => rows += ((id, 2L, day(d), "view", 1.0)); id += 1 }
+    }
+    rows.toSeq.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.q32Anomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(got(("click", "2024-01-11")) == ((100L, 7L, 1L)), s"spike must flag: $got")
+    got.filter { case (k, _) => k != (("click", "2024-01-11")) }.foreach { case (k, v) =>
+      assert(v._3 == 0L, s"$k must not flag: $v")
+    }
+    // the min-baseline guard: day 2 has m = 1 prior observation
+    assert(got(("click", "2024-01-02"))._2 == 1L)
+  }
+
+  test("q32: flags match an exact BigInt reference over the driver corpus") {
+    val got = Windows.q32Anomaly(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val daily = graft.model.Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").cast("string").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (t, ds) =>
+      val sorted = ds.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, d, n), i) =>
+        val prior = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        val m = BigInt(prior.length)
+        val s = BigInt(prior.sum)
+        val q = prior.map(x => BigInt(x) * BigInt(x)).sum
+        val dev = m * n - s
+        val flag = m >= Windows.q32MinBaseline && dev * dev > 9 * (m * q - s * s)
+        (t, d) -> ((n, prior.length.toLong, prior.sum, if (flag) 1L else 0L))
+      }
+    }.toMap
+    got.foreach { case (k, v) => assert(want(k) == v, s"$k: got $v want ${want(k)}") }
+    assert(got.length == want.size)
+  }
+
   test("x42: grouped top-k equals the window-rank brute force, and partials combine map-side") {
     val got = PipelineOps.x42GroupedTopk(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
