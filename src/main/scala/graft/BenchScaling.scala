@@ -203,6 +203,11 @@ object BenchScaling {
     // per-row bit dilation and the 64-cell map-side rollup must track the
     // scan linearly
     "x47_zorder" -> fx(graft.ops.Layout.x47Zorder _),
+    // exact set-similarity: disjoint per-replica token namespaces keep
+    // gram dfs and prefix ranks replica-local — candidates, verify work
+    // and output all grow ×f with per-pair work unchanged (the same
+    // honest shape as x2, now without the df cap)
+    "x49_setsim_join" -> fx(graft.ops.TextOps.x49SetsimJoin _),
     // constraint audit: replicas grow every audited table ×f while the
     // verdict set stays fixed — the one-scan-per-table claim means the
     // line must track the scans, with the FK join the only exchange that
@@ -258,7 +263,7 @@ object BenchScaling {
     "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
-    "x48_constraint_audit")
+    "x48_constraint_audit", "x49_setsim_join")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

@@ -222,12 +222,19 @@ object TextOps {
     * consumer). Candidates come from posting lists of PREFIX entries
     * only (list length ≤ min(df, docs that rank this gram in their
     * rarest 40%)) with the τ length filter (3·max(n) ≤ 5·min(n)) applied
-    * during enumeration; verification is one linear join of candidates
-    * against the gram index per side. Candidate volume on a degenerate
+    * during enumeration; verification joins candidates against per-doc
+    * gram ARRAYS (|docs| rows per side, never |grams|) and intersects
+    * in-row. Candidate volume on a degenerate
     * all-identical corpus is quadratic — but so is the exact OUTPUT, so
     * that is an output property, not an index failure; a corpus where
     * the output itself must stay bounded needs x2's capped contract or
-    * x13's LSH instead. */
+    * x13's LSH instead. The gram key is 64 bits (oracle-mirrored, like
+    * x2's 32-bit convention): "exact" means exact over the keyed gram
+    * sets — at ~10^12 distinct grams a few dozen cross-doc key
+    * collisions would perturb individual intersection counts by ±1;
+    * a corpus at that scale that cannot tolerate it widens the key to
+    * the full digest at the cost of the interpreted (non-primitive)
+    * array intersection, measured 5× slower here. */
   def x49SetsimJoin(spark: SparkSession, dir: String): DataFrame =
     x49On(shingleHash64Rows(spark, dir))
 
@@ -239,10 +246,10 @@ object TextOps {
     x49BruteOn(shingleHash64Rows(spark, dir))
 
   private[graft] def x49BruteOn(g0: DataFrame): DataFrame = {
-    val g = g0.localCheckpoint(true)
+    val g = g0.select(col("doc_id"), col("h0")).distinct().localCheckpoint(true)
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    g.select(col("doc_id").as("d1"), col("h0"), col("h1"))
-      .join(g.select(col("doc_id").as("d2"), col("h0"), col("h1")), Seq("h0", "h1"))
+    g.select(col("doc_id").as("d1"), col("h0"))
+      .join(g.select(col("doc_id").as("d2"), col("h0")), Seq("h0"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
@@ -258,19 +265,26 @@ object TextOps {
     * corpora. */
   private[graft] def x49On(g0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wG = Window.partitionBy(col("h0"), col("h1"))
+    val wG = Window.partitionBy(col("h0"))
     val wD = Window.partitionBy(col("doc_id"))
-    val wR = wD.orderBy(col("df"), col("h0"), col("h1"))
+    val wR = wD.orderBy(col("df"), col("h0"))
     // gram index: global df (one gram-key exchange), per-doc rarest-first
     // rank and set size (both window passes ride ONE doc_id exchange —
-    // same partition keys). Eager checkpoint for the same reason as x2's
-    // posting index: three consumers, diamond plans re-compute, LAZY
-    // races concurrent use. At 100 TB this is the parquet gram stage.
+    // same partition keys). The gram key is the digest's first 64 bits
+    // (x2's hash-key convention at twice the width; the oracle mirrors
+    // via substring(gh, 1, 16)), so the verify stage can intersect LONG
+    // arrays — array_intersect's primitive fast path; the struct form
+    // falls off codegen and was measured 5× slower. The defensive
+    // distinct makes parity exact even if two grams of one doc ever
+    // collided on the 64-bit key. Eager checkpoint for the same reason
+    // as x2's posting index: three consumers, diamond plans re-compute,
+    // LAZY races concurrent use. At 100 TB this is the parquet gram
+    // stage.
     val ranked = g0
+      .select(col("doc_id"), col("h0")).distinct()
       .withColumn("df", count(lit(1)).over(wG))
       .withColumn("rnk", row_number().over(wR))
       .withColumn("n", count(lit(1)).over(wD))
-      .select(col("doc_id"), col("h0"), col("h1"), col("rnk"), col("n"))
       .localCheckpoint(true)
     // p = n − ⌈τn⌉ + 1; ceil(3n/5) = floor((3n+4)/5) — exact in double
     // far past any document size
@@ -282,7 +296,7 @@ object TextOps {
     // d1 < d2; the τ length filter (3·max(n) ≤ 5·min(n)) prunes during
     // enumeration, before the pair ever exists as a row
     val cand = prefix
-      .groupBy(col("h0"), col("h1"))
+      .groupBy(col("h0"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         filter(
@@ -295,13 +309,20 @@ object TextOps {
       .select(col("p.d1").as("d1"), col("p.n1").as("n1"),
         col("p.d2").as("d2"), col("p.n2").as("n2"))
       .distinct()
-    // verify: exact intersection of the FULL gram sets — one linear
-    // equi-join of candidates against the gram index per side
+    // verify: exact intersection of the FULL gram-key sets, via per-doc
+    // LONG arrays (|docs| rows through the joins, never |grams| — a
+    // gram-row co-group would shuffle the whole gram table once per
+    // side; the array build itself reuses the doc exchange the rank
+    // window already paid for). Arrays are per-doc distinct, so
+    // array_intersect's dedup is a no-op and its size is the exact
+    // overlap.
+    val docArrays = ranked.groupBy(col("doc_id"))
+      .agg(collect_list(col("h0")).as("gs"))
     cand
-      .join(ranked.select(col("doc_id").as("d1"), col("h0"), col("h1")), Seq("d1"))
-      .join(ranked.select(col("doc_id").as("d2"), col("h0"), col("h1")), Seq("d2", "h0", "h1"))
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docArrays.select(col("doc_id").as("d1"), col("gs").as("g1")), Seq("d1"))
+      .join(docArrays.select(col("doc_id").as("d2"), col("gs").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        size(array_intersect(col("g1"), col("g2"))).cast(LongType).as("inter"))
       .filter(col("inter") * (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         scaled4(col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac_s4"))
@@ -898,9 +919,11 @@ object TextOps {
          |WHERE ${scaled4Sql("inter / (s1.n + s2.n - inter)")} >= 6000
          |ORDER BY d1, d2""".stripMargin,
     // BRUTE FORCE on purpose: the all-shared-gram join with no prefix
-    // filter — the gate hash-matching it proves x49's filter lossless
+    // filter — the gate hash-matching it proves x49's filter lossless.
+    // substring(gh, 1, 16) = the digest's first 64 bits, x49's gram key
     "x49_setsim_join" ->
-      s"""WITH g AS (SELECT doc_id, gh FROM ($shingleHashRowsSql)),
+      s"""WITH g AS (SELECT DISTINCT doc_id, substring(gh, 1, 16) AS gh
+         |           FROM ($shingleHashRowsSql)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
          |      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
