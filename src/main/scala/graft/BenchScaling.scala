@@ -208,6 +208,9 @@ object BenchScaling {
     // and output all grow ×f with per-pair work unchanged (the same
     // honest shape as x2, now without the df cap)
     "x49_setsim_join" -> fx(graft.ops.TextOps.x49SetsimJoin _),
+    // quarantine routing: pure per-row bits + the doc_id window — the
+    // line must track the documents scan linearly, nothing else
+    "x50_quarantine" -> fx(graft.ops.Audit.x50Quarantine _),
     // constraint audit: replicas grow every audited table ×f while the
     // verdict set stays fixed — the one-scan-per-table claim means the
     // line must track the scans, with the FK join the only exchange that
@@ -263,7 +266,7 @@ object BenchScaling {
     "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
-    "x48_constraint_audit", "x49_setsim_join")
+    "x48_constraint_audit", "x49_setsim_join", "x50_quarantine")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high

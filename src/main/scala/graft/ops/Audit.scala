@@ -81,8 +81,49 @@ object Audit {
       .orderBy("check_name")
   }
 
+  /** x50: row-level constraint routing — the quarantine file x48's
+    * batch verdicts summarize. Every document gets a violation BITMASK
+    * (hard constraints: empty text, n_chars drift, missing lang/source,
+    * oversize, duplicated doc_id) plus an advisory warn mask (short doc,
+    * long doc) that varies on a clean corpus, so the gate exercises the
+    * mask arithmetic, not just zeros. A real pipeline splits on
+    * `quarantined` and ships the 0-side to the corpus; emitting the
+    * verdict for every row (not just violators) is what makes the
+    * operator a deterministic, hash-gateable map.
+    *
+    * Scale notes (100 TB posture): all bits but dup_id are per-row
+    * codegen'd expressions on the scan — no shuffle; dup_id rides one
+    * doc_id window (the exchange an ingest pipeline already pays to
+    * bucket by key). Output ordering is unique because doc_id uniqueness
+    * is itself audited (x48); under an actual dup flood the dup bit
+    * fires on every copy, so routing stays well-defined even where the
+    * sort key ties. */
+  def x50Quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val hard: Seq[Column] = Seq(
+      col("text").isNull || col("text") === "",
+      col("n_chars").isNull || col("n_chars") =!= length(col("text")),
+      col("lang").isNull || col("lang") === "",
+      col("source").isNull || col("source") === "",
+      col("n_chars") > 100000L,
+      count(lit(1)).over(w) > 1)
+    val warn: Seq[Column] = Seq(
+      size(split(col("text"), " ")) < 20,
+      col("n_chars") >= 400L)
+    def maskOf(bits: Seq[Column]): Column = bits.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(0L) }.reduce(_ + _)
+    documents(spark, dir)
+      .select(col("doc_id"), maskOf(hard).as("mask"), maskOf(warn).as("warn_mask"))
+      .select(col("doc_id"), col("mask"),
+        bit_count(col("mask")).cast(org.apache.spark.sql.types.LongType).as("n_viol"),
+        when(col("mask") > 0, 1L).otherwise(0L).as("quarantined"),
+        col("warn_mask"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x48_constraint_audit" -> x48ConstraintAudit)
+    "x48_constraint_audit" -> x48ConstraintAudit,
+    "x50_quarantine" -> x50Quarantine)
 
   private val typeList = eventTypes.map(t => s"'$t'").mkString(", ")
 
@@ -111,5 +152,22 @@ object Audit {
          |SELECT check_name, CAST(checked AS BIGINT) AS checked,
          |  CAST(violations AS BIGINT) AS violations,
          |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
-         |FROM v ORDER BY check_name""".stripMargin)
+         |FROM v ORDER BY check_name""".stripMargin,
+    "x50_quarantine" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |      (CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 2 ELSE 0 END)
+        |    + (CASE WHEN lang IS NULL OR lang = '' THEN 4 ELSE 0 END)
+        |    + (CASE WHEN source IS NULL OR source = '' THEN 8 ELSE 0 END)
+        |    + (CASE WHEN n_chars > 100000 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN count(*) OVER (PARTITION BY doc_id) > 1 THEN 32 ELSE 0 END) AS mask,
+        |      (CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars >= 400 THEN 2 ELSE 0 END) AS warn_mask
+        |  FROM documents)
+        |SELECT doc_id, CAST(mask AS BIGINT) AS mask,
+        |  CAST(bit_count(CAST(mask AS BIGINT)) AS BIGINT) AS n_viol,
+        |  CAST(CASE WHEN mask > 0 THEN 1 ELSE 0 END AS BIGINT) AS quarantined,
+        |  CAST(warn_mask AS BIGINT) AS warn_mask
+        |FROM m ORDER BY doc_id""".stripMargin)
 }

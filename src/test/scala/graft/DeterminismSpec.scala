@@ -134,7 +134,10 @@ class DeterminismSpec extends SparkTestBase {
     // anomaly flags: the integer z-square predicate reads a trailing
     // frame over the daily rollup — neither the rollup shuffle nor the
     // frame may leak partitioning into a single flag
-    "q32_anomaly")
+    "q32_anomaly",
+    // quarantine routing: per-row codegen'd bits + one dup-id window —
+    // every mask must be identical under any partitioning
+    "x50_quarantine")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -43,6 +43,46 @@ class AuditSpec extends SparkTestBase {
       rows.filter(_.getLong(3) == 0L).mkString(", "))
   }
 
+  test("x50: each violation sets exactly its bit; dup ids flag every copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x50").toString
+    val clean = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val big = "x" * 100001
+    Seq(
+      (1L, clean, "en", "s", clean.length.toLong),  // mask 0
+      (2L, "", "en", "s", 0L),                      // empty text (+ short warn)
+      (3L, clean, "en", "s", 999L),                 // n_chars drift
+      (4L, clean, "", "s", clean.length.toLong),    // missing lang
+      (5L, clean, "en", "", clean.length.toLong),   // missing source
+      (6L, big, "en", "s", 100001L),                // oversize (1 token -> short warn)
+      (7L, clean, "en", "s", clean.length.toLong),  // dup pair: both copies flag
+      (7L, clean, "en", "s", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Audit.x50Quarantine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 0L, 0L)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 1L, 1L, 1L)))
+    // warn bit 1 reads the STORED n_chars (999 >= 400) — advisory bits
+    // don't re-derive fields the hard bits already police
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 2L, 1L, 1L, 2L)))
+    assert(got.filter(_._1 == 4L).toSeq == Seq((4L, 4L, 1L, 1L, 0L)))
+    assert(got.filter(_._1 == 5L).toSeq == Seq((5L, 8L, 1L, 1L, 0L)))
+    // oversize doc is 1 token and > 400 chars: both warn bits
+    assert(got.filter(_._1 == 6L).toSeq == Seq((6L, 16L, 1L, 1L, 3L)))
+    assert(got.filter(_._1 == 7L).toSeq ==
+      Seq((7L, 32L, 1L, 1L, 0L), (7L, 32L, 1L, 1L, 0L)))
+  }
+
+  test("x50: the driver corpus routes fully to the corpus side, warn bits vary") {
+    val rows = Audit.x50Quarantine(spark, sf001).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L),
+      "clean corpus must not quarantine")
+    assert(rows.map(_.getLong(4)).distinct.length > 1,
+      "warn mask must vary on the real corpus or the gate is vacuous")
+  }
+
   test("x48: row-level checks share one scan per table") {
     // events contributes 4 constraints (3 row checks + uniqueness) but
     // must scan once; the whole audit reads its 3 tables + the fk parent
