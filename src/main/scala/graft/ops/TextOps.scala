@@ -316,8 +316,13 @@ object TextOps {
     // window already paid for). Arrays are per-doc distinct, so
     // array_intersect's dedup is a no-op and its size is the exact
     // overlap.
+    // shuffle_hash: the array side must NEVER broadcast (its payload is
+    // the whole gram corpus — 128 MB at 16×, a 4 GB driver+executor
+    // flood under local[32]) and must never feed array rows through a
+    // sort-merge sorter; per-partition hash build of the array rows is
+    // a few MB
     val docArrays = ranked.groupBy(col("doc_id"))
-      .agg(collect_list(col("h0")).as("gs"))
+      .agg(collect_list(col("h0")).as("gs")).hint("shuffle_hash")
     cand
       .join(docArrays.select(col("doc_id").as("d1"), col("gs").as("g1")), Seq("d1"))
       .join(docArrays.select(col("doc_id").as("d2"), col("gs").as("g2")), Seq("d2"))
