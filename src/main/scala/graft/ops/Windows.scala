@@ -244,14 +244,21 @@ object Windows {
     * the event log; the window then runs on that tiny frame (one
     * exchange on event_type). Nothing downstream of the first aggregate
     * ever sees raw events. */
-  def q32Anomaly(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+  def q32Anomaly(spark: SparkSession, dir: String): DataFrame =
+    q32AnomalyOn(events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[q32Anomaly]]'s verdict over any (event_type, day ISO-string, n)
+    * daily frame — shared with the streaming twin s15, whose state-store
+    * fold produces exactly this table (ISO day strings order
+    * chronologically, so the string orderBy is the date orderBy). */
+  private[graft] def q32AnomalyOn(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-7, -1)
     daily
-      .select(col("event_type"), col("d").cast("string").as("day"), col("n"),
+      .select(col("event_type"), col("day"), col("n"),
         count(lit(1)).over(w).as("m"),
         coalesce(sum(col("n")).over(w), lit(0L)).as("s_prior"),
         coalesce(sum(col("n") * col("n")).over(w), lit(0L)).as("q_prior"))

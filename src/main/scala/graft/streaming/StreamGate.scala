@@ -592,8 +592,43 @@ object StreamGate {
       .orderBy("wk", "rnk")
   }
 
+  /** s15 shared shape: per-(type, day) event counts — q32's streaming
+    * state. The state-store row is ONE long per (type, day) cell
+    * (bounded by |types|×|days| however large the event log), and
+    * counts merge by sum, so the cross-micro-batch fold is exact under
+    * any feed chunking. */
+  private[streaming] def s15Aggregate(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+      date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s15 gate: continuous anomaly monitoring — q32's streaming twin and
+    * the fifth cell of the streaming-twin matrix (distinct q28↔s11,
+    * frequency q27c↔s10, quantiles q29↔s13, top-k x42↔s14, anomaly
+    * q32↔s15). The stream folds the daily count table through the state
+    * store across micro-batches; the z² verdict then runs the batch
+    * operator's own arithmetic over the streamed table, so the fold is
+    * exact and the gate is q32's full oracle verbatim — no bound flag.
+    * Complete-mode memory sink like s11/s13/s14; update mode + an
+    * event-time watermark closing days (each day's verdict firing once
+    * its baseline week is sealed) is the production form. */
+  def s15AnomalyStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val feed = sharedEventsFeed(spark, dir)
+    val streamed = {
+      val name = s"s15_gate_${runId.incrementAndGet()}"
+      val q = s15Aggregate(feedStream(spark, feed, eventsFeedDf(spark, dir).schema)
+          .select(col("event_type"), col("ts")))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    graft.ops.Windows.q32AnomalyOn(streamed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_novelty_stream" -> s8NoveltyStream,
+    "s15_anomaly_stream" -> s15AnomalyStream,
     "s14_topk_stream" -> s14TopkStream,
     "s9_temporal_asof" -> s9TemporalAsof,
     "s10_freq_stream" -> s10FreqStream,
@@ -604,6 +639,9 @@ object StreamGate {
   val oracle: Map[String, String] = Map(
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
     "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
+    // s15: the streamed daily fold is exact, so the batch q32 oracle
+    // gates it verbatim — no bound flag
+    "s15_anomaly_stream" -> graft.ops.Windows.oracle("q32_anomaly"),
     // s14: exact selection ⇒ the full window-rank oracle, no bound flag
     "s14_topk_stream" ->
       s"""SELECT wk, CAST(rnk AS BIGINT) AS rnk, event_id, v FROM (

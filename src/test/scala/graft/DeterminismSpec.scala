@@ -104,6 +104,10 @@ class DeterminismSpec extends SparkTestBase {
     // store across micro-batches — exact parity is the gate, so the
     // full row set must be partition-invariant
     "s14_topk_stream",
+    // the anomaly twin: daily counts fold through the state store and
+    // the z² verdict reads the folded table — exact parity gate, so
+    // every flag must be partition-invariant
+    "s15_anomaly_stream",
     // substring dedup: a gram-hash df filter + join-back + per-doc lead
     // window — neither the shared-gram shuffle nor the interval merge
     // may leak partitioning into the coverage counts

@@ -339,6 +339,67 @@ class StreamGateSpec extends SparkTestBase {
     }
   }
 
+  test("s15 restart: daily count state survives a checkpointed restart (exact parity)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val watch = Files.createTempDirectory("graft-s15drop")
+    val ckpt = Files.createTempDirectory("graft-s15ckpt").toString
+    val e = graft.model.Tables.events(s, sf0001)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val mid = e.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(name: String): Seq[((String, String), Long)] = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = StreamGate.s15Aggregate(src.select(col("event_type"), col("ts")))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toSeq.sortBy(_._1)
+        s.catalog.dropTempView(name)
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, e.filter(col("event_id") <= mid))
+    assert(runPass("s15r1").nonEmpty, "first half emitted no daily counts")
+    dropChunk(1, e.filter(col("event_id") > mid))
+    val got = runPass("s15r2")
+    // recovery evidence: counts sum, so the restarted fold must equal
+    // the batch daily rollup over the union of both halves exactly. A
+    // lost state store shows second-half-only counts on straddled
+    // (type, day) cells; a rewound source would double them.
+    val exact = StreamGate.s15Aggregate(e)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toSeq.sortBy(_._1)
+    assert(got == exact, s"daily counts diverged after restart:\n$got\nvs\n$exact")
+    // and the downstream z-square verdict over the streamed table is the
+    // batch operator's own output, cell for cell
+    import s.implicits._
+    val verdict = graft.ops.Windows.q32AnomalyOn(
+      got.map { case ((t, d), n) => (t, d, n) }.toDF("event_type", "day", "n")).collect()
+    val want = graft.ops.Windows.q32Anomaly(s, sf0001).collect()
+    assert(verdict.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
   test("feed staging splits a large feed into bounded range-ordered files (no 1/4-corpus write task)") {
     val s = spark
     // 300k rows ≫ targetRowsPerFile·gateBatches: the round-8 staging
