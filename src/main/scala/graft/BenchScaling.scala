@@ -149,6 +149,10 @@ object BenchScaling {
     // |types|×|days| — the line must track the one map-side-combinable
     // scan, nothing else
     "q32_anomaly" -> fx(graft.ops.Windows.q32Anomaly _),
+    // OHLC bars: replicas add disjoint events on the SAME bars, so bar
+    // population grows ×f with the bar count fixed — the one-exchange
+    // window+agg must track the scan
+    "q33_resample" -> fx(graft.ops.Windows.q33Resample _),
     "s2_tumbling" -> fx(graft.ops.StreamingBatch.s2Tumbling _),
     "s3_sliding" -> fx(graft.ops.StreamingBatch.s3Sliding _),
     "s4_late_events" -> fx(graft.ops.StreamingBatch.s4LateEvents _),

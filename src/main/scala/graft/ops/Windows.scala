@@ -270,6 +270,47 @@ object Windows {
       .orderBy("event_type", "day")
   }
 
+  /** q33 bar width: 6-hour bars over the event log (ms). */
+  val q33BarMs = 21600000L
+
+  /** q33: OHLC resampling — the time-series downsample every metrics
+    * store runs: per (event_type, 6-hour bar) the opening/closing value
+    * (first/last by the (ts, event_id) total order), the high/low, and
+    * the count/volume. Open/close come from two row_number orderings
+    * over ONE (type, bar) exchange (both windows share the partition
+    * spec, so Spark plans one shuffle, two sorts); values are cents
+    * scaled-ints throughout so every cell hash-gates.
+    *
+    * Scale notes (100 TB posture): the exchange is keyed (type, bar) —
+    * the same partitioning a bar-store write wants, so the sort is the
+    * only cost over a plain rollup; high/low/count/volume are map-side
+    * combinable and ride the same aggregate. At extreme bar
+    * cardinality, open/close can switch to a single min/max-of-struct
+    * aggregate (no sort at all) — kept as windows here so the oracle
+    * tiebreak (ts, then event_id) is mirrored literally. */
+  def q33Resample(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        cents(col("value")).as("v"))
+      .withColumn("bkt", floor(col("ms") / q33BarMs).cast("long"))
+    val wAsc = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ms"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    base
+      .withColumn("rn1", row_number().over(wAsc))
+      .withColumn("rn2", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(max(when(col("rn1") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("rn2") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n"), sum(col("v")).as("vol"))
+      .select(col("event_type"), (col("bkt") * q33BarMs).as("bar_start_ms"),
+        col("open"), col("high"), col("low"), col("close"), col("n"), col("vol"))
+      .orderBy("event_type", "bar_start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
@@ -277,7 +318,8 @@ object Windows {
     "q16_asof" -> q16Asof,
     "q16b_asof_native" -> q16bAsofNative,
     "q31_gapfill" -> q31Gapfill,
-    "q32_anomaly" -> q32Anomaly)
+    "q32_anomaly" -> q32Anomaly,
+    "q33_resample" -> q33Resample)
 
   val oracle: Map[String, String] = Map(
     "q31_gapfill" ->
@@ -318,6 +360,24 @@ object Windows {
          |      AND (m*n - s_prior)*(m*n - s_prior) > 9*(m*q_prior - s_prior*s_prior)
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM w ORDER BY event_type, day""".stripMargin,
+    "q33_resample" ->
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_ms(ts) AS ms, event_id,
+         |         ${centsSql("value")} AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |w AS (
+         |  SELECT event_type, ms // $q33BarMs AS bkt, v,
+         |    row_number() OVER (PARTITION BY event_type, ms // $q33BarMs
+         |                       ORDER BY ms, event_id) AS rn1,
+         |    row_number() OVER (PARTITION BY event_type, ms // $q33BarMs
+         |                       ORDER BY ms DESC, event_id DESC) AS rn2
+         |  FROM b)
+         |SELECT event_type, CAST(bkt * $q33BarMs AS BIGINT) AS bar_start_ms,
+         |  CAST(max(CASE WHEN rn1 = 1 THEN v END) AS BIGINT) AS open,
+         |  CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+         |  CAST(max(CASE WHEN rn2 = 1 THEN v END) AS BIGINT) AS close,
+         |  count(*) AS n, CAST(sum(v) AS BIGINT) AS vol
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q7_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -141,7 +141,11 @@ class DeterminismSpec extends SparkTestBase {
     "q32_anomaly",
     // quarantine routing: per-row codegen'd bits + one dup-id window —
     // every mask must be identical under any partitioning
-    "x50_quarantine")
+    "x50_quarantine",
+    // OHLC bars: open/close read two row_number orderings over the bar
+    // exchange — the (ts, event_id) total order must make partitioning
+    // invisible in every cell
+    "q33_resample")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

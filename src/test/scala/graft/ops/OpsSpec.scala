@@ -1069,6 +1069,67 @@ class OpsSpec extends SparkTestBase {
     assert(got.length == want.size)
   }
 
+  test("q33: OHLC bars follow the (ts, event_id) total order and aggregate exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q33").toString
+    val t0 = 1704067200000L // 2024-01-01 00:00 UTC, exactly bar-aligned
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    Seq(
+      (5L, 1L, ts(t0 + 100), "click", 3.0),
+      (2L, 1L, ts(t0 + 100), "click", 1.0),   // ts tie: event_id 2 < 5 -> open
+      (9L, 1L, ts(t0 + 5000), "click", 7.5),  // last -> close (and high)
+      (1L, 1L, ts(t0 + 3000), "click", -2.0), // low
+      (11L, 1L, ts(t0 + Windows.q33BarMs + 1), "click", 4.0), // next bar
+      (12L, 2L, ts(t0 + 50), "view", 5.0))    // other series
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.q33Resample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("click", t0, 100L, 750L, -200L, 750L, 4L, 950L),
+      ("click", t0 + Windows.q33BarMs, 400L, 400L, 400L, 400L, 1L, 400L),
+      ("view", t0, 500L, 500L, 500L, 500L, 1L, 500L)), got.mkString(", "))
+  }
+
+  test("q33: bars match a brute-force reference; windows and agg share one hash exchange") {
+    val df = Windows.q33Resample(spark, sf001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val base = graft.model.Tables.events(spark, sf001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        graft.model.Tables.cents(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = base.groupBy(e => (e._1, e._2 / Windows.q33BarMs)).toSeq
+      .map { case ((t, bkt), es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        (t, bkt * Windows.q33BarMs, sorted.head._4, es.map(_._4).max,
+          es.map(_._4).min, sorted.last._4, es.length.toLong, es.map(_._4).sum)
+      }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want, s"first diff: ${got.zip(want).find(t => t._1 != t._2)}")
+    assert(want.exists(_._7 > 1), "corpus must have multi-event bars or open/close is vacuous")
+    // plan pin: both row_number orderings AND the OHLC aggregate ride ONE
+    // (type, bar) hash exchange; the only other shuffle is the output sort
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def countHash(p: SparkPlan): Int = p match {
+      case q: QueryStageExec => countHash(q.plan)
+      case s: ShuffleExchangeLike =>
+        (if (s.outputPartitioning.isInstanceOf[HashPartitioning]) 1 else 0) +
+          s.children.map(countHash).sum
+      case other => other.children.map(countHash).sum
+    }
+    assert(countHash(root) == 1, s"expected one hash exchange:\n$root")
+  }
+
   test("x42: grouped top-k equals the window-rank brute force, and partials combine map-side") {
     val got = PipelineOps.x42GroupedTopk(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
