@@ -755,6 +755,15 @@ class OpsSpec extends SparkTestBase {
     val x49 = TextOps.x49SetsimJoin(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
     assert(x49 == Map((4L, 100L) -> 10000L), s"edge x49: $x49")
+    // x50: tiny docs never quarantine (dup doc_ids are absent here and
+    // every n_chars is consistent) but all are short -> warn bit 0 on
+    // every row, oversize/long bits never
+    val x50 = Audit.x50Quarantine(spark, dir).collect()
+    assert(x50.length == 7)
+    assert(x50.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L),
+      s"edge docs must not quarantine: ${x50.mkString(", ")}")
+    assert(x50.forall(_.getLong(4) == 1L),
+      s"every edge doc is short: ${x50.mkString(", ")}")
     // x44: every cell has < k docs, so each emits its whole membership
     val x44 = PipelineOps.x44GroupSample(spark, dir).collect()
     assert(x44.length == 7 && x44.map(_.getLong(4)).toSet ==
