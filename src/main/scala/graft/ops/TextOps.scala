@@ -200,9 +200,8 @@ object TextOps {
   private val x49TauDen = 5L
 
   /** x49: EXACT set-similarity self-join (word-3-gram Jaccard ≥ 0.6) via
-    * AllPairs/PPJoin prefix filtering — the uncapped companion to x2
-    * (reference similarity queries: same family as `x2_dedup_near`,
-    * `/root/reference/README.md:7-16` scope note). x2 bounds candidates
+    * AllPairs/PPJoin prefix filtering — the uncapped companion to
+    * `x2_dedup_near` in the near-dup family. x2 bounds candidates
     * by DROPPING hot shingles (a df cap mirrored in its oracle — a
     * slightly different, capped similarity contract); x49 keeps every
     * gram and bounds candidates structurally instead: each doc indexes
