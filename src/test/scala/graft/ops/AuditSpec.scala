@@ -94,4 +94,12 @@ class AuditSpec extends SparkTestBase {
     // — relation reuse may dedupe further, never multiply
     assert(scans.length <= 5, s"${scans.length} leaf scans:\n$plan")
   }
+
+  test("x48: the uniqueness count-distinct rides the sum aggregate without an Expand") {
+    // the scaladoc claim, asserted: a single count-distinct alongside
+    // plain sums plans as a two-phase distinct aggregate, not the
+    // grouping-sets Expand that would multiply the scanned rows
+    val exec = Audit.x48ConstraintAudit(spark, sf001).queryExecution.executedPlan.toString
+    assert(!exec.contains("Expand"), s"unexpected Expand:\n$exec")
+  }
 }
