@@ -116,23 +116,26 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = stageResults ++ ordered.map { case (name, fn) =>
-      // any failed attempt fails the query (a flaky query must not hide
-      // behind the median of its survivors) — and ends the attempts: a
-      // slow failure repeated N times buys no information
-      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var attempt = 0
-      while (attempt < repeat && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          runs += (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => failed = true }
-        attempt += 1
+    val timed = stageResults.map { case (n, v) => (n, v, v) } ++
+      ordered.map { case (name, fn) =>
+        // any failed attempt fails the query (a flaky query must not hide
+        // behind the median of its survivors) — and ends the attempts: a
+        // slow failure repeated N times buys no information
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var attempt = 0
+        while (attempt < repeat && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            runs += (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => failed = true }
+          attempt += 1
+        }
+        if (failed) (name, -1.0, -1.0)
+        else (name, median(runs.toSeq), runs.min)
       }
-      name -> (if (failed) -1.0 else median(runs.toSeq))
-    }
+    val results = timed.map { case (n, med, _) => (n, med) }
     // 3-decimal formatting keeps the whole line compact enough for the
     // driver's bounded tail capture even as the query surface grows —
     // round 2's full-precision line overflowed it and lost the total.
@@ -147,7 +150,15 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "partial_total"
       else if (repeat > 1) "warm_total"
       else "total"
-    val repeatField = if (repeat > 1) s""","repeat":$repeat""" else ""
+    // repeat mode also reports each query's MIN attempt ("queries_min"):
+    // median is the stable reading, min is the contention floor — their
+    // gap is the noise band a reader would otherwise have to guess at
+    val repeatField =
+      if (repeat > 1) {
+        val mins = timed.map { case (k, _, mn) => Json.quote(k) + ":" + fmt(mn) }
+          .mkString("{", ",", "}")
+        s""","repeat":$repeat,"queries_min":$mins"""
+      } else ""
     val line = s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}$repeatField}"""
     println(line)
     // Builder-side copy of the full bench line (repo root, next to

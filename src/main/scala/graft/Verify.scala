@@ -58,16 +58,28 @@ object Verify {
     // directory the next invocation recognizes as cleanable.
     Files.writeString(Paths.get(s"$outDir/.graft_verify_dump"), "graft Verify dump\n")
     var failures = 0
+    // Local-iteration filter: SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the
+    // dump AND the oracle_sql.json to those keys so scripts/check.py can
+    // gate a subset. The driver never sets it — full contract unchanged.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY unknown keys: ${unknown.mkString(",")}")
+    }
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failures += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += 1
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     val q = graft.util.Json.quote _
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // per-table corpus fingerprint, so this dump's numbers stay

@@ -120,8 +120,9 @@ case class TopKByAgg(
   private def asLong(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
-    case other => // checkInputDataTypes admits only Long/Int today; a
-      // future type widening must extend BOTH places, not MatchError here
+    case other => // HARD CONTRACT: checkInputDataTypes admits exactly
+      // Long/Int — widening the accepted types requires extending BOTH
+      // that match and this one in the same change, never one side alone
       throw new IllegalStateException(
         s"topk_by: unsupported input value class ${other.getClass.getName}")
   }

@@ -27,7 +27,7 @@ object Audit {
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)],
       uniqueKey: Option[(String, Column)] = None): DataFrame = {
     val sums = checks.zipWithIndex.map { case ((_, bad), ix) =>
-      sum(when(bad, 1L).otherwise(0L)).as(s"v_$ix") } ++
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"v_$ix") } ++
       uniqueKey.map { case (_, k) => count_distinct(k).as("d_u") }.toSeq
     val entries = checks.zipWithIndex.map { case ((n, _), ix) =>
       struct(lit(n).as("check_name"), col(s"v_$ix").as("violations")) } ++
@@ -108,7 +108,9 @@ object Audit {
       col("n_chars") > 100000L,
       count(lit(1)).over(w) > 1)
     val warn: Seq[Column] = Seq(
-      size(split(col("text"), " ")) < 20,
+      // isNotNull guard pins NULL-text to the oracle's NULL-propagating
+      // len(string_split(NULL)) -> bit unset, independent of sizeOfNull config.
+      col("text").isNotNull && size(split(col("text"), " ")) < 20,
       col("n_chars") >= 400L)
     def maskOf(bits: Seq[Column]): Column = bits.zipWithIndex
       .map { case (c, i) => when(c, lit(1L << i)).otherwise(0L) }.reduce(_ + _)
@@ -118,7 +120,11 @@ object Audit {
         bit_count(col("mask")).cast(org.apache.spark.sql.types.LongType).as("n_viol"),
         when(col("mask") > 0, 1L).otherwise(0L).as("quarantined"),
         col("warn_mask"))
-      .orderBy("doc_id")
+      // mask/warn_mask tiebreakers: duplicate doc_ids with DIFFERENT
+      // payloads both carry the dup bit but can differ on other bits, so
+      // doc_id alone would leave tied rows with distinct values unordered
+      // under the hash gate. Mirrored in the oracle's ORDER BY.
+      .orderBy("doc_id", "mask", "warn_mask")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,5 +175,5 @@ object Audit {
         |  CAST(bit_count(CAST(mask AS BIGINT)) AS BIGINT) AS n_viol,
         |  CAST(CASE WHEN mask > 0 THEN 1 ELSE 0 END AS BIGINT) AS quarantined,
         |  CAST(warn_mask AS BIGINT) AS warn_mask
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id, mask, warn_mask""".stripMargin)
 }

@@ -257,15 +257,23 @@ object Windows {
   private[graft] def q32AnomalyOn(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-7, -1)
+    // The z² products run in decimal(38,0), not int64: long arithmetic
+    // wraps silently (non-ANSI) once per-type daily counts pass ~4e8
+    // (m·Q ≈ 49n²), exactly the 100 TB regime — decimal keeps the test
+    // exact to n ≈ 1.4e18/day/type, past any physical event rate.
+    // Output columns stay long so the gate schema is unchanged.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nD = col("n").cast(dec)
     daily
       .select(col("event_type"), col("day"), col("n"),
         count(lit(1)).over(w).as("m"),
         coalesce(sum(col("n")).over(w), lit(0L)).as("s_prior"),
-        coalesce(sum(col("n") * col("n")).over(w), lit(0L)).as("q_prior"))
-      .withColumn("dev", col("m") * col("n") - col("s_prior"))
+        coalesce(sum(nD * nD).over(w), lit(0L).cast(dec)).as("q_dec"))
+      .withColumn("s_dec", col("s_prior").cast(dec))
+      .withColumn("dev", col("m").cast(dec) * nD - col("s_dec"))
       .select(col("event_type"), col("day"), col("n"), col("m"), col("s_prior"),
         when(col("m") >= q32MinBaseline &&
-          col("dev") * col("dev") > lit(9L) * (col("m") * col("q_prior") - col("s_prior") * col("s_prior")),
+          col("dev") * col("dev") > lit(9L) * (col("m").cast(dec) * col("q_dec") - col("s_dec") * col("s_dec")),
           1L).otherwise(0L).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
