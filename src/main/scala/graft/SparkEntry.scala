@@ -47,4 +47,23 @@ object SparkEntry {
     graft.model.Tables.events(spark, dir).createOrReplaceTempView("events")
     GraftExtensions.register(spark)
   }
+
+  /** Expose every registered operator as a SQL temp view `graft_<key>`
+    * over `dir`, so the entire surface (not just base tables and
+    * functions) is composable from `spark.sql` — `SELECT * FROM
+    * graft_c1_snapshot JOIN graft_x9_quality USING (...)` just works.
+    *
+    * Batch keys register LAZY logical plans — registration executes
+    * nothing, and each SELECT runs the same plan the function form
+    * returns (shared Stages builds still materialize once per session on
+    * first touch). The streaming-gate keys (s8–s15) execute their gate
+    * ONCE at registration by construction — their result is already a
+    * static materialized frame — so those views serve that snapshot.
+    * Callers that want only the zero-cost batch surface pass `keys`. */
+  def registerQueryViews(spark: SparkSession, dir: String,
+      keys: Iterable[String] = queries.keys.toSeq.sorted): Unit = {
+    val unknown = keys.toSet -- queries.keySet
+    require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(",")}")
+    keys.foreach(k => queries(k)(spark, dir).createOrReplaceTempView(s"graft_$k"))
+  }
 }

@@ -15,16 +15,27 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
 case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
     byte_sum: Long, format: String, width: Long)
 
+/** REAL image-decode output: actual pixel dimensions and a deterministic
+  * pixel checksum from the decoded raster, plus a decode verdict (a
+  * payload that is not a decodable image yields decoded = false, never a
+  * task failure — one corrupt file must not kill a 100 TB ingest). */
+case class ImageFeatures(doc_id: Long, format: String, img_w: Long,
+    img_h: Long, px_checksum: Long, decoded: Boolean)
+
 /** X15: multimodal column plumbing — the Spark-side machinery a media
   * pipeline needs: a `binary` payload column with typed metadata, a typed
   * `Dataset[MediaRow]`, and per-partition batch "decode"/feature-extract.
   *
-  * The decode step is a DETERMINISTIC STUB (this container has no
-  * image/audio codecs): payload bytes are the UTF-8 text of the document,
-  * "features" are byte statistics. The plumbing — binary column, Encoder
-  * schema, mapPartitions batch shape, partition sizing — is real and is
-  * what a production decode (JNI codec / ONNX runtime per partition)
-  * plugs into.
+  * Two decode paths share the mapPartitions batch shape: a DETERMINISTIC
+  * STUB over the synthetic media table (payload bytes are the UTF-8 text
+  * of the document, "features" are byte statistics — oracle-checkable),
+  * and a REAL image decode ([[Multimodal.decodeImages]]) via the JDK's
+  * `javax.imageio` (PNG/GIF/BMP/JPEG readers ship with the JVM — no
+  * external codec needed) yielding actual pixel dimensions and a raster
+  * checksum; audio/video codecs stay out of this container's reach, so
+  * those decodes remain where a JNI/ONNX call would plug into the same
+  * batch. The plumbing — binary column, Encoder schema, mapPartitions
+  * batch shape, partition sizing — is shared by both.
   *
   * Scale notes: decode is per-partition (`mapPartitions`), so codec init
   * happens once per task, not per row — the same shape as a Pandas-UDF
@@ -86,6 +97,38 @@ object Multimodal {
         if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else 0L, // ascii('') = 0
         sum, r.format, r.width.toLong)
     }
+
+  /** REAL image decode over any media table: `javax.imageio` readers on
+    * the payload bytes, per-partition batches. Returns actual pixel
+    * width/height and a deterministic raster checksum (sum of the 24-bit
+    * RGB value per pixel, row-major); a payload no reader claims (or a
+    * truncated/corrupt file) yields (-1, -1, 0, decoded = false) instead
+    * of failing the task. ImageIO's disk cache is disabled ONCE per
+    * partition (the per-task init a codec amortizes), so decode never
+    * touches executor-local temp files. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task, not per row
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) ImageFeatures(r.doc_id, r.format, -1L, -1L, 0L, decoded = false)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xffffff); x += 1 }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, r.format, img.getWidth.toLong, img.getHeight.toLong,
+            sum, decoded = true)
+        }
+      }
+    }
+  }
 
   /** x15: media pipeline — binary payload → per-partition batch decode;
     * metadata flows through the decode (one scan, no re-join). */

@@ -294,6 +294,26 @@ object Stages {
     })
   }
 
+  /** x49's ranked gram index (doc_id, h0, df, rnk, n): per-doc distinct
+    * 64-bit 3-gram keys with global document frequency, rarest-first
+    * rank, and set size — read by x49's prefix filter AND both verify
+    * sides (three consumers of one diamond). Unlike the pair-list
+    * stages this one is GRAM-COUNT-sized (the biggest staged artifact);
+    * it earns the slot because the alternative is re-running the
+    * shingle explode + two window exchanges per consumer inside one
+    * query, and at 100 TB this exact frame is the durable parquet gram
+    * stage the x49 scaladoc names. */
+  def x49Grams(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x49_grams")(TextOps.x49RankedGrams(spark, dir))
+
+  /** The shared positional 5-gram frame (doc_id, source, p, h = md5 hex)
+    * — read by x43's span coverage (doc_id, p, h) and x45's
+    * source-overlap matrix (source, h). Gram-count-sized like
+    * [[x49Grams]], same justification: one corpus 5-gram hash pass per
+    * session instead of one per consumer. */
+  def grams5(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "grams5")(TextOps.grams5Rows(spark, dir))
+
   /** x16's learned k-means centroids — k·dim scaled longs, driver-held
     * (the MLlib shape; see VectorOps.kmeansCentroids). Learned once per
     * (session, sfDir); consumed by x16's IVF probe and x27's SemDeDup

@@ -235,7 +235,7 @@ object TextOps {
     * the full digest at the cost of the interpreted (non-primitive)
     * array intersection, measured 5× slower here. */
   def x49SetsimJoin(spark: SparkSession, dir: String): DataFrame =
-    x49On(shingleHash64Rows(spark, dir))
+    x49FromRanked(Stages.x49Grams(spark, dir))
 
   /** Brute-force twin of [[x49SetsimJoin]] (tests only, never
     * registered): the all-shared-gram join with no prefix filter — the
@@ -259,55 +259,87 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** [[x49SetsimJoin]] over any (doc_id, h0, h1) gram frame — split out
-    * so the prefix-filter losslessness is testable on synthetic
-    * corpora. */
-  private[graft] def x49On(g0: DataFrame): DataFrame = {
+  /** The ranked gram index build — the stage body behind
+    * [[Stages.x49Grams]]: (doc_id, h0, df, rnk, n) with global df (one
+    * gram-key exchange), per-doc rarest-first rank and set size (both
+    * window passes ride ONE doc_id exchange — same partition keys). The
+    * gram key is the digest's first 64 bits (x2's hash-key convention at
+    * twice the width; the oracle mirrors via substring(gh, 1, 16)), so
+    * the verify stage can intersect LONG arrays — array_intersect's
+    * primitive fast path; the struct form falls off codegen and was
+    * measured 5× slower. The defensive distinct makes parity exact even
+    * if two grams of one doc ever collided on the 64-bit key. */
+  private[ops] def x49RankedGrams(spark: SparkSession, dir: String): DataFrame =
+    x49RankedOf(shingleHash64Rows(spark, dir))
+
+  private def x49RankedOf(g0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wG = Window.partitionBy(col("h0"))
     val wD = Window.partitionBy(col("doc_id"))
     val wR = wD.orderBy(col("df"), col("h0"))
-    // gram index: global df (one gram-key exchange), per-doc rarest-first
-    // rank and set size (both window passes ride ONE doc_id exchange —
-    // same partition keys). The gram key is the digest's first 64 bits
-    // (x2's hash-key convention at twice the width; the oracle mirrors
-    // via substring(gh, 1, 16)), so the verify stage can intersect LONG
-    // arrays — array_intersect's primitive fast path; the struct form
-    // falls off codegen and was measured 5× slower. The defensive
-    // distinct makes parity exact even if two grams of one doc ever
-    // collided on the 64-bit key. Eager checkpoint for the same reason
-    // as x2's posting index: three consumers, diamond plans re-compute,
-    // LAZY races concurrent use. At 100 TB this is the parquet gram
-    // stage.
-    val ranked = g0
-      .select(col("doc_id"), col("h0")).distinct()
+    g0.select(col("doc_id"), col("h0")).distinct()
       .withColumn("df", count(lit(1)).over(wG))
       .withColumn("rnk", row_number().over(wR))
       .withColumn("n", count(lit(1)).over(wD))
-      .localCheckpoint(true)
+  }
+
+  /** [[x49SetsimJoin]] over any (doc_id, h0, h1) gram frame — split out
+    * so the prefix-filter losslessness is testable on synthetic corpora.
+    * Checkpoints the ranked index inline (the registered path reads the
+    * [[Stages.x49Grams]] stage instead — same frame, built once per
+    * session and visible as its own bench stage line). Eager checkpoint
+    * for the same reason as x2's posting index: three consumers, diamond
+    * plans re-compute, LAZY races concurrent use. At 100 TB this is the
+    * parquet gram stage. */
+  private[graft] def x49On(g0: DataFrame): DataFrame =
+    x49FromRanked(x49RankedOf(g0).localCheckpoint(true))
+
+  /** x49's prefix-filter + verify core over a materialized ranked gram
+    * index (shape of [[x49RankedOf]]). */
+  private[graft] def x49FromRanked(ranked: DataFrame): DataFrame = {
     // p = n − ⌈τn⌉ + 1; ceil(3n/5) = floor((3n+4)/5) — exact in double
     // far past any document size
     val prefix = ranked.filter(
       col("rnk") <= col("n") - floor((col("n") * x49TauNum + x49TauDen - 1) / x49TauDen) + 1)
     // candidates from PREFIX posting lists (inverted index, not a
     // self-join — the index subtree executes once); sort_array on
-    // struct(doc_id, n) orders by doc_id, so enumeration is strict
+    // struct(doc_id, n, rnk) orders by doc_id, so enumeration is strict
     // d1 < d2; the τ length filter (3·max(n) ≤ 5·min(n)) prunes during
     // enumeration, before the pair ever exists as a row
     val cand = prefix
       .groupBy(col("h0"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("rnk")))).as("ds"))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         filter(
           transform(
             slice(col("ds"), i + 2, size(col("ds")) - i - 1),
             b => struct(a.getField("doc_id").as("d1"), a.getField("n").as("n1"),
-              b.getField("doc_id").as("d2"), b.getField("n").as("n2"))),
+              a.getField("rnk").as("p1"),
+              b.getField("doc_id").as("d2"), b.getField("n").as("n2"),
+              b.getField("rnk").as("p2"))),
           p => p.getField("n1") * x49TauNum <= p.getField("n2") * x49TauDen &&
             p.getField("n2") * x49TauNum <= p.getField("n1") * x49TauDen)))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.n1").as("n1"),
+      // PPJoin positional filter (Xiao et al. WWW'08 §3.2), in the
+      // declarative shape: the pair dedup that was a bare distinct()
+      // becomes a groupBy carrying (a) cp = how many grams the two
+      // PREFIXES share and (b) the positions of the globally-LARGEST
+      // such gram in each doc's (df, h0) order. That order is one global
+      // total order on grams, so shared grams appear in the same
+      // relative order in both docs: max(p1) and max(p2) are attained at
+      // the same gram, and every common gram at-or-before it in either
+      // doc lies inside BOTH prefixes (its rank is < the max position,
+      // which is ≤ that side's prefix length) — so cp counts those
+      // exactly, and the overlap can only exceed cp by grams strictly
+      // after the max positions: inter ≤ cp + min(n1−p1m, n2−p2m).
+      // Pairs whose bound misses minoverlap (8·inter ≥ 3·(n1+n2)) never
+      // reach the verify join; the brute-force oracle gate proves the
+      // pruning lossless.
+      .groupBy(col("p.d1").as("d1"), col("p.n1").as("n1"),
         col("p.d2").as("d2"), col("p.n2").as("n2"))
-      .distinct()
+      .agg(count(lit(1)).as("cp"), max(col("p.p1")).as("p1m"), max(col("p.p2")).as("p2m"))
+      .filter((col("cp") + least(col("n1") - col("p1m"), col("n2") - col("p2m"))) *
+        (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
+      .select(col("d1"), col("n1"), col("d2"), col("n2"))
     // verify: exact intersection of the FULL gram-key sets, via per-doc
     // LONG arrays (|docs| rows through the joins, never |grams| — a
     // gram-row co-group would shuffle the whole gram table once per
@@ -627,7 +659,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
-    val grams = x43Grams(d, k)
+    // gram rows come from the shared [[Stages.grams5]] stage (one
+    // corpus 5-gram hash pass per session, shared with x45); the
+    // x43Grams inline form stays for the synthetic-corpus tests
+    val grams = Stages.grams5(spark, dir).select(col("doc_id"), col("p"), col("h"))
     val shared = x43SharedGrams(grams)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val covered = grams.join(shared, "h")
@@ -644,6 +679,26 @@ object TextOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         fdiv(lit(1000L) * coalesce(col("dup_tokens"), lit(0L)), col("n_tokens")).as("dup_per_1000"))
       .orderBy("doc_id")
+  }
+
+  /** The shared positional 5-gram frame build — the stage body behind
+    * [[Stages.grams5]]: (doc_id, source, p, h) with h = md5 hex of the
+    * 5-token gram and p its 1-based start position, one row per token
+    * position. x43 consumes (doc_id, p, h) and x45 consumes
+    * (source, h) distinct from the SAME frame, so a session running
+    * both hashes the corpus 5-grams once. The md5-hex key (not a 64-bit
+    * fold) keeps both consumers' oracles byte-identical to their
+    * pre-stage forms. */
+  private[ops] def grams5Rows(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), posexplode(
+        when(size(col("w")) >= k, expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          .otherwise(expr("array()"))))
+      .select(col("doc_id"), col("source"),
+        (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
   }
 
   /** x43's positional gram frame: (doc_id, p, h) — one row per token
@@ -679,12 +734,9 @@ object TextOps {
     * Never a gram self-join (corpus² on hot stop-grams) and never a
     * doc-level all-pairs; totals broadcast back onto the matrix. */
   def x45SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val d = documents(spark, dir).select(col("source"), toks(col("text")).as("w"))
-    val g = d.select(col("source"), explode(
-        when(size(col("w")) >= k, expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
-          .otherwise(expr("array()"))).as("h"))
+    // gram evidence from the shared [[Stages.grams5]] stage (one corpus
+    // 5-gram hash pass per session, shared with x43)
+    val g = Stages.grams5(spark, dir).select(col("source"), col("h"))
       .distinct() // one row per source × gram; reused by totals AND pairs
     val tot = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = g.groupBy(col("h"))

@@ -1,23 +1,48 @@
 package graft
 
-import graft.SparkTestBase
-
-/** The engine is fully usable from spark.sql once tables are registered. */
+/** The SQL-view surface: [[SparkEntry.registerQueryViews]] must make
+  * EVERY registered operator SELECTable as `graft_<key>` from
+  * `spark.sql`, with results identical to the DataFrame form — the
+  * composability contract (a user can join/filter any operator's output
+  * in plain SQL without touching the Scala API). Runs on sf0.001 so the
+  * full 126-key surface (including the streaming gates, which execute
+  * once at registration) stays cheap. */
 class SqlSurfaceSpec extends SparkTestBase {
-  test("registerTables exposes all tables and graft functions to SQL") {
+
+  private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.map(_.toString).sorted.toSeq
+
+  test("every registered key is SELECTable as graft_<key> and matches the DataFrame form") {
     SparkEntry.registerTables(spark, sf0001)
-    val agg = spark.sql(
-      """SELECT l_returnflag, count(*) AS n FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
-    assert(agg.length == 3 && agg.map(_.getLong(1)).sum == 6000L)
+    SparkEntry.registerQueryViews(spark, sf0001)
+    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val viaSql = spark.sql(s"SELECT * FROM graft_$name")
+      val direct = fn(spark, sf0001)
+      if (viaSql.schema != direct.schema)
+        Some(s"$name: schema ${viaSql.schema.simpleString} vs ${direct.schema.simpleString}")
+      else if (canon(viaSql.collect()) != canon(direct.collect()))
+        Some(s"$name: values differ between SQL view and DataFrame form")
+      else None
+    }
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
+  }
 
-    val knn = spark.sql(
-      """SELECT a.vec_id, dot_arr(a.embedding, b.embedding) AS dot
-        |FROM embeddings a JOIN embeddings b ON b.vec_id = 0 AND a.vec_id <> 0
-        |ORDER BY dot DESC LIMIT 3""".stripMargin).collect()
-    assert(knn.length == 3)
+  test("views compose in SQL across operators") {
+    SparkEntry.registerTables(spark, sf0001)
+    SparkEntry.registerQueryViews(spark, sf0001, Seq("x9_quality", "x1_dedup_exact"))
+    // a real cross-operator composition: quality stats of the exact-dedup
+    // keepers — joins two operator views in plain SQL
+    val kept = spark.sql(
+      """SELECT count(*) AS n, sum(q.n_tok) AS toks
+        |FROM graft_x1_dedup_exact d
+        |JOIN graft_x9_quality q ON d.keep_id = q.doc_id""".stripMargin).collect()
+    assert(kept.length == 1 && kept(0).getLong(0) > 0, kept.mkString)
+  }
 
-    val ev = spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").collect()
-    assert(ev(0).getLong(0) == 1000L)
+  test("unknown keys are rejected at registration, not at SELECT") {
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.registerQueryViews(spark, sf0001, Seq("nope_key"))
+    }
+    assert(e.getMessage.contains("nope_key"))
   }
 }

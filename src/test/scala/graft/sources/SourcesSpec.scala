@@ -128,6 +128,39 @@ class SourcesSpec extends SparkTestBase {
     assert(ids1 == ids2 && ids1.distinct.size == 2)
   }
 
+  test("real image decode: generated PNGs yield actual dims + raster checksum; corrupt bytes degrade") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-imgs")
+    // two real PNGs with known rasters, written by the SAME JDK codec
+    // stack the decode uses — plus one corrupt "png" (truncated garbage)
+    def writePng(name: String, w: Int, h: Int, rgbOf: (Int, Int) => Int): Long = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = rgbOf(x, y) & 0xffffff
+        img.setRGB(x, y, c)
+        sum += c
+      }
+      javax.imageio.ImageIO.write(img, "png", dir.resolve(name).toFile)
+      sum
+    }
+    val sumA = writePng("a.png", 3, 2, (x, y) => x * 1000 + y * 70000 + 5)
+    val sumB = writePng("b.png", 7, 5, (x, y) => (x * 31 + y * 17) * 2500)
+    Files.write(dir.resolve("corrupt.png"), Array[Byte](1, 2, 3, 4))
+    val feats = graft.ops.Multimodal.decodeImages(
+        graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.png"))
+      .collect().sortBy(f => (f.img_w, f.img_h))
+    assert(feats.length == 3, feats.mkString(", "))
+    // corrupt file: decode verdict false, sentinel dims, no task failure
+    assert(feats.head == graft.ops.ImageFeatures(feats.head.doc_id, "png", -1L, -1L, 0L, false))
+    // real files: exact pixel dims and raster checksums (PNG is lossless,
+    // so the decoded raster must reproduce what was written bit-exactly)
+    assert(feats(1).img_w == 3L && feats(1).img_h == 2L && feats(1).px_checksum == sumA
+      && feats(1).decoded, feats(1).toString)
+    assert(feats(2).img_w == 7L && feats(2).img_h == 5L && feats(2).px_checksum == sumB
+      && feats(2).decoded, feats(2).toString)
+  }
+
   test("orc round-trips the WAL tables with pushdown intact; feeds the WAL stream") {
     val s = spark
     import s.implicits._
