@@ -122,6 +122,78 @@ class RecoverySpec extends SparkTestBase {
     } finally s.conf.set("spark.sql.streaming.stopActiveRunOnRestart", prevConf)
   }
 
+  test("multi-target fan-out: one WAL, parquet + JDBC consumers progress independently and converge") {
+    // The reference's motivating scenario (`/root/reference/README.md:15-17`):
+    // one WAL, N INDEPENDENT consumers each shipping the changes to a
+    // DIFFERENT target — "another relational database, a NoSQL database,
+    // ... a queue" — each with its own offset bookkeeping. Spark form:
+    // two streaming consumers over the same WAL dir with INDEPENDENT
+    // checkpoints; killing one must not stall the other, and a restart
+    // catches the dead target up to convergence without double-applies.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-fanout").toString
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    System.setProperty("derby.system.home", tmp) // derby.log stays in scratch
+    val url = s"jdbc:derby:$tmp/derby;create=true"
+    JdbcWalSink.ensureTable(url, "wal_target")
+
+    def snapA: Map[Long, String] =
+      SnapshotTable.read(s, s"$tmp/snapA").select("entityId", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // read back through the PUBLIC jdbc source — the fan-out loop closed
+    def jdbcB: Map[Long, String] =
+      Sources.jdbc(s, url, "wal_target").filter(col("DELETED") === 0)
+        .select(col("ENTITY_ID"), col("PAYLOAD"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    Seq(WalRecord(0, 1, "ADD", "a0"), WalRecord(1, 2, "ADD", "b0"),
+      WalRecord(2, 1, "UPDATE", "a1"))
+      .toDF().write.mode("append").parquet(walDir)
+
+    // consumer A → parquet snapshot table; consumer B → JDBC table
+    val qa = SnapshotTable.materialize(
+      Sources.walFileStream(s, walDir), s"$tmp/snapA", s"$tmp/ckptA")
+    val pb = new WalPipeline(Sources.walFileStream(s, walDir),
+      new JdbcWalSink(url, "wal_target"), s"$tmp/ckptB",
+      pollMillis = 10L, retrySleepMs = 1L)
+    pb.start()
+    try {
+      qa.processAllAvailable(); pb.processAllAvailable()
+      assert(snapA == Map(1L -> "a1", 2L -> "b0"), s"snapA: $snapA")
+      assert(jdbcB == Map(1L -> "a1", 2L -> "b0"), s"jdbcB: $jdbcB")
+
+      // B goes down; the WAL keeps growing; A progresses independently
+      pb.close()
+      Seq(WalRecord(3, 3, "ADD", "c0"), WalRecord(4, 2, "DELETE", null))
+        .toDF().write.mode("append").parquet(walDir)
+      qa.processAllAvailable()
+      assert(snapA == Map(1L -> "a1", 3L -> "c0"),
+        s"live consumer must progress while the other is down: $snapA")
+      assert(jdbcB == Map(1L -> "a1", 2L -> "b0"),
+        s"down consumer's target must be untouched: $jdbcB")
+
+      // B restarts from ITS OWN checkpoint and catches up — convergence
+      val pb2 = new WalPipeline(Sources.walFileStream(s, walDir),
+        new JdbcWalSink(url, "wal_target"), s"$tmp/ckptB",
+        pollMillis = 10L, retrySleepMs = 1L)
+      pb2.start()
+      try {
+        pb2.processAllAvailable()
+        assert(jdbcB == Map(1L -> "a1", 3L -> "c0"), s"converged jdbcB: $jdbcB")
+        // exactly-once effect: every entity's watermark is its LAST wal id
+        // (a double-apply or a replayed early record would perturb these),
+        // and the delete survives as a tombstone with its watermark
+        val marks = Sources.jdbc(s, url, "wal_target")
+          .select(col("ENTITY_ID"), col("LAST_ID"), col("DELETED"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+        assert(marks == Map(1L -> ((2L, 0)), 2L -> ((4L, 1)), 3L -> ((3L, 0))),
+          s"marks: $marks")
+      } finally pb2.close()
+    } finally qa.stop()
+  }
+
   test("abnormal query termination surfaces as INACCESSIBLE_IO_FAILURE") {
     val s = spark
     import s.implicits._
