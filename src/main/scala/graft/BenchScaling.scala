@@ -212,6 +212,18 @@ object BenchScaling {
     // and output all grow ×f with per-pair work unchanged (the same
     // honest shape as x2, now without the df cap)
     "x49_setsim_join" -> fx(graft.ops.TextOps.x49SetsimJoin _),
+    // x49 candidate A/B: candidates surviving the PPJoin positional
+    // filter vs the plain AllPairs prefix filter — "count:" legs collect
+    // their single count row into the JSON line's "counts" object, the
+    // measured form of the positional filter's verify-pair drop. Both
+    // read the same x49_grams stage as the consumer leg above, so the
+    // A/B isolates candidate enumeration.
+    "count:x49_cand_pos" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.TextOps.x49Candidates(graft.ops.Stages.x49Grams(s, d))
+        .agg(count(lit(1)).as("n"))),
+    "count:x49_cand_all" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.TextOps.x49Candidates(graft.ops.Stages.x49Grams(s, d), positional = false)
+        .agg(count(lit(1)).as("n"))),
     // quarantine routing: pure per-row bits + the doc_id window — the
     // line must track the documents scan linearly, nothing else
     "x50_quarantine" -> fx(graft.ops.Audit.x50Quarantine _),
@@ -357,13 +369,21 @@ object BenchScaling {
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        fn(spark, dir, k).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, dir, k)
+        // "count:" legs are one-row diagnostics (bounded collect by
+        // construction): the value itself is the artifact
+        if (name.startsWith("count:")) counts(name) = df.collect()(0).getLong(0)
+        else df.write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       }
       val qs = times.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"scaling","factor":$k,"queries":$qs}""")
+      val cs =
+        if (counts.isEmpty) ""
+        else counts.map { case (n, v) => s""""$n":$v""" }.mkString(""","counts":{""", ",", "}")
+      println(s"""{"metric":"scaling","factor":$k,"queries":$qs$cs}""")
     }
     spark.stop()
   }

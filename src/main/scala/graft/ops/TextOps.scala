@@ -272,7 +272,7 @@ object TextOps {
   private[ops] def x49RankedGrams(spark: SparkSession, dir: String): DataFrame =
     x49RankedOf(shingleHash64Rows(spark, dir))
 
-  private def x49RankedOf(g0: DataFrame): DataFrame = {
+  private[graft] def x49RankedOf(g0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wG = Window.partitionBy(col("h0"))
     val wD = Window.partitionBy(col("doc_id"))
@@ -294,9 +294,11 @@ object TextOps {
   private[graft] def x49On(g0: DataFrame): DataFrame =
     x49FromRanked(x49RankedOf(g0).localCheckpoint(true))
 
-  /** x49's prefix-filter + verify core over a materialized ranked gram
-    * index (shape of [[x49RankedOf]]). */
-  private[graft] def x49FromRanked(ranked: DataFrame): DataFrame = {
+  /** x49's candidate pairs from the ranked index, with the PPJoin
+    * positional filter toggleable — `positional = false` is the plain
+    * AllPairs prefix filter, kept as the A/B control the scaling audit
+    * measures the positional filter's candidate-count drop against. */
+  private[graft] def x49Candidates(ranked: DataFrame, positional: Boolean = true): DataFrame = {
     // p = n − ⌈τn⌉ + 1; ceil(3n/5) = floor((3n+4)/5) — exact in double
     // far past any document size
     val prefix = ranked.filter(
@@ -306,7 +308,7 @@ object TextOps {
     // struct(doc_id, n, rnk) orders by doc_id, so enumeration is strict
     // d1 < d2; the τ length filter (3·max(n) ≤ 5·min(n)) prunes during
     // enumeration, before the pair ever exists as a row
-    val cand = prefix
+    val grouped = prefix
       .groupBy(col("h0"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("rnk")))).as("ds"))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
@@ -337,9 +339,19 @@ object TextOps {
       .groupBy(col("p.d1").as("d1"), col("p.n1").as("n1"),
         col("p.d2").as("d2"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("cp"), max(col("p.p1")).as("p1m"), max(col("p.p2")).as("p2m"))
-      .filter((col("cp") + least(col("n1") - col("p1m"), col("n2") - col("p2m"))) *
-        (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
-      .select(col("d1"), col("n1"), col("d2"), col("n2"))
+    val bounded =
+      if (positional)
+        grouped.filter(
+          (col("cp") + least(col("n1") - col("p1m"), col("n2") - col("p2m"))) *
+            (x49TauNum + x49TauDen) >= (col("n1") + col("n2")) * x49TauNum)
+      else grouped
+    bounded.select(col("d1"), col("n1"), col("d2"), col("n2"))
+  }
+
+  /** x49's prefix-filter + verify core over a materialized ranked gram
+    * index (shape of [[x49RankedOf]]). */
+  private[graft] def x49FromRanked(ranked: DataFrame): DataFrame = {
+    val cand = x49Candidates(ranked)
     // verify: exact intersection of the FULL gram-key sets, via per-doc
     // LONG arrays (|docs| rows through the joins, never |grams| — a
     // gram-row co-group would shuffle the whole gram table once per

@@ -155,7 +155,10 @@ class DeterminismSpec extends SparkTestBase {
       "x9_quality", "x34_source_report", "x38_pipeline_e2e",
       "x36_incremental_dedup", "s8_novelty_stream",
       // the q27c exact-hitters stage, via both of its consumers
-      "q27c_freq_grouped", "s10_freq_stream")
+      "q27c_freq_grouped", "s10_freq_stream",
+      // the gram stages (round 12): x49's ranked index, x43+x45's shared
+      // positional 5-gram frame
+      "x49_setsim_join", "x43_substring_dedup", "x45_source_overlap")
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {

@@ -88,6 +88,35 @@ class SetsimSpec extends SparkTestBase {
     }
   }
 
+  test("x49: positional filter prunes candidates without losing a final pair") {
+    // the A/B contract behind BenchScaling's count legs: positional
+    // candidates are a SUBSET of the plain-prefix candidates, and every
+    // emitted pair survives the positional filter (losslessness at the
+    // candidate level — end-to-end parity is the brute-force suite)
+    val g = {
+      val rnd = new scala.util.Random(11)
+      val docs = (0L until 60L).map { id =>
+        val n = 3 + rnd.nextInt(13)
+        id -> Seq.fill(n * 2)(math.min(rnd.nextInt(90), rnd.nextInt(90)).toLong).distinct.take(n)
+      }
+      val base = docs.toMap
+      gramFrame(docs.map { case (id, gs) =>
+        if (id % 3 == 2) id -> (base(id - 1).dropRight(1) ++ gs.take(1)).distinct else id -> gs
+      })
+    }
+    val rk = TextOps.x49RankedOf(g).localCheckpoint(true)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pos = keys(TextOps.x49Candidates(rk))
+    val all = keys(TextOps.x49Candidates(rk, positional = false))
+    val finalPairs = TextOps.x49On(g).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos.subsetOf(all), s"positional must prune, not invent: ${pos -- all}")
+    assert(finalPairs.subsetOf(pos), s"positional dropped real pairs: ${finalPairs -- pos}")
+    assert(pos.size < all.size,
+      s"positional filter pruned nothing on a skewed corpus (pos=${pos.size}, all=${all.size})")
+  }
+
   test("x49: no cartesian product and candidates come from the prefix index") {
     val plan = TextOps.x49SetsimJoin(spark, sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
