@@ -694,23 +694,27 @@ object TextOps {
   }
 
   /** The shared positional 5-gram frame build — the stage body behind
-    * [[Stages.grams5]]: (doc_id, source, p, h) with h = md5 hex of the
-    * 5-token gram and p its 1-based start position, one row per token
-    * position. x43 consumes (doc_id, p, h) and x45 consumes
-    * (source, h) distinct from the SAME frame, so a session running
-    * both hashes the corpus 5-grams once. The md5-hex key (not a 64-bit
-    * fold) keeps both consumers' oracles byte-identical to their
-    * pre-stage forms. */
+    * [[Stages.grams5]]: (doc_id, source, p, h) with h the 64-BIT gram
+    * key (md5's first half — the x49/x2 key convention; both consumers'
+    * oracles mirror it via substring(md5(g), 1, 16), a bijection of the
+    * same 64 bits) and p the 1-based start position, one row per token
+    * position. x43 consumes (doc_id, p, h) and x45 consumes (source, h)
+    * distinct from the SAME frame, so a session running both hashes the
+    * corpus 5-grams once. The long key (vs the r11 md5-hex string)
+    * quarters the staged bytes and makes the detection exchanges
+    * primitive — the biggest staged artifact earns its footprint;
+    * "exact" means exact over the keyed gram sets, the same contract
+    * (and collision math) the x49 scaladoc states. */
   private[ops] def grams5Rows(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     documents(spark, dir)
       .select(col("doc_id"), col("source"), toks(col("text")).as("w"))
       .select(col("doc_id"), col("source"), posexplode(
         when(size(col("w")) >= k, expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
           .otherwise(expr("array()"))))
       .select(col("doc_id"), col("source"),
-        (col("pos") + 1).cast(LongType).as("p"), col("col").as("h"))
+        (col("pos") + 1).cast(LongType).as("p"), md5Long(col("col"), 0).as("h"))
   }
 
   /** x43's positional gram frame: (doc_id, p, h) — one row per token
@@ -940,7 +944,7 @@ object TextOps {
       s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 5
          |        THEN list_transform(range(1, len(w) - 3),
-         |               i -> md5(array_to_string(w[i : i + 4], ' ')))
+         |               i -> substring(md5(array_to_string(w[i : i + 4], ' ')), 1, 16))
          |        ELSE [] END) AS h FROM d),
          |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
          |c AS (SELECT a.source AS src_a, b.source AS src_b,
@@ -955,7 +959,7 @@ object TextOps {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 5
          |        THEN list_transform(range(1, len(w) - 3),
-         |               i -> md5(array_to_string(w[i : i + 4], ' ')))
+         |               i -> substring(md5(array_to_string(w[i : i + 4], ' ')), 1, 16))
          |        ELSE [] END AS gs FROM d),
          |p AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS p, unnest(gs) AS h FROM g),
          |sh AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
