@@ -35,7 +35,21 @@ import scala.collection.concurrent.TrieMap
 final class JdbcWalSink(url: String, table: String) extends WalSink {
   require(table.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe table name: $table")
 
+  /** SQL failures are rethrown as IOException: the consume loop's
+    * retry-forever contract ([[Streams.foreachBatchSync]], mirroring the
+    * reference's sleepMillisOnIoFailure) is keyed on IO — without this
+    * translation a transient JDBC outage (connection refused, table
+    * briefly absent mid-migration, failover) would KILL the query
+    * instead of parking it in INACCESSIBLE_IO_FAILURE until the target
+    * returns. The sink stays idempotent across retries by construction,
+    * so at-least-once redelivery after an outage is safe. */
   override def syncEntity(r: WalRecord): Boolean =
+    try syncOnce(r)
+    catch { case e: java.sql.SQLException =>
+      throw new java.io.IOException(s"jdbc target unavailable: ${e.getMessage}", e)
+    }
+
+  private def syncOnce(r: WalRecord): Boolean =
     JdbcWalSink.withConnection(url) { c =>
       val sel = c.prepareStatement(s"SELECT last_id FROM $table WHERE entity_id = ?")
       val prev =

@@ -194,6 +194,46 @@ class RecoverySpec extends SparkTestBase {
     } finally qa.stop()
   }
 
+  test("jdbc target outage parks the consumer in IO retry; recovery applies exactly once") {
+    // R6 against a REAL relational target: the reference retries forever
+    // on target inaccessibility (`WalConsumer.java:259-269`,
+    // sleepMillisOnIoFailure). JDBC outages surface as SQLException, so
+    // JdbcWalSink translates them to the consume loop's IO contract —
+    // here the target table simply doesn't exist yet (a migration/
+    // failover window), and the pipeline must PARK, not die, then apply
+    // everything exactly once when the target appears.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-jdbc-outage").toString
+    System.setProperty("derby.system.home", tmp)
+    val url = s"jdbc:derby:$tmp/derby2;create=true"
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    Seq(WalRecord(0, 1, "ADD", "a0"), WalRecord(1, 2, "ADD", "b0"))
+      .toDF().write.mode("append").parquet(walDir)
+    val p = new WalPipeline(Sources.walFileStream(s, walDir),
+      new JdbcWalSink(url, "outage_target"), s"$tmp/ckpt",
+      pollMillis = 10L, retrySleepMs = 25L)
+    p.start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (p.metrics.numIoFailures.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(p.metrics.numIoFailures.get() > 0,
+        "missing IO-failure signal while the jdbc target is absent")
+      assert(p.metrics.state.get() == WalState.INACCESSIBLE_IO_FAILURE)
+      // the target comes back mid-retry; the parked batch must drain
+      JdbcWalSink.ensureTable(url, "outage_target")
+      p.processAllAvailable()
+      val got = Sources.jdbc(s, url, "outage_target")
+        .select(col("ENTITY_ID"), col("PAYLOAD"), col("LAST_ID"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got == Map(1L -> (("a0", 0L)), 2L -> (("b0", 1L))), s"got $got")
+      assert(p.metrics.state.get() != WalState.INACCESSIBLE_IO_FAILURE,
+        "recovery must clear the inaccessible state")
+    } finally p.close()
+  }
+
   test("abnormal query termination surfaces as INACCESSIBLE_IO_FAILURE") {
     val s = spark
     import s.implicits._
