@@ -120,6 +120,64 @@ object VectorOps {
       .limit(5)
   }
 
+  /** x51 knobs: the QA query sample (vec_id < 8) and recall@k with x12's
+    * k = 5. */
+  private val x51Queries = 8L
+  private val x51K = 5
+
+  /** x51: ANN recall QA — the x33 pattern (approximation audited against
+    * exact truth) applied to the similarity family: per sampled query,
+    * recall@k of the sign-LSH ANN vs brute-force cosine truth, for BOTH
+    * probe policies — x12's single bucket and x12b's Hamming-1
+    * multi-probe. Per query: candidate-set sizes, truth size, hits, and
+    * exact-integer recalls. The report a pipeline owner reads before
+    * widening the bucket key or adding probes.
+    *
+    * One pass: the broadcast-scored (query × corpus) frame carries both
+    * membership flags; truth and the two ANN top-k sets are three
+    * row_number windows over it (all qid-keyed), and the verdict is one
+    * aggregate — no joins between truth and ANN sides at all. Recalls
+    * are exact fdiv ratios of longs. Scale shape: exact truth is the
+    * deliberate price of a QA job and the reason for the QUERY SAMPLE —
+    * cost is |sample| × corpus through one codegen'd dot product scan,
+    * embarrassingly parallel, with per-partition top-k pruning in the
+    * windows; everything after the scan is |sample|-bounded.
+    *
+    * Invariant the spec pins (and why multi-probe can only help): a
+    * truth member displaced from the multi-probe top-k is displaced by a
+    * higher-cosine candidate, which therefore sits above it in GLOBAL
+    * rank too and is itself truth — so hit5 ≥ hit1 per query. */
+  def x51AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", signBucket(col("v")))
+    val q = e.filter(col("vec_id") < x51Queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("bucket") === col("qbucket")).as("in1"),
+        (bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1).as("in5"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
+    val wAll = Window.partitionBy(col("qid")).orderBy(col("cos_s4").desc, col("vec_id").asc)
+    val w1 = Window.partitionBy(col("qid"), col("in1")).orderBy(col("cos_s4").desc, col("vec_id").asc)
+    val w5 = Window.partitionBy(col("qid"), col("in5")).orderBy(col("cos_s4").desc, col("vec_id").asc)
+    scored
+      .withColumn("t", row_number().over(wAll) <= x51K)
+      .withColumn("a1", col("in1") && row_number().over(w1) <= x51K)
+      .withColumn("a5", col("in5") && row_number().over(w5) <= x51K)
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("in1"), 1L).otherwise(0L)).as("n_cand1"),
+        sum(when(col("in5"), 1L).otherwise(0L)).as("n_cand5"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("t") && col("a1"), 1L).otherwise(0L)).as("hit1"),
+        sum(when(col("t") && col("a5"), 1L).otherwise(0L)).as("hit5"))
+      .select(col("qid"), col("n_cand1"), col("n_cand5"), col("n_truth"),
+        col("hit1"), fdiv(lit(10000L) * col("hit1"), col("n_truth")).as("recall1_s4"),
+        col("hit5"), fdiv(lit(10000L) * col("hit5"), col("n_truth")).as("recall5_s4"))
+      .orderBy("qid")
+  }
+
   /** k-means parameters for x16: k coarse centroids, seeded from the k
     * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
     * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
@@ -394,6 +452,7 @@ object VectorOps {
     "x3b_knn_batch" -> x3bKnnBatch,
     "x12_ann_lsh" -> x12AnnLsh,
     "x12b_ann_multiprobe" -> x12bAnnMultiprobe,
+    "x51_ann_recall" -> x51AnnRecall,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -462,6 +521,31 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x51_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  ${signBucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 8),
+         |s AS (SELECT q.qid, e.vec_id,
+         |        (e.bucket = q.qbucket) AS in1,
+         |        (bit_count(xor(e.bucket, q.qbucket)) <= 1) AS in5,
+         |        ${scaled4Sql(cosSql("e.v", "q.qv"))} AS cos_s4
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, in1, in5,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_s4 DESC, vec_id ASC) <= 5 AS t,
+         |        in1 AND row_number() OVER (PARTITION BY qid, in1 ORDER BY cos_s4 DESC, vec_id ASC) <= 5 AS a1,
+         |        in5 AND row_number() OVER (PARTITION BY qid, in5 ORDER BY cos_s4 DESC, vec_id ASC) <= 5 AS a5
+         |      FROM s),
+         |agg AS (SELECT qid,
+         |    CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand1,
+         |    CAST(sum(CASE WHEN in5 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand5,
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |    CAST(sum(CASE WHEN t AND a1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+         |    CAST(sum(CASE WHEN t AND a5 THEN 1 ELSE 0 END) AS BIGINT) AS hit5
+         |  FROM r GROUP BY qid)
+         |SELECT qid, n_cand1, n_cand5, n_truth,
+         |  hit1, ${Tables.fdivSql("10000 * hit1", "n_truth")} AS recall1_s4,
+         |  hit5, ${Tables.fdivSql("10000 * hit5", "n_truth")} AS recall5_s4
+         |FROM agg ORDER BY qid""".stripMargin,
     "x12b_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  ${signBucketSql("embedding")} AS bucket FROM embeddings),

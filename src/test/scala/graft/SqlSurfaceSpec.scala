@@ -5,7 +5,7 @@ package graft
   * `spark.sql`, with results identical to the DataFrame form — the
   * composability contract (a user can join/filter any operator's output
   * in plain SQL without touching the Scala API). Runs on sf0.001 so the
-  * full 126-key surface (including the streaming gates, which execute
+  * full registered surface (including the streaming gates, which execute
   * once at registration) stays cheap. */
 class SqlSurfaceSpec extends SparkTestBase {
 

@@ -173,6 +173,26 @@ class OpsSpec extends SparkTestBase {
       s"multi-probe recall regressed: truth=$truth single=$single multi=$multi")
   }
 
+  test("x51: per-query recall report — multi-probe dominates, bounds hold") {
+    val rows = VectorOps.x51AnnRecall(spark, sf001).collect()
+    assert(rows.length == 8, s"one report row per sampled query: ${rows.length}")
+    rows.foreach { r =>
+      val (qid, nc1, nc5, nt, h1, r1, h5, r5) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(nc5 >= nc1, s"q$qid: multi-probe candidates must be a superset count")
+      assert(h1 <= nt && h5 <= nt, s"q$qid: hits cannot exceed truth size")
+      // the displacement argument in the x51 scaladoc: a truth member can
+      // only be pushed out of the multi-probe top-k by another truth member
+      assert(h5 >= h1, s"q$qid: multi-probe recall regressed ($h5 < $h1)")
+      assert(r1 == 10000 * h1 / nt && r5 == 10000 * h5 / nt,
+        s"q$qid: recalls must be exact integer ratios")
+    }
+    // the gate must exercise real arithmetic: on the driver corpus the
+    // probe policies genuinely differ somewhere
+    assert(rows.exists(r => r.getLong(6) > r.getLong(4)),
+      "multi-probe should beat single-probe for at least one query")
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
