@@ -244,6 +244,9 @@ object BenchScaling {
     // cosine space (identical copies would pair across replicas and fake
     // a quadratic blow-up the real "more corpus" case doesn't have)
     "x14_cosine_neardup" -> fx(graft.ops.VectorOps.x14CosineNeardup _),
+    // ANN recall QA: exact truth over a FIXED query sample is the job's
+    // deliberate price — cost must track |sample| × corpus linearly
+    "x51_ann_recall" -> fx(graft.ops.VectorOps.x51AnnRecall _),
     "x16_ivf_ann" -> fx(graft.ops.VectorOps.x16IvfAnn _),
     "x27_semantic_dedup" -> fx(graft.ops.VectorOps.x27SemanticDedup _),
     // the same two operators with the corpus-scale knob APPLIED: k grows
@@ -271,7 +274,7 @@ object BenchScaling {
     * legs run at factors past the embedding-shift cap. */
   private val embeddingsUsers = Set("x14_cosine_neardup", "x16_ivf_ann",
     "x27_semantic_dedup", "x16_ivf_ann_scaledk", "x27_semantic_dedup_scaledk",
-    "x14_cosine_neardup_scaledbits")
+    "x14_cosine_neardup_scaledbits", "x51_ann_recall")
   private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
     "x2_dedup_near_tightdf",
     "q27_freq_items", "q27_freq_items_scaledsupport",
@@ -282,7 +285,10 @@ object BenchScaling {
     "x40_bigram_lm", "x41_dataset_diff",
     "x42_grouped_topk", "x42_window_topk",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
-    "x48_constraint_audit", "x49_setsim_join", "x50_quarantine")
+    "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
+    // the x49 candidate A/B count legs read the x49_grams stage, which
+    // derives from documents — selecting them alone must still replicate
+    "count:x49_cand_pos", "count:x49_cand_all")
 
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high
