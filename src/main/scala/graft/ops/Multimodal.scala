@@ -22,6 +22,13 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Long,
 case class ImageFeatures(doc_id: Long, format: String, img_w: Long,
     img_h: Long, px_checksum: Long, decoded: Boolean)
 
+/** REAL audio-decode output (`javax.sound.sampled`, WAV/AIFF/AU in the
+  * base JDK): actual sample rate, channel count, frame count, and a
+  * deterministic checksum of the decoded PCM bytes; same
+  * degrade-to-verdict contract as [[ImageFeatures]]. */
+case class AudioFeatures(doc_id: Long, format: String, sample_rate: Long,
+    channels: Long, n_frames: Long, pcm_checksum: Long, decoded: Boolean)
+
 /** X15: multimodal column plumbing — the Spark-side machinery a media
   * pipeline needs: a `binary` payload column with typed metadata, a typed
   * `Dataset[MediaRow]`, and per-partition batch "decode"/feature-extract.
@@ -29,13 +36,16 @@ case class ImageFeatures(doc_id: Long, format: String, img_w: Long,
   * Two decode paths share the mapPartitions batch shape: a DETERMINISTIC
   * STUB over the synthetic media table (payload bytes are the UTF-8 text
   * of the document, "features" are byte statistics — oracle-checkable),
-  * and a REAL image decode ([[Multimodal.decodeImages]]) via the JDK's
+  * REAL image decode ([[Multimodal.decodeImages]]) via the JDK's
   * `javax.imageio` (PNG/GIF/BMP/JPEG readers ship with the JVM — no
   * external codec needed) yielding actual pixel dimensions and a raster
-  * checksum; audio/video codecs stay out of this container's reach, so
-  * those decodes remain where a JNI/ONNX call would plug into the same
-  * batch. The plumbing — binary column, Encoder schema, mapPartitions
-  * batch shape, partition sizing — is shared by both.
+  * checksum, and a REAL audio decode ([[Multimodal.decodeAudio]]) via
+  * `javax.sound.sampled` (WAV/AIFF/AU) yielding sample rate / channels /
+  * frames / PCM checksum; video and compressed-audio codecs stay out of
+  * this container's reach, so those decodes remain where a JNI/ONNX call
+  * would plug into the same batch. The plumbing — binary column, Encoder
+  * schema, mapPartitions batch shape, partition sizing — is shared by
+  * all of them.
   *
   * Scale notes: decode is per-partition (`mapPartitions`), so codec init
   * happens once per task, not per row — the same shape as a Pandas-UDF
@@ -125,6 +135,36 @@ object Multimodal {
           }
           ImageFeatures(r.doc_id, r.format, img.getWidth.toLong, img.getHeight.toLong,
             sum, decoded = true)
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode over any media table: `javax.sound.sampled`
+    * readers (WAV/AIFF/AU ship with the JDK) on the payload bytes,
+    * per-partition batches — the audio twin of [[decodeImages]]. Yields
+    * the actual sample rate / channels / frame count plus a checksum of
+    * the decoded PCM stream; compressed formats without an in-JVM codec
+    * (mp3, aac) and corrupt payloads degrade to decoded = false. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.payload)))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val pcm = in.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i < pcm.length) { sum += (pcm(i) & 0xff); i += 1 }
+            AudioFeatures(r.doc_id, r.format, fmt.getSampleRate.toLong,
+              fmt.getChannels.toLong, frames, sum, decoded = true)
+          } finally in.close()
+        } catch { case _: Exception =>
+          AudioFeatures(r.doc_id, r.format, -1L, -1L, -1L, 0L, decoded = false)
         }
       }
     }

@@ -161,6 +161,41 @@ class SourcesSpec extends SparkTestBase {
       && feats(2).decoded, feats(2).toString)
   }
 
+  test("real audio decode: generated WAVs yield actual rate/channels/frames + PCM checksum") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-wavs")
+    // real RIFF/WAVE files written by the SAME JDK stack the decode uses
+    def writeWav(name: String, rate: Float, channels: Int, frames: Int): Long = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      var sum = 0L
+      for (i <- pcm.indices) {
+        pcm(i) = ((i * 31 + 7) % 251).toByte // deterministic ramp
+        sum += (pcm(i) & 0xff)
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, dir.resolve(name).toFile)
+      sum
+    }
+    val sumA = writeWav("a.wav", 8000f, 1, 120)
+    val sumB = writeWav("b.wav", 44100f, 2, 300)
+    Files.write(dir.resolve("corrupt.wav"), Array[Byte](82, 73, 70, 70)) // "RIFF" then EOF
+    val feats = graft.ops.Multimodal.decodeAudio(
+        graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.wav"))
+      .collect().sortBy(_.n_frames)
+    assert(feats.length == 3, feats.mkString(", "))
+    assert(feats.head == graft.ops.AudioFeatures(
+      feats.head.doc_id, "wav", -1L, -1L, -1L, 0L, false), feats.head.toString)
+    assert(feats(1).sample_rate == 8000L && feats(1).channels == 1L
+      && feats(1).n_frames == 120L && feats(1).pcm_checksum == sumA && feats(1).decoded,
+      feats(1).toString)
+    assert(feats(2).sample_rate == 44100L && feats(2).channels == 2L
+      && feats(2).n_frames == 300L && feats(2).pcm_checksum == sumB && feats(2).decoded,
+      feats(2).toString)
+  }
+
   test("orc round-trips the WAL tables with pushdown intact; feeds the WAL stream") {
     val s = spark
     import s.implicits._
