@@ -349,7 +349,13 @@ object BenchScaling {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: partitions = cores (the fixed-config audit). Override
+      // with SPARK_GRAFT_SCALE_PARTITIONS to measure the README sizing
+      // note — post-shuffle partitions should track data volume, and the
+      // 256× legs' superlinear tails are exactly the fixed-32 config
+      // spilling (partition state outgrows memory), not plan shape
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", cpus))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
