@@ -178,6 +178,49 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** x51b: IVF recall QA — completes the ANN QA matrix: x51 audits the
+    * sign-LSH probe policies, this audits x16's learned-centroid IVF
+    * (nprobe = 2) over the SAME query sample and truth definition. Per
+    * query: the probed inverted lists' total candidate count, truth
+    * size, hits, and the exact-integer recall@5. Same one-pass shape as
+    * x51, with IVF membership arriving as one (qid, vec_id) flag join
+    * from assign ⋈ probes (probes are ≤ 2·|sample| rows — broadcast);
+    * the k-means stage is shared with x16/x27 via
+    * [[Stages.x16Centroids]], so a session auditing the index it serves
+    * learns the centroids once. */
+  def x51bIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = scaledEmb(spark, dir)
+    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < x51Queries && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = assign.join(broadcast(probes), "cid")
+      .select(col("qid"), col("vec_id"), lit(true).as("in_ivf"))
+    val q = e.filter(col("vec_id") < x51Queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        scaled4(dotArr(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos_s4"))
+      .join(cand, Seq("qid", "vec_id"), "left")
+      .withColumn("in_ivf", coalesce(col("in_ivf"), lit(false)))
+    val wAll = Window.partitionBy(col("qid")).orderBy(col("cos_s4").desc, col("vec_id").asc)
+    val wIvf = Window.partitionBy(col("qid"), col("in_ivf"))
+      .orderBy(col("cos_s4").desc, col("vec_id").asc)
+    scored
+      .withColumn("t", row_number().over(wAll) <= x51K)
+      .withColumn("ai", col("in_ivf") && row_number().over(wIvf) <= x51K)
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("in_ivf"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("t") && col("ai"), 1L).otherwise(0L)).as("hit"))
+      .select(col("qid"), col("n_cand"), col("n_truth"), col("hit"),
+        fdiv(lit(10000L) * col("hit"), col("n_truth")).as("recall_s4"))
+      .orderBy("qid")
+  }
+
   /** k-means parameters for x16: k coarse centroids, seeded from the k
     * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
     * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
@@ -453,6 +496,7 @@ object VectorOps {
     "x12_ann_lsh" -> x12AnnLsh,
     "x12b_ann_multiprobe" -> x12bAnnMultiprobe,
     "x51_ann_recall" -> x51AnnRecall,
+    "x51b_ivf_recall" -> x51bIvfRecall,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -521,6 +565,29 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x51b_ivf_recall" ->
+      s"""WITH $x16AssignCtesSql,
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < 8 AND rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probes p ON a.cid = p.cid),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |s AS (SELECT q.qid, e.vec_id,
+         |        (c.vec_id IS NOT NULL) AS inivf,
+         |        ${scaled4Sql(cosSql("e.v", "q.qv"))} AS cos_s4
+         |      FROM e CROSS JOIN q
+         |      LEFT JOIN cand c ON c.qid = q.qid AND c.vec_id = e.vec_id
+         |      WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, inivf,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_s4 DESC, vec_id ASC) <= 5 AS t,
+         |        inivf AND row_number() OVER (PARTITION BY qid, inivf ORDER BY cos_s4 DESC, vec_id ASC) <= 5 AS ai
+         |      FROM s),
+         |agg AS (SELECT qid,
+         |    CAST(sum(CASE WHEN inivf THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |    CAST(sum(CASE WHEN t AND ai THEN 1 ELSE 0 END) AS BIGINT) AS hit
+         |  FROM r GROUP BY qid)
+         |SELECT qid, n_cand, n_truth, hit,
+         |  ${Tables.fdivSql("10000 * hit", "n_truth")} AS recall_s4
+         |FROM agg ORDER BY qid""".stripMargin,
     "x51_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  ${signBucketSql("embedding")} AS bucket FROM embeddings),

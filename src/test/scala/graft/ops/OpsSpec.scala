@@ -193,6 +193,26 @@ class OpsSpec extends SparkTestBase {
       "multi-probe should beat single-probe for at least one query")
   }
 
+  test("x51b: IVF recall report agrees with the registered x16 index it audits") {
+    val rows = VectorOps.x51bIvfRecall(spark, sf001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (qid, nc, nt, h, rec) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(h <= nt && nc > 0, s"q$qid: bounds")
+      assert(rec == 10000 * h / nt, s"q$qid: recall must be the exact integer ratio")
+    }
+    // cross-operator consistency for qid 0: the report's hit count must
+    // equal |x16's served top-5 ∩ exact truth top-5| — the report audits
+    // the SAME index the registered x16 query serves
+    val truth5 = VectorOps.x3KnnCosine(spark, sf001).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val served5 = VectorOps.x16IvfAnn(spark, sf001).collect().map(_.getLong(0)).toSet
+    val hit0 = rows.find(_.getLong(0) == 0L).get.getLong(3)
+    assert(hit0 == served5.intersect(truth5).size.toLong,
+      s"report hit=$hit0 vs served∩truth=${served5.intersect(truth5)}")
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
