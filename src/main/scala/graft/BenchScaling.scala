@@ -239,6 +239,13 @@ object BenchScaling {
     "x40_bigram_lm" -> fx(graft.ops.PipelineOps.x40BigramLm _),
     // the snapshot diff: (doc_id, md5) pairs ×f through the full-outer join
     "x41_dataset_diff" -> fx(graft.ops.PipelineOps.x41DatasetDiff _),
+    // BPE pair stats: disjoint token namespaces grow BOTH count tables
+    // ×f with per-replica pair distributions unchanged; the top-20 stays
+    // TakeOrdered. The watched term is the broadcast vocab join — under
+    // this replication model the vocab grows ×f (real corpora grow it
+    // sublinearly, Heaps' law), so this leg is the measured form of the
+    // scaladoc's vocab-bounded-broadcast claim
+    "x54_bpe_pairs" -> fx(graft.ops.TextOps.x54BpePairs _),
     // the vector stack — embeddings replicate with vec_id offsets AND a
     // per-replica circular component shift, so replicas stay disjoint in
     // cosine space (identical copies would pair across replicas and fake
@@ -286,6 +293,7 @@ object BenchScaling {
     "x42_grouped_topk", "x42_window_topk",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
     "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
+    "x54_bpe_pairs",
     // the x49 candidate A/B count legs read the x49_grams stage, which
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")

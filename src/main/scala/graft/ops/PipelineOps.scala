@@ -206,6 +206,61 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x52: structural PII scan ----
+
+  private val piiMark = "[PII]"
+
+  /** The deterministic PII overlay x52 scans: the corpus is synthetic
+    * digit-free word text (no real PII, by construction), so each doc
+    * gets ONE appended PII-shaped token derived from its doc_id —
+    * doc_id%3 picks email / phone / IPv4 — built identically in the
+    * oracle SQL. The corpus tokens are the negatives (a detector that
+    * ever fires on them breaks the hash gate); the overlay is the
+    * positives. Swapping in real text changes nothing structural. */
+  private def piiSuffix: Column =
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit(" +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(concat(lit(" 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 256).cast("string"), lit(".7")))
+
+  /** Structural (token-shape) PII detectors — deliberately NOT regexes:
+    * Java and RE2 dialects can disagree at edges (the x22 rule), while
+    * contains/split_part/translate/length have one semantics in both
+    * engines. Email = has '@' and a '.' after it; phone = '+' prefix,
+    * ≥8 chars, digits/+/- only; IPv4 = digits/dots only, exactly four
+    * 1–3 digit groups. */
+  private def isEmail(t: Column): Column =
+    t.contains("@") && split_part(t, lit("@"), lit(2)).contains(".")
+  private def isPhone(t: Column): Column =
+    t.startsWith("+") && length(t) >= 8 && translate(t, "0123456789+-", "") === ""
+  private def isIp(t: Column): Column =
+    translate(t, "0123456789.", "") === "" &&
+      size(split(t, "[.]")) === 4 &&
+      size(filter(split(t, "[.]"), p => length(p).between(1, 3))) === 4
+
+  /** x52: PII scan + scrub — the regulatory-floor pass every corpus
+    * release runs (x22 scrubs a KNOWN entity denylist; x52 finds
+    * UNKNOWN structurally-PII-shaped tokens). Per doc: counts per PII
+    * class over every token of the overlaid text and the md5 of the
+    * scrubbed text with each hit replaced by `[PII]`. Pure per-row
+    * codegen'd HOF chain (split → filter/transform → array_join) — no
+    * shuffle, no UDF; at 100 TB this fuses into the scan like x22. */
+  def x52PiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(concat(col("text"), piiSuffix))
+    val isPii = (t: Column) => isEmail(t) || isPhone(t) || isIp(t)
+    val scrubbed = array_join(
+      transform(w, t => when(isPii(t), lit(piiMark)).otherwise(t)), " ")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(w, t => isEmail(t))).cast(LongType).as("n_email"),
+        size(filter(w, t => isPhone(t))).cast(LongType).as("n_phone"),
+        size(filter(w, t => isIp(t))).cast(LongType).as("n_ip"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- x23: SimHash near-dup pairs ----
 
   /** x23's Hamming radius and its exact pigeonhole banding: a pair
@@ -1176,6 +1231,7 @@ object PipelineOps {
     "x44_group_sample" -> x44GroupSample,
     "x21_embed_quant" -> x21EmbedQuant,
     "x22_redact" -> x22Redact,
+    "x52_pii_scan" -> x52PiiScan,
     "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters,
     "x25_boilerplate" -> x25Boilerplate,
@@ -1202,7 +1258,7 @@ object PipelineOps {
 
   /** DuckDB twin of x44's 48-bit priority (first 12 hex chars of md5,
     * same nibble parse as hex16Sql). */
-  private def hex48Sql(h: String): String =
+  private[graft] def hex48Sql(h: String): String =
     (0 until 12).map { i =>
       val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (11 - i))} * $nib)"
@@ -1356,6 +1412,27 @@ object PipelineOps {
          |  CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  ${fdivSql(s"1000 * CAST(sum(CASE WHEN h16 < $sampleThreshold THEN 1 ELSE 0 END) AS BIGINT)", "count(*)")} AS kept_per_1000
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "x52_pii_scan" -> {
+      val email = "contains(t,'@') AND contains(split_part(t,'@',2),'.')"
+      val phone = "starts_with(t,'+') AND length(t) >= 8 AND translate(t,'0123456789+-','') = ''"
+      val ip = "translate(t,'0123456789.','') = '' AND len(string_split(t,'.')) = 4" +
+        " AND len(list_filter(string_split(t,'.'), p -> len(p) BETWEEN 1 AND 3)) = 4"
+      s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 3 AS INTEGER)
+         |      WHEN 0 THEN ' user' || doc_id || '@mail.example.com'
+         |      WHEN 1 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE ' 10.' || (doc_id % 256) || '.' || (doc_id % 256) || '.7'
+         |    END AS synth FROM documents),
+         |t AS (SELECT doc_id, string_split(synth, ' ') AS w FROM d)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, t -> $email)) AS BIGINT) AS n_email,
+         |  CAST(len(list_filter(w, t -> $phone)) AS BIGINT) AS n_phone,
+         |  CAST(len(list_filter(w, t -> $ip)) AS BIGINT) AS n_ip,
+         |  md5(array_to_string(list_transform(w,
+         |    t -> CASE WHEN ($email) OR ($phone) OR ($ip) THEN '$piiMark' ELSE t END),
+         |    ' ')) AS scrubbed_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "x22_redact" -> {
       val dl = redactList.map(t => s"'$t'").mkString("(", ", ", ")")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

@@ -643,6 +643,42 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc)
       .limit(20)
 
+  /** x54: BPE merge candidates — the first merge step of byte-pair-
+    * encoding tokenizer induction as a corpus report: the top-20
+    * adjacent token pairs by frequency, each with its unigram counts and
+    * an integer PMI-style association score (1e6·n_pair/(n_left·n_right),
+    * floor-div — high when the pair co-occurs far above independence,
+    * the signal a merge-or-not decision reads alongside raw count).
+    * Extends the x5/x10 token family toward tokenizer TRAINING: x10
+    * counts tokens under a fixed tokenizer, x54 computes the statistics
+    * that induce one.
+    *
+    * Plan shape at 100 TB: pair extraction is a per-row codegen'd HOF
+    * (sequence → element_at pairs — no self-join on position); pair and
+    * unigram counts are two map-side-combinable hash aggregations; the
+    * unigram side is vocab-bounded (≈1e6 rows on an open corpus) so the
+    * score join broadcasts, and the final top-20 is
+    * TakeOrderedAndProject (per-partition top-k, driver merge — no
+    * global sort). */
+  def x54BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(toks(col("text")).as("w"))
+    val pairs = d.filter(size(col("w")) >= 2) // sequence(1,0) would descend
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("l"),
+          element_at(col("w"), i + 1).as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val pc = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
+    val uc = d.select(explode(col("w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    pc.join(broadcast(uc.select(col("term").as("l"), col("n").as("n_left"))), "l")
+      .join(broadcast(uc.select(col("term").as("r"), col("n").as("n_right"))), "r")
+      .select(col("l"), col("r"), col("n_pair"), col("n_left"), col("n_right"),
+        fdiv(lit(1000000L) * col("n_pair"), col("n_left") * col("n_right")).as("score_ppm"))
+      .orderBy(col("n_pair").desc, col("l").asc, col("r").asc)
+      .limit(20)
+  }
+
   /** x43: exact SUBSTRING-level dedup — the span-granular member of the
     * dedup family (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2022): where x1/x2/x13 decide per
@@ -919,7 +955,8 @@ object TextOps {
     "x11_fingerprint" -> x11Fingerprint,
     "x11b_rolling_fp" -> x11bRollingFp,
     "x4_text_stats" -> x4TextStats,
-    "x5_topk_terms" -> x5TopkTerms)
+    "x5_topk_terms" -> x5TopkTerms,
+    "x54_bpe_pairs" -> x54BpePairs)
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1108,5 +1145,16 @@ object TextOps {
     "x5_topk_terms" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin)
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+    "x54_bpe_pairs" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT w[t.i] AS l, w[t.i+1] AS r
+         |      FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+         |pc AS (SELECT l, r, count(*) AS n_pair FROM p GROUP BY l, r),
+         |uc AS (SELECT term, count(*) AS n
+         |       FROM (SELECT unnest(w) AS term FROM d) GROUP BY term)
+         |SELECT pc.l, pc.r, pc.n_pair, a.n AS n_left, b.n AS n_right,
+         |  ${fdivSql("1000000 * pc.n_pair", "(a.n * b.n)")} AS score_ppm
+         |FROM pc JOIN uc a ON pc.l = a.term JOIN uc b ON pc.r = b.term
+         |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin)
 }

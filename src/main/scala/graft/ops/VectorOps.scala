@@ -221,6 +221,72 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** x53: cluster-balanced sample — the per-semantic-cluster QA draw.
+    * x44 draws k docs per METADATA cell (lang, source); x53 draws k
+    * vectors per LEARNED x16 cluster — the read a SemDeDup/clustering
+    * audit starts from ("what does each cluster contain?") and the
+    * building block of cluster-balanced mixture (per-cluster caps over
+    * semantic strata rather than metadata strata). Same bounded
+    * mergeable bottom-k-by-md5-priority as x44
+    * ([[graft.functions.TopKByAgg]]): map-side partials keep ≤k ids per
+    * cluster × task, nothing sorts, the cluster size rides the same
+    * ObjectHashAggregate pass. Assignment reuses the shared
+    * [[Stages.x16Centroids]] k-means stage (one broadcast-centroid
+    * scoring pass); at 100 TB the whole op is scan + one bounded
+    * aggregate. */
+  def x53ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByAgg.topkBy
+    val k = 3
+    val e = scaledEmb(spark, dir)
+    val assign = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"),
+        shiftrightunsigned(
+          graft.functions.HashFunctions.md5Long(col("vec_id").cast("string"), 0), 16).as("h48"))
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), topkBy(-col("h48"), col("vec_id"), k).as("tk"))
+      .select(col("cid"), col("n_vecs"), posexplode(col("tk")))
+      .select(col("cid"), col("n_vecs"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tag").as("vec_id"), (-col("col.ord")).as("h48"))
+      .orderBy("cid", "rnk")
+  }
+
+  /** x55: cluster-purity QA — EXTERNAL validation of the x16 k-means
+    * partition against the corpus' held labels (`embeddings.label`),
+    * completing the clustering QA story: x51b audits the IVF index's
+    * RECALL, x55 audits the clusters' semantic COHERENCE (do learned
+    * clusters align with known classes — the purity metric every
+    * clustering evaluation reports). Per cluster: size, majority label,
+    * majority count, purity per-mille; majority ties break
+    * lowest-label-first in both engines.
+    *
+    * Plan shape at 100 TB: assignment is the shared broadcast-centroid
+    * stage; the label join is an equi-join of two scans of the same
+    * table on vec_id; then ONE map-side-combinable (cid, label) count
+    * and a per-cid window over label-cardinality-bounded rows (≤ k·|labels|
+    * rows reach the window — sketch-sized, not corpus-sized). */
+  def x55ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = scaledEmb(spark, dir)
+    val assign = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val lab = embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val cl = assign.join(lab, "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+    cl.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("n").desc, col("label").asc)))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy(col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("n_top"), fdiv(lit(1000L) * col("n"), col("n_vecs")).as("purity_pm"))
+      .orderBy("cid")
+  }
+
   /** k-means parameters for x16: k coarse centroids, seeded from the k
     * lowest vec_ids (a deterministic seed — the k-means++ analog at scale
     * is a seeded sample), refined with `x16Iters` Lloyd's rounds. */
@@ -497,6 +563,8 @@ object VectorOps {
     "x12b_ann_multiprobe" -> x12bAnnMultiprobe,
     "x51_ann_recall" -> x51AnnRecall,
     "x51b_ivf_recall" -> x51bIvfRecall,
+    "x53_cluster_sample" -> x53ClusterSample,
+    "x55_cluster_purity" -> x55ClusterPurity,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -565,6 +633,28 @@ object VectorOps {
          |SELECT vec_id, bucket, ${scaled4Sql(cosSql("v", "qv"))} AS cos_s4
          |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY cos_s4 DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "x55_cluster_purity" ->
+      s"""WITH $x16AssignCtesSql,
+         |l AS (SELECT a.cid, CAST(e2.label AS BIGINT) AS label
+         |      FROM assign a JOIN embeddings e2 ON a.vec_id = e2.vec_id),
+         |cl AS (SELECT cid, label, count(*) AS n FROM l GROUP BY cid, label),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn,
+         |        CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         |      FROM cl)
+         |SELECT cid, n_vecs, label AS top_label, n AS n_top,
+         |  ${fdivSql("1000 * n", "n_vecs")} AS purity_pm
+         |FROM r WHERE rn = 1 ORDER BY cid""".stripMargin,
+    "x53_cluster_sample" ->
+      s"""WITH $x16AssignCtesSql,
+         |h AS (SELECT cid, vec_id,
+         |    ${PipelineOps.hex48Sql("md5(CAST(vec_id AS VARCHAR))")} AS h48 FROM assign),
+         |r AS (SELECT *, count(*) OVER (PARTITION BY cid) AS n_vecs,
+         |        row_number() OVER (PARTITION BY cid ORDER BY h48 ASC, vec_id ASC) AS rnk
+         |      FROM h)
+         |SELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs, CAST(rnk AS BIGINT) AS rnk,
+         |  vec_id, CAST(h48 AS BIGINT) AS h48
+         |FROM r WHERE rnk <= 3 ORDER BY cid, rnk""".stripMargin,
     "x51b_ivf_recall" ->
       s"""WITH $x16AssignCtesSql,
          |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < 8 AND rn <= 2),

@@ -142,6 +142,14 @@ class DeterminismSpec extends SparkTestBase {
     // quarantine routing: per-row codegen'd bits + one dup-id window —
     // every mask must be identical under any partitioning
     "x50_quarantine",
+    // cluster-balanced sampling: k-means assignment (iterative, via the
+    // shared stage) + bottom-k heap partials merging in shuffle order —
+    // the drawn set per cluster must be identical under any partitioning
+    "x53_cluster_sample",
+    // BPE pair stats: two exploded hash aggs + broadcast vocab joins +
+    // TakeOrdered — the top-20 under the (n_pair, l, r) total order must
+    // not see how pair partials merged
+    "x54_bpe_pairs",
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell
@@ -158,7 +166,9 @@ class DeterminismSpec extends SparkTestBase {
       "q27c_freq_grouped", "s10_freq_stream",
       // the gram stages (round 12): x49's ranked index, x43+x45's shared
       // positional 5-gram frame
-      "x49_setsim_join", "x43_substring_dedup", "x45_source_overlap")
+      "x49_setsim_join", "x43_substring_dedup", "x45_source_overlap",
+      // the x16 centroid stage, via its round-12 sampling consumer
+      "x53_cluster_sample")
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {

@@ -213,6 +213,69 @@ class OpsSpec extends SparkTestBase {
       s"report hit=$hit0 vs served∩truth=${served5.intersect(truth5)}")
   }
 
+  test("x52: exactly one PII hit per doc, of the kind its overlay planted") {
+    val rows = PipelineOps.x52PiiScan(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (id, e, p, ip) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // the corpus tokens are all-letter words: zero false positives, so
+      // the single overlay token is the only hit and lands in its class
+      assert(e + p + ip == 1, s"doc $id: expected exactly one hit, got ($e,$p,$ip)")
+      val expected = (id % 3) match { case 0 => e case 1 => p case _ => ip }
+      assert(expected == 1, s"doc $id: hit in wrong class ($e,$p,$ip)")
+    }
+  }
+
+  test("x53: per-cluster draws are bounded by k and cluster sizes tile the corpus") {
+    val df = VectorOps.x53ClusterSample(spark, sf0001).cache()
+    val total = graft.model.Tables.embeddings(spark, sf0001).count()
+    // (cid, n_vecs) rows: per cluster, exactly min(3, n_vecs) draws,
+    // ranks 1..m, distinct vec_ids; cluster sizes sum to the corpus
+    val perCluster = df.groupBy("cid", "n_vecs")
+      .agg(count(lit(1)).as("m"), max("rnk").as("maxr"),
+        countDistinct("vec_id").as("nd")).collect()
+    perCluster.foreach { r =>
+      val (n, m, maxr, nd) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m == math.min(3L, n) && maxr == m && nd == m)
+    }
+    assert(perCluster.map(r => r.getLong(1)).sum == total,
+      "cluster sizes must tile the embedding corpus")
+    assert(df.select("vec_id").distinct().count() == df.count(),
+      "a vector may be drawn for only one cluster")
+  }
+
+  test("x55: purity rows reconcile with the x53 cluster sizes and the label space") {
+    val purity = VectorOps.x55ClusterPurity(spark, sf0001).collect()
+    val labels = graft.model.Tables.embeddings(spark, sf0001)
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    purity.foreach { r =>
+      val (n, top, ntop, pm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(labels.contains(top), s"majority label $top not in label space")
+      assert(ntop >= 1 && ntop <= n && pm == 1000L * ntop / n, s"inconsistent row: $r")
+      // a majority of a partition into |labels| classes is ≥ ceil(n/|labels|)
+      assert(ntop >= (n + labels.size - 1) / labels.size, s"sub-uniform majority: $r")
+    }
+    // x53 and x55 read the SAME assignment: identical (cid, n_vecs) sets
+    val sizes53 = VectorOps.x53ClusterSample(spark, sf0001)
+      .select("cid", "n_vecs").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(purity.map(r => (r.getLong(0), r.getLong(1))).toSet == sizes53,
+      "x55 cluster sizes disagree with x53's")
+  }
+
+  test("x54: pair counts are consistent with unigram counts and ranked correctly") {
+    val rows = TextOps.x54BpePairs(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending n_pair")
+    rows.foreach { r =>
+      val (np, nl, nr, s) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // each unigram occurrence is the left (right) element of ≤1 pair
+      assert(np <= nl && np <= nr, s"pair count exceeds a unigram count: $r")
+      assert(s == 1000000L * np / (nl * nr) && s >= 0, s"score mismatch: $r")
+    }
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
