@@ -150,6 +150,14 @@ class DeterminismSpec extends SparkTestBase {
     // TakeOrdered — the top-20 under the (n_pair, l, r) total order must
     // not see how pair partials merged
     "x54_bpe_pairs",
+    // cluster purity: the (cid, label) count partials and two per-cid
+    // windows — majority selection under the (n, label) total order must
+    // not see the count shuffle
+    "x55_cluster_purity",
+    // IVF recall QA: three qid-keyed windows over a broadcast-scored
+    // frame + the assign⋈probes flag join — every exact-integer recall
+    // must be partition-invariant
+    "x51b_ivf_recall",
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell
