@@ -556,6 +556,86 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** x56 knobs: M subspaces × sub dims tile the 64-dim corpus; k codes
+    * per subspace (init = the k lowest vec_ids' subvectors, the x16
+    * seeding recipe); one Lloyd refinement round — enough to move every
+    * codebook off its seeds while keeping the oracle's CTE unroll flat. */
+  private val pqM = 4
+  private val pqSub = 16
+  private val pqK = 8L
+
+  /** Exact integer squared L2 between two 1e6-scaled long subvectors.
+    * Components are |sv| ≲ 1e6 on unit-ish embeddings, so the 16-dim sum
+    * stays ≤ ~1e14 — exact in int64 in both engines, no doubles anywhere
+    * (unlike the cosine family there is no libm call to guard: PQ's
+    * native metric is L2 and scaled-int L2 is closed under +,×). */
+  private def pqD2(u: Column, cu: Column): Column =
+    aggregate(zip_with(u, cu, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  private val pqW = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)
+
+  /** x56: product-quantization codes (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+    * half of the IVF-PQ index every billion-vector ANN deployment runs:
+    * the 64-dim embedding is split into 4 independent 16-dim subspaces,
+    * each with its own 8-centroid codebook learned by seeded Lloyd's, and
+    * every vector is stored as 4 one-byte codes (64 floats → 4 bytes,
+    * 64× compression) plus its exact reconstruction error. x21 is the
+    * scalar-quantization baseline (per-component int8); x56 is the
+    * vector-quantization upgrade the ANN literature actually ships.
+    *
+    * Determinism: the whole op is scaled-integer — subvectors are the
+    * shared 1e6-scaled longs, distances are exact int64 squared-L2,
+    * centroid means are exact floor-divisions ([[graft.model.Tables.fdiv]]),
+    * ties break lowest-cid — so codes AND err_sq are bit-identical in the
+    * DuckDB oracle, which unrolls the same single Lloyd round.
+    *
+    * Plan shape at 100 TB: codebooks are M·k·sub longs (512 here) — the
+    * training joins broadcast them, assignment is one scan with a
+    * (vec_id, m)-keyed rank window, and the final code pivot is one
+    * map-side-combinable aggregate keyed by vec_id. At real scale you
+    * train on a deterministic sample (the x16 posture) and only the
+    * encode pass scans the corpus; the encode join is broadcast-only, so
+    * the op adds ZERO corpus shuffles beyond the per-vector window —
+    * and that window's input is M rows per vector, never the corpus². */
+  def x56PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = scaledEmb(spark, dir)
+    val sub = e.select(col("vec_id"), explode(array((0 until pqM).map(m =>
+        struct(lit(m.toLong).as("m"), slice(col("sv"), m * pqSub + 1, pqSub).as("u"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.u").as("u"))
+    val c0 = sub.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("cid"), col("u").as("cu"))
+    val a1 = sub.join(broadcast(c0), "m")
+      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
+      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    // per-component exact floor-division means; collect_list order is
+    // made deterministic by sorting the (p, c) structs on position
+    val means = sub.select(col("vec_id"), col("m"), posexplode(col("u")).as(Seq("p", "s")))
+      .join(a1, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("p"))
+      .agg(fdiv(sum(col("s")), count(lit(1))).as("c"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        x => x.getField("c")).as("cu1"))
+    // clusters left empty keep their seed centroid (the kmeansStep rule)
+    val c1 = c0.join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("cu1"), col("cu")).as("cu"))
+    sub.join(broadcast(c1), "m")
+      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
+      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("m") === 0, col("cid"))).as("code0"),
+        max(when(col("m") === 1, col("cid"))).as("code1"),
+        max(when(col("m") === 2, col("cid"))).as("code2"),
+        max(when(col("m") === 3, col("cid"))).as("code3"),
+        sum(col("d2")).as("err_sq"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> x3KnnCosine,
     "x3b_knn_batch" -> x3bKnnBatch,
@@ -565,6 +645,7 @@ object VectorOps {
     "x51b_ivf_recall" -> x51bIvfRecall,
     "x53_cluster_sample" -> x53ClusterSample,
     "x55_cluster_purity" -> x55ClusterPurity,
+    "x56_pq_codes" -> x56PqCodes,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -608,6 +689,45 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x56_pq_codes" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $x16Scale) AS BIGINT)) AS sv
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+         |    list_slice(sv, t.m * $pqSub + 1, t.m * $pqSub + $pqSub) AS u
+         |  FROM e CROSS JOIN range(0, $pqM) t(m)),
+         |c0 AS (SELECT m, vec_id AS cid, u AS cu FROM sub WHERE vec_id < $pqK),
+         |d1 AS (SELECT s.vec_id, s.m, c.cid,
+         |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
+         |  FROM sub s JOIN c0 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
+         |  GROUP BY s.vec_id, s.m, c.cid),
+         |a1 AS (SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM d1)
+         |  WHERE rn = 1),
+         |comp AS (SELECT s.vec_id, s.m, t.i AS p, s.u[t.i] AS sc
+         |  FROM sub s CROSS JOIN range(1, ${pqSub + 1}) t(i)),
+         |mean1 AS (SELECT c.m, a.cid, c.p, ${fdivSql("CAST(sum(c.sc) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS cm
+         |  FROM comp c JOIN a1 a ON c.vec_id = a.vec_id AND c.m = a.m
+         |  GROUP BY c.m, a.cid, c.p),
+         |cm1 AS (SELECT m, cid, list(cm ORDER BY p) AS cu1 FROM mean1 GROUP BY m, cid),
+         |c1 AS (SELECT c0.m, c0.cid, coalesce(cm1.cu1, c0.cu) AS cu
+         |  FROM c0 LEFT JOIN cm1 ON c0.m = cm1.m AND c0.cid = cm1.cid),
+         |dF AS (SELECT s.vec_id, s.m, c.cid,
+         |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
+         |  FROM sub s JOIN c1 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
+         |  GROUP BY s.vec_id, s.m, c.cid),
+         |aF AS (SELECT vec_id, m, cid, d2 FROM (
+         |    SELECT vec_id, m, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM dF)
+         |  WHERE rn = 1)
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS code0,
+         |  CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS code1,
+         |  CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS code2,
+         |  CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS code3,
+         |  CAST(sum(d2) AS BIGINT) AS err_sq
+         |FROM aF GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "x3_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -263,6 +263,48 @@ class OpsSpec extends SparkTestBase {
       "x55 cluster sizes disagree with x53's")
   }
 
+  test("x56: codes and err_sq match an independent in-JVM PQ replica") {
+    // replicate the whole op — scaled-int subvectors, seeded codebooks,
+    // one Lloyd round with floor-division means, lowest-cid ties — in
+    // plain Scala on the collected corpus and demand bit-equality
+    val emb = graft.model.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000L).toLong).toArray)
+      .sortBy(_._1)
+    val (m, subDim, k) = (4, 16, 8)
+    def sub(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def nearest(u: Array[Long], cents: Seq[(Long, Array[Long])]) =
+      cents.map { case (cid, cu) => (d2(u, cu), cid) }.min // (d2, cid) lexicographic
+    val expected = (0 until m).map { s =>
+      val c0 = emb.takeWhile(_._1 < k).map { case (id, v) => id -> sub(v, s) }.toSeq
+      val asg1 = emb.map { case (id, v) => id -> nearest(sub(v, s), c0)._2 }
+      val c1 = c0.map { case (cid, seed) =>
+        val members = asg1.filter(_._2 == cid).map(_._1).toSet
+        if (members.isEmpty) cid -> seed
+        else cid -> (0 until subDim).map { p =>
+          val xs = emb.filter(e => members(e._1)).map(e => sub(e._2, s)(p))
+          Math.floorDiv(xs.sum, xs.length.toLong)
+        }.toArray
+      }
+      emb.map { case (id, v) => id -> nearest(sub(v, s), c1) }.toMap
+    }
+    val got = VectorOps.x56PqCodes(spark, sf0001).collect()
+    assert(got.length == emb.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      (0 until m).foreach(s => assert(r.getLong(1 + s) == expected(s)(id)._2,
+        s"vec $id subspace $s code mismatch"))
+      assert(r.getLong(5) == (0 until m).map(s => expected(s)(id)._1).sum,
+        s"vec $id err_sq mismatch")
+    }
+    // the quantizer must be nontrivial: several codes in use per subspace
+    (0 until m).foreach(s =>
+      assert(expected(s).values.map(_._2).toSet.size >= 4, s"subspace $s degenerate"))
+  }
+
   test("x54: pair counts are consistent with unigram counts and ranked correctly") {
     val rows = TextOps.x54BpePairs(spark, sf0001).collect()
     assert(rows.length == 20)
