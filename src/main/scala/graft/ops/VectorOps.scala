@@ -576,6 +576,45 @@ object VectorOps {
   private val pqW = org.apache.spark.sql.expressions.Window
     .partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)
 
+  /** (vec_id, m, u): the corpus tiled into pqM scaled-long subvectors —
+    * one explode, M rows per vector. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until pqM).map(m =>
+        struct(lit(m.toLong).as("m"), slice(col("sv"), m * pqSub + 1, pqSub).as("u"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.u").as("u"))
+
+  /** Final per-subspace PQ codebooks (m, cid, cu): seeds = the pqK lowest
+    * vec_ids' subvectors, one Lloyd round of exact floor-division means.
+    * M·k·sub longs total — always broadcast by consumers. */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
+    val c0 = sub.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("cid"), col("u").as("cu"))
+    val a1 = sub.join(broadcast(c0), "m")
+      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
+      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    // per-component exact floor-division means; collect_list order is
+    // made deterministic by sorting the (p, c) structs on position
+    val means = sub.select(col("vec_id"), col("m"), posexplode(col("u")).as(Seq("p", "s")))
+      .join(a1, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("p"))
+      .agg(fdiv(sum(col("s")), count(lit(1))).as("c"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        x => x.getField("c")).as("cu1"))
+    // clusters left empty keep their seed centroid (the kmeansStep rule)
+    c0.join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("cu1"), col("cu")).as("cu"))
+  }
+
+  /** Every vector's final code per subspace: (vec_id, m, cid, d2) — one
+    * broadcast-codebook scan + the (vec_id, m)-keyed rank window. */
+  private def pqAssignFinal(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
+      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"), col("d2"))
+
   /** x56: product-quantization codes (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
     * half of the IVF-PQ index every billion-vector ANN deployment runs:
@@ -601,31 +640,8 @@ object VectorOps {
     * the op adds ZERO corpus shuffles beyond the per-vector window —
     * and that window's input is M rows per vector, never the corpus². */
   def x56PqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = scaledEmb(spark, dir)
-    val sub = e.select(col("vec_id"), explode(array((0 until pqM).map(m =>
-        struct(lit(m.toLong).as("m"), slice(col("sv"), m * pqSub + 1, pqSub).as("u"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.u").as("u"))
-    val c0 = sub.filter(col("vec_id") < pqK)
-      .select(col("m"), col("vec_id").as("cid"), col("u").as("cu"))
-    val a1 = sub.join(broadcast(c0), "m")
-      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
-      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid"))
-    // per-component exact floor-division means; collect_list order is
-    // made deterministic by sorting the (p, c) structs on position
-    val means = sub.select(col("vec_id"), col("m"), posexplode(col("u")).as(Seq("p", "s")))
-      .join(a1, Seq("vec_id", "m"))
-      .groupBy(col("m"), col("cid"), col("p"))
-      .agg(fdiv(sum(col("s")), count(lit(1))).as("c"))
-      .groupBy(col("m"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
-        x => x.getField("c")).as("cu1"))
-    // clusters left empty keep their seed centroid (the kmeansStep rule)
-    val c1 = c0.join(means, Seq("m", "cid"), "left")
-      .select(col("m"), col("cid"), coalesce(col("cu1"), col("cu")).as("cu"))
-    sub.join(broadcast(c1), "m")
-      .select(col("vec_id"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2"))
-      .withColumn("rn", row_number().over(pqW)).filter(col("rn") === 1)
+    val sub = pqSubvectors(scaledEmb(spark, dir))
+    pqAssignFinal(sub, pqCodebook(sub))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("m") === 0, col("cid"))).as("code0"),
@@ -634,6 +650,65 @@ object VectorOps {
         max(when(col("m") === 3, col("cid"))).as("code3"),
         sum(col("d2")).as("err_sq"))
       .orderBy("vec_id")
+  }
+
+  /** x57 result size: ADC top-10 survive to the exact re-rank stage. */
+  private val x57K = 10
+
+  /** x57: IVF-PQ ADC search (Jégou et al. TPAMI'11 §IV, "IVFADC") — the
+    * assembled billion-vector index the pieces have been building toward:
+    * x16's learned coarse centroids route the query to nprobe=2 inverted
+    * lists, x56's PQ codes stand in for the list members' vectors, and
+    * candidates are ranked by ASYMMETRIC distance — the query's exact
+    * subvectors against each candidate's codebook entries, read from a
+    * precomputed M·k lookup table instead of touching the raw corpus.
+    * The ADC top-10 then get ONE exact re-rank pass (true scaled-int
+    * squared L2), the standard refinement stage, so the output shows
+    * both the approximate and the true distance per survivor.
+    *
+    * Determinism: coarse routing is x16's scaled-cosine/lowest-cid
+    * arithmetic; the LUT, ADC sums, and true_d2 are all exact int64
+    * squared-L2 on 1e6-scaled longs (≤ 64·(2e6)² ≈ 2.6e14 — no
+    * overflow); every ranking ties-breaks on vec_id — so the oracle,
+    * which unrolls both training loops and the same LUT join, is
+    * bit-identical.
+    *
+    * Plan shape at 100 TB: this is the op whose ECONOMICS the paper is
+    * about — the search path reads the CODES table (4 bytes/vector),
+    * never the embeddings. probe (2 rows), LUT (M·k = 32 rows), and the
+    * codebooks are broadcast; candidate selection is one equi-join of
+    * assign on the probed list ids; the ADC sum is one map-side-
+    * combinable groupBy over M rows per candidate; only the 10 winners
+    * join back to the raw vectors for re-rank. Zero corpus-sized
+    * shuffles beyond the code pivot's own window. */
+  def x57IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = scaledEmb(spark, dir)
+    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("list_id"))
+    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("cid").as("list_id"))
+    val sub = pqSubvectors(e)
+    val cb = pqCodebook(sub)
+    val codes = pqAssignFinal(sub, cb).select(col("vec_id"), col("m"), col("cid"))
+    val lut = sub.filter(col("vec_id") === 0)
+      .join(broadcast(cb), "m")
+      .select(col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2q"))
+    val adc = assign.join(broadcast(probe), "list_id")
+      .filter(col("vec_id") =!= 0)
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("m", "cid"))
+      .groupBy(col("vec_id"), col("list_id"))
+      .agg(sum(col("d2q")).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+      .limit(x57K)
+    val q = e.filter(col("vec_id") === 0).select(col("sv").as("qsv"))
+    adc.join(e.select(col("vec_id"), col("sv")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"), col("adc_d2"),
+        pqD2(col("sv"), col("qsv")).as("true_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -646,6 +721,7 @@ object VectorOps {
     "x53_cluster_sample" -> x53ClusterSample,
     "x55_cluster_purity" -> x55ClusterPurity,
     "x56_pq_codes" -> x56PqCodes,
+    "x57_ivf_pq" -> x57IvfPqSearch,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -688,46 +764,77 @@ object VectorOps {
        |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)""".stripMargin
   }
 
+  /** Shared PQ CTE block — unrolls x56's seeded single-Lloyd-round
+    * codebook training and final code assignment. Assumes a CTE `e`
+    * exposing the 1e6-scaled `sv` column is already in scope (x56's
+    * oracle defines a minimal one; x57 reuses x16AssignCtesSql's `e`).
+    * All names are pq-prefixed so the block composes with the k-means
+    * CTEs without collisions. Ends at `pqaf` (vec_id, m, cid, d2) with
+    * `pqsub`/`pqc1` also visible for LUT-style consumers. */
+  private def pqCtesSql: String =
+    s"""pqsub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+       |    list_slice(sv, t.m * $pqSub + 1, t.m * $pqSub + $pqSub) AS u
+       |  FROM e CROSS JOIN range(0, $pqM) t(m)),
+       |pqc0 AS (SELECT m, vec_id AS cid, u AS cu FROM pqsub WHERE vec_id < $pqK),
+       |pqd1 AS (SELECT s.vec_id, s.m, c.cid,
+       |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
+       |  FROM pqsub s JOIN pqc0 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
+       |  GROUP BY s.vec_id, s.m, c.cid),
+       |pqa1 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM pqd1)
+       |  WHERE rn = 1),
+       |pqcomp AS (SELECT s.vec_id, s.m, t.i AS p, s.u[t.i] AS sc
+       |  FROM pqsub s CROSS JOIN range(1, ${pqSub + 1}) t(i)),
+       |pqmean1 AS (SELECT c.m, a.cid, c.p, ${fdivSql("CAST(sum(c.sc) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS cm
+       |  FROM pqcomp c JOIN pqa1 a ON c.vec_id = a.vec_id AND c.m = a.m
+       |  GROUP BY c.m, a.cid, c.p),
+       |pqcm1 AS (SELECT m, cid, list(cm ORDER BY p) AS cu1 FROM pqmean1 GROUP BY m, cid),
+       |pqc1 AS (SELECT pqc0.m, pqc0.cid, coalesce(pqcm1.cu1, pqc0.cu) AS cu
+       |  FROM pqc0 LEFT JOIN pqcm1 ON pqc0.m = pqcm1.m AND pqc0.cid = pqcm1.cid),
+       |pqdf AS (SELECT s.vec_id, s.m, c.cid,
+       |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
+       |  FROM pqsub s JOIN pqc1 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
+       |  GROUP BY s.vec_id, s.m, c.cid),
+       |pqaf AS (SELECT vec_id, m, cid, d2 FROM (
+       |    SELECT vec_id, m, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM pqdf)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x56_pq_codes" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $x16Scale) AS BIGINT)) AS sv
          |  FROM embeddings),
-         |sub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m,
-         |    list_slice(sv, t.m * $pqSub + 1, t.m * $pqSub + $pqSub) AS u
-         |  FROM e CROSS JOIN range(0, $pqM) t(m)),
-         |c0 AS (SELECT m, vec_id AS cid, u AS cu FROM sub WHERE vec_id < $pqK),
-         |d1 AS (SELECT s.vec_id, s.m, c.cid,
-         |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
-         |  FROM sub s JOIN c0 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
-         |  GROUP BY s.vec_id, s.m, c.cid),
-         |a1 AS (SELECT vec_id, m, cid FROM (
-         |    SELECT vec_id, m, cid,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM d1)
-         |  WHERE rn = 1),
-         |comp AS (SELECT s.vec_id, s.m, t.i AS p, s.u[t.i] AS sc
-         |  FROM sub s CROSS JOIN range(1, ${pqSub + 1}) t(i)),
-         |mean1 AS (SELECT c.m, a.cid, c.p, ${fdivSql("CAST(sum(c.sc) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS cm
-         |  FROM comp c JOIN a1 a ON c.vec_id = a.vec_id AND c.m = a.m
-         |  GROUP BY c.m, a.cid, c.p),
-         |cm1 AS (SELECT m, cid, list(cm ORDER BY p) AS cu1 FROM mean1 GROUP BY m, cid),
-         |c1 AS (SELECT c0.m, c0.cid, coalesce(cm1.cu1, c0.cu) AS cu
-         |  FROM c0 LEFT JOIN cm1 ON c0.m = cm1.m AND c0.cid = cm1.cid),
-         |dF AS (SELECT s.vec_id, s.m, c.cid,
-         |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2
-         |  FROM sub s JOIN c1 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
-         |  GROUP BY s.vec_id, s.m, c.cid),
-         |aF AS (SELECT vec_id, m, cid, d2 FROM (
-         |    SELECT vec_id, m, cid, d2,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn FROM dF)
-         |  WHERE rn = 1)
+         |$pqCtesSql
          |SELECT vec_id,
          |  CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS code0,
          |  CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS code1,
          |  CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS code2,
          |  CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS code3,
          |  CAST(sum(d2) AS BIGINT) AS err_sq
-         |FROM aF GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+         |FROM pqaf GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "x57_ivf_pq" ->
+      s"""WITH $x16AssignCtesSql,
+         |$pqCtesSql,
+         |probe AS (SELECT cid AS list_id FROM ranked WHERE vec_id = 0 AND rn <= 2),
+         |lut AS (SELECT c.m, c.cid,
+         |    CAST(sum((s.u[t.i] - c.cu[t.i]) * (s.u[t.i] - c.cu[t.i])) AS BIGINT) AS d2q
+         |  FROM pqsub s JOIN pqc1 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) t(i)
+         |  WHERE s.vec_id = 0 GROUP BY c.m, c.cid),
+         |adc AS (SELECT a.vec_id, a.cid AS list_id, CAST(sum(l.d2q) AS BIGINT) AS adc_d2
+         |  FROM assign a JOIN probe p ON a.cid = p.list_id
+         |  JOIN pqaf f ON f.vec_id = a.vec_id
+         |  JOIN lut l ON l.m = f.m AND l.cid = f.cid
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id, a.cid
+         |  ORDER BY adc_d2 ASC, a.vec_id ASC LIMIT $x57K),
+         |q AS (SELECT sv AS qsv FROM e WHERE vec_id = 0)
+         |SELECT adc.vec_id, adc.list_id, adc.adc_d2,
+         |  CAST(sum((e.sv[t.i] - q.qsv[t.i]) * (e.sv[t.i] - q.qsv[t.i])) AS BIGINT) AS true_d2
+         |FROM adc JOIN e ON e.vec_id = adc.vec_id CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+         |GROUP BY adc.vec_id, adc.list_id, adc.adc_d2
+         |ORDER BY adc.adc_d2 ASC, adc.vec_id ASC""".stripMargin,
     "x3_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

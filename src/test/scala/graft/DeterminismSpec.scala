@@ -158,6 +158,14 @@ class DeterminismSpec extends SparkTestBase {
     // frame + the assign⋈probes flag join — every exact-integer recall
     // must be partition-invariant
     "x51b_ivf_recall",
+    // PQ codes: floor-division codebook means fold from shuffled
+    // partials and the code pivot rides a (vec_id, m) rank window —
+    // neither may move a single code or err_sq
+    "x56_pq_codes",
+    // IVF-PQ ADC search: coarse routing + LUT join + ADC sum + limit-10
+    // + exact re-rank join — five shuffle-crossing stages whose output
+    // set must be identical under any partitioning
+    "x57_ivf_pq",
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell

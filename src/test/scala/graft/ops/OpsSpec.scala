@@ -263,10 +263,13 @@ class OpsSpec extends SparkTestBase {
       "x55 cluster sizes disagree with x53's")
   }
 
-  test("x56: codes and err_sq match an independent in-JVM PQ replica") {
-    // replicate the whole op — scaled-int subvectors, seeded codebooks,
-    // one Lloyd round with floor-division means, lowest-cid ties — in
-    // plain Scala on the collected corpus and demand bit-equality
+  /** In-JVM PQ replica shared by the x56/x57 specs: scaled-int
+    * subvectors, seeded codebooks, one Lloyd round with floor-division
+    * means, lowest-cid ties — in plain Scala on the collected corpus.
+    * Returns (scaled corpus sorted by id, per-subspace final codebooks,
+    * per-subspace id → (d2, code)). */
+  private def pqReplica(): (Array[(Long, Array[Long])],
+      IndexedSeq[Seq[(Long, Array[Long])]], IndexedSeq[Map[Long, (Long, Long)]]) = {
     val emb = graft.model.Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
@@ -274,14 +277,12 @@ class OpsSpec extends SparkTestBase {
       .sortBy(_._1)
     val (m, subDim, k) = (4, 16, 8)
     def sub(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
-    def d2(a: Array[Long], b: Array[Long]) =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     def nearest(u: Array[Long], cents: Seq[(Long, Array[Long])]) =
-      cents.map { case (cid, cu) => (d2(u, cu), cid) }.min // (d2, cid) lexicographic
-    val expected = (0 until m).map { s =>
+      cents.map { case (cid, cu) => (pqL2(u, cu), cid) }.min // (d2, cid) lexicographic
+    val books = (0 until m).map { s =>
       val c0 = emb.takeWhile(_._1 < k).map { case (id, v) => id -> sub(v, s) }.toSeq
       val asg1 = emb.map { case (id, v) => id -> nearest(sub(v, s), c0)._2 }
-      val c1 = c0.map { case (cid, seed) =>
+      c0.map { case (cid, seed) =>
         val members = asg1.filter(_._2 == cid).map(_._1).toSet
         if (members.isEmpty) cid -> seed
         else cid -> (0 until subDim).map { p =>
@@ -289,20 +290,67 @@ class OpsSpec extends SparkTestBase {
           Math.floorDiv(xs.sum, xs.length.toLong)
         }.toArray
       }
-      emb.map { case (id, v) => id -> nearest(sub(v, s), c1) }.toMap
     }
+    val codes = (0 until m).map(s =>
+      emb.map { case (id, v) => id -> nearest(sub(v, s), books(s)) }.toMap)
+    (emb, books, codes)
+  }
+
+  private def pqL2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("x56: codes and err_sq match an independent in-JVM PQ replica") {
+    val (emb, _, expected) = pqReplica()
     val got = VectorOps.x56PqCodes(spark, sf0001).collect()
     assert(got.length == emb.length)
     got.foreach { r =>
       val id = r.getLong(0)
-      (0 until m).foreach(s => assert(r.getLong(1 + s) == expected(s)(id)._2,
+      (0 until 4).foreach(s => assert(r.getLong(1 + s) == expected(s)(id)._2,
         s"vec $id subspace $s code mismatch"))
-      assert(r.getLong(5) == (0 until m).map(s => expected(s)(id)._1).sum,
+      assert(r.getLong(5) == (0 until 4).map(s => expected(s)(id)._1).sum,
         s"vec $id err_sq mismatch")
     }
     // the quantizer must be nontrivial: several codes in use per subspace
-    (0 until m).foreach(s =>
+    (0 until 4).foreach(s =>
       assert(expected(s).values.map(_._2).toSet.size >= 4, s"subspace $s degenerate"))
+  }
+
+  test("x57: ADC distances replay bit-exactly and the top-k is complete") {
+    val (emb, books, codes) = pqReplica()
+    val byId = emb.toMap
+    val qv = byId(0L)
+    // replica ADC: sum over subspaces of d2(query subvector, the
+    // codebook entry the candidate's code points at)
+    def adc(id: Long): Long = (0 until 4).map { s =>
+      val cu = books(s).find(_._1 == codes(s)(id)._2).get._2
+      pqL2(qv.slice(s * 16, (s + 1) * 16), cu)
+    }.sum
+    val assign = VectorOps.x16Assignment(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = VectorOps.x57IvfPqSearch(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).distinct.length == 10)
+    rows.foreach { r =>
+      val (id, listId, adcD2, trueD2) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(id != 0L, "query must not return itself")
+      assert(listId == assign(id), s"vec $id routed to the wrong inverted list")
+      assert(adcD2 == adc(id), s"vec $id ADC mismatch vs replica LUT")
+      assert(trueD2 == pqL2(byId(id), qv), s"vec $id exact re-rank distance wrong")
+    }
+    val outAdc = rows.map(_.getLong(2))
+    assert(outAdc.zip(outAdc.tail).forall { case (a, b) => a <= b }, "not ADC-sorted")
+    // completeness: within the inverted lists the output came from, no
+    // skipped member may beat the worst returned (adc, vec_id) pair
+    val lists = rows.map(_.getLong(1)).toSet
+    assert(lists.size <= 2, "more lists than nprobe=2")
+    val returned = rows.map(_.getLong(0)).toSet
+    val worst = (rows.last.getLong(2), rows.last.getLong(0))
+    emb.map(_._1).filter(id => id != 0L && !returned(id) && lists(assign(id)))
+      .foreach { id =>
+        assert(Ordering[(Long, Long)].compare((adc(id), id), worst) > 0,
+          s"vec $id (adc ${adc(id)}) should have made the top-10")
+      }
   }
 
   test("x54: pair counts are consistent with unigram counts and ranked correctly") {
