@@ -322,6 +322,15 @@ object Stages {
       k: Int = VectorOps.x16K): Seq[(Long, Seq[Long])] =
     centCache.getOrElseUpdate((spark, dir, k), VectorOps.kmeansCentroids(spark, dir, k))
 
+  private val pqCache = TrieMap.empty[(SparkSession, String), Seq[(Long, Long, Seq[Long])]]
+
+  /** The trained PQ codebooks (m, cid, cu) — driver-held M·k·sub longs
+    * (512 here), the same bounded-collect shape as [[x16Centroids]].
+    * Trained once per (session, sfDir); consumed by x56's encoder, x57's
+    * ADC search, and x58's recall QA. */
+  def pqBooks(spark: SparkSession, dir: String): Seq[(Long, Long, Seq[Long])] =
+    pqCache.getOrElseUpdate((spark, dir), VectorOps.pqTrainBooks(spark, dir))
+
   /** Drop every cached stage (tests that re-run one query under varied
     * configs — e.g. DeterminismSpec's shuffle-partition sweep — must
     * clear between runs or the cache would mask the property under
@@ -332,6 +341,7 @@ object Stages {
     (cache.keySet ++ pinnedRdds.keySet).foreach(release)
     cache.clear()
     centCache.clear()
+    pqCache.clear()
     blobCache.clear()
   }
 }

@@ -607,6 +607,24 @@ object VectorOps {
       .select(col("m"), col("cid"), coalesce(col("cu1"), col("cu")).as("cu"))
   }
 
+  /** Train the PQ codebooks and collect them — M·k rows of sub longs
+    * (bounded by construction, the x16Centroids shape). Called once per
+    * (session, sfDir) via [[Stages.pqBooks]]. */
+  private[graft] def pqTrainBooks(spark: SparkSession,
+      dir: String): Seq[(Long, Long, Seq[Long])] = {
+    import spark.implicits._
+    pqCodebook(pqSubvectors(scaledEmb(spark, dir)))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  /** Rebuild the tiny broadcastable codebook frame from the driver-held
+    * stage — the centView recipe. */
+  private def pqBookView(spark: SparkSession,
+      books: Seq[(Long, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    books.toDF("m", "cid", "cu")
+  }
+
   /** Every vector's final code per subspace: (vec_id, m, cid, d2) — one
     * broadcast-codebook scan + the (vec_id, m)-keyed rank window. */
   private def pqAssignFinal(sub: DataFrame, cb: DataFrame): DataFrame =
@@ -638,10 +656,12 @@ object VectorOps {
     * train on a deterministic sample (the x16 posture) and only the
     * encode pass scans the corpus; the encode join is broadcast-only, so
     * the op adds ZERO corpus shuffles beyond the per-vector window —
-    * and that window's input is M rows per vector, never the corpus². */
+    * and that window's input is M rows per vector, never the corpus².
+    * Codebooks come from the [[Stages.pqBooks]] stage, shared with x57's
+    * ADC search and x58's recall QA. */
   def x56PqCodes(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSubvectors(scaledEmb(spark, dir))
-    pqAssignFinal(sub, pqCodebook(sub))
+    pqAssignFinal(sub, pqBookView(spark, Stages.pqBooks(spark, dir)))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("m") === 0, col("cid"))).as("code0"),
@@ -690,7 +710,7 @@ object VectorOps {
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
       .select(col("cid").as("list_id"))
     val sub = pqSubvectors(e)
-    val cb = pqCodebook(sub)
+    val cb = pqBookView(spark, Stages.pqBooks(spark, dir))
     val codes = pqAssignFinal(sub, cb).select(col("vec_id"), col("m"), col("cid"))
     val lut = sub.filter(col("vec_id") === 0)
       .join(broadcast(cb), "m")
@@ -711,6 +731,74 @@ object VectorOps {
       .orderBy(col("adc_d2").asc, col("vec_id").asc)
   }
 
+  /** x58: PQ recall QA — the compressed-domain cell of the ANN QA
+    * matrix (x51 audits the sign-LSH probe policies, x51b the IVF
+    * routing; x58 audits what QUANTIZATION costs): per sampled query,
+    * recall@5 against exact squared-L2 truth of (a) ADC ranking over the
+    * whole corpus — pure quantization loss, the number that says whether
+    * the codebooks are big enough — and (b) the full IVF-PQ path (ADC
+    * restricted to the nprobe=2 probed lists) — quantization + routing
+    * loss, what x57 actually serves. The spread between the two columns
+    * attributes lost neighbors to codebook resolution vs coarse routing
+    * — the report that decides whether to spend memory (more codes) or
+    * compute (more probes).
+    *
+    * One pass, the x51 shape: the broadcast-scored (query × corpus)
+    * frame carries exact true_d2, ADC adc_d2, and IVF membership; truth
+    * and the two approximate top-5 sets are three qid-keyed row_number
+    * windows over it; the verdict is one aggregate. All distances exact
+    * int64 on 1e6-scaled longs, recalls exact fdiv ratios — bit-identical
+    * in the oracle, which unrolls both training loops. Scale shape:
+    * exact truth is the deliberate QA price, bounded by the QUERY SAMPLE
+    * (cost = |sample| × corpus through codegen'd scans, embarrassingly
+    * parallel); the ADC side is |sample| LUTs of M·k longs broadcast
+    * against the codes table; everything after is |sample|-bounded. */
+  def x58PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = scaledEmb(spark, dir)
+    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
+      .withColumn("rn", row_number().over(wAssign))
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < x51Queries && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val ivf = assign.join(broadcast(probes), "cid")
+      .select(col("qid"), col("vec_id"), lit(true).as("in_ivf"))
+    val sub = pqSubvectors(e)
+    val cb = pqBookView(spark, Stages.pqBooks(spark, dir))
+    val codes = pqAssignFinal(sub, cb).select(col("vec_id"), col("m"), col("cid"))
+    val lut = sub.filter(col("vec_id") < x51Queries)
+      .select(col("vec_id").as("qid"), col("m"), col("u"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("cid"), pqD2(col("u"), col("cu")).as("d2q"))
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("d2q")).as("adc_d2"))
+    val q = e.filter(col("vec_id") < x51Queries)
+      .select(col("vec_id").as("qid"), col("sv").as("qsv"))
+    val truth = e.select(col("vec_id"), col("sv"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqD2(col("sv"), col("qsv")).as("true_d2"))
+    val j = truth.join(adc, Seq("qid", "vec_id"))
+      .join(ivf, Seq("qid", "vec_id"), "left")
+      .withColumn("in_ivf", coalesce(col("in_ivf"), lit(false)))
+    val wT = Window.partitionBy(col("qid")).orderBy(col("true_d2").asc, col("vec_id").asc)
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val wI = Window.partitionBy(col("qid"), col("in_ivf"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    j.withColumn("t", row_number().over(wT) <= x51K)
+      .withColumn("a", row_number().over(wA) <= x51K)
+      .withColumn("i", col("in_ivf") && row_number().over(wI) <= x51K)
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("in_ivf"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("t") && col("a"), 1L).otherwise(0L)).as("hit_adc"),
+        sum(when(col("t") && col("i"), 1L).otherwise(0L)).as("hit_ivfpq"))
+      .select(col("qid"), col("n_cand"), col("n_truth"),
+        col("hit_adc"), fdiv(lit(10000L) * col("hit_adc"), col("n_truth")).as("recall_adc_s4"),
+        col("hit_ivfpq"), fdiv(lit(10000L) * col("hit_ivfpq"), col("n_truth")).as("recall_ivfpq_s4"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> x3KnnCosine,
     "x3b_knn_batch" -> x3bKnnBatch,
@@ -722,6 +810,7 @@ object VectorOps {
     "x55_cluster_purity" -> x55ClusterPurity,
     "x56_pq_codes" -> x56PqCodes,
     "x57_ivf_pq" -> x57IvfPqSearch,
+    "x58_pq_recall" -> x58PqRecall,
     "x16_ivf_ann" -> x16IvfAnn,
     "x14_cosine_neardup" -> x14CosineNeardup,
     "x27_semantic_dedup" -> x27SemanticDedup,
@@ -835,6 +924,42 @@ object VectorOps {
          |FROM adc JOIN e ON e.vec_id = adc.vec_id CROSS JOIN q CROSS JOIN range(1, 65) t(i)
          |GROUP BY adc.vec_id, adc.list_id, adc.adc_d2
          |ORDER BY adc.adc_d2 ASC, adc.vec_id ASC""".stripMargin,
+    "x58_pq_recall" ->
+      s"""WITH $x16AssignCtesSql,
+         |$pqCtesSql,
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE vec_id < $x51Queries AND rn <= 2),
+         |ivf AS (SELECT p.qid, a.vec_id FROM assign a JOIN probes p ON a.cid = p.cid),
+         |lut AS (SELECT s.vec_id AS qid, c.m, c.cid,
+         |    CAST(sum((s.u[g.i] - c.cu[g.i]) * (s.u[g.i] - c.cu[g.i])) AS BIGINT) AS d2q
+         |  FROM pqsub s JOIN pqc1 c ON s.m = c.m CROSS JOIN range(1, ${pqSub + 1}) g(i)
+         |  WHERE s.vec_id < $x51Queries GROUP BY s.vec_id, c.m, c.cid),
+         |adcq AS (SELECT l.qid, f.vec_id, CAST(sum(l.d2q) AS BIGINT) AS adc_d2
+         |  FROM pqaf f JOIN lut l ON l.m = f.m AND l.cid = f.cid
+         |  GROUP BY l.qid, f.vec_id),
+         |truth AS (SELECT q.vec_id AS qid, e.vec_id,
+         |    CAST(sum((e.sv[g.i] - q.sv[g.i]) * (e.sv[g.i] - q.sv[g.i])) AS BIGINT) AS true_d2
+         |  FROM e CROSS JOIN (SELECT vec_id, sv FROM e WHERE vec_id < $x51Queries) q
+         |  CROSS JOIN range(1, 65) g(i)
+         |  WHERE e.vec_id <> q.vec_id GROUP BY q.vec_id, e.vec_id),
+         |j AS (SELECT tr.qid, tr.vec_id, tr.true_d2, a.adc_d2,
+         |    (i.vec_id IS NOT NULL) AS in_ivf
+         |  FROM truth tr JOIN adcq a ON a.qid = tr.qid AND a.vec_id = tr.vec_id
+         |  LEFT JOIN ivf i ON i.qid = tr.qid AND i.vec_id = tr.vec_id),
+         |fl AS (SELECT qid, in_ivf,
+         |    (row_number() OVER (PARTITION BY qid ORDER BY true_d2 ASC, vec_id ASC)) <= $x51K AS tt,
+         |    (row_number() OVER (PARTITION BY qid ORDER BY adc_d2 ASC, vec_id ASC)) <= $x51K AS aa,
+         |    in_ivf AND (row_number() OVER (PARTITION BY qid, in_ivf ORDER BY adc_d2 ASC, vec_id ASC)) <= $x51K AS ii
+         |  FROM j)
+         |SELECT qid,
+         |  CAST(sum(CASE WHEN in_ivf THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN tt THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN tt AND aa THEN 1 ELSE 0 END) AS BIGINT) AS hit_adc,
+         |  ${fdivSql(s"10000 * CAST(sum(CASE WHEN tt AND aa THEN 1 ELSE 0 END) AS BIGINT)",
+            s"CAST(sum(CASE WHEN tt THEN 1 ELSE 0 END) AS BIGINT)")} AS recall_adc_s4,
+         |  CAST(sum(CASE WHEN tt AND ii THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivfpq,
+         |  ${fdivSql(s"10000 * CAST(sum(CASE WHEN tt AND ii THEN 1 ELSE 0 END) AS BIGINT)",
+            s"CAST(sum(CASE WHEN tt THEN 1 ELSE 0 END) AS BIGINT)")} AS recall_ivfpq_s4
+         |FROM fl GROUP BY qid ORDER BY qid""".stripMargin,
     "x3_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -166,6 +166,10 @@ class DeterminismSpec extends SparkTestBase {
     // + exact re-rank join — five shuffle-crossing stages whose output
     // set must be identical under any partitioning
     "x57_ivf_pq",
+    // PQ recall QA: per-query LUT broadcast + three qid-keyed windows
+    // over the scored frame — every exact-integer recall must be
+    // partition-invariant
+    "x58_pq_recall",
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell

@@ -353,6 +353,45 @@ class OpsSpec extends SparkTestBase {
       }
   }
 
+  test("x58: ADC recall replays bit-exactly; IVF-PQ recall agrees with x57") {
+    val (emb, books, codes) = pqReplica()
+    val byId = emb.toMap
+    def adc(qv: Array[Long], id: Long): Long = (0 until 4).map { s =>
+      val cu = books(s).find(_._1 == codes(s)(id)._2).get._2
+      pqL2(qv.slice(s * 16, (s + 1) * 16), cu)
+    }.sum
+    val rows = VectorOps.x58PqRecall(spark, sf0001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (qid, nc, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (hA, recA, hI, recI) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nt == 5 && nc > 0, s"q$qid: bounds")
+      assert(hA <= nt && hI <= nt, s"q$qid: hits exceed truth")
+      assert(recA == 10000 * hA / nt && recI == 10000 * hI / nt,
+        s"q$qid: recalls must be the exact integer ratios")
+      // full replica of the quantization-loss column: truth = exact L2
+      // top-5, approx = whole-corpus ADC top-5, both (d2, id)-ordered
+      val qv = byId(qid)
+      val others = emb.map(_._1).filter(_ != qid)
+      val truth5 = others.map(id => (pqL2(byId(id), qv), id)).sorted.take(5).map(_._2).toSet
+      val adc5 = others.map(id => (adc(qv, id), id)).sorted.take(5).map(_._2).toSet
+      assert(hA == truth5.intersect(adc5).size.toLong,
+        s"q$qid: hit_adc=$hA vs replica ${truth5.intersect(adc5).size}")
+    }
+    // cross-operator consistency for qid 0: the IVF-PQ column audits the
+    // SAME compressed index x57 serves — its hit count must equal
+    // |x57's ADC top-5 ∩ exact-L2 truth top-5|
+    val qv0 = byId(0L)
+    val truth0 = emb.map(_._1).filter(_ != 0L)
+      .map(id => (pqL2(byId(id), qv0), id)).sorted.take(5).map(_._2).toSet
+    val served5 = VectorOps.x57IvfPqSearch(spark, sf0001).collect()
+      .take(5).map(_.getLong(0)).toSet
+    val hit0 = rows.find(_.getLong(0) == 0L).get.getLong(5)
+    assert(hit0 == served5.intersect(truth0).size.toLong,
+      s"hit_ivfpq(0)=$hit0 vs x57-served∩truth=${served5.intersect(truth0)}")
+  }
+
   test("x54: pair counts are consistent with unigram counts and ranked correctly") {
     val rows = TextOps.x54BpePairs(spark, sf0001).collect()
     assert(rows.length == 20)
