@@ -272,7 +272,15 @@ object BenchScaling {
     // bits-per-band grows log2(factor): constant expected bucket occupancy
     "x14_cosine_neardup_scaledbits" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.VectorOps.x14CosineNeardupB(s, d,
-        5 + (31 - Integer.numberOfLeadingZeros(math.max(f, 1))))))
+        5 + (31 - Integer.numberOfLeadingZeros(math.max(f, 1))))),
+    // the PQ stack: encode is training (broadcast joins over the corpus)
+    // + one codebook-broadcast scan with a per-vector window — must
+    // track the corpus linearly; the ADC search reads the codes with
+    // probe/LUT broadcasts, so its line must track the encode pass it
+    // rides, never bend (real deployments amortize encode across many
+    // queries — the leg measures the worst single-query case)
+    "x56_pq_codes" -> fx(graft.ops.VectorOps.x56PqCodes _),
+    "x57_ivf_pq" -> fx(graft.ops.VectorOps.x57IvfPqSearch _))
 
   /** Audit entries that read the embeddings table (whose replication is
     * capped at dim=64 distinct circular shifts) and the documents table —
@@ -281,7 +289,8 @@ object BenchScaling {
     * legs run at factors past the embedding-shift cap. */
   private val embeddingsUsers = Set("x14_cosine_neardup", "x16_ivf_ann",
     "x27_semantic_dedup", "x16_ivf_ann_scaledk", "x27_semantic_dedup_scaledk",
-    "x14_cosine_neardup_scaledbits", "x51_ann_recall")
+    "x14_cosine_neardup_scaledbits", "x51_ann_recall",
+    "x56_pq_codes", "x57_ivf_pq")
   private val documentsUsers = Set("x1_dedup_exact", "x2_dedup_near",
     "x2_dedup_near_tightdf",
     "q27_freq_items", "q27_freq_items_scaledsupport",
@@ -387,6 +396,11 @@ object BenchScaling {
         replicateEmbeddings(Tables.table(spark, base, "embeddings"), k)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
+      // .cache()'d corpora (scaledEmb, stream feeds) are keyed by plan —
+      // prior factors' entries would stay pinned through every later
+      // leg, shrinking execution memory exactly when the biggest factor
+      // needs it; evict them with the stages
+      spark.catalog.clearCache()
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

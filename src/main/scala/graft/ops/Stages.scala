@@ -331,6 +331,15 @@ object Stages {
   def pqBooks(spark: SparkSession, dir: String): Seq[(Long, Long, Seq[Long])] =
     pqCache.getOrElseUpdate((spark, dir), VectorOps.pqTrainBooks(spark, dir))
 
+  /** The materialized IVFADC index (vec_id, m, cid, list_id): coarse
+    * inverted-file assignment + PQ codes, M rows × three longs per
+    * vector — the stored 4-byte/vector index a deployment builds once
+    * and serves many searches from. Read by x57's searcher and x58's
+    * recall QA; sized ∝ corpus rows (3 longs × M per vector), far
+    * smaller than any gram stage. */
+  def x57Index(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
+
   /** Drop every cached stage (tests that re-run one query under varied
     * configs — e.g. DeterminismSpec's shuffle-partition sweep — must
     * clear between runs or the cache would mask the property under

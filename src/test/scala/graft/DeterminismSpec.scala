@@ -188,7 +188,9 @@ class DeterminismSpec extends SparkTestBase {
       // positional 5-gram frame
       "x49_setsim_join", "x43_substring_dedup", "x45_source_overlap",
       // the x16 centroid stage, via its round-12 sampling consumer
-      "x53_cluster_sample")
+      "x53_cluster_sample",
+      // the IVFADC index stage, via both of its consumers
+      "x57_ivf_pq", "x58_pq_recall")
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {
