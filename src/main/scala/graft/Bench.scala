@@ -78,7 +78,10 @@ object Bench {
       "stage:gate_events_feed" ->
         (() => { graft.streaming.StreamGate.sharedEventsFeed(spark, sfDir); () }),
       "stage:gate_docs_feed" ->
-        (() => { graft.streaming.StreamGate.sharedDocsFeed(spark, sfDir); () }))
+        (() => { graft.streaming.StreamGate.sharedDocsFeed(spark, sfDir); () }),
+      // s16's embeddings replay feed
+      "stage:gate_emb_feed" ->
+        (() => { graft.streaming.StreamGate.sharedEmbFeed(spark, sfDir); () }))
     // skipped under BENCH_ONLY: an isolated line should carry everything
     // it triggers (including a shared build) — that's the point of
     // isolating it. partial_total already marks the regime.

@@ -297,7 +297,7 @@ object VectorOps {
     * floor(x·1e6) longs, cluster means are exact floor-division of long
     * sums — partitioning- and engine-invariant, where a naive double mean
     * would depend on accumulation order and break the oracle hash. */
-  private val x16Scale = 1000000L
+  private[graft] val x16Scale = 1000000L
 
   /** Derive the double-list centroid view (cv, cnrm) from driver-held
     * scaled-long centroid components — the exact inverse scaling both
@@ -560,9 +560,9 @@ object VectorOps {
     * per subspace (init = the k lowest vec_ids' subvectors, the x16
     * seeding recipe); one Lloyd refinement round — enough to move every
     * codebook off its seeds while keeping the oracle's CTE unroll flat. */
-  private val pqM = 4
-  private val pqSub = 16
-  private val pqK = 8L
+  private[graft] val pqM = 4
+  private[graft] val pqSub = 16
+  private[graft] val pqK = 8L
 
   /** Exact integer squared L2 between two 1e6-scaled long subvectors.
     * Components are |sv| ≲ 1e6 on unit-ish embeddings, so the 16-dim sum
@@ -860,7 +860,7 @@ object VectorOps {
     * take a lateral len(sv) argument; the corpus dimension is fixed).
     * Ends at the `assign` CTE; x16's probe and x27's within-cluster
     * verdicts both build on it. */
-  private def x16AssignCtesSql: String = {
+  private[graft] def x16AssignCtesSql: String = {
     def iterCtes(t: Int): String = {
       val simExpr = scaled4Sql(cosSql("e.v", "cd.cv"))
       s"""sim$t AS (SELECT e.vec_id, cd.cid, $simExpr AS sim_s4
@@ -894,7 +894,7 @@ object VectorOps {
     * All names are pq-prefixed so the block composes with the k-means
     * CTEs without collisions. Ends at `pqaf` (vec_id, m, cid, d2) with
     * `pqsub`/`pqc1` also visible for LUT-style consumers. */
-  private def pqCtesSql: String =
+  private[graft] def pqCtesSql: String =
     s"""pqsub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m,
        |    list_slice(sv, t.m * $pqSub + 1, t.m * $pqSub + $pqSub) AS u
        |  FROM e CROSS JOIN range(0, $pqM) t(m)),

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -103,6 +103,14 @@ object StreamGate {
   /** The shared documents feed (staged once per session × sfDir). */
   private[graft] def sharedDocsFeed(spark: SparkSession, dir: String): Feed =
     cachedFeed(spark, dir, "documents")(stageFeed(docsFeedDf(spark, dir), "doc_id"))
+
+  /** The staged embeddings superset, in vec_id order (s16). */
+  private def embFeedDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+  /** The shared embeddings feed (staged once per session × sfDir). */
+  private[graft] def sharedEmbFeed(spark: SparkSession, dir: String): Feed =
+    cachedFeed(spark, dir, "embeddings")(stageFeed(embFeedDf(spark, dir), "vec_id"))
 
   /** Drop and delete every shared feed (tests; application end). */
   private[graft] def clearFeeds(): Unit = synchronized {
@@ -626,7 +634,99 @@ object StreamGate {
     graft.ops.Windows.q32AnomalyOn(streamed)
   }
 
+  /** s16's per-row IVFADC routing + encoding against the FROZEN
+    * driver-held models, as pure per-row expressions — no join at all:
+    * each arriving vector scores 16 centroid literals (the exact
+    * scaled-cosine the batch index uses, argmax via a packed
+    * `least`) and 4×8 codebook literals (exact int64 squared-L2,
+    * argmin via the same packing as [[graft.ops.VectorOps]]'s encoder).
+    * This is the SERVING shape of index maintenance: model parameters
+    * ride the closure as literals, arrivals never shuffle. Emits
+    * (vec_id, list_id, cw) with cw the 12-bit packed code word
+    * code0 + 8·code1 + 64·code2 + 512·code3. */
+  private[streaming] def s16Encode(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{dotArr, normSqArr}
+    import graft.ops.VectorOps.{pqK, pqM, pqSub, x16Scale}
+    val cents = graft.ops.Stages.x16Centroids(spark, dir)
+    val books = graft.ops.Stages.pqBooks(spark, dir)
+    val v = col("embedding")
+    val nrm = sqrt(normSqArr(v))
+    // route: max scaled-cosine, lowest-cid ties — packed as
+    // (10000 - sim_s4)·16 + cid so `least` IS the argmax. The literal
+    // centroid views reproduce the batch arithmetic exactly: the same
+    // long→double /1e6 components, the same sequential-sum norm, the
+    // same dotArr/(nrm·cnrm) expression tree.
+    val routePacked = least(cents.map { case (cid, c) =>
+      val cv = c.map(_.toDouble / x16Scale)
+      var s = 0.0; cv.foreach(x => s += x * x)
+      val cnrm = math.sqrt(s)
+      (lit(10000L) - Tables.scaled4(dotArr(v, typedlit(cv)) / (nrm * lit(cnrm)))) *
+        lit(16L) + lit(cid)
+    }: _*)
+    val sv = transform(v, x => floor(x.cast("double") * lit(x16Scale.toDouble)))
+    def codeM(m: Int): Column = {
+      val u = slice(sv, m * pqSub + 1, pqSub)
+      least(books.filter(_._1 == m.toLong).map { case (_, cid, cu) =>
+        aggregate(zip_with(u, typedlit(cu), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * lit(pqK) + lit(cid)
+      }: _*) % lit(pqK)
+    }
+    df.select(col("vec_id"),
+      (routePacked % lit(16L)).as("list_id"),
+      (0 until pqM).map(m => codeM(m) * lit(1L << (3 * m)))
+        .reduce(_ + _).as("cw"))
+  }
+
+  /** The s16 batch twin: per-list occupancy and summed code words from
+    * the STORED [[graft.ops.Stages.x57Index]] — the same materialized
+    * index x57 serves. */
+  private[streaming] def s16BatchLists(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VectorOps.pqM
+    graft.ops.Stages.x57Index(spark, dir)
+      .groupBy(col("list_id"))
+      .agg(Tables.fdiv(count(lit(1)), lit(pqM.toLong)).as("n_vecs"),
+        sum(col("cid") *
+          when(col("m") === 0, 1L).when(col("m") === 1, 8L)
+            .when(col("m") === 2, 64L).otherwise(512L)).as("cw_sum"))
+  }
+
+  /** s16 gate: continuous IVFADC index maintenance — the streaming twin
+    * of the x56/x57 index BUILD, closing the index lifecycle (x56/x57
+    * build+serve, x58 audits recall, s16 maintains under arrivals): new
+    * vectors stream in and are routed + PQ-encoded per row against the
+    * FROZEN centroids/codebooks (the deployment shape — inserts never
+    * retrain), while a streaming aggregation tracks per-inverted-list
+    * occupancy and the additive code-word sum across micro-batches.
+    * Exact parity gate: the final streamed per-list table must equal
+    * the batch x57Index rollup bit-for-bit (occupancy AND code
+    * checksum), proving route+encode agree row-for-row with the stored
+    * index regardless of arrival chunking. State = one (count, sum)
+    * row per inverted list — k rows total, the minimal-state s11
+    * footing; at 100 TB of arrivals the state is still k rows. */
+  def s16PqStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    val feed = sharedEmbFeed(spark, dir)
+    val streamed = {
+      val name = s"s16_gate_${runId.incrementAndGet()}"
+      val q = s16Encode(spark, dir,
+          feedStream(spark, feed, embFeedDf(spark, dir).schema))
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vecs_s"), sum(col("cw")).as("cw_sum_s"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    s16BatchLists(spark, dir).join(streamed, Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vecs"), col("cw_sum"),
+        (coalesce(col("n_vecs_s"), lit(-1L)) === col("n_vecs"))
+          .cast("long").as("occupancy_match"),
+        (coalesce(col("cw_sum_s"), lit(-1L)) === col("cw_sum"))
+          .cast("long").as("codes_match"))
+      .orderBy("list_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_pq_stream" -> s16PqStream,
     "s8_novelty_stream" -> s8NoveltyStream,
     "s15_anomaly_stream" -> s15AnomalyStream,
     "s14_topk_stream" -> s14TopkStream,
@@ -637,6 +737,19 @@ object StreamGate {
     "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
+    // s16: the streamed per-list rollup is exact parity with the stored
+    // index, so the oracle unrolls the index build (x16 assignment +
+    // PQ codes) and pins both match flags to 1
+    "s16_pq_stream" ->
+      s"""WITH ${graft.ops.VectorOps.x16AssignCtesSql},
+         |${graft.ops.VectorOps.pqCtesSql}
+         |SELECT a.cid AS list_id,
+         |  ${Tables.fdivSql("CAST(count(*) AS BIGINT)", "4")} AS n_vecs,
+         |  CAST(sum(f.cid * (CASE f.m WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 64 ELSE 512 END)) AS BIGINT) AS cw_sum,
+         |  CAST(1 AS BIGINT) AS occupancy_match,
+         |  CAST(1 AS BIGINT) AS codes_match
+         |FROM assign a JOIN pqaf f ON f.vec_id = a.vec_id
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
     // s9 in log order ≡ the batch as-of: q16's oracle verbatim
     "s9_temporal_asof" -> graft.ops.Windows.oracle("q16_asof"),
     // s15: the streamed daily fold is exact, so the batch q32 oracle

@@ -170,6 +170,10 @@ class DeterminismSpec extends SparkTestBase {
     // over the scored frame — every exact-integer recall must be
     // partition-invariant
     "x58_pq_recall",
+    // streaming index maintenance: per-row route/encode literals + one
+    // streaming (count, sum) row per list folding across micro-batches —
+    // exact parity flags must hold under any partitioning
+    "s16_pq_stream",
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell

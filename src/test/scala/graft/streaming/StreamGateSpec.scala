@@ -33,6 +33,22 @@ class StreamGateSpec extends SparkTestBase {
       "a group hitter above 2.5x the per-slot MG bound was absent from the streamed summary")
   }
 
+  test("s16 gate: streamed index maintenance is exact parity with the stored IVFADC index") {
+    val rows = StreamGate.s16PqStream(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no inverted lists")
+    // exact parity: every list's streamed occupancy AND code checksum
+    // equal the batch index rollup (flags computed against the stored
+    // Stages.x57Index inside the gate)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1L, s"list ${r.getLong(0)}: occupancy diverged")
+      assert(r.getLong(4) == 1L, s"list ${r.getLong(0)}: code words diverged")
+    }
+    // occupancies tile the corpus: every vector landed in exactly one list
+    val total = graft.model.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      s"list occupancies ${rows.map(_.getLong(1)).sum} do not tile the corpus $total")
+  }
+
   test("s12 gate == batch c7 SCD2 build on the real event log") {
     val got = StreamGate.s12Scd2Stream(spark, sf0001).collect().map(_.toString).toSeq
     val want = graft.ops.Changelog.c7Scd2(spark, sf0001).collect().map(_.toString).toSeq
