@@ -191,10 +191,10 @@ object VectorOps {
   def x51bIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = scaledEmb(spark, dir)
-    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
-      .withColumn("rn", row_number().over(wAssign))
-    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(col("vec_id") < x51Queries && col("rn") <= 2)
+    val cv = centView(spark, Stages.x16Centroids(spark, dir))
+    val assign = nearestCent(simToCents(e, cv), x16K)
+    val probes = simToCents(e.filter(col("vec_id") < x51Queries), cv)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = assign.join(broadcast(probes), "cid")
       .select(col("qid"), col("vec_id"), lit(true).as("in_ivf"))
@@ -238,9 +238,8 @@ object VectorOps {
     import graft.functions.TopKByAgg.topkBy
     val k = 3
     val e = scaledEmb(spark, dir)
-    val assign = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val assign = nearestCent(
+        simToCents(e, centView(spark, Stages.x16Centroids(spark, dir))), x16K)
       .select(col("vec_id"), col("cid"),
         shiftrightunsigned(
           graft.functions.HashFunctions.md5Long(col("vec_id").cast("string"), 0), 16).as("h48"))
@@ -270,10 +269,8 @@ object VectorOps {
   def x55ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = scaledEmb(spark, dir)
-    val assign = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir)))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    val assign = nearestCent(
+      simToCents(e, centView(spark, Stages.x16Centroids(spark, dir))), x16K)
     val lab = embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
     val cl = assign.join(lab, "vec_id")
@@ -324,6 +321,23 @@ object VectorOps {
   private val wAssign = org.apache.spark.sql.expressions.Window
     .partitionBy(col("vec_id")).orderBy(col("sim_s4").desc, col("cid").asc)
 
+  /** Nearest centroid per vector — the packed argmax (sim desc, cid asc
+    * ties, i.e. exactly [[wAssign]]'s rank-1 row): min((10000 − sim_s4)·k
+    * + cid) as a primitive map-side-combinable HashAggregate. The rank
+    * window sorted the corpus×k scored frame — the dominant cost of
+    * every assignment pass (the pqNearest recipe applied to the cosine
+    * routing). Sound because sim_s4 ∈ [−10001, 10000] keeps the shifted
+    * key nonnegative and cid < k (seed cids are the k lowest vec_ids)
+    * makes the packing order-isomorphic to (sim desc, cid asc). The
+    * probe-side top-n rankings keep the window — they run on
+    * query-sample-filtered frames, never the corpus. */
+  private def nearestCent(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(col("vec_id"),
+        ((lit(10000L) - col("sim_s4")) * lit(k.toLong) + col("cid")).as("pk"))
+      .groupBy(col("vec_id")).agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), (col("pk") % lit(k.toLong)).as("cid"))
+
   /** One Lloyd's round: assign every vector to its nearest centroid
     * (1e-4-scaled cosine, cid tie-break), then recompute each centroid as
     * the exact per-component floor-division mean of its members' scaled
@@ -332,9 +346,7 @@ object VectorOps {
   private def kmeansStep(spark: SparkSession, e: DataFrame,
       cents: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
     import spark.implicits._
-    val assign = simToCents(e, centView(spark, cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val assign = nearestCent(simToCents(e, centView(spark, cents)), cents.size)
     val means = e.select(col("vec_id"), posexplode(col("sv")).as(Seq("pos", "s")))
       .join(assign, "vec_id")
       .groupBy(col("cid"), col("pos"))
@@ -377,10 +389,8 @@ object VectorOps {
     * window. */
   private[graft] def x16Assignment(spark: SparkSession, dir: String,
       k: Int = x16K): DataFrame =
-    simToCents(scaledEmb(spark, dir),
-        centView(spark, Stages.x16Centroids(spark, dir, k)))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    nearestCent(simToCents(scaledEmb(spark, dir),
+      centView(spark, Stages.x16Centroids(spark, dir, k))), k)
 
   /** x16: IVF ANN — inverted-file index whose 16 coarse centroids are
     * learned by seeded Lloyd's k-means (2 rounds; init = vec_id < 16),
@@ -406,10 +416,11 @@ object VectorOps {
     * replication factor to MEASURE the knob's effect. */
   def x16IvfAnnK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
-    val ranked = simToCents(e, centView(spark, Stages.x16Centroids(spark, dir, k)))
+    val cv = centView(spark, Stages.x16Centroids(spark, dir, k))
+    val assign = nearestCent(simToCents(e, cv), k)
+    val probe = simToCents(e.filter(col("vec_id") === 0), cv)
       .withColumn("rn", row_number().over(wAssign))
-    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2).select(col("cid"))
+      .filter(col("rn") <= 2).select(col("cid"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("nrm").as("qnrm"))
     assign.join(broadcast(probe), "cid")
       .filter(col("vec_id") =!= 0)
