@@ -31,6 +31,24 @@ class ContractSpec extends AnyFunSuite {
         s"as ReusedExchange; got:\n$plan")
   }
 
+  test("corpus-side vector routing plans no rank window (the argmin contract)") {
+    // x56's encoder and x16's assignment replaced their corpus×k rank
+    // windows with packed-min hash aggregates; a WindowExec reappearing
+    // in these plans means something reverted to sorting the corpus.
+    // (x57/x58 DO plan a window — on their one-row/8-row query side —
+    // so the pin targets the two pure corpus-side plans.)
+    val spark = SparkTestBase.session
+    graft.ops.Stages.clear()
+    Seq(
+      "x56_pq_codes" -> graft.ops.VectorOps.x56PqCodes(spark, "/root/testdata/sf0.001"),
+      "x16_assignment" -> graft.ops.VectorOps.x16Assignment(spark, "/root/testdata/sf0.001")
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plans a window over the corpus-side routing:\n$plan")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     val spark = SparkTestBase.session
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
