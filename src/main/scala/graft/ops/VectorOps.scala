@@ -331,7 +331,7 @@ object VectorOps {
     * makes the packing order-isomorphic to (sim desc, cid asc). The
     * probe-side top-n rankings keep the window — they run on
     * query-sample-filtered frames, never the corpus. */
-  private def nearestCent(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def nearestCent(scored: DataFrame, k: Int): DataFrame =
     scored
       .select(col("vec_id"),
         ((lit(10000L) - col("sim_s4")) * lit(k.toLong) + col("cid")).as("pk"))
@@ -599,7 +599,7 @@ object VectorOps {
     * makes the packing order-isomorphic to the (d2, cid) lexicographic
     * order. Deterministic: cid is unique within (m), the minimum is
     * unique. */
-  private def pqNearest(scored: DataFrame): DataFrame =
+  private[graft] def pqNearest(scored: DataFrame): DataFrame =
     scored
       .select(col("vec_id"), col("m"), (col("d2") * pqK + col("cid")).as("pk"))
       .groupBy(col("vec_id"), col("m"))

@@ -392,6 +392,32 @@ class OpsSpec extends SparkTestBase {
       s"hit_ivfpq(0)=$hit0 vs x57-served∩truth=${served5.intersect(truth0)}")
   }
 
+  test("packed argmins: exact ties break to the lowest cid, negatives pack safely") {
+    import spark.implicits._
+    // pqNearest: (d2, cid) lexicographic — a d2 tie must pick the lower cid
+    val pq = VectorOps.pqNearest(Seq(
+      (1L, 0L, 3L, 5L), (1L, 0L, 1L, 5L), (1L, 0L, 2L, 9L), // tie at d2=5 → cid 1
+      (1L, 1L, 7L, 4L), (1L, 1L, 0L, 6L), //  plain argmin → cid 7
+      (2L, 0L, 6L, 0L), (2L, 0L, 0L, 0L)) // all-zero tie → cid 0
+      .toDF("vec_id", "m", "cid", "d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pq((1L, 0L)) == (1L, 5L), "d2 tie must break to the lowest cid")
+    assert(pq((1L, 1L)) == (7L, 4L))
+    assert(pq((2L, 0L)) == (0L, 0L))
+    // nearestCent: (sim desc, cid asc) — ties low-cid, and the most
+    // negative representable sim (floor(-1.00005·1e4) = -10001) packs
+    // without wrapping
+    val nc = VectorOps.nearestCent(Seq(
+      (1L, 3L, 9000L), (1L, 5L, 9000L), (1L, 0L, 8999L), // sim tie → cid 3
+      (2L, 15L, -10001L), (2L, 14L, -10001L), // worst-case negatives → cid 14
+      (3L, 0L, -5L), (3L, 1L, 10000L)) // max sim wins
+      .toDF("vec_id", "cid", "sim_s4"), 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nc(1L) == 3L, "sim tie must break to the lowest cid")
+    assert(nc(2L) == 14L, "the -10001 floor edge must not wrap the packing")
+    assert(nc(3L) == 1L)
+  }
+
   test("x54: pair counts are consistent with unigram counts and ranked correctly") {
     val rows = TextOps.x54BpePairs(spark, sf0001).collect()
     assert(rows.length == 20)
