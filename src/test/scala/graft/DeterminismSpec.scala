@@ -177,7 +177,11 @@ class DeterminismSpec extends SparkTestBase {
     // OHLC bars: open/close read two row_number orderings over the bar
     // exchange — the (ts, event_id) total order must make partitioning
     // invisible in every cell
-    "q33_resample")
+    "q33_resample",
+    // series search: the day-grid broadcast, the sorted collect_list
+    // series build, and the per-row bound+verify — neither the daily
+    // rollup shuffle nor the series agg may move a single lb/d2
+    "x59_series_search")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -392,6 +392,44 @@ class OpsSpec extends SparkTestBase {
       s"hit_ivfpq(0)=$hit0 vs x57-served∩truth=${served5.intersect(truth0)}")
   }
 
+  test("x59: matches, bounds, and distances replay bit-exactly against an in-JVM replica") {
+    import java.time.LocalDate
+    val ev = graft.model.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts").cast("date"), graft.model.Tables.cents(col("value")))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(d0, d1).toInt + 1
+    def series(u: Long): Array[Long] = {
+      val daily = ev.filter(_._1 == u).groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
+      (0 until nDays).map(i => daily.getOrElse(d0.plusDays(i.toLong), 0L)).toArray
+    }
+    val users = ev.map(_._1).distinct.sorted
+    val qv = series(users.head)
+    val tau = qv.map(x => x * x).sum
+    val bL = Math.floorDiv(nDays + 5, 6).toLong
+    def lb(sv: Array[Long]): Long = (0 until 6).map { j =>
+      val ds = sv.slice((j * bL).toInt, ((j + 1) * bL).toInt).sum -
+        qv.slice((j * bL).toInt, ((j + 1) * bL).toInt).sum
+      ds * ds
+    }.sum
+    def d2(sv: Array[Long]): Long = sv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val expected = users.tail.map(u => (u, series(u)))
+      .map { case (u, sv) => (u, lb(sv), d2(sv)) }
+      .filter(_._3 <= tau)
+    assert(expected.nonEmpty, "the radius should admit some matches on this corpus")
+    // soundness of the bound on EVERY user, matched or not
+    users.tail.foreach { u =>
+      val sv = series(u)
+      assert(lb(sv) <= bL * d2(sv), s"user $u: Cauchy-Schwarz bound violated")
+    }
+    val got = Windows.x59SeriesSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected.toSeq,
+      s"got ${got.size} rows vs expected ${expected.size}; first diff: " +
+        got.zipAll(expected, null, null).find(t => t._1 != t._2))
+  }
+
   test("packed argmins: exact ties break to the lowest cid, negatives pack safely") {
     import spark.implicits._
     // pqNearest: (d2, cid) lexicographic — a d2 tie must pick the lower cid
