@@ -273,6 +273,10 @@ object BenchScaling {
     "x14_cosine_neardup_scaledbits" -> ((s: SparkSession, d: String, f: Int) =>
       graft.ops.VectorOps.x14CosineNeardupB(s, d,
         5 + (31 - Integer.numberOfLeadingZeros(math.max(f, 1))))),
+    // series search: replicas add disjoint users on the SAME day span,
+    // so the series count grows ×f at fixed dims — the one-scan claim
+    // (per-row bound+verify against a broadcast query) must track |users|
+    "x59_series_search" -> fx(graft.ops.Windows.x59SeriesSearch _),
     // the PQ stack: encode is training (broadcast joins over the corpus)
     // + one codebook-broadcast scan with a per-vector window — must
     // track the corpus linearly; the ADC search reads the codes with

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, FreqItemsMG, GramMd5Hexes, KllMergeAgg, KllSketchAgg, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopKByAgg, TopTokenCount, WinnowFingerprints}
+import graft.functions.{DistinctBigramCount, DistinctGrams, DotProduct, DtwDistance, FreqItemsMG, GramMd5Hexes, KllMergeAgg, KllSketchAgg, Md5Long, RollingHashFold, RollingHashWindows, SimhashBits, ThetaSketchAgg, TopKByAgg, TopTokenCount, WinnowFingerprints}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions to SQL users:
@@ -144,6 +144,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         requireArity("simhash_bits", args, 2)
         SimhashBits(args(0), intLit("simhash_bits", args(1), "nBits"))
+      }),
+    ("dtw_arr",
+      new ExpressionInfo(classOf[DtwDistance].getName, "dtw_arr"),
+      (args: Seq[Expression]) => {
+        requireArity("dtw_arr", args, 3)
+        DtwDistance(args(0), args(1), intLit("dtw_arr", args(2), "band"))
       }))
 
   private def requireArity(fn: String, args: Seq[Expression], n: Int): Unit =

@@ -351,23 +351,34 @@ object Windows {
     * #days rows), then a single scan of the |users| series rows against
     * the broadcast query — candidate filter and verify are per-row
     * codegen'd HOFs, no pair shuffle anywhere; output ∝ matches. */
-  def x59SeriesSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user daily-cents series on the dense day grid (shared by x59
+    * and x60): one (user, day) map-side rollup, a ≤#days-row grid
+    * broadcast, a sorted collect_list per user. */
+  private def dailySeries(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).filter(col("value").isNotNull)
       .select(col("user_id"), col("ts").cast("date").as("d"), cents(col("value")).as("v"))
     val grid = e.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("d"))
     val daily = e.groupBy(col("user_id"), col("d")).agg(sum(col("v")).as("s"))
-    val series = e.select(col("user_id")).distinct()
+    e.select(col("user_id")).distinct()
       .crossJoin(broadcast(grid))
       .join(daily, Seq("user_id", "d"), "left")
       .select(col("user_id"), col("d"), coalesce(col("s"), lit(0L)).as("s"))
       .groupBy(col("user_id"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
         x => x.getField("s")).as("sv"))
-    val q = series
-      .join(broadcast(e.groupBy().agg(min(col("user_id")).as("qid"))),
+  }
+
+  /** (qid, qv): the min-user query series, broadcastable. */
+  private def seriesQuery(series: DataFrame): DataFrame =
+    series
+      .join(broadcast(series.groupBy().agg(min(col("user_id")).as("qid"))),
         col("user_id") === col("qid"))
       .select(col("qid"), col("sv").as("qv"))
+
+  def x59SeriesSearch(spark: SparkSession, dir: String): DataFrame = {
+    val series = dailySeries(spark, dir)
+    val q = seriesQuery(series)
       .withColumn("bL", fdiv(size(col("qv")).cast(LongType) + (x59Segs - 1),
         lit(x59Segs.toLong)))
       .withColumn("tau", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
@@ -386,8 +397,43 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** x60 Sakoe–Chiba band width (days). */
+  private[graft] val x60Band = 5
+
+  /** x60: DTW series search — the top-5 users nearest the query user's
+    * daily-activity series under banded Dynamic Time Warping, the
+    * beyond-L2 series distance (x59 finds level-matched series; DTW
+    * finds series matching up to ±band-day TIME SHIFTS — the metric the
+    * trajectory/series-similarity literature in PAPERS.md actually
+    * uses). The DP runs as the native codegen'd
+    * [[graft.functions.DtwDistance]] expression (also exposed to SQL as
+    * `dtw_arr`), O(days·band) per pair on exact int64 cents — no
+    * doubles anywhere, so ranks hash-gate bit-identically.
+    *
+    * Oracle: DuckDB unrolls the SAME recurrence as anti-diagonal CTEs
+    * (lvl2..lvl90 — diagonal d holds cells i+j=d, so each level reads
+    * only the previous one and the carried cm column is the d−2 term);
+    * the final pick is length-dynamic (d = 2·len) up to 45 days — a
+    * regenerated corpus past that fails the gate loudly, not silently.
+    *
+    * Plan shape at 100 TB: identical to x59 — series build + ONE scan of
+    * |users| series rows against the broadcast query, the DP per row
+    * inside WholeStageCodegen; TakeOrderedAndProject keeps top-5 per
+    * partition. A query-batch form would broadcast N queries and amortize
+    * the scan exactly like x3b. */
+  def x60DtwSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DtwFunctions.dtwArr
+    val series = dailySeries(spark, dir)
+    series.crossJoin(broadcast(seriesQuery(series)))
+      .filter(col("user_id") =!= col("qid"))
+      .select(col("user_id"), dtwArr(col("sv"), col("qv"), x60Band).as("dtw"))
+      .orderBy(col("dtw").asc, col("user_id").asc)
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x59_series_search" -> x59SeriesSearch,
+    "x60_dtw_search" -> x60DtwSearch,
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
@@ -405,21 +451,70 @@ object Windows {
     s"(${seg("s.sv")} - ${seg("q.qv")})"
   }
 
+  /** Shared CTE prefix deriving the per-user daily series — mirrors
+    * [[dailySeries]]; ends at the `series` CTE. */
+  private def seriesCtesSql: String =
+    s"""e AS (SELECT user_id, CAST(ts AS DATE) AS d, ${centsSql("value")} AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+       |grid AS (SELECT CAST(unnest(generate_series((SELECT d0 FROM span), (SELECT d1 FROM span), INTERVAL 1 DAY)) AS DATE) AS d),
+       |users AS (SELECT DISTINCT user_id FROM e),
+       |daily AS (SELECT user_id, d, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+       |series AS MATERIALIZED (SELECT u.user_id, list(coalesce(dy.s, 0) ORDER BY g.d) AS sv
+       |  FROM users u CROSS JOIN grid g
+       |  LEFT JOIN daily dy ON dy.user_id = u.user_id AND dy.d = g.d
+       |  GROUP BY u.user_id)""".stripMargin
+
+  /** x60 oracle INF sentinel (dead DP paths only). */
+  private val x60InfSql = "1152921504606846976"
+
+  /** One x60 anti-diagonal CTE: level d holds the DP cells with
+    * i + j = d; `c` = D(i, j), `cm` carries D(i−1, j) (= the previous
+    * level's `c` at the same j) so level d+1 can reach its diag-(d−2)
+    * predecessor without a second recursive reference. The row set is
+    * WIDENED one cell past the band (|i−j| = band+1 rows exist as pure
+    * carriers with c = INF): at a band edge the in-band predecessor
+    * (i−1, j−1) travels through the out-of-band cell (i, j−1)'s cm —
+    * without the carrier row that value would be lost and edge cells
+    * would miss their cheapest path (caught by the sf0.01 gate). */
+  private def x60LvlSql(d: Int): String =
+    if (d == 2)
+      s"""lvl2 AS MATERIALIZED (SELECT s.user_id, 1 AS j,
+         |    CAST(abs(s.sv[1] - q.qv[1]) AS BIGINT) AS c, CAST($x60InfSql AS BIGINT) AS cm
+         |  FROM series s CROSS JOIN q WHERE s.user_id <> q.qid)""".stripMargin
+    else
+      s"""lvl$d AS MATERIALIZED (SELECT s.user_id, t.j,
+         |    CASE WHEN abs(($d - t.j) - t.j) <= $x60Band
+         |      THEN CAST(abs(s.sv[$d - t.j] - q.qv[t.j]) AS BIGINT)
+         |        + least(coalesce(x.c, $x60InfSql), coalesce(y.c, $x60InfSql), coalesce(y.cm, $x60InfSql))
+         |      ELSE CAST($x60InfSql AS BIGINT) END AS c,
+         |    coalesce(x.c, $x60InfSql) AS cm
+         |  FROM series s CROSS JOIN q CROSS JOIN range(1, 46) t(j)
+         |  LEFT JOIN lvl${d - 1} x ON x.user_id = s.user_id AND x.j = t.j
+         |  LEFT JOIN lvl${d - 1} y ON y.user_id = s.user_id AND y.j = t.j - 1
+         |  WHERE s.user_id <> q.qid
+         |    AND t.j <= len(q.qv) AND $d - t.j >= 1 AND $d - t.j <= len(s.sv)
+         |    AND abs(($d - t.j) - t.j) <= ${x60Band + 1})""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // x60's oracle replays the SAME banded-DTW recurrence as 89
+    // anti-diagonal CTE levels (n ≤ 45 days; the final pick is
+    // length-dynamic, so a longer regenerated corpus fails loudly)
+    "x60_dtw_search" ->
+      s"""WITH $seriesCtesSql,
+         |q AS MATERIALIZED (SELECT user_id AS qid, sv AS qv FROM series
+         |  WHERE user_id = (SELECT min(user_id) FROM e)),
+         |${(2 to 90).map(x60LvlSql).mkString(",\n")},
+         |fin AS (SELECT u.user_id, u.c FROM (
+         |${(2 to 90).map(d => s"  SELECT $d AS d, user_id, j, c FROM lvl$d").mkString("\n  UNION ALL\n")}
+         |) u CROSS JOIN q WHERE u.d = 2 * len(q.qv) AND u.j = len(q.qv))
+         |SELECT user_id, CAST(c AS BIGINT) AS dtw FROM fin
+         |ORDER BY dtw ASC, user_id ASC LIMIT 5""".stripMargin,
     // x59's oracle is the BRUTE-FORCE radius search (no lower-bound
     // filter): a row Spark's pruning wrongly dropped would appear here
     // and break the hash gate — the gate itself proves the bound sound
     "x59_series_search" ->
-      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ${centsSql("value")} AS v
-         |  FROM events WHERE value IS NOT NULL),
-         |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
-         |grid AS (SELECT CAST(unnest(generate_series((SELECT d0 FROM span), (SELECT d1 FROM span), INTERVAL 1 DAY)) AS DATE) AS d),
-         |users AS (SELECT DISTINCT user_id FROM e),
-         |daily AS (SELECT user_id, d, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
-         |series AS (SELECT u.user_id, list(coalesce(dy.s, 0) ORDER BY g.d) AS sv
-         |  FROM users u CROSS JOIN grid g
-         |  LEFT JOIN daily dy ON dy.user_id = u.user_id AND dy.d = g.d
-         |  GROUP BY u.user_id),
+      s"""WITH $seriesCtesSql,
          |q AS (SELECT user_id AS qid, sv AS qv,
          |    ${fdivSql("CAST(len(sv) AS BIGINT) + 5", "6")} AS bL,
          |    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS tau

@@ -181,7 +181,11 @@ class DeterminismSpec extends SparkTestBase {
     // series search: the day-grid broadcast, the sorted collect_list
     // series build, and the per-row bound+verify — neither the daily
     // rollup shuffle nor the series agg may move a single lb/d2
-    "x59_series_search")
+    "x59_series_search",
+    // DTW search: the same series build feeding the native DP expression
+    // and a TakeOrdered — the top-5 under the (dtw, user) total order
+    // must not see partitioning
+    "x60_dtw_search")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint

@@ -392,8 +392,9 @@ class OpsSpec extends SparkTestBase {
       s"hit_ivfpq(0)=$hit0 vs x57-served∩truth=${served5.intersect(truth0)}")
   }
 
-  test("x59: matches, bounds, and distances replay bit-exactly against an in-JVM replica") {
-    import java.time.LocalDate
+  /** In-JVM daily-series replica shared by the x59/x60 specs: (sorted
+    * users, per-user dense daily cents series, day count). */
+  private def seriesReplica(): (Seq[Long], Long => Array[Long], Int) = {
     val ev = graft.model.Tables.events(spark, sf0001)
       .filter(col("value").isNotNull)
       .select(col("user_id"), col("ts").cast("date"), graft.model.Tables.cents(col("value")))
@@ -404,7 +405,43 @@ class OpsSpec extends SparkTestBase {
       val daily = ev.filter(_._1 == u).groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
       (0 until nDays).map(i => daily.getOrElse(d0.plusDays(i.toLong), 0L)).toArray
     }
-    val users = ev.map(_._1).distinct.sorted
+    (ev.map(_._1).distinct.sorted.toSeq, series, nDays)
+  }
+
+  test("x60: banded DTW top-5 replays bit-exactly against an in-JVM DP replica") {
+    val (users, series, nDays) = seriesReplica()
+    assert(nDays <= 45, "the x60 oracle unrolls 89 diagonals (<= 45 days); regenerate it")
+    val band = 5
+    val INF = 1L << 60
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      var prev = Array.fill(b.length + 1)(INF); prev(0) = 0L
+      var curr = Array.fill(b.length + 1)(INF)
+      for (i <- 1 to a.length) {
+        java.util.Arrays.fill(curr, INF)
+        for (j <- math.max(1, i - band) to math.min(b.length, i + band)) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          curr(j) = c + math.min(prev(j), math.min(curr(j - 1), prev(j - 1)))
+        }
+        val t = prev; prev = curr; curr = t
+      }
+      prev(b.length)
+    }
+    val qv = series(users.head)
+    val expected = users.tail.map(u => (dtw(series(u), qv), u)).sorted.take(5)
+      .map { case (d, u) => (u, d) }
+    val got = Windows.x60DtwSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got vs replica $expected")
+    // DTW under warping can only improve on the rigid alignment
+    users.tail.foreach { u =>
+      val sv = series(u)
+      val rigid = sv.zip(qv).map { case (a, b) => math.abs(a - b) }.sum
+      assert(dtw(sv, qv) <= rigid, s"user $u: DTW exceeds the band-0 alignment")
+    }
+  }
+
+  test("x59: matches, bounds, and distances replay bit-exactly against an in-JVM replica") {
+    val (users, series, nDays) = seriesReplica()
     val qv = series(users.head)
     val tau = qv.map(x => x * x).sum
     val bL = Math.floorDiv(nDays + 5, 6).toLong
