@@ -277,6 +277,9 @@ object BenchScaling {
     // so the series count grows ×f at fixed dims — the one-scan claim
     // (per-row bound+verify against a broadcast query) must track |users|
     "x59_series_search" -> fx(graft.ops.Windows.x59SeriesSearch _),
+    // DTW search: same series build, the native O(days·band) DP per row —
+    // the codegen'd expression must keep the leg |users|-linear too
+    "x60_dtw_search" -> fx(graft.ops.Windows.x60DtwSearch _),
     // the PQ stack: encode is training (broadcast joins over the corpus)
     // + one codebook-broadcast scan with a per-vector window — must
     // track the corpus linearly; the ADC search reads the codes with
