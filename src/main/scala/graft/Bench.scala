@@ -63,6 +63,7 @@ object Bench {
       "stage:x16_centroids" -> (() => { graft.ops.Stages.x16Centroids(spark, sfDir); () }),
       "stage:pq_books" -> (() => { graft.ops.Stages.pqBooks(spark, sfDir); () }),
       "stage:x57_index" -> (() => { graft.ops.Stages.x57Index(spark, sfDir); () }),
+      "stage:series_daily" -> (() => { graft.ops.Stages.seriesDaily(spark, sfDir); () }),
       "stage:x49_grams" -> (() => { graft.ops.Stages.x49Grams(spark, sfDir); () }),
       "stage:grams5" -> (() => { graft.ops.Stages.grams5(spark, sfDir); () }),
       "stage:x2_pairs" -> (() => { graft.ops.Stages.x2Pairs(spark, sfDir); () }),

@@ -280,6 +280,9 @@ object BenchScaling {
     // DTW search: same series build, the native O(days·band) DP per row —
     // the codegen'd expression must keep the leg |users|-linear too
     "x60_dtw_search" -> fx(graft.ops.Windows.x60DtwSearch _),
+    // SAX retrieval: the series trio's index path — the (seg, sym)
+    // inverted-index join must keep candidacy sub-scan as users grow
+    "x61_sax_search" -> fx(graft.ops.Windows.x61SaxSearch _),
     // the PQ stack: encode is training (broadcast joins over the corpus)
     // + one codebook-broadcast scan with a per-vector window — must
     // track the corpus linearly; the ADC search reads the codes with

@@ -340,6 +340,14 @@ object Stages {
   def x57Index(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
 
+  /** The per-user daily-cents series (user_id, sv) — |users| rows ×
+    * #days longs, bounded. Read by the series trio x59/x60/x61, each of
+    * which references it 2–4 times inside one plan; without the stage
+    * every reference re-ran the (user, day) rollup over the full event
+    * log. */
+  def seriesDaily(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "series_daily")(Windows.dailySeriesUnstaged(spark, dir))
+
   /** Drop every cached stage (tests that re-run one query under varied
     * configs — e.g. DeterminismSpec's shuffle-partition sweep — must
     * clear between runs or the cache would mask the property under

@@ -351,10 +351,15 @@ object Windows {
     * #days rows), then a single scan of the |users| series rows against
     * the broadcast query — candidate filter and verify are per-row
     * codegen'd HOFs, no pair shuffle anywhere; output ∝ matches. */
-  /** Per-user daily-cents series on the dense day grid (shared by x59
-    * and x60): one (user, day) map-side rollup, a ≤#days-row grid
-    * broadcast, a sorted collect_list per user. */
-  private def dailySeries(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user daily-cents series on the dense day grid (x59/x60/x61):
+    * one (user, day) map-side rollup, a ≤#days-row grid broadcast, a
+    * sorted collect_list per user. Consumers read it via
+    * [[Stages.seriesDaily]] — the frame is |users| rows × #days longs
+    * (bounded), every series query references it 2–4 times inside one
+    * plan, and the three consumers share one build per session (the
+    * unstaged x61 leg measured 24.7 s at 64× — four rollups of the
+    * same 64M-event table). */
+  private[graft] def dailySeriesUnstaged(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).filter(col("value").isNotNull)
       .select(col("user_id"), col("ts").cast("date").as("d"), cents(col("value")).as("v"))
     val grid = e.groupBy().agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
@@ -377,7 +382,7 @@ object Windows {
       .select(col("qid"), col("sv").as("qv"))
 
   def x59SeriesSearch(spark: SparkSession, dir: String): DataFrame = {
-    val series = dailySeries(spark, dir)
+    val series = Stages.seriesDaily(spark, dir)
     val q = seriesQuery(series)
       .withColumn("bL", fdiv(size(col("qv")).cast(LongType) + (x59Segs - 1),
         lit(x59Segs.toLong)))
@@ -423,7 +428,7 @@ object Windows {
     * the scan exactly like x3b. */
   def x60DtwSearch(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.DtwFunctions.dtwArr
-    val series = dailySeries(spark, dir)
+    val series = Stages.seriesDaily(spark, dir)
     series.crossJoin(broadcast(seriesQuery(series)))
       .filter(col("user_id") =!= col("qid"))
       .select(col("user_id"), dtwArr(col("sv"), col("qv"), x60Band).as("dtw"))
@@ -431,9 +436,73 @@ object Windows {
       .limit(5)
   }
 
+  /** x61 knobs: SAX alphabet size and the match threshold (segments
+    * shared with the query for candidacy). */
+  private val x61Bins = 4L
+  private val x61MinShared = 4L
+
+  /** x61: SAX-indexed series search (Lin et al.'s symbolic aggregate
+    * approximation / the iSAX index family) — the SCALE PATH of the
+    * series trio: x59 is the exact radius scan, x60 the DTW re-ranker,
+    * x61 the bucketed candidate retrieval that avoids scanning every
+    * series at all. Each series becomes a 6-symbol SAX word (segment
+    * means quantized into 4 equi-width integer bins over the corpus'
+    * global mean range — the breakpoints are one 2-long broadcast);
+    * candidates share the query's symbol in ≥ 4 of 6 segments, and only
+    * candidates pay the exact distance — emitted as the top-10 by
+    * (d2, user). Like x14, the operator is DEFINED over its blocking
+    * (the oracle mirrors the same word construction), so correctness is
+    * exact for the operator's own semantics while recall-vs-exhaustive
+    * is the knob the alphabet/threshold trade.
+    *
+    * All-integer determinism: segment means are exact floor divisions,
+    * symbols are exact integer bin arithmetic ((m−lo)·bins ÷ (hi−lo+1) —
+    * the +1 pins sym < bins at m = hi and guards the degenerate
+    * lo = hi corpus), d2 is the exact long squared-L2.
+    *
+    * Plan shape at 100 TB: the symbol table is 6 rows/user from the
+    * series scan; candidacy is one equi-join on (segment, symbol)
+    * against the 6-row broadcast query word + a map-side-combinable
+    * count — the classic inverted-index retrieval; only |candidates|
+    * rows join back to raw series for the verify. No pair shuffle, no
+    * corpus² anywhere. */
+  def x61SaxSearch(spark: SparkSession, dir: String): DataFrame = {
+    val series = Stages.seriesDaily(spark, dir)
+    val withL = series.withColumn("bL",
+      fdiv(size(col("sv")).cast(LongType) + (x59Segs - 1), lit(x59Segs.toLong)))
+    val means = withL.select(col("user_id") +: (0 until x59Segs).map(j =>
+        fdiv(x59SegSum(col("sv"), j, col("bL")), col("bL")).as(s"m$j")): _*)
+    val bounds = means
+      .select(least((0 until x59Segs).map(j => col(s"m$j")): _*).as("mn"),
+        greatest((0 until x59Segs).map(j => col(s"m$j")): _*).as("mx"))
+      .groupBy().agg(min(col("mn")).as("lo"), max(col("mx")).as("hi"))
+    val syms = means.crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(array((0 until x59Segs).map(j =>
+        struct(lit(j.toLong).as("seg"),
+          fdiv((col(s"m$j") - col("lo")) * x61Bins,
+            col("hi") - col("lo") + 1L).as("sym"))): _*)).as("s"))
+      .select(col("user_id"), col("s.seg").as("seg"), col("s.sym").as("sym"))
+    val qid = series.groupBy().agg(min(col("user_id")).as("qid"))
+    val qsyms = syms.join(broadcast(qid), col("user_id") === col("qid"))
+      .select(col("qid"), col("seg"), col("sym"))
+    val cand = syms.join(broadcast(qsyms), Seq("seg", "sym"))
+      .filter(col("user_id") =!= col("qid"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= x61MinShared)
+    val q = seriesQuery(series)
+    cand.join(series, "user_id")
+      .crossJoin(broadcast(q))
+      .select(col("user_id"), col("n_shared"),
+        aggregate(zip_with(col("sv"), col("qv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2").asc, col("user_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x59_series_search" -> x59SeriesSearch,
     "x60_dtw_search" -> x60DtwSearch,
+    "x61_sax_search" -> x61SaxSearch,
     "q7_window_rank" -> q7WindowRank,
     "q7b_window_more" -> q7bWindowMore,
     "q8_window_frame" -> q8WindowFrame,
@@ -510,6 +579,33 @@ object Windows {
          |) u CROSS JOIN q WHERE u.d = 2 * len(q.qv) AND u.j = len(q.qv))
          |SELECT user_id, CAST(c AS BIGINT) AS dtw FROM fin
          |ORDER BY dtw ASC, user_id ASC LIMIT 5""".stripMargin,
+    // x61 is DEFINED over its SAX blocking (the x14 contract): the
+    // oracle mirrors the word construction literally, so symbols,
+    // candidacy, and distances all hash-gate
+    "x61_sax_search" ->
+      s"""WITH $seriesCtesSql,
+         |sl AS (SELECT user_id, sv,
+         |    ${fdivSql("CAST(len(sv) AS BIGINT) + 5", "6")} AS bL FROM series),
+         |m AS (SELECT user_id, t.j,
+         |    ${fdivSql(
+               "coalesce(CAST(list_sum(list_slice(sv, t.j*bL+1, (t.j+1)*bL)) AS BIGINT), 0)",
+               "bL")} AS mj
+         |  FROM sl CROSS JOIN range(0, 6) t(j)),
+         |b AS (SELECT min(mj) AS lo, max(mj) AS hi FROM m),
+         |syms AS (SELECT user_id, m.j AS seg,
+         |    ${fdivSql("(mj - lo) * 4", "hi - lo + 1")} AS sym
+         |  FROM m CROSS JOIN b),
+         |qid AS (SELECT min(user_id) AS qid FROM e),
+         |qs AS (SELECT seg, sym FROM syms, qid WHERE user_id = qid),
+         |cand AS (SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM syms s JOIN qs ON s.seg = qs.seg AND s.sym = qs.sym, qid
+         |  WHERE s.user_id <> qid GROUP BY s.user_id HAVING count(*) >= 4),
+         |q AS (SELECT sv AS qv FROM series, qid WHERE user_id = qid)
+         |SELECT c.user_id, c.n_shared,
+         |  CAST(list_sum(list_transform(list_zip(s.sv, q.qv),
+         |    x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
+         |FROM cand c JOIN series s ON s.user_id = c.user_id CROSS JOIN q
+         |ORDER BY d2 ASC, c.user_id ASC LIMIT 10""".stripMargin,
     // x59's oracle is the BRUTE-FORCE radius search (no lower-bound
     // filter): a row Spark's pruning wrongly dropped would appear here
     // and break the hash gate — the gate itself proves the bound sound

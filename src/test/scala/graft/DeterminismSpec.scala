@@ -185,7 +185,11 @@ class DeterminismSpec extends SparkTestBase {
     // DTW search: the same series build feeding the native DP expression
     // and a TakeOrdered — the top-5 under the (dtw, user) total order
     // must not see partitioning
-    "x60_dtw_search")
+    "x60_dtw_search",
+    // SAX retrieval: global breakpoint agg broadcast back + the
+    // (seg, sym) inverted-index join + candidate count — symbols and the
+    // verified top-10 must not see partitioning
+    "x61_sax_search")
 
   test("stage consumers are invariant to the stage materialization mode") {
     // every consumer of graft.ops.Stages, run once with localCheckpoint
@@ -202,7 +206,9 @@ class DeterminismSpec extends SparkTestBase {
       // the x16 centroid stage, via its round-12 sampling consumer
       "x53_cluster_sample",
       // the IVFADC index stage, via both of its consumers
-      "x57_ivf_pq", "x58_pq_recall")
+      "x57_ivf_pq", "x58_pq_recall",
+      // the daily-series stage, via all three series consumers
+      "x59_series_search", "x60_dtw_search", "x61_sax_search")
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stages").toString
     try {

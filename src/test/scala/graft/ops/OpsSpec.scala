@@ -440,6 +440,35 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x61: SAX words, candidacy, and verified distances replay in-JVM") {
+    val (users, series, nDays) = seriesReplica()
+    val bL = Math.floorDiv(nDays + 5, 6).toLong
+    def segMeans(sv: Array[Long]): Seq[Long] = (0 until 6).map { j =>
+      val sl = sv.slice((j * bL).toInt, ((j + 1) * bL).toInt)
+      Math.floorDiv(sl.sum, bL)
+    }
+    val allMeans = users.flatMap(u => segMeans(series(u)))
+    val (lo, hi) = (allMeans.min, allMeans.max)
+    def word(sv: Array[Long]): Seq[Long] =
+      segMeans(sv).map(m => Math.floorDiv((m - lo) * 4, hi - lo + 1))
+    val qw = word(series(users.head))
+    val qv = series(users.head)
+    val expected = users.tail
+      .map(u => (u, word(series(u)).zip(qw).count { case (a, b) => a == b }))
+      .filter(_._2 >= 4)
+      .map { case (u, ns) =>
+        (qv.zip(series(u)).map { case (a, b) => (a - b) * (a - b) }.sum, u, ns.toLong)
+      }
+      .sorted.take(10)
+      .map { case (d2, u, ns) => (u, ns, d2) }
+    assert(expected.nonEmpty, "the SAX blocking should admit some candidates")
+    // every symbol must land inside the alphabet
+    users.foreach(u => word(series(u)).foreach(s => assert(s >= 0 && s < 4)))
+    val got = Windows.x61SaxSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got vs replica $expected")
+  }
+
   test("x59: matches, bounds, and distances replay bit-exactly against an in-JVM replica") {
     val (users, series, nDays) = seriesReplica()
     val qv = series(users.head)
