@@ -28,12 +28,18 @@ import graft.streaming.WalRecord
 object Sources {
 
   /** The WAL schema, fixed — streaming sources must declare it up front
-    * (mirrors `WalEntity.java:27-46`). */
+    * (mirrors `WalEntity.java:27-46`, including the `entity_type`
+    * discriminator `WalEntity.java:41-46`). `entityType` is declared
+    * nullable so pre-discriminator WAL files (4-column) still load — the
+    * reader normalizes absent/null values to
+    * [[graft.streaming.WalRecord.DefaultEntityType]], the reference's own
+    * constructor default. */
   val walSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("entityId", LongType, nullable = false),
     StructField("operation", StringType, nullable = false),
-    StructField("payload", StringType, nullable = true)))
+    StructField("payload", StringType, nullable = true),
+    StructField("entityType", StringType, nullable = true)))
 
   // ---- batch sources ----
 
@@ -140,6 +146,10 @@ object Sources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .format(format)
       .load(path)
+      // legacy 4-column WAL files surface entityType as null under the
+      // declared schema; normalize to the reference's constructor default
+      .withColumn("entityType",
+        coalesce(col("entityType"), lit(WalRecord.DefaultEntityType)))
       .as[WalRecord]
   }
 

@@ -66,7 +66,9 @@ object SnapshotTable {
       .groupByKey(_.entityId)
       .reduceGroups((a, b) => if (a.id >= b.id) a else b)
       .map(_._2)
-      .toDF("lastId", "entityId", "operation", "payload")
+      // snapshot rows are single-type (split a multiplexed WAL with
+      // Streams.forEntityType first), so the discriminator is dropped here
+      .select(col("id").as("lastId"), col("entityId"), col("operation"), col("payload"))
     prev.select(col("entityId"), col("payload"), col("lastId"))
       .withColumn("operation", lit(null).cast("string"))
       .withColumn("__new", lit(0))

@@ -12,8 +12,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `id` is the IDENTITY log sequence number (total order materialized in
   * the data), `entityId` the key the mutation applies to, `operation` one
   * of ADD/UPDATE/DELETE (`Operation.java:6-10`), `payload` the entity
-  * bytes (string here so tests stay readable). */
-case class WalRecord(id: Long, entityId: Long, operation: String, payload: String)
+  * bytes (string here so tests stay readable), `entityType` the record's
+  * type discriminator (`WalEntity.java:41-46` — the reference defaults it
+  * to the entity subclass's simple name; here the base name, since a
+  * single-type WAL never sets it). Entity-id spaces of DIFFERENT types
+  * are independent (each reference subclass is its own table), so every
+  * keyed view ([[Streams.snapshotStream]], [[SnapshotTable]], sinks)
+  * consumes a SINGLE type: split a multiplexed stream with
+  * [[Streams.forEntityType]] first — the Spark form of the reference's
+  * consumer-per-entity-class registration. */
+case class WalRecord(id: Long, entityId: Long, operation: String, payload: String,
+    entityType: String = WalRecord.DefaultEntityType)
+
+object WalRecord {
+  /** Default discriminator — the reference's base-class simple name (its
+    * constructor default when no subclass overrides it). */
+  val DefaultEntityType = "WalEntity"
+}
 
 /** Current state of one entity after applying the log. */
 case class EntityState(entityId: Long, payload: String, lastId: Long, deleted: Boolean)
@@ -25,6 +40,26 @@ case class EntityState(entityId: Long, payload: String, lastId: Long, deleted: B
   * transient target failure (caller retries). */
 trait WalSink extends Serializable {
   def syncEntity(r: WalRecord): Boolean
+}
+
+/** Per-type physical-target resolution — the sink-side twin of the
+  * reference's `WalConsumer.getTableName` (`WalConsumer.java:339-352`,
+  * which maps each entity CLASS to its own physical table): one consumer
+  * drains a multiplexed WAL and each record is dispatched to the sink
+  * registered for its `entityType`. A record of an UNREGISTERED type
+  * fails loudly (the reference makes this unrepresentable — a consumer
+  * is constructed FOR a class; silently dropping a typed mutation would
+  * be data loss, not leniency). Idempotency/retry contracts are the
+  * delegates'; the dispatch itself is stateless and adds no retry
+  * semantics of its own. */
+final class MultiplexWalSink(sinks: Map[String, WalSink]) extends WalSink {
+  require(sinks.nonEmpty, "at least one entityType -> sink binding required")
+  override def syncEntity(r: WalRecord): Boolean =
+    sinks.getOrElse(r.entityType,
+      throw new IllegalArgumentException(
+        s"no sink registered for entityType '${r.entityType}' (id=${r.id}); " +
+          s"registered: ${sinks.keys.toSeq.sorted.mkString(", ")}"))
+      .syncEntity(r)
 }
 
 /** The keyed state machine of the snapshot view as a Spark 4
@@ -213,6 +248,22 @@ object Streams {
     if (top == null || top.id <= cur.lastId) cur
     else if (top.operation == "DELETE") EntityState(key, null, top.id, deleted = true)
     else EntityState(key, top.payload, top.id, deleted = false)
+  }
+
+  /** Select one entity type's sub-log from a multiplexed WAL — the Spark
+    * form of the reference's consumer-per-entity-class registration
+    * (`WalConsumer.java:339-352`: each consumer instance is constructed
+    * for ONE entity class and reads only that class's records). A plain
+    * column predicate so it reaches the source scan (parquet WAL dirs
+    * prune row groups on it; a JDBC WAL pushes it into the WHERE clause)
+    * — each of N per-type consumers reads its own slice, not N copies of
+    * the whole log. Keyed consumers ([[snapshotStream]], [[SnapshotTable]],
+    * [[foreachBatchSync]] targets) assume a single-type input because
+    * entity-id spaces of different types are independent; route through
+    * this first. */
+  def forEntityType(records: Dataset[WalRecord], tpe: String): Dataset[WalRecord] = {
+    import records.sparkSession.implicits._
+    records.filter(col("entityType") === tpe).as[WalRecord]
   }
 
   /** S1: stateful changelog → current-state view via

@@ -83,12 +83,21 @@ final class WalMetrics extends StreamingQueryListener with Serializable {
     val prev = lastBatchId.getAndUpdate(b => math.max(b, p.batchId))
     if (p.batchId > prev && state.get() != WalState.INACCESSIBLE_IO_FAILURE) {
       val obs = p.observedMetrics
+      var observedRows = -1L
       if (obs != null && obs.containsKey("wal")) {
         val row = obs.get("wal")
         lastObserved.set(row.schema.fieldNames.map(f =>
           f -> row.getAs[Long](f)).toMap)
+        observedRows = row.getAs[Long]("wal_num_records")
       }
-      val rows = p.numInputRows
+      // the observed count rides the CONSUMER'S plan (post entity-type
+      // filter), so a per-type consumer over a multiplexed WAL counts only
+      // its own slice — the reference's per-consumer wal_num_synchronized
+      // (`WalConsumer.java:49-54`: metrics are per consumer instance, and
+      // each instance reads only its class's records). numInputRows is the
+      // SOURCE-level count (pre-filter) and is only the fallback for
+      // queries without the observe node.
+      val rows = if (observedRows >= 0) observedRows else p.numInputRows
       lastBatchRows.set(rows)
       if (rows > 0) {
         numSynchronized.addAndGet(rows)
@@ -162,14 +171,22 @@ object WalMetricsReporter {
   *   delete head + commit           | checkpoint commit after foreachBatch
   *   close(): stop flag+interrupt   | query.stop()
   *   metric unregister on close     | listener removed on close()
-  */
+  *
+  * `entityType`: registration-model selector — the reference constructs
+  * each consumer FOR one entity class and it reads only that class's
+  * records (`WalConsumer.java:339-352`); pass `Some(type)` to drain only
+  * that type's sub-log from a multiplexed WAL (the filter reaches the
+  * source scan, see [[Streams.forEntityType]]). `None` (default) drains
+  * everything — the single-type deployment, or a [[MultiplexWalSink]]
+  * dispatching per type. */
 final class WalPipeline(
     records: Dataset[WalRecord],
     sink: WalSink,
     checkpointDir: String,
     pollMillis: Long = 1000L,
     retrySleepMs: Long = 1000L,
-    reporterEmit: Map[String, Long] => Unit = WalMetricsReporter.logEmit) {
+    reporterEmit: Map[String, Long] => Unit = WalMetricsReporter.logEmit,
+    entityType: Option[String] = None) {
 
   val metrics = new WalMetrics
   private val reporter = new WalMetricsReporter(metrics, reporterEmit)
@@ -190,8 +207,9 @@ final class WalPipeline(
     // loser is a second pipeline on the SAME checkpoint, refused by
     // Spark's active-run exclusivity — it must leave the session exactly
     // as it found it (RecoverySpec's two-instance scenario).
+    val selected = entityType.fold(records)(t => Streams.forEntityType(records, t))
     try {
-      query = records
+      query = selected
         .observe("wal", org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("wal_num_records"))
         .writeStream

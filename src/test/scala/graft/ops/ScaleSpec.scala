@@ -400,7 +400,8 @@ class ScaleSpec extends SparkTestBase {
     TestSink.reset()
     val batch = s.range(0, n)
       .select(col("id"), (col("id") % 500).as("entityId"),
-        lit("ADD").as("operation"), concat(lit("p"), col("id")).as("payload"))
+        lit("ADD").as("operation"), concat(lit("p"), col("id")).as("payload"),
+        lit(WalRecord.DefaultEntityType).as("entityType"))
       .as[WalRecord]
     val t0 = System.nanoTime()
     Streams.foreachBatchSync(new TestSink, retrySleepMs = 1L)(batch, 0L)

@@ -21,7 +21,8 @@ class SourcesSpec extends SparkTestBase {
     val backCsv = Sources.csv(spark, s"$tmp/csv", Sources.walSchema)
     val backJson = Sources.json(spark, s"$tmp/json", Sources.walSchema)
     assert(backCsv.count() == 3 && backJson.count() == 3)
-    assert(backCsv.schema.fieldNames.toSeq == Seq("id", "entityId", "operation", "payload"))
+    assert(backCsv.schema.fieldNames.toSeq ==
+      Seq("id", "entityId", "operation", "payload", "entityType"))
   }
 
   test("jsonlDocuments enforces schema and quarantines malformed lines") {
@@ -312,6 +313,33 @@ class SourcesSpec extends SparkTestBase {
       .count(_.getName.endsWith(".parquet"))
     assert(n == 1 && after == 1)
     assert(s.read.parquet(s"$tmp/ev").count() == ev.count())
+  }
+
+  test("walFileStream normalizes pre-discriminator WAL files to the default entityType") {
+    // a WAL written before the entity_type column existed (4 columns) must
+    // load under the 5-column schema with the reference's constructor
+    // default filled in (WalEntity.java:44-46), not nulls
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-wal-legacy").toString
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    Seq(WalRecord(0, 1, "ADD", "p1"), WalRecord(1, 2, "ADD", "p2"))
+      .toDF().drop("entityType") // the legacy 4-column layout
+      .write.mode("append").parquet(walDir)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[WalRecord]()
+    val q = Sources.walFileStream(s, walDir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[WalRecord], _: Long) =>
+        b.collect().foreach(seen.add)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val recs = seen.asScala.toSeq.sortBy(_.id)
+    assert(recs == Seq(
+      WalRecord(0, 1, "ADD", "p1", WalRecord.DefaultEntityType),
+      WalRecord(1, 2, "ADD", "p2", WalRecord.DefaultEntityType)), recs)
   }
 
   test("walFileStream + WalPipeline: lifecycle, metrics, exactly-once effect") {

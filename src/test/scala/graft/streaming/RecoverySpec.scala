@@ -194,6 +194,90 @@ class RecoverySpec extends SparkTestBase {
     } finally qa.stop()
   }
 
+  test("multiplexed WAL: two entity types, per-type consumers converge; dispatch sink matches") {
+    // The reference's registration model: the WAL carries an entity_type
+    // discriminator (`WalEntity.java:41-46`) and each consumer instance is
+    // constructed FOR one entity class, resolving its own physical target
+    // table (`WalConsumer.java:339-352`). One log, two types with
+    // OVERLAPPING entity-id spaces (independent per type — each reference
+    // subclass is its own table); two per-type consumers must each
+    // converge to their own current state without ever seeing the other's
+    // records, and a single MultiplexWalSink consumer dispatching per
+    // type must land the identical state.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-mux").toString
+    val walDir = s"$tmp/wal"
+    Files.createDirectories(java.nio.file.Paths.get(walDir))
+    System.setProperty("derby.system.home", tmp)
+    val url = s"jdbc:derby:$tmp/derby;create=true"
+    Seq("users_target", "orders_target", "mux_users", "mux_orders")
+      .foreach(JdbcWalSink.ensureTable(url, _))
+
+    def stateOf(table: String): Map[Long, String] =
+      Sources.jdbc(s, url, table).filter(col("DELETED") === 0)
+        .select(col("ENTITY_ID"), col("PAYLOAD"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // interleaved log; entityId 1 exists in BOTH types
+    Seq(
+      WalRecord(0, 1, "ADD", "u1-v0", "UserEntity"),
+      WalRecord(1, 1, "ADD", "o1-v0", "OrderEntity"),
+      WalRecord(2, 2, "ADD", "u2-v0", "UserEntity"),
+      WalRecord(3, 1, "UPDATE", "o1-v1", "OrderEntity"),
+      WalRecord(4, 1, "UPDATE", "u1-v1", "UserEntity"),
+      WalRecord(5, 2, "ADD", "o2-v0", "OrderEntity"),
+      WalRecord(6, 2, "DELETE", null, "UserEntity"))
+      .toDF().write.mode("append").parquet(walDir)
+
+    val expectedUsers = Map(1L -> "u1-v1")
+    val expectedOrders = Map(1L -> "o1-v1", 2L -> "o2-v0")
+
+    // -- per-type consumers (the reference's N registered consumers) --
+    val pu = new WalPipeline(Sources.walFileStream(s, walDir),
+      new JdbcWalSink(url, "users_target"), s"$tmp/ckptU",
+      pollMillis = 10L, retrySleepMs = 1L, entityType = Some("UserEntity"))
+    val po = new WalPipeline(Sources.walFileStream(s, walDir),
+      new JdbcWalSink(url, "orders_target"), s"$tmp/ckptO",
+      pollMillis = 10L, retrySleepMs = 1L, entityType = Some("OrderEntity"))
+    pu.start(); po.start()
+    try {
+      pu.processAllAvailable(); po.processAllAvailable()
+      assert(stateOf("users_target") == expectedUsers, stateOf("users_target"))
+      assert(stateOf("orders_target") == expectedOrders, stateOf("orders_target"))
+      // the type filter reached the consumer: each pipeline's record count
+      // is its own slice (4 user records incl. the delete, 3 order records)
+      assert(pu.metrics.numSynchronized.get() == 4L, pu.metrics.gauges)
+      assert(po.metrics.numSynchronized.get() == 3L, po.metrics.gauges)
+      // user delete left a tombstone with its watermark; order id 1 untouched
+      val userMarks = Sources.jdbc(s, url, "users_target")
+        .select(col("ENTITY_ID"), col("LAST_ID"), col("DELETED"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      assert(userMarks == Map(1L -> ((4L, 0)), 2L -> ((6L, 1))), userMarks)
+    } finally { pu.close(); po.close() }
+
+    // -- one consumer + per-type dispatch (the getTableName twin) --
+    val mux = new WalPipeline(Sources.walFileStream(s, walDir),
+      new MultiplexWalSink(Map(
+        "UserEntity" -> new JdbcWalSink(url, "mux_users"),
+        "OrderEntity" -> new JdbcWalSink(url, "mux_orders"))),
+      s"$tmp/ckptM", pollMillis = 10L, retrySleepMs = 1L)
+    mux.start()
+    try {
+      mux.processAllAvailable()
+      assert(stateOf("mux_users") == expectedUsers, stateOf("mux_users"))
+      assert(stateOf("mux_orders") == expectedOrders, stateOf("mux_orders"))
+      assert(mux.metrics.numSynchronized.get() == 7L, mux.metrics.gauges)
+    } finally mux.close()
+
+    // an unregistered type fails loudly, never silently drops a mutation
+    val err = intercept[IllegalArgumentException] {
+      new MultiplexWalSink(Map("UserEntity" -> new TestSink))
+        .syncEntity(WalRecord(9, 9, "ADD", "x", "GhostEntity"))
+    }
+    assert(err.getMessage.contains("GhostEntity"))
+  }
+
   test("jdbc target outage parks the consumer in IO retry; recovery applies exactly once") {
     // R6 against a REAL relational target: the reference retries forever
     // on target inaccessibility (`WalConsumer.java:259-269`,
