@@ -170,9 +170,78 @@ object Multimodal {
     }
   }
 
-  /** x15: media pipeline — binary payload → per-partition batch decode;
-    * metadata flows through the decode (one scan, no re-join). */
-  def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame =
+  private val pngCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Deterministic generated-PNG corpus for the registered x15 — one REAL
+    * PNG file per document, built once per (session, sfDir) by executor
+    * tasks (driver holds only the directory name, never the ids): doc d
+    * gets a (1 + d%8) × (1 + d%6) image whose pixel (x, y) is
+    * (7d + 3x + 11y) mod 2^24 — closed-form, so the DuckDB oracle can
+    * recompute dims and raster checksum arithmetically while the engine
+    * side round-trips genuine `javax.imageio` PNG bytes. File names are
+    * keyed by doc_id (idempotent overwrite — a retried task rewrites the
+    * same bytes, no commit protocol needed). Local-FS scratch here; at
+    * 100 TB the same foreachPartition writes through the Hadoop FS API to
+    * shared storage and the ingest below reads the same path. A racing
+    * duplicate build lands in its own temp dir and is dropped with the
+    * losing cache entry — never a torn corpus. */
+  def pngCorpus(spark: SparkSession, dir: String): String =
+    pngCache.getOrElseUpdate((spark, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_png_corpus_").toString
+      import spark.implicits._
+      documents(spark, dir).select(col("doc_id")).as[Long]
+        .foreachPartition { (ids: Iterator[Long]) =>
+          javax.imageio.ImageIO.setUseCache(false) // once per task
+          ids.foreach { d =>
+            val w = (1 + d % 8).toInt
+            val h = (1 + d % 6).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((7 * d + 3 * x + 11 * y) % 16777216).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            javax.imageio.ImageIO.write(img, "png", new java.io.File(out, s"img_$d.png"))
+          }
+        }
+      out
+    })
+
+  /** x15: media pipeline on the REAL decode path — generated-PNG corpus
+    * → [[graft.sources.Sources.binaryFiles]] ingest (payload = actual
+    * file bytes, listing-time glob prune) → per-partition
+    * [[decodeImages]] (`javax.imageio`), emitting actual pixel dims and
+    * the decoded-raster checksum. doc_id rides the file NAME (the stable
+    * join key back to `documents`), not a path hash. PNG is lossless and
+    * the pixel function is closed-form, so the oracle checks the decoder
+    * END TO END: a wrong byte anywhere in write → ingest → decode breaks
+    * the checksum equality. */
+  def x15MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Sources.binaryFiles(spark, pngCorpus(spark, dir), "*.png")
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast(LongType).as("doc_id"),
+        col("content").as("payload"),
+        lit("png").as("format"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    decodeImages(media)
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("px_checksum"),
+        col("decoded").cast(LongType).as("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r13 stub pipeline (byte statistics over the synthetic media
+    * table) — kept as the codec-free decode-batch exemplar the scaladoc
+    * points multimodal stubs at; the registered x15 key now runs the
+    * real-decode path above. */
+  def x15ByteStats(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaTable(spark, dir))
       .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("width"))
       .orderBy("doc_id")
@@ -205,8 +274,12 @@ object Multimodal {
     "x15_media_pipeline" -> x15MediaPipeline,
     "x15b_media_transform" -> x15bMediaTransform)
 
-  /** Oracle mirrors the stub decode arithmetically: byte_sum of UTF-8 text
-    * (corpus is ASCII) via per-character codepoint sum. */
+  /** Oracles: x15b mirrors the stub transform arithmetically (byte sums
+    * of UTF-8 text — the corpus is ASCII); x15 recomputes the generated
+    * corpus's closed-form pixel function ([[pngCorpus]]) — dims from
+    * doc_id, checksum as the double sum over (7d + 3x + 11y) mod 2^24 —
+    * so DuckDB checks the real PNG write→ingest→decode round trip
+    * without ever decoding an image itself. */
   val oracle: Map[String, String] = Map(
     "x15b_media_transform" ->
       """SELECT doc_id,
@@ -218,9 +291,11 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_media_pipeline" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-        |  CAST(coalesce(list_sum(list_transform(string_split_regex(text, ''), c -> ascii(c))), 0) AS BIGINT) AS byte_sum,
-        |  n_chars % 640 AS width
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS img_w,
+        |  CAST(1 + doc_id % 6 AS BIGINT) AS img_h,
+        |  CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 6), y ->
+        |    list_transform(range(0, 1 + doc_id % 8), x ->
+        |      (7 * doc_id + 3 * x + 11 * y) % 16777216)))) AS BIGINT) AS px_checksum,
+        |  CAST(1 AS BIGINT) AS decoded
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

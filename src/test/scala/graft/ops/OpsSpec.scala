@@ -560,9 +560,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
-  test("x15: media pipeline byte stats are consistent") {
-    val rows = Multimodal.x15MediaPipeline(spark, sf0001).limit(50).collect()
+  test("x15: real decode path reproduces the generated corpus's closed-form rasters") {
+    val docIds = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Multimodal.x15MediaPipeline(spark, sf0001).collect()
+    // one decoded row per document — the PNG corpus, the binaryFile
+    // ingest, and the filename-keyed doc_id all line up
+    assert(rows.map(_.getLong(0)).toSet == docIds)
     rows.foreach { r =>
+      val d = r.getLong(0)
+      val w = 1 + d % 8
+      val h = 1 + d % 6
+      var sum = 0L
+      for (y <- 0L until h; x <- 0L until w) sum += (7 * d + 3 * x + 11 * y) % 16777216
+      assert(r.getLong(1) == w && r.getLong(2) == h, r.toString)
+      assert(r.getLong(3) == sum, s"raster checksum mismatch for doc $d: $r")
+      assert(r.getLong(4) == 1L, s"doc $d failed to decode")
+    }
+    // byte-stats stub exemplar still holds its invariants
+    val stub = Multimodal.x15ByteStats(spark, sf0001).limit(50).collect()
+    stub.foreach { r =>
       assert(r.getLong(1) > 0) // n_bytes
       assert(r.getLong(2) >= 0 && r.getLong(2) < 256) // first_byte
       assert(r.getLong(3) >= r.getLong(1)) // byte_sum >= n_bytes (ASCII >= 1/byte)
