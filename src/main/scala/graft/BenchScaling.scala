@@ -377,10 +377,9 @@ object BenchScaling {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // default: partitions = cores (the fixed-config audit). Override
-      // with SPARK_GRAFT_SCALE_PARTITIONS to measure the README sizing
-      // note — post-shuffle partitions should track data volume, and the
-      // 256× legs' superlinear tails are exactly the fixed-32 config
-      // spilling (partition state outgrows memory), not plan shape
+      // with SPARK_GRAFT_SCALE_PARTITIONS to pin a flat partition count
+      // (r12's probe knob); without it the per-factor AQE scaling below
+      // applies — post-shuffle partitions should track data volume
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", cpus))
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -389,7 +388,33 @@ object BenchScaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val outBase = s"/tmp/graft_scale_${System.getProperty("user.name", "u")}"
+    // Stages default for the scaling audit is PARQUET mode (r13 decision,
+    // README bench convention): the r12 256× A/B measured parquet-mode
+    // stages at-or-below localCheckpoint on every dedup leg — x45, whose
+    // cost is dominated by materializing the 128M-row grams5 stage, read
+    // 2.2–3.5× below its in-session localCheckpoint readings — because
+    // columnar compressed stage files beat deserialized block-manager
+    // rows exactly where the stage is gram-count-sized, and checkpoint
+    // blocks pinned across factors shrink execution memory when the
+    // biggest factor needs it. It is also the 100 TB form (stages as
+    // durable parquet between phases, survive executor loss). Explicit
+    // SPARK_GRAFT_STAGE_DIR still wins; SPARK_GRAFT_STAGE_MODE=local
+    // restores the old in-memory default for A/B runs.
+    if (!sys.env.contains("SPARK_GRAFT_STAGE_DIR") &&
+        !sys.env.get("SPARK_GRAFT_STAGE_MODE").contains("local"))
+      spark.conf.set("spark.graft.stageDir", s"$outBase/stages")
     factors.foreach { k =>
+      // Post-shuffle partitions track the factor unless a flat count was
+      // pinned: raise AQE's initial partition count ×k (capped) and let
+      // advisory-size coalescing shrink the small shuffles back to ~cores
+      // — only the genuinely factor-sized aggregates (the x2 posting
+      // index, x45's gram dedup) keep the finer split. This is the
+      // cluster posture: partition count follows bytes, not a constant
+      // pinned at 1× — at 1000 executors the same advisory-size knob
+      // does the sizing, with no per-query tuning.
+      if (!sys.env.contains("SPARK_GRAFT_SCALE_PARTITIONS"))
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          math.min(cpus.toInt * math.max(k, 1), 2048))
       val dir = s"$outBase/x$k"
       keyedTables.foreach { case (t, keys) =>
         val reps = if (keys.isEmpty) 1 else k // fixed dims stay 1×

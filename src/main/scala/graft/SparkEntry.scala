@@ -58,7 +58,9 @@ object SparkEntry {
     * returns (shared Stages builds still materialize once per session on
     * first touch). The streaming-gate keys (s8–s16) execute their gate
     * ONCE at registration by construction — their result is already a
-    * static materialized frame — so those views serve that snapshot.
+    * static materialized frame — so those views serve that snapshot;
+    * likewise x62's training loop (driver-iterated argmax rounds) runs
+    * at registration and the view serves the merge table.
     * Callers that want only the zero-cost batch surface pass `keys`. */
   def registerQueryViews(spark: SparkSession, dir: String,
       keys: Iterable[String] = queries.keys.toSeq.sorted): Unit = {

@@ -679,6 +679,102 @@ object TextOps {
       .limit(20)
   }
 
+  /** x62: iterative BPE merge TRAINING (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units", ACL
+    * 2016 — the merge loop itself, where x54 computes only the first
+    * step's statistics): k rounds of count-adjacent-pairs → take the
+    * most frequent pair (total order (n_pair DESC, l, r) — the
+    * deterministic tiebreak BPE needs for reproducible vocabularies) →
+    * merge every left-to-right non-overlapping occurrence into one
+    * token → recount on the rewritten corpus. The emitted merge TABLE
+    * (round, l, r, n_pair) is the trained artifact a tokenizer replays
+    * at encode time.
+    *
+    * The rewrite is expressed as a pure string substitution both engines
+    * share: sequences are rendered once as ' t1  t2  ...  tn '
+    * (double-space joiner, single-space sentinels), and merging (l, r)
+    * is `replace(s, ' l  r ', ' l_r ')` — literal, codegen'd, and
+    * left-to-right non-overlapping BY THE SEMANTICS OF replace (in
+    * ' a  a  a ' the first ' a  a ' is consumed and the scan resumes
+    * after it, so (a,a) merges once — exactly BPE's greedy pass). The
+    * double-space joiner is what makes ADJACENT matches work: each
+    * match consumes its trailing single space, leaving the next match's
+    * leading space intact. '_' never occurs in corpus tokens (asserted
+    * by the oracle's equality), so merged names cannot collide with
+    * base tokens.
+    *
+    * Plan shape at 100 TB: k bounded corpus passes — per round ONE
+    * map-side-combinable pair-count aggregate and a 1-row TakeOrdered
+    * argmax to the driver (the only driver state: k merge rows); the
+    * rewrite chain stays lazy codegen'd string ops layered on the scan
+    * (k ≤ 8 here — recomputing j replaces on round j is j extra per-row
+    * string passes, cheaper than materializing the corpus each round;
+    * past that, checkpoint the rewritten corpus every few rounds). The
+    * classic large-scale refactoring — intra-word BPE over the distinct
+    * word-TYPE table weighted by frequency, collapsing the input from
+    * corpus tokens to vocabulary size — applies when merges stay within
+    * words; this operator keeps x54's cross-word niche (phrase/compound
+    * induction over the token stream). */
+  def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    def pairCounts(seqs: DataFrame): DataFrame =
+      seqs.select(split(trim(col("s")), "  ").as("w"))
+        .filter(size(col("w")) >= 2) // sequence(1,0) would descend
+        .select(explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("l"),
+            element_at(col("w"), i + 1).as("r")))).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
+    var seqs = documents(spark, dir)
+      .select(concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = pairCounts(seqs)
+        .orderBy(col("n_pair").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // 1 row — the argmax, the only driver state
+      if (top.isEmpty) exhausted = true // fewer adjacencies than rounds
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, n))
+        seqs = seqs.select(
+          replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")).as("s"))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "l", "r", "n_pair").orderBy("round")
+  }
+
+  /** DuckDB twin of [[x62BpeTrain]]: the k merge rounds unrolled as
+    * materialized CTE levels (the x56/x60 idiom — each level references
+    * the previous, so AS MATERIALIZED is load-bearing), with the SAME
+    * double-space string rewrite and the same argmax total order. */
+  private[graft] def x62OracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s FROM documents)"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w FROM s$p),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r, n_pair FROM (
+        |    SELECT w[t.i] AS l, w[t.i+1] AS r, count(*) AS n_pair
+        |    FROM w$i, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |    GROUP BY 1, 2)
+        |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  FROM s$p)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, l, r, n_pair FROM m$i").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+    sb.toString
+  }
+
   /** x43: exact SUBSTRING-level dedup — the span-granular member of the
     * dedup family (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2022): where x1/x2/x13 decide per
@@ -956,7 +1052,8 @@ object TextOps {
     "x11b_rolling_fp" -> x11bRollingFp,
     "x4_text_stats" -> x4TextStats,
     "x5_topk_terms" -> x5TopkTerms,
-    "x54_bpe_pairs" -> x54BpePairs)
+    "x54_bpe_pairs" -> x54BpePairs,
+    "x62_bpe_train" -> ((s, d) => x62BpeTrain(s, d)))
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1156,5 +1253,6 @@ object TextOps {
          |SELECT pc.l, pc.r, pc.n_pair, a.n AS n_left, b.n AS n_right,
          |  ${fdivSql("1000000 * pc.n_pair", "(a.n * b.n)")} AS score_ppm
          |FROM pc JOIN uc a ON pc.l = a.term JOIN uc b ON pc.r = b.term
-         |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin)
+         |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin,
+    "x62_bpe_train" -> x62OracleSql(6))
 }

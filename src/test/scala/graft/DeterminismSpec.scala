@@ -154,6 +154,11 @@ class DeterminismSpec extends SparkTestBase {
     // windows — majority selection under the (n, label) total order must
     // not see the count shuffle
     "x55_cluster_purity",
+    // BPE training: six iterated argmax-collect → string-rewrite rounds,
+    // each reading a pair-count shuffle — one partitioning-dependent
+    // argmax would cascade into every later merge, so the whole merge
+    // sequence is the sensitive artifact
+    "x62_bpe_train",
     // IVF recall QA: three qid-keyed windows over a broadcast-scored
     // frame + the assign⋈probes flag join — every exact-integer recall
     // must be partition-invariant

@@ -535,6 +535,39 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x62: merge sequence equals an in-JVM reference BPE trainer") {
+    // independent replica: plain Scala greedy BPE over the collected
+    // sf0.001 corpus (50 docs — bounded), argmax under the same
+    // (n DESC, l, r) total order, left-to-right non-overlapping merge
+    val texts = graft.model.Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    var seqs: Array[Vector[String]] = texts.map(_.split(" ", -1).toVector)
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (round <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach(w => w.indices.dropRight(1).foreach { i =>
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      })
+      val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+      expect += ((round.toLong, l, r, n))
+      seqs = seqs.map { w =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == l && w(i + 1) == r) {
+            out += s"${l}_$r"; i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    val got = TextOps.x62BpeTrain(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq, s"merge sequence mismatch:\n got $got\n exp $expect")
+    // joiner safety: no corpus token contains the merge joiner
+    assert(!texts.exists(_.contains("_")), "corpus tokens must be '_'-free")
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
