@@ -30,6 +30,10 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull=true is accepted at the TYPE level (a parquet or
+    // checkpoint round-trip marks never-null arrays nullable), but a null
+    // ELEMENT fails loudly at eval — getLong on a null slot would silently
+    // read 0 and corrupt the distance (callers coalesce, e.g. x60's series).
     def ok(e: Expression) = e.dataType match {
       case ArrayType(LongType, _) => true
       case _ => false
@@ -53,6 +57,18 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
     if (math.abs(n - m) > band)
       throw new IllegalArgumentException(
         s"dtw_arr: no in-band warping path for lengths $n vs $m at band $band")
+    var k = 0
+    while (k < n) {
+      if (x.isNullAt(k)) throw new IllegalArgumentException(
+        s"dtw_arr: null element at index $k in left series")
+      k += 1
+    }
+    k = 0
+    while (k < m) {
+      if (y.isNullAt(k)) throw new IllegalArgumentException(
+        s"dtw_arr: null element at index $k in right series")
+      k += 1
+    }
     var prev = Array.fill(m + 1)(INF)
     var curr = Array.fill(m + 1)(INF)
     prev(0) = 0L
@@ -93,6 +109,14 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
          |if (java.lang.Math.abs($n - $m) > $band) {
          |  throw new IllegalArgumentException("dtw_arr: no in-band warping path for lengths "
          |    + $n + " vs " + $m + " at band " + $band);
+         |}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) throw new IllegalArgumentException(
+         |    "dtw_arr: null element at index " + $i + " in left series");
+         |}
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($b.isNullAt($i)) throw new IllegalArgumentException(
+         |    "dtw_arr: null element at index " + $i + " in right series");
          |}
          |long[] $prev = new long[$m + 1];
          |long[] $curr = new long[$m + 1];

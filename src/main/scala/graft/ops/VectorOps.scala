@@ -312,6 +312,22 @@ object VectorOps {
       .withColumn("cnrm", sqrt(normSqArr(col("cv"))))
   }
 
+  /** Driver-side twin of [[centView]]: the same long→double /x16Scale
+    * component view and the same `sqrt(normSqArr(cv))` norm, as plain
+    * Scala. BINDING: the norm here is a sequential left-to-right fold of
+    * x·x — exactly the accumulation order the codegen'd `dotArr(a, a)`
+    * loop runs — so a driver-held centroid literal (s16's serving shape)
+    * scores bit-identically to the broadcast centView frame. Change the
+    * fold order here or the codegen loop in
+    * [[graft.functions.DotProduct]] and the s16 exact-parity gate breaks;
+    * keep the two in lockstep through this one helper. */
+  private[graft] def driverCentView(c: Seq[Long]): (Seq[Double], Double) = {
+    val cv = c.map(_.toDouble / x16Scale)
+    var s = 0.0
+    cv.foreach(x => s += x * x)
+    (cv, math.sqrt(s))
+  }
+
   /** (vec_id, cid, sim_s4) for every vector × centroid. */
   private def simToCents(e: DataFrame, cv: DataFrame): DataFrame =
     e.join(broadcast(cv))

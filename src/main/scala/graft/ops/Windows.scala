@@ -387,6 +387,21 @@ object Windows {
       .withColumn("bL", fdiv(size(col("qv")).cast(LongType) + (x59Segs - 1),
         lit(x59Segs.toLong)))
       .withColumn("tau", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      // loud bit-budget guard: bL·tau must stay exact int64 for the lb
+      // pruning comparison; evaluated once on the broadcast 1-row query.
+      .withColumn("tau", when(col("tau") <= lit(1L << 62) / col("bL"), col("tau"))
+        .otherwise(raise_error(format_string(
+          "x59: tau %d exceeds the int64 bit budget 2^62/bL (bL=%d)",
+          col("tau"), col("bL")))))
+    // Bit budget (Spark wraps int64 silently where DuckDB raises, so the
+    // gate only catches overflow at an SF actually run — the headroom must
+    // hold by construction): |segsum| ≤ the series' cents L1-norm T, so
+    // each ds² ≤ (2T)² and lb ≤ Segs·4T² — exact while T < 2^29.6
+    // (≈ $8M total activity per user per window; the generated corpora
+    // sit near 2^20, ~9 bits of headroom even at 256× replication). The
+    // rhs bL·tau is guarded LOUDLY below on the 1-row query frame
+    // (raise_error, not a wrap) since tau = Σq² is the largest single
+    // term either side of the comparison.
     val lbExpr = (0 until x59Segs).map { j =>
       val ds = x59SegSum(col("sv"), j, col("bL")) - x59SegSum(col("qv"), j, col("bL"))
       ds * ds

@@ -654,13 +654,12 @@ object StreamGate {
     val nrm = sqrt(normSqArr(v))
     // route: max scaled-cosine, lowest-cid ties — packed as
     // (10000 - sim_s4)·16 + cid so `least` IS the argmax. The literal
-    // centroid views reproduce the batch arithmetic exactly: the same
-    // long→double /1e6 components, the same sequential-sum norm, the
-    // same dotArr/(nrm·cnrm) expression tree.
+    // centroid views reproduce the batch arithmetic exactly via the ONE
+    // shared helper VectorOps.driverCentView (same /1e6 components, same
+    // sequential-sum norm as centView's codegen'd sqrt(normSqArr)), then
+    // the same dotArr/(nrm·cnrm) expression tree.
     val routePacked = least(cents.map { case (cid, c) =>
-      val cv = c.map(_.toDouble / x16Scale)
-      var s = 0.0; cv.foreach(x => s += x * x)
-      val cnrm = math.sqrt(s)
+      val (cv, cnrm) = graft.ops.VectorOps.driverCentView(c)
       (lit(10000L) - Tables.scaled4(dotArr(v, typedlit(cv)) / (nrm * lit(cnrm)))) *
         lit(16L) + lit(cid)
     }: _*)
