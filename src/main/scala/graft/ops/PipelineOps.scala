@@ -1220,7 +1220,138 @@ object PipelineOps {
       .orderBy("lang", "source", "rnk")
   }
 
+  // ---- x63: leakage-safe train/val/test split assignment ----
+
+  /** x63: contamination-aware split assignment — the step between dedup
+    * and training that decides which documents may see each other: a
+    * near-dup pair split across train and eval is silent test-set
+    * leakage, so the split is assigned per dedup CLUSTER, not per
+    * document. Every doc inherits its x24 connected-component label and
+    * the whole cluster lands in one split via a deterministic 16-bit
+    * hash of the cluster id (bucket 0 of 10 → test, 1 → val, rest →
+    * train ≈ 80/10/10). By construction no x13 near-dup candidate pair
+    * can straddle splits (both endpoints share a cluster label —
+    * OpsSpec proves it against the pair table rather than assuming it).
+    *
+    * Plan shape: a pure projection over the staged x24 labels — the
+    * fixpoint already ran once per session for x24/x35; the split is
+    * h16(cluster_id) % 10, zero additional shuffle, zero joins. At
+    * 100 TB this is the cheapest possible governance op: label stage +
+    * map. */
+  def x63SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Stages.x24Labels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        splitOf(col("cluster_id")).as("split"))
+      .orderBy("doc_id")
+
+  // ---- x66: split-governance audit ----
+
+  /** x66: the release-gate QA table for x63's split — per split: doc and
+    * cluster counts, token share (per-1000 of the corpus), and the
+    * cross-split near-dup pair count computed INDEPENDENTLY from the
+    * x13 candidate table (x63 makes it 0 by construction; the audit
+    * measures it rather than trusting the construction — the same
+    * measure-don't-assume posture as x33/x51/x58). A nonzero cell here
+    * is exactly the "test set leaked into train" page you never want.
+    *
+    * Plan shape: the label stage + one groupBy(split) over a broadcast-
+    * enriched projection (n_tok rides the shared x9 score stage), plus
+    * a pair-table join onto the per-doc split map — the pair table is
+    * candidate-sized (LSH-bounded), never corpus². Total-token share
+    * rides the Changelog 1-row crossJoin idiom. */
+  def x66SplitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Stages.x24Labels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), splitOf(col("cluster_id")).as("split"))
+    val withTok = assigned.join(
+      Stages.x9Scores(spark, dir).select(col("doc_id"), col("n_tok")), "doc_id")
+    val tot = withTok.agg(sum(col("n_tok")).as("tot"))
+    val perSplit = withTok.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster_id")).as("n_clusters"),
+      sum(col("n_tok")).as("sum_tok"))
+    val sides = Stages.x13Pairs(spark, dir)
+      .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .filter(col("s1") =!= col("s2"))
+    val crossBySplit = sides.select(col("s1").as("split"))
+      .unionByName(sides.select(col("s2").as("split")))
+      .groupBy(col("split")).agg(count(lit(1)).as("cp"))
+    perSplit.join(crossBySplit, Seq("split"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        fdiv(lit(1000L) * col("sum_tok"), col("tot")).as("tok_share_per_1000"),
+        coalesce(col("cp"), lit(0L)).as("cross_split_pairs"))
+      .orderBy("split")
+  }
+
+  /** x63/x66's shared split rule: 16-bit hash of the cluster id, bucket
+    * 0 of 10 → test, 1 → val, rest → train. */
+  private def splitOf(clusterId: Column): Column = {
+    val bucket = h16(clusterId) % 10
+    when(bucket === 0, "test").when(bucket === 1, "val").otherwise("train")
+  }
+
+  // ---- x65: token-budget corpus selection ----
+
+  /** x65: quality-greedy corpus selection under a token budget — "fill
+    * half the corpus' tokens with the best documents": rank docs by
+    * (quality DESC, doc_id ASC) and keep the prefix whose running token
+    * sum stays within budget = ⌊total_tokens / 2⌋. This is the data-
+    * selection step after scoring (x9) and before packing (x31).
+    *
+    * The running sum is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy` computes in ONE task — the classic driver-shaped
+    * anti-pattern at 100 TB. Instead the two-level prefix sum: (1) a
+    * tiny per-(quality, doc-range-bucket) token-sum aggregate (quality
+    * has 5 levels × [[x65Buckets]] range buckets — bounded, broadcast);
+    * (2) each group's global offset via a window over that TINY frame;
+    * (3) a window partitioned BY (quality, bucket) adds within-group
+    * running sums to the broadcast offset. Every corpus-sized step is
+    * either a map-side-combinable aggregate or a partitioned window —
+    * nothing corpus-sized sorts globally; at 1000 executors the bucket
+    * count scales with the cluster, not the data. Budget and max doc_id
+    * ride one broadcast 1-row aggregate (the Changelog crossJoin
+    * idiom). */
+  def x65BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelectOn(
+      Stages.x9Scores(spark, dir).select(col("doc_id"), col("quality"), col("n_tok")))
+
+  /** x65's core over any (doc_id, quality, n_tok) frame — split out so
+    * the two-level prefix-sum algebra is property-testable against a
+    * sequential fold on arbitrary corpora (the packingOn precedent). */
+  private[graft] def budgetSelectOn(q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lims = q.agg(fdiv(sum(col("n_tok")), lit(2L)).as("budget"),
+      (max(col("doc_id")) + 1L).as("mx"))
+    val bucketed = q.crossJoin(broadcast(lims))
+      .withColumn("bkt", fdiv(col("doc_id") * x65Buckets, col("mx")))
+    // per-(quality, bkt) totals: ≤ |quality levels|·x65Buckets rows —
+    // the offsets frame (tiny; its global window is over that frame,
+    // never the corpus)
+    val offW = Window.orderBy(col("quality").desc, col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col("quality"), col("bkt"))
+      .agg(sum(col("n_tok")).as("grp_tok"))
+      .withColumn("off", sum(col("grp_tok")).over(offW) - col("grp_tok"))
+      .select(col("quality"), col("bkt"), col("off"))
+    val inW = Window.partitionBy(col("quality"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("quality", "bkt"))
+      .withColumn("cum_tok", col("off") + sum(col("n_tok")).over(inW))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Range buckets for x65's two-level global prefix sum; at cluster
+    * scale set ≈ shuffle parallelism (the per-group window then never
+    * sees more than corpus/buckets rows). */
+  private[graft] val x65Buckets = 32L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_split_assign" -> x63SplitAssign,
+    "x66_split_audit" -> x66SplitAudit,
+    "x65_budget_select" -> x65BudgetSelect,
     "x39_shuffle_order" -> x39ShuffleOrder,
     "x42_grouped_topk" -> x42GroupedTopk,
     "x40_bigram_lm" -> x40BigramLm,
@@ -1296,7 +1427,55 @@ object PipelineOps {
        |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
        |ORDER BY doc_id""".stripMargin
 
+  /** x63's oracle, a val because x66's audit embeds the same
+    * label→split derivation (the x24Sql/x35 idiom). */
+  private val x63Sql: String =
+    s"""WITH labels AS (SELECT * FROM ($x24Sql) lx),
+       |b AS (SELECT doc_id, cluster_id,
+       |        ${hex16Sql("md5(CAST(cluster_id AS VARCHAR))")} % 10 AS bkt
+       |      FROM labels)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bkt = 0 THEN 'test' WHEN bkt = 1 THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x63_split_assign" -> x63Sql,
+    "x66_split_audit" ->
+      s"""WITH a AS (SELECT * FROM ($x63Sql) ax),
+         |q AS (${TextOps.oracle("x9_quality")}),
+         |w AS (SELECT a.doc_id, a.cluster_id, a.split, q.n_tok
+         |      FROM a JOIN q USING (doc_id)),
+         |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM w),
+         |p AS (SELECT split, count(*) AS n_docs,
+         |        CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |        CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         |      FROM w GROUP BY split),
+         |pr AS (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px),
+         |x AS (SELECT a1.split AS s1, a2.split AS s2
+         |      FROM pr JOIN a a1 ON pr.d1 = a1.doc_id
+         |              JOIN a a2 ON pr.d2 = a2.doc_id
+         |      WHERE a1.split <> a2.split),
+         |c AS (SELECT split, count(*) AS cp FROM
+         |        (SELECT s1 AS split FROM x UNION ALL SELECT s2 AS split FROM x) u
+         |      GROUP BY split)
+         |SELECT p.split, p.n_docs, p.n_clusters,
+         |  ${fdivSql("1000 * sum_tok", "tot")} AS tok_share_per_1000,
+         |  CAST(coalesce(c.cp, 0) AS BIGINT) AS cross_split_pairs
+         |FROM p LEFT JOIN c ON p.split = c.split CROSS JOIN t
+         |ORDER BY p.split""".stripMargin,
+    // independent derivation: the oracle computes the running sum the
+    // naive way (one global window) — agreeing exactly with Spark's
+    // two-level bucket prefix sum proves the offset algebra
+    "x65_budget_select" ->
+      s"""WITH q AS (${TextOps.oracle("x9_quality")}),
+         |t AS (SELECT ${fdivSql("CAST(sum(n_tok) AS BIGINT)", "2")} AS budget FROM q),
+         |c AS (SELECT doc_id, quality, n_tok,
+         |        CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |      FROM q)
+         |SELECT doc_id, quality, n_tok, cum_tok
+         |FROM c CROSS JOIN t WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin,
     "x42_grouped_topk" ->
       """SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (

@@ -1036,7 +1036,49 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- x64: vocabulary-growth (Heaps-law) curve ----
+
+  /** x64: per-source vocabulary-growth curve — how many NEW distinct
+    * terms each tenth of a source contributes, the Heaps-law diagnostic
+    * a corpus report runs to spot exhausted vs still-novel sources
+    * (a source whose tail deciles add near-zero new vocabulary is
+    * repetitive/boilerplate; a healthy crawl keeps adding). Formulated
+    * scan-once: a term's curve position is its FIRST occurrence, so the
+    * whole curve is min(doc_id) per (source, term) — one map-side-
+    * combinable aggregate over exploded distinct-per-doc terms — then
+    * each first-occurrence mapped to a decile ARITHMETICALLY from the
+    * source's broadcast (min, span) rather than an ntile sort: decile =
+    * 1 + ⌊10·(fd − mn)/span⌋. No corpus-sized sort or window anywhere;
+    * the only big shuffle keys on (source, term) — exactly the x19/x40
+    * term-agg shape that holds at 100 TB. The cumulative column runs on
+    * the 10-rows-per-source grid (densified so empty deciles read 0). */
+  def x64VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir)
+    val lims = d.groupBy(col("source")).agg(min(col("doc_id")).as("mn"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+    val first = d
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("doc_id")).as("fd"))
+    val perDec = first.join(broadcast(lims), "source")
+      .withColumn("decile", lit(1L) + fdiv((col("fd") - col("mn")) * 10L, col("span")))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n"))
+    val grid = lims.select(col("source"),
+      explode(sequence(lit(1L), lit(10L))).as("decile"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDec, Seq("source", "decile"), "left")
+      .select(col("source"), col("decile"),
+        coalesce(col("n"), lit(0L)).as("new_terms"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(cumW))
+      .orderBy("source", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x64_vocab_growth" -> x64VocabGrowth,
     "x43_substring_dedup" -> x43SubstringDedup,
     "x46_edit_join" -> x46EditJoin,
     "x45_source_overlap" -> x45SourceOverlap,
@@ -1064,6 +1106,26 @@ object TextOps {
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    "x64_vocab_growth" ->
+      s"""WITH b AS (SELECT source, min(doc_id) AS mn,
+         |             max(doc_id) - min(doc_id) + 1 AS span
+         |           FROM documents GROUP BY source),
+         |e AS (SELECT source, doc_id,
+         |        unnest(list_distinct(string_split(text, ' '))) AS term
+         |      FROM documents),
+         |f AS (SELECT source, term, min(doc_id) AS fd FROM e GROUP BY source, term),
+         |p AS (SELECT f.source,
+         |        1 + ${Tables.fdivSql("(fd - mn) * 10", "span")} AS decile,
+         |        count(*) AS n
+         |      FROM f JOIN b ON f.source = b.source GROUP BY 1, 2),
+         |g AS (SELECT source, unnest(range(1, 11)) AS decile FROM b),
+         |j AS (SELECT g.source, CAST(g.decile AS BIGINT) AS decile,
+         |        CAST(coalesce(p.n, 0) AS BIGINT) AS new_terms
+         |      FROM g LEFT JOIN p ON g.source = p.source AND g.decile = p.decile)
+         |SELECT source, decile, new_terms,
+         |  CAST(sum(new_terms) OVER (PARTITION BY source ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+         |FROM j ORDER BY source, decile""".stripMargin,
     "x46_edit_join" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |        array_to_string(list_slice(string_split(text, ' '), 1, $x46TitleToks), ' ') AS title

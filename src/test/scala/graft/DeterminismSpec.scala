@@ -29,6 +29,15 @@ class DeterminismSpec extends SparkTestBase {
     // checkpointed per-doc frame + the bounded-histogram median cut —
     // none of it may see partitioning
     "x40_bigram_lm",
+    // the two-level global prefix sum: per-bucket offsets + partitioned
+    // windows must compose to the same running sums at any parallelism
+    "x65_budget_select",
+    // decile curve: the (source, term) min-agg's combine tree and the
+    // broadcast (min, span) mapping must not see partitioning
+    "x64_vocab_growth",
+    // split assignment rides the x24 label fixpoint (iterative, its own
+    // per-round shuffles) — the split must be a pure label function
+    "x63_split_assign",
     // the snapshot diff: a full-outer join's null sides drive the status
     // classification — join partitioning must not reach the rollup
     "x41_dataset_diff",

@@ -768,6 +768,93 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x63: split is a pure function of the cluster and no near-dup pair straddles splits") {
+    val rows = PipelineOps.x63SplitAssign(spark, sf0001).collect()
+    val split = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    // one split per cluster (the leakage-safety mechanism)
+    val byCluster = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).toSet)
+    byCluster.foreach { case (c, ss) =>
+      assert(ss.size == 1, s"cluster $c spans splits $ss")
+    }
+    // and the PROOF, not the mechanism: every x13 candidate pair stays
+    // within one split
+    TextOps.x13MinhashLsh(spark, sf0001).collect().foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(split(d1) == split(d2), s"near-dup pair ($d1,$d2) leaks across splits")
+    }
+    // every document is assigned exactly once
+    val nDocs = graft.model.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == nDocs && split.size.toLong == nDocs)
+  }
+
+  test("x66: audit reconciles with x63's assignment and reports zero leakage") {
+    val assign = PipelineOps.x63SplitAssign(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val audit = PipelineOps.x66SplitAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(audit.keySet == assign.map(_._3).toSet, "audit rows = splits present")
+    assign.groupBy(_._3).foreach { case (s, rows) =>
+      assert(audit(s)._1 == rows.length.toLong, s"$s: n_docs mismatch")
+      assert(audit(s)._2 == rows.map(_._2).distinct.length.toLong, s"$s: n_clusters mismatch")
+    }
+    // the load-bearing cell: leakage measured from the pair table is zero
+    assert(audit.values.forall(_._4 == 0L), s"cross-split pairs must be 0: $audit")
+    // floor'd per-1000 shares sum to 1000 - (#splits-1) .. 1000
+    val shareSum = audit.values.map(_._3).sum
+    assert(shareSum <= 1000 && shareSum >= 1000 - (audit.size - 1),
+      s"token shares must partition the corpus: $shareSum")
+  }
+
+  test("x64: decile curve reconciles with brute-force first occurrences") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // brute force: first doc per (source, term), arithmetic decile
+    val bySource = docs.groupBy(_._1)
+    val brute = bySource.flatMap { case (src, rows) =>
+      val mn = rows.map(_._2).min
+      val span = rows.map(_._2).max - mn + 1
+      val firstDoc = scala.collection.mutable.Map[String, Long]()
+      rows.sortBy(_._2).foreach { case (_, d, t) =>
+        t.split(" ", -1).distinct.foreach(w =>
+          if (!firstDoc.contains(w)) firstDoc(w) = d)
+      }
+      firstDoc.values.groupBy(fd => 1L + (fd - mn) * 10L / span)
+        .map { case (dec, fds) => (src, dec) -> fds.size.toLong }
+    }
+    val got = TextOps.x64VocabGrowth(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == bySource.size * 10, "densified grid: 10 rows per source")
+    got.foreach { case ((src, dec), (nt, _)) =>
+      assert(nt == brute.getOrElse((src, dec), 0L),
+        s"($src, decile $dec): new_terms $nt != brute ${brute.getOrElse((src, dec), 0L)}")
+    }
+    // cum at decile 10 == the source's full distinct-term count
+    bySource.foreach { case (src, rows) =>
+      val vocab = rows.flatMap(_._3.split(" ", -1)).distinct.length.toLong
+      assert(got((src, 10L))._2 == vocab, s"$src: cum_terms(10) != |vocab| $vocab")
+    }
+  }
+
+  test("x65: two-level prefix sum equals the naive global greedy selection") {
+    val scores = Stages.x9Scores(spark, sf0001)
+      .select(col("doc_id"), col("quality"), col("n_tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = scores.map(_._3).sum / 2
+    // brute force: one sequential pass in greedy (quality desc, doc_id) order
+    var cum = 0L
+    val expect = scores.sortBy { case (d, q, _) => (-q, d) }.flatMap { case (d, q, t) =>
+      cum += t
+      if (cum <= budget) Some(d -> (q, t, cum)) else None
+    }.toMap
+    val got = PipelineOps.x65BudgetSelect(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect,
+      s"selection mismatch: missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+    assert(got.values.forall(_._3 <= budget))
+  }
+
   test("x23: pigeonhole banding is EXACT — blocked pairs equal brute force at radius 3") {
     val fps = PipelineOps.x23Fingerprints(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

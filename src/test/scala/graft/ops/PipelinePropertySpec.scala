@@ -49,6 +49,30 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("budget select: two-level global prefix sum matches a sequential fold on arbitrary corpora") {
+    val s = spark
+    import s.implicits._
+    // sparse doc_ids (empty range buckets), duplicate quality levels,
+    // zero-token docs, budgets that land mid-bucket
+    val rowGen = Gen.listOfN(150,
+      Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0L, 4L).map(_ * 25L), Gen.choose(0L, 40L)))
+    for (seed <- 1L to 8L) {
+      val rows = sample(rowGen, seed)
+        .groupBy(_._1).map(_._2.head).toSeq // doc_id must be unique
+        .map { case (d, q, t) => (d, q, t) }
+      val budget = rows.map(_._3).sum / 2
+      var cum = 0L
+      val expect = rows.sortBy { case (d, q, _) => (-q, d) }.flatMap { case (d, q, t) =>
+        cum += t
+        if (cum <= budget) Some(d -> (q, t, cum)) else None
+      }.toMap
+      val got = PipelineOps.budgetSelectOn(rows.toDF("doc_id", "quality", "n_tok"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expect, s"seed $seed: missing=${expect.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expect.keySet}")
+    }
+  }
+
   test("packing: per-writer prefix sums match brute force on arbitrary corpora") {
     val s = spark
     import s.implicits._
