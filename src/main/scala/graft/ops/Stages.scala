@@ -249,6 +249,13 @@ object Stages {
   def x9Scores(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x9_scores")(TextOps.x9QualityUnsorted(spark, dir))
 
+  /** x62's trained BPE merge table (round, l, r, n_pair — k rows, the
+    * tokenizer artifact) — read by x62 itself and REPLAYED by x67's
+    * encode pass, so train-then-apply runs the k training rounds
+    * once per session. */
+  def x62Merges(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x62_merges")(TextOps.x62BpeTrain(spark, dir))
+
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by
     * the S8 stream gate's exact twin, so batch and stream score the

@@ -747,6 +747,77 @@ object TextOps {
     merges.toSeq.toDF("round", "l", "r", "n_pair").orderBy("round")
   }
 
+  /** x67: BPE merge APPLICATION — the encode half of the tokenizer
+    * lifecycle x62 trains (train → STAGE the merge table → replay at
+    * encode time, which is exactly how production BPE deploys: the
+    * merge list ships to every encoder worker; the corpus never
+    * re-trains). Replays the staged x62 merges in round order over
+    * every document and reports the per-doc compression the learned
+    * vocabulary buys: base token count, post-merge token count, and
+    * tokens-per-1000 retained — the number that prices a tokenizer
+    * against a corpus (and a drift signal when a stale merge table
+    * meets a new corpus).
+    *
+    * Plan shape at 100 TB: the merge table is k rows of driver state
+    * (the ONLY collect — bounded by construction, k=6); the replay is
+    * k literal codegen'd `replace` passes layered on the scan (the x62
+    * double-space joiner makes adjacent merges exact and
+    * non-overlapping), and the counts are a pure per-row map — zero
+    * shuffle except the output sort. Each merge application inside a
+    * doc reduces its token count by exactly 1, so n_tok − n_bpe is
+    * also the per-doc applied-merge count (the OpsSpec invariant). */
+  def x67BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Stages.x62Merges(spark, dir)
+      .orderBy("round").collect() // k rows — the shipped tokenizer
+      .map(r => (r.getString(1), r.getString(2)))
+    val base = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"),
+        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+    val rewritten = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
+    }
+    rewritten
+      .select(col("doc_id"), col("n_tok"),
+        size(split(trim(col("s")), "  ")).cast(LongType).as("n_bpe"))
+      .select(col("doc_id"), col("n_tok"), col("n_bpe"),
+        (col("n_tok") - col("n_bpe")).as("n_merged"),
+        fdiv(lit(1000L) * col("n_bpe"), col("n_tok")).as("bpe_per_1000"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[x67BpeApply]]: the same k unrolled merge rounds as
+    * [[x62OracleSql]] (merge argmaxes recomputed independently), with
+    * doc_id carried through the rewrite chain and the final per-doc
+    * counts computed off the last level. */
+  private[graft] def x67OracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT doc_id, ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s FROM documents)"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w FROM s$p),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT w[t.i] AS l, w[t.i+1] AS r, count(*) AS n_pair
+        |    FROM w$i, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |    GROUP BY 1, 2)
+        |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT doc_id, replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  FROM s$p)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id,
+      |  CAST(len(string_split(trim(s0.s), '  ')) AS BIGINT) AS n_tok,
+      |  CAST(len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_bpe,
+      |  CAST(len(string_split(trim(s0.s), '  ')) - len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_merged,
+      |  ${Tables.fdivSql(s"1000 * len(string_split(trim(f.s), '  '))", s"len(string_split(trim(s0.s), '  '))")} AS bpe_per_1000
+      |FROM s0 JOIN s$rounds f USING (doc_id) ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[x62BpeTrain]]: the k merge rounds unrolled as
     * materialized CTE levels (the x56/x60 idiom — each level references
     * the previous, so AS MATERIALIZED is load-bearing), with the SAME
@@ -1095,7 +1166,8 @@ object TextOps {
     "x4_text_stats" -> x4TextStats,
     "x5_topk_terms" -> x5TopkTerms,
     "x54_bpe_pairs" -> x54BpePairs,
-    "x62_bpe_train" -> ((s, d) => x62BpeTrain(s, d)))
+    "x62_bpe_train" -> ((s, d) => Stages.x62Merges(s, d).orderBy("round")),
+    "x67_bpe_apply" -> x67BpeApply)
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1316,5 +1388,6 @@ object TextOps {
          |  ${fdivSql("1000000 * pc.n_pair", "(a.n * b.n)")} AS score_ppm
          |FROM pc JOIN uc a ON pc.l = a.term JOIN uc b ON pc.r = b.term
          |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin,
-    "x62_bpe_train" -> x62OracleSql(6))
+    "x62_bpe_train" -> x62OracleSql(6),
+    "x67_bpe_apply" -> x67OracleSql(6))
 }

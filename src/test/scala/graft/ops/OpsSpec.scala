@@ -768,6 +768,39 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x67: merge replay matches an in-JVM tokenizer replica; each application drops one token") {
+    val texts = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent replica: 6 rounds of count → argmax((n DESC, l, r)) →
+    // literal left-to-right non-overlapping replace (Java String.replace
+    // has exactly the replace() semantics both engines use)
+    var seqs = texts.map { case (d, t) =>
+      d -> (" " + t.split(" ", -1).mkString("  ") + " ")
+    }.toMap
+    for (_ <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      seqs.values.foreach { s =>
+        val w = s.trim.split("  ", -1)
+        if (w.length >= 2) w.sliding(2).foreach(p => counts((p(0), p(1))) += 1)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), _) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        seqs = seqs.view.mapValues(_.replace(s" $l  $r ", s" ${l}_$r ")).toMap
+      }
+    }
+    val got = TextOps.x67BpeApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.foreach { case (d, t) =>
+      val nTok = t.split(" ", -1).length.toLong
+      val nBpe = seqs(d).trim.split("  ", -1).length.toLong
+      assert(got(d) == ((nTok, nBpe, nTok - nBpe)),
+        s"doc $d: ${got(d)} vs replica ($nTok, $nBpe, ${nTok - nBpe})")
+    }
+    // the merge table x67 replays is the same artifact x62 serves
+    assert(graft.ops.Stages.x62Merges(spark, sf0001).count() <= 6)
+  }
+
   test("x63: split is a pure function of the cluster and no near-dup pair straddles splits") {
     val rows = PipelineOps.x63SplitAssign(spark, sf0001).collect()
     val split = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
