@@ -71,6 +71,7 @@ object Bench {
       "stage:x24_labels" -> (() => { graft.ops.Stages.x24Labels(spark, sfDir); () }),
       "stage:x9_scores" -> (() => { graft.ops.Stages.x9Scores(spark, sfDir); () }),
       "stage:x62_merges" -> (() => { graft.ops.Stages.x62Merges(spark, sfDir); () }),
+      "stage:s17_merges" -> (() => { graft.ops.Stages.s17Merges(spark, sfDir); () }),
       "stage:x36_hits" -> (() => { graft.ops.Stages.x36Hits(spark, sfDir); () }),
       "stage:q27c_hitters" -> (() => { graft.ops.Stages.q27cHitters(spark, sfDir); () }),
       "stage:q24_keystats" -> (() => { graft.ops.Stages.q24KeyStats(spark, sfDir); () }),

@@ -256,6 +256,21 @@ object Stages {
   def x62Merges(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x62_merges")(TextOps.x62BpeTrain(spark, dir))
 
+  /** The s17 drift gate's FROZEN merge table: x62's trainer over the
+    * oldest-90% history slice (the s8/x36 split), so the gate replays a
+    * tokenizer that has never seen its arrivals — the drift-monitoring
+    * posture. */
+  def s17Merges(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "s17_merges") {
+      val d = graft.model.Tables.documents(spark, dir)
+      val thr = d.agg(graft.model.Tables.fdiv(
+          org.apache.spark.sql.functions.lit(9L) *
+            org.apache.spark.sql.functions.max(col("doc_id")),
+          org.apache.spark.sql.functions.lit(10L)))
+        .collect()(0).getLong(0) // 1 row — the split point
+      TextOps.x62BpeTrainOn(spark, d.filter(col("doc_id") <= thr))
+    }
+
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by
     * the S8 stream gate's exact twin, so batch and stream score the

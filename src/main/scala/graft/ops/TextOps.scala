@@ -715,7 +715,14 @@ object TextOps {
     * corpus tokens to vocabulary size — applies when merges stay within
     * words; this operator keeps x54's cross-word niche (phrase/compound
     * induction over the token stream). */
-  def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+  def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    x62BpeTrainOn(spark, documents(spark, dir), rounds)
+
+  /** [[x62BpeTrain]]'s loop over any frame with a `text` column — split
+    * out so the s17 drift gate can train its frozen merge table on the
+    * 90% history slice (the same split s8/x36 use). */
+  private[graft] def x62BpeTrainOn(spark: SparkSession, docs: DataFrame,
+      rounds: Int = 6): DataFrame = {
     import spark.implicits._
     def pairCounts(seqs: DataFrame): DataFrame =
       seqs.select(split(trim(col("s")), "  ").as("w"))
@@ -726,7 +733,7 @@ object TextOps {
             element_at(col("w"), i + 1).as("r")))).as("p"))
         .select(col("p.l").as("l"), col("p.r").as("r"))
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
-    var seqs = documents(spark, dir)
+    var seqs = docs
       .select(concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
@@ -815,6 +822,45 @@ object TextOps {
       |  CAST(len(string_split(trim(s0.s), '  ')) - len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_merged,
       |  ${Tables.fdivSql(s"1000 * len(string_split(trim(f.s), '  '))", s"len(string_split(trim(s0.s), '  '))")} AS bpe_per_1000
       |FROM s0 JOIN s$rounds f USING (doc_id) ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB twin of the s17 drift gate: the k merge rounds trained on
+    * the ≤thr history slice (s-levels) and replayed over the >thr
+    * arrivals (a-levels) — two unrolled chains sharing each round's
+    * argmax. Same double-space rewrite, same (n DESC, l, r) order. */
+  private[graft] def s17OracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t AS MATERIALIZED (SELECT ${Tables.fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+      |s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s
+      |  FROM documents, t WHERE doc_id <= thr),
+      |a0 AS MATERIALIZED (SELECT doc_id, ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s
+      |  FROM documents, t WHERE doc_id > thr)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w FROM s$p),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT w[t.i] AS l, w[t.i+1] AS r, count(*) AS n_pair
+        |    FROM w$i, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |    GROUP BY 1, 2)
+        |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  FROM s$p),
+        |a$i AS MATERIALIZED (
+        |  SELECT doc_id, replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  FROM a$p)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id,
+      |  CAST(len(string_split(trim(a0.s), '  ')) AS BIGINT) AS n_tok,
+      |  CAST(len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_bpe,
+      |  ${Tables.fdivSql(s"1000 * len(string_split(trim(f.s), '  '))", s"len(string_split(trim(a0.s), '  '))")} AS bpe_per_1000
+      |FROM a0 JOIN a$rounds f USING (doc_id) ORDER BY doc_id""".stripMargin
     sb.toString
   }
 

@@ -342,6 +342,52 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** s17 gate: continuous tokenizer-drift monitor — the serving twin of
+    * x67's batch encode, in the s16 frozen-model posture: the BPE merge
+    * table is trained ONCE on the oldest-90% history slice (the s8/x36
+    * split, via [[graft.ops.Stages.s17Merges]]), frozen into the
+    * streaming plan as k literal `replace` passes, and applied to every
+    * arriving document. The emitted per-doc (n_tok, n_bpe,
+    * bpe_per_1000) is the drift series a monitor thresholds: a corpus
+    * shift shows up as the retained-tokens ratio climbing toward 1000
+    * (the stale vocabulary stops compressing).
+    *
+    * Stateless per-row map — no watermark, no state store; at 100 TB
+    * the merge table is k rows shipped to every encoder task and the
+    * gate scales exactly like the ingest scan. The DuckDB oracle
+    * re-derives BOTH chains independently (train on ≤thr, replay on
+    * >thr) as unrolled materialized CTEs — exact parity, no bound
+    * flags needed. */
+  def s17BpeDriftStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val merges = graft.ops.Stages.s17Merges(spark, dir)
+      .orderBy("round").collect() // k rows — the frozen tokenizer
+      .map(r => (r.getString(1), r.getString(2)))
+    val feed = sharedDocsFeed(spark, dir)
+    val base = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+      .filter(col("doc_id") > thr)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
+    }.select(col("doc_id"), col("n_tok"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_bpe"))
+    val streamed = {
+      val name = s"s17_gate_${runId.incrementAndGet()}"
+      val q = encoded.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    streamed
+      .select(col("doc_id"), col("n_tok"), col("n_bpe"),
+        Tables.fdiv(lit(1000L) * col("n_bpe"), col("n_tok")).as("bpe_per_1000"))
+      .orderBy("doc_id")
+  }
+
   /** S10 MG capacity and slot count. k matches the batch q27c (so the
     * oracle is q27c's SQL verbatim); [[s10Slots]] spreads each language
     * over that many disjoint-token state keys. */
@@ -725,6 +771,7 @@ object StreamGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_bpe_drift_stream" -> s17BpeDriftStream,
     "s16_pq_stream" -> s16PqStream,
     "s8_novelty_stream" -> s8NoveltyStream,
     "s15_anomaly_stream" -> s15AnomalyStream,
@@ -736,6 +783,9 @@ object StreamGate {
     "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
+    // s17: the frozen-merge replay is exact, so the oracle re-derives
+    // both chains (train on <=thr, apply on >thr) independently
+    "s17_bpe_drift_stream" -> graft.ops.TextOps.s17OracleSql(6),
     // s16: the streamed per-list rollup is exact parity with the stored
     // index, so the oracle unrolls the index build (x16 assignment +
     // PQ codes) and pins both match flags to 1

@@ -16,6 +16,36 @@ class FrozenTimesFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
   * DuckDB compare — these tests pin the same equivalences locally. */
 class StreamGateSpec extends SparkTestBase {
 
+  test("s17 gate == batch frozen-merge encode on the arrivals slice") {
+    import org.apache.spark.sql.functions._
+    val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val thr = d.agg(graft.model.Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val merges = graft.ops.Stages.s17Merges(spark, sf0001)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty && merges.length <= 6)
+    // batch twin: the same frozen replaces applied without the stream
+    val base = d.filter(col("doc_id") > thr)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+    val batch = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
+    }.select(col("doc_id"), col("n_tok"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_bpe"))
+      .select(col("doc_id"), col("n_tok"), col("n_bpe"),
+        graft.model.Tables.fdiv(lit(1000L) * col("n_bpe"), col("n_tok")).as("bpe_per_1000"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = StreamGate.s17BpeDriftStream(spark, sf0001).collect()
+    assert(got.map(_.toString).toSeq == batch,
+      s"gate rows ${got.length} vs batch ${batch.size}")
+    // drift semantics: the replay can only merge, never split
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 1000L,
+        s"doc ${r.getLong(0)}: n_bpe ${r.getLong(2)} > n_tok ${r.getLong(1)}")
+    }
+  }
+
   test("s9 gate == batch q16 as-of on the real event log") {
     val got = StreamGate.s9TemporalAsof(spark, sf0001).collect().map(_.toString).toSeq
     val want = graft.ops.Windows.q16Asof(spark, sf0001).collect().map(_.toString).toSeq
