@@ -187,6 +187,17 @@ object BenchScaling {
     // fixed — exactly the shape where selection beats sorting
     "x42_grouped_topk" -> fx(graft.ops.PipelineOps.x42GroupedTopk _),
     "x42_window_topk" -> fx(graft.ops.PipelineOps.x42WindowAudit _),
+    // r13 governance/tokenizer set. x63/x66 ride the x24 label fixpoint
+    // (per-round join+agg, pair table LSH-bounded); x64's (source, term)
+    // min-agg grows ×f in input with the decile grid fixed; x65's
+    // two-level prefix sum: corpus-sized stages are one agg + one
+    // partitioned window, offsets frame stays ≤ |levels|·buckets; x67 is
+    // k replace passes on the scan after the staged k-round training
+    "x63_split_assign" -> fx(graft.ops.PipelineOps.x63SplitAssign _),
+    "x64_vocab_growth" -> fx(graft.ops.TextOps.x64VocabGrowth _),
+    "x65_budget_select" -> fx(graft.ops.PipelineOps.x65BudgetSelect _),
+    "x66_split_audit" -> fx(graft.ops.PipelineOps.x66SplitAudit _),
+    "x67_bpe_apply" -> fx(graft.ops.TextOps.x67BpeApply _),
     // log compaction: disjoint per-replica users ⇒ keys ×f with per-key
     // history fixed — the struct-max partials must stay map-side-bound
     "c9_compact" -> fx(graft.ops.Changelog.c9Compact _),
@@ -313,6 +324,8 @@ object BenchScaling {
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
     "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
     "x54_bpe_pairs",
+    "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
+    "x66_split_audit", "x67_bpe_apply",
     // the x49 candidate A/B count legs read the x49_grams stage, which
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")
