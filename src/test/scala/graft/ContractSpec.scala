@@ -49,6 +49,25 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("x65's only global window runs over the reduced offsets frame (the prefix-sum contract)") {
+    // the scalable global cumsum = tiny global window over per-(quality,
+    // bucket) totals + partitioned windows; a global window consuming
+    // the corpus-sized frame means the two-level scheme reverted to the
+    // one-task sort
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val spark = SparkTestBase.session
+    graft.ops.Stages.clear()
+    val df = SparkEntry.queries("x65_budget_select")(spark, "/root/testdata/sf0.001")
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val (global, partitioned) = wins.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.nonEmpty, "the per-(quality, bucket) running-sum window must exist")
+    assert(global.size == 1,
+      s"exactly one global window (the offsets frame) expected:\n${wins.mkString("\n")}")
+    assert(global.head.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+      "the global window must consume the per-(quality, bucket) aggregate, never the corpus")
+  }
+
   test("no query plans a CartesianProduct") {
     val spark = SparkTestBase.session
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1253,7 +1253,13 @@ class OpsSpec extends SparkTestBase {
       "x43" -> TextOps.x43SubstringDedup _,
       "x44" -> PipelineOps.x44GroupSample _,
       "x45" -> TextOps.x45SourceOverlap _,
-      "x49" -> TextOps.x49SetsimJoin _)
+      "x49" -> TextOps.x49SetsimJoin _,
+      "x62" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextOps.x62BpeTrain(s, d)),
+      "x63" -> PipelineOps.x63SplitAssign _,
+      "x64" -> TextOps.x64VocabGrowth _,
+      "x65" -> PipelineOps.x65BudgetSelect _,
+      "x66" -> PipelineOps.x66SplitAudit _,
+      "x67" -> TextOps.x67BpeApply _)
     ops.foreach { case (name, fn) =>
       val rows = fn(spark, dir).collect() // must not throw on gram-less docs
       rows.foreach(r => (0 until r.length).foreach(i =>
@@ -1296,6 +1302,22 @@ class OpsSpec extends SparkTestBase {
       s"edge docs must not quarantine: ${x50.mkString(", ")}")
     assert(x50.forall(_.getLong(4) == 1L),
       s"every edge doc is short: ${x50.mkString(", ")}")
+    // x67 on tiny docs: the replay can only merge (n_bpe <= n_tok), and
+    // the 1-token/gram-less docs pass through unmerged
+    val x67 = TextOps.x67BpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(x67(0L) == ((1L, 1L)) && x67(101L) == ((1L, 1L)),
+      s"1-token docs must pass through unmerged: ${x67(0L)}, ${x67(101L)}")
+    x67.values.foreach { case (nTok, nBpe) => assert(nBpe <= nTok && nBpe >= 1L) }
+    // the doc-4/100 exact dup pair is an x13 candidate → one cluster →
+    // one split; the audit proves zero cross-split pairs
+    val x63 = PipelineOps.x63SplitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(x63(4L) == x63(100L), "the near-dup pair must share a split")
+    assert(PipelineOps.x66SplitAudit(spark, dir).collect().forall(_.getLong(4) == 0L))
+    // x64: densified grid = 10 rows per source; decile-10 cum == vocab
+    val x64 = TextOps.x64VocabGrowth(spark, dir).collect()
+    assert(x64.length == 30, s"3 sources x 10 deciles expected, got ${x64.length}")
     // x44: every cell has < k docs, so each emits its whole membership
     val x44 = PipelineOps.x44GroupSample(spark, dir).collect()
     assert(x44.length == 7 && x44.map(_.getLong(4)).toSet ==
