@@ -38,6 +38,10 @@ class DeterminismSpec extends SparkTestBase {
     // split assignment rides the x24 label fixpoint (iterative, its own
     // per-round shuffles) — the split must be a pure label function
     "x63_split_assign",
+    // BPE train+apply: each round's argmax is a 1-row TakeOrdered over
+    // an exact pair count — the (n DESC, l, r) total order must yield
+    // the same merge table (and thus the same replay) at any parallelism
+    "x67_bpe_apply",
     // the snapshot diff: a full-outer join's null sides drive the status
     // classification — join partitioning must not reach the rollup
     "x41_dataset_diff",
