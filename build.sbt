@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the last JSON line of `sbt runMain`'s stdout
+// tail; sbt's default LoggedOutput wraps forked-process output with an
+// "[info] " prefix that breaks that parse (BENCH_r01..r13 all recorded
+// parsed=null). StdoutOutput passes the forked JVM's stdout through
+// verbatim, so graft.Bench's compact line reaches the driver bare.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -173,6 +173,56 @@ object Multimodal {
   private val pngCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Drop and delete one session's generated PNG corpora — wired into
+    * [[graft.ops.Stages.evictSession]] (the StreamGate feed-eviction
+    * pattern), so the documented "one call frees everything this session
+    * pinned" contract covers the x15 image scratch dirs too. Before this,
+    * the TrieMap entry was never evicted: a long-lived JVM cycling
+    * sessions leaked one directory per (session, sfDir) until process
+    * exit. Local-FS scratch by construction (createTempDirectory), so a
+    * plain recursive delete suffices; best-effort — a leaked dir is disk,
+    * not correctness. */
+  private[graft] def evictSessionPng(spark: SparkSession): Unit = synchronized {
+    pngCache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      pngCache.remove(k).foreach(deletePngDir)
+    }
+  }
+
+  /** Context-scoped variant for [[graft.ops.Stages.evict]]'s
+    * application-end listener and the stopped-context purge backstop:
+    * the scratch dirs are driver-local disk, so they outlive the
+    * executors and still need deleting after the context dies. */
+  private[graft] def evictPngByContext(sc: org.apache.spark.SparkContext): Unit =
+    synchronized {
+      pngCache.keys.filter(_._1.sparkContext eq sc).toSeq.foreach { k =>
+        pngCache.remove(k).foreach(deletePngDir)
+      }
+    }
+
+  /** Stopped-context backstop, called from
+    * [[graft.ops.Stages.purgeStopped]]'s slow path: entries whose
+    * context died without an onApplicationEnd event would otherwise pin
+    * their scratch dirs until process exit. */
+  private[graft] def purgeStoppedPng(): Unit = synchronized {
+    pngCache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach { k =>
+      pngCache.remove(k).foreach(deletePngDir)
+    }
+  }
+
+  /** Test hook: whether a session still owns cached PNG corpora. */
+  private[graft] def cachedPngCount(spark: SparkSession): Int =
+    pngCache.keys.count(_._1 eq spark)
+
+  private def deletePngDir(dir: String): Unit =
+    try {
+      import java.nio.file.{Files => JFiles, Paths}
+      val root = Paths.get(dir)
+      if (JFiles.exists(root)) {
+        val it = JFiles.walk(root).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(p => JFiles.deleteIfExists(p)) finally it.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Deterministic generated-PNG corpus for the registered x15 — one REAL
     * PNG file per document, built once per (session, sfDir) by executor
     * tasks (driver holds only the directory name, never the ids): doc d

@@ -777,10 +777,16 @@ object TextOps {
     val merges = Stages.x62Merges(spark, dir)
       .orderBy("round").collect() // k rows — the shipped tokenizer
       .map(r => (r.getString(1), r.getString(2)))
+    // n_tok is derived from the SAME rendered string n_bpe uses
+    // (split(trim(s), '  ')), never from the raw token array: trim eats
+    // empty boundary tokens, so size(toks(text)) would over-count on
+    // leading/trailing-space documents and fake a nonzero n_merged where
+    // the oracle (which trims both sides) sees none.
     val base = documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("w"))
-      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"),
-        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"),
+        concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"),
+        size(split(trim(col("s")), "  ")).cast(LongType).as("n_tok"), col("s"))
     val rewritten = merges.foldLeft(base) { case (df, (l, r)) =>
       df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
     }
@@ -792,6 +798,18 @@ object TextOps {
         fdiv(lit(1000L) * col("n_bpe"), col("n_tok")).as("bpe_per_1000"))
       .orderBy("doc_id")
   }
+
+  /** Guarded merge-rewrite expression shared by the x62/x67/s17 oracle
+    * chains: when round i trained no merge (x62BpeTrainOn stops early on
+    * an exhausted corpus), m$i is empty and the scalar subqueries are
+    * NULL — an unguarded replace(s, NULL, ...) would NULL every document
+    * string and the oracle would emit NULL rows where Spark emits real
+    * ones. COALESCE turns the exhausted round into a no-op: chr(1) never
+    * occurs in corpus text, so the pattern cannot match, and the
+    * replacement coalesces to '' only to keep replace's args non-NULL. */
+  private def mergeReplaceSql(i: Int): String =
+    s"replace(s, COALESCE(' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ', chr(1)), " +
+      s"COALESCE(' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ', ''))"
 
   /** DuckDB twin of [[x67BpeApply]]: the same k unrolled merge rounds as
     * [[x62OracleSql]] (merge argmaxes recomputed independently), with
@@ -811,8 +829,7 @@ object TextOps {
         |    GROUP BY 1, 2)
         |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
         |s$i AS MATERIALIZED (
-        |  SELECT doc_id, replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  SELECT doc_id, ${mergeReplaceSql(i)} AS s
         |  FROM s$p)""".stripMargin
     }
     sb ++= s"""
@@ -847,12 +864,10 @@ object TextOps {
         |    GROUP BY 1, 2)
         |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
         |s$i AS MATERIALIZED (
-        |  SELECT replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  SELECT ${mergeReplaceSql(i)} AS s
         |  FROM s$p),
         |a$i AS MATERIALIZED (
-        |  SELECT doc_id, replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  SELECT doc_id, ${mergeReplaceSql(i)} AS s
         |  FROM a$p)""".stripMargin
     }
     sb ++= s"""
@@ -882,8 +897,7 @@ object TextOps {
         |    GROUP BY 1, 2)
         |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
         |s$i AS MATERIALIZED (
-        |  SELECT replace(s, ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-        |                    ' ' || (SELECT l FROM m$i) || '_' || (SELECT r FROM m$i) || ' ') AS s
+        |  SELECT ${mergeReplaceSql(i)} AS s
         |  FROM s$p)""".stripMargin
     }
     sb ++= "\nSELECT * FROM (" + (1 to rounds).map(i =>

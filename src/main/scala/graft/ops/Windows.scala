@@ -389,7 +389,7 @@ object Windows {
       .withColumn("tau", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
       // loud bit-budget guard: bL·tau must stay exact int64 for the lb
       // pruning comparison; evaluated once on the broadcast 1-row query.
-      .withColumn("tau", when(col("tau") <= lit(1L << 62) / col("bL"), col("tau"))
+      .withColumn("tau", when(col("tau") <= fdiv(lit(1L << 62), col("bL")), col("tau"))
         .otherwise(raise_error(format_string(
           "x59: tau %d exceeds the int64 bit budget 2^62/bL (bL=%d)",
           col("tau"), col("bL")))))

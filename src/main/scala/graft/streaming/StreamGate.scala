@@ -368,9 +368,12 @@ object StreamGate {
     val feed = sharedDocsFeed(spark, dir)
     val base = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
       .filter(col("doc_id") > thr)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
-        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+      // n_tok from the same trimmed rendering n_bpe uses (x67's rule):
+      // raw-array size would over-count boundary-space documents.
+      .select(col("doc_id"),
+        concat(lit(" "), array_join(split(col("text"), " "), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_tok"), col("s"))
     val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
       df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
     }.select(col("doc_id"), col("n_tok"),

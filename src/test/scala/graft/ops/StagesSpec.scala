@@ -98,6 +98,30 @@ class StagesSpec extends SparkTestBase {
     }
   }
 
+  test("evictSession deletes a departing session's x15 PNG scratch; the survivor's stays") {
+    import java.nio.file.Paths
+    val other = spark.newSession()
+    try {
+      val mine = Multimodal.pngCorpus(spark, sf0001)
+      val theirs = Multimodal.pngCorpus(other, sf0001)
+      assert(mine != theirs, "each session must own its own PNG scratch dir")
+      assert(Files.exists(Paths.get(mine)) && Files.exists(Paths.get(theirs)))
+      assert(Multimodal.cachedPngCount(other) == 1)
+      Stages.evictSession(other)
+      assert(!Files.exists(Paths.get(theirs)),
+        "evicted session's PNG scratch dir must be deleted from disk")
+      assert(Multimodal.cachedPngCount(other) == 0)
+      assert(Files.exists(Paths.get(mine)),
+        "evicting one session must not delete another session's PNG scratch")
+      // a rebuilt corpus after eviction lands in a FRESH dir (no stale path)
+      val rebuilt = Multimodal.pngCorpus(other, sf0001)
+      assert(rebuilt != theirs && Files.exists(Paths.get(rebuilt)))
+    } finally {
+      Stages.evictSession(other)
+      graft.ops.Multimodal.evictSessionPng(spark)
+    }
+  }
+
   test("evict(sc) drops every entry owned by the context") {
     Stages.clear()
     Stages.x9Scores(spark, sf0001)
