@@ -198,6 +198,20 @@ object BenchScaling {
     "x65_budget_select" -> fx(graft.ops.PipelineOps.x65BudgetSelect _),
     "x66_split_audit" -> fx(graft.ops.PipelineOps.x66SplitAudit _),
     "x67_bpe_apply" -> fx(graft.ops.TextOps.x67BpeApply _),
+    // tokenizer-training A/B: x62's cross-word trainer pays k corpus
+    // passes with a growing replace chain (the documented O(k²) term);
+    // x62b's word-type trainer pays ONE corpus pass (the weighted type
+    // count — types grow sublinearly under replication's disjoint
+    // namespaces) + k vocab-sized rounds. x62b's leg must stay near-flat
+    // where x62's tracks the corpus — the measured form of the refactor
+    "x62_bpe_train" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.TextOps.x62BpeTrain(s, d)),
+    "x62b_bpe_word" -> ((s: SparkSession, d: String, _: Int) =>
+      graft.ops.TextOps.x62bBpeWordTrain(s, d)),
+    // sticky splits: two label fixpoints over the LSH-bounded pair table
+    // + one cluster-keyed count-distinct agg + two equi-joins — every
+    // corpus-sized step keyed, nothing all-pairs
+    "x68_split_stable" -> fx(graft.ops.PipelineOps.x68SplitStable _),
     // log compaction: disjoint per-replica users ⇒ keys ×f with per-key
     // history fixed — the struct-max partials must stay map-side-bound
     "c9_compact" -> fx(graft.ops.Changelog.c9Compact _),
@@ -326,6 +340,7 @@ object BenchScaling {
     "x54_bpe_pairs",
     "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
     "x66_split_audit", "x67_bpe_apply",
+    "x62_bpe_train", "x62b_bpe_word", "x68_split_stable",
     // the x49 candidate A/B count legs read the x49_grams stage, which
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")

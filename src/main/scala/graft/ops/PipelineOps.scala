@@ -1284,11 +1284,88 @@ object PipelineOps {
       .orderBy("split")
   }
 
-  /** x63/x66's shared split rule: 16-bit hash of the cluster id, bucket
-    * 0 of 10 → test, 1 → val, rest → train. */
-  private def splitOf(clusterId: Column): Column = {
+  /** x63/x66/x68's shared split rule: 16-bit hash of the cluster id,
+    * bucket 0 of 10 → test, 1 → val, rest → train. */
+  private[graft] def splitOf(clusterId: Column): Column = {
     val bucket = h16(clusterId) % 10
     when(bucket === 0, "test").when(bucket === 1, "val").otherwise("train")
+  }
+
+  // ---- x68: split stability under incremental corpus growth ----
+
+  /** x68: STICKY split assignment under incremental growth — the time
+    * dimension x63 lacks. x63 hashes the full-corpus cluster label
+    * (= min doc_id of the component), so when newly-ingested documents
+    * BRIDGE two existing clusters (exactly the event x36's incremental
+    * dedup detects), the merged component takes the smaller label and
+    * every doc on the losing side gets a NEW cluster_id — h16 of which
+    * can silently migrate it train↔test across re-runs: eval docs
+    * leaking into train over time, the precise failure split governance
+    * exists to prevent.
+    *
+    * x68 replays the corpus in the two installments the x36/s8/s17 ops
+    * already model (history = doc_id ≤ ⌊9·max/10⌋, arrivals above) and
+    * assigns:
+    *  - history docs: the split their PHASE-1 cluster (components over
+    *    pairs with BOTH endpoints in history) hashed to — held forever,
+    *    zero migrations by construction (`origin = 'held'`);
+    *  - arrivals joining a cluster whose held members all agree:
+    *    inherit that split (`'inherited'`);
+    *  - arrivals whose cluster bridges held members with DIFFERENT
+    *    splits: `split = 'quarantine'` (`origin = 'quarantined'`) — the
+    *    one case where per-doc stickiness and whole-cluster purity
+    *    genuinely conflict, resolved by excluding the bridge docs from
+    *    training rather than migrating history;
+    *  - arrivals in clusters with no held member: x63's hash rule on
+    *    the full label (`'fresh'`).
+    * Leakage invariant (SplitStableSpec proves it on adversarial
+    * graphs): no candidate pair ever straddles two distinct REAL splits
+    * — any cross-split pair has a quarantined endpoint. In production
+    * the sticky table is a PERSISTED per-doc assignment joined back;
+    * this stateless engine re-derives it deterministically from the
+    * same history slice (min-label fixpoints are unique), which is
+    * observationally identical.
+    *
+    * Plan shape at 100 TB: the full labels ride the staged x24 fixpoint;
+    * phase 1 is one more min-label propagation over the history-filtered
+    * pair list (candidate-bounded, never corpus²); then ONE aggregate
+    * keyed by cluster_id (count-distinct over ≤3 split values) and two
+    * equi-joins keyed on doc_id/cluster_id — all map-side-combinable or
+    * shuffle-on-the-key, no driver state beyond the 1-row threshold. */
+  def x68SplitStable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"))
+    val thr = docs.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the installment boundary
+    val pairs = Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))
+    val sticky = connectedComponents(
+        docs.filter(col("doc_id") <= thr),
+        pairs.filter(col("d1") <= thr && col("d2") <= thr))
+      .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
+    splitStableOn(sticky, Stages.x24Labels(spark, dir))
+  }
+
+  /** x68's decision rule over any sticky (doc_id, split_old) and full
+    * (doc_id, cluster_id) labelings — split out so SplitStableSpec can
+    * drive it with adversarial two-installment graphs (the
+    * budgetSelectOn/packingOn precedent). */
+  private[graft] def splitStableOn(sticky: DataFrame, full: DataFrame): DataFrame = {
+    val clusterOld = full.join(sticky, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split_old")).as("n_splits"),
+        min(col("split_old")).as("old_split"))
+    full
+      .join(sticky, Seq("doc_id"), "left")
+      .join(clusterOld, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("split_old").isNotNull, col("split_old"))
+          .when(col("n_splits") === 1L, col("old_split"))
+          .when(col("n_splits") >= 2L, lit("quarantine"))
+          .otherwise(splitOf(col("cluster_id"))).as("split"),
+        when(col("split_old").isNotNull, lit("held"))
+          .when(col("n_splits") === 1L, lit("inherited"))
+          .when(col("n_splits") >= 2L, lit("quarantined"))
+          .otherwise(lit("fresh")).as("origin"))
+      .orderBy("doc_id")
   }
 
   // ---- x65: token-budget corpus selection ----
@@ -1351,6 +1428,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_split_assign" -> x63SplitAssign,
     "x66_split_audit" -> x66SplitAudit,
+    "x68_split_stable" -> x68SplitStable,
     "x65_budget_select" -> x65BudgetSelect,
     "x39_shuffle_order" -> x39ShuffleOrder,
     "x42_grouped_topk" -> x42GroupedTopk,
@@ -1439,8 +1517,55 @@ object PipelineOps {
        |       ELSE 'train' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** x68's oracle: BOTH min-label fixpoints (history-restricted and
+    * full) as recursive transitive closures (the x24Sql derivation —
+    * exact agreement because min-label fixpoints are unique), the sticky
+    * split hashed from the phase-1 label, and the same four-way decision
+    * rule. */
+  private val x68Sql: String = {
+    def splitCase(bkt: String) =
+      s"CASE WHEN $bkt = 0 THEN 'test' WHEN $bkt = 1 THEN 'val' ELSE 'train' END"
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+       |prs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM prs UNION SELECT d2 AS d1, d1 AS d2 FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
+       |),
+       |fullc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d),
+       |oedges AS MATERIALIZED (SELECT e.d1, e.d2 FROM edges e, t WHERE e.d1 <= t.thr AND e.d2 <= t.thr),
+       |oreach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents, t WHERE doc_id <= t.thr
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM oedges e JOIN oreach r ON r.d = e.d2
+       |),
+       |sticky AS MATERIALIZED (
+       |  SELECT doc_id, ${splitCase(s"${hex16Sql("md5(CAST(oc AS VARCHAR))")} % 10")} AS split_old
+       |  FROM (SELECT d AS doc_id, min(l) AS oc FROM oreach GROUP BY d) z),
+       |co AS MATERIALIZED (
+       |  SELECT f.cluster_id, count(DISTINCT s.split_old) AS n_splits,
+       |         min(s.split_old) AS old_split
+       |  FROM fullc f JOIN sticky s USING (doc_id) GROUP BY 1)
+       |SELECT f.doc_id, f.cluster_id,
+       |  CASE WHEN s.split_old IS NOT NULL THEN s.split_old
+       |       WHEN co.n_splits = 1 THEN co.old_split
+       |       WHEN co.n_splits >= 2 THEN 'quarantine'
+       |       ELSE ${splitCase(s"${hex16Sql("md5(CAST(f.cluster_id AS VARCHAR))")} % 10")} END AS split,
+       |  CASE WHEN s.split_old IS NOT NULL THEN 'held'
+       |       WHEN co.n_splits = 1 THEN 'inherited'
+       |       WHEN co.n_splits >= 2 THEN 'quarantined'
+       |       ELSE 'fresh' END AS origin
+       |FROM fullc f
+       |LEFT JOIN sticky s USING (doc_id)
+       |LEFT JOIN co USING (cluster_id)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x63_split_assign" -> x63Sql,
+    "x68_split_stable" -> x68Sql,
     "x66_split_audit" ->
       s"""WITH a AS (SELECT * FROM ($x63Sql) ax),
          |q AS (${TextOps.oracle("x9_quality")}),

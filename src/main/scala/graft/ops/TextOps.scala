@@ -722,19 +722,38 @@ object TextOps {
     * out so the s17 drift gate can train its frozen merge table on the
     * 90% history slice (the same split s8/x36 use). */
   private[graft] def x62BpeTrainOn(spark: SparkSession, docs: DataFrame,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = 6): DataFrame =
+    bpeTrainSeqs(spark, docs
+      .select(concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"),
+        lit(1L).as("freq")), rounds)
+
+  /** The BPE merge loop over any weighted sequence frame (s, freq) —
+    * the shared engine of [[x62BpeTrainOn]] (corpus token streams,
+    * freq ≡ 1) and [[x62bBpeWordTrain]] (distinct word types weighted
+    * by corpus frequency). Per round: ONE map-side-combinable weighted
+    * pair-sum aggregate, a 1-row TakeOrdered argmax (the only driver
+    * state), and a lazy codegen'd `replace` layered on the sequence
+    * frame. `checkpointEvery` bounds the replace-chain recomputation
+    * the x62 scaladoc prices at O(k²) corpus passes: every that-many
+    * accepted merges the rewritten frame is localCheckpoint'ed
+    * (materialized, lineage truncated), so round j recomputes at most
+    * checkpointEvery−1 stacked replaces instead of j−1. The default 8
+    * means the k ≤ 8 keys behave exactly as before; callers training
+    * deeper vocabularies lower it (or keep 8 — O(k·cp) total passes). */
+  private[graft] def bpeTrainSeqs(spark: SparkSession, seqs0: DataFrame,
+      rounds: Int, checkpointEvery: Int = 8): DataFrame = {
     import spark.implicits._
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     def pairCounts(seqs: DataFrame): DataFrame =
-      seqs.select(split(trim(col("s")), "  ").as("w"))
+      seqs.select(split(trim(col("s")), "  ").as("w"), col("freq"))
         .filter(size(col("w")) >= 2) // sequence(1,0) would descend
         .select(explode(transform(
           sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("l"),
-            element_at(col("w"), i + 1).as("r")))).as("p"))
-        .select(col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
-    var seqs = docs
-      .select(concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"))
+            element_at(col("w"), i + 1).as("r")))).as("p"), col("freq"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n_pair"))
+    var seqs = seqs0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -747,11 +766,43 @@ object TextOps {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, l, r, n))
         seqs = seqs.select(
-          replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")).as("s"))
+          replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")).as("s"), col("freq"))
+        if (round % checkpointEvery == 0) seqs = seqs.localCheckpoint(true)
         round += 1
       }
     }
     merges.toSeq.toDF("round", "l", "r", "n_pair").orderBy("round")
+  }
+
+  /** x62b: word-type BPE training — the classic large-scale refactoring
+    * the x62 scaladoc names (Sennrich's actual formulation): merges that
+    * stay WITHIN words need only the distinct word-TYPE table weighted
+    * by corpus frequency, collapsing the training input from corpus
+    * tokens to vocabulary size (Heaps' law: sublinear in the corpus).
+    * Each distinct word renders once as its character sequence
+    * ' c1  c2  ...  cn ' (the x62 double-space joiner), pair statistics
+    * weight every word's pairs by its corpus count, and the same
+    * (n_pair DESC, l, r) argmax / non-overlapping greedy `replace`
+    * drive the rounds — so the merge table is exactly what x62's
+    * trainer would emit on the full token stream restricted to
+    * intra-word adjacencies, at vocabulary cost. x62 keeps the
+    * cross-word phrase-induction niche; x62b is the production path
+    * for subword vocabularies.
+    *
+    * Plan shape at 100 TB: ONE corpus pass builds the weighted type
+    * table (map-side-combinable count, vocab-sized output); every
+    * training round then touches only the vocab-sized frame — pair
+    * sums, 1-row argmax, literal replace — so k rounds cost k vocab
+    * passes + 1 corpus pass, vs x62's k corpus passes. BenchScaling's
+    * x62b leg is the measured form of that claim. */
+  def x62bBpeWordTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val types = documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    bpeTrainSeqs(spark, types.select(
+      concat(lit(" "), array_join(split(col("tok"), ""), "  "), lit(" ")).as("s"),
+      col("freq")), rounds)
   }
 
   /** x67: BPE merge APPLICATION — the encode half of the tokenizer
@@ -898,6 +949,37 @@ object TextOps {
         |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
         |s$i AS MATERIALIZED (
         |  SELECT ${mergeReplaceSql(i)} AS s
+        |  FROM s$p)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, l, r, n_pair FROM m$i").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+    sb.toString
+  }
+
+  /** DuckDB twin of [[x62bBpeWordTrain]]: the same k unrolled rounds
+    * over the frequency-weighted word-type table — each round's argmax
+    * recomputed independently from weighted pair sums, the same
+    * double-space char rendering and guarded rewrite. */
+  private[graft] def x62bOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH types AS MATERIALIZED (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(tok, ''), '  ') || ' ' AS s, freq FROM types)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w, freq FROM s$p),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r, n_pair FROM (
+        |    SELECT w[t.i] AS l, w[t.i+1] AS r, CAST(sum(freq) AS BIGINT) AS n_pair
+        |    FROM w$i, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |    GROUP BY 1, 2)
+        |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT ${mergeReplaceSql(i)} AS s, freq
         |  FROM s$p)""".stripMargin
     }
     sb ++= "\nSELECT * FROM (" + (1 to rounds).map(i =>
@@ -1227,6 +1309,7 @@ object TextOps {
     "x5_topk_terms" -> x5TopkTerms,
     "x54_bpe_pairs" -> x54BpePairs,
     "x62_bpe_train" -> ((s, d) => Stages.x62Merges(s, d).orderBy("round")),
+    "x62b_bpe_word" -> ((s, d) => x62bBpeWordTrain(s, d)),
     "x67_bpe_apply" -> x67BpeApply)
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1449,5 +1532,6 @@ object TextOps {
          |FROM pc JOIN uc a ON pc.l = a.term JOIN uc b ON pc.r = b.term
          |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin,
     "x62_bpe_train" -> x62OracleSql(6),
+    "x62b_bpe_word" -> x62bOracleSql(6),
     "x67_bpe_apply" -> x67OracleSql(6))
 }

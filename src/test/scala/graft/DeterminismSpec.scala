@@ -38,6 +38,10 @@ class DeterminismSpec extends SparkTestBase {
     // split assignment rides the x24 label fixpoint (iterative, its own
     // per-round shuffles) — the split must be a pure label function
     "x63_split_assign",
+    // sticky splits: TWO label fixpoints (history-restricted + full)
+    // composed through a per-cluster distinct-count — neither fixpoint's
+    // round structure nor the count-distinct merge may see partitioning
+    "x68_split_stable",
     // BPE train+apply: each round's argmax is a 1-row TakeOrdered over
     // an exact pair count — the (n DESC, l, r) total order must yield
     // the same merge table (and thus the same replay) at any parallelism

@@ -568,6 +568,55 @@ class OpsSpec extends SparkTestBase {
     assert(!texts.exists(_.contains("_")), "corpus tokens must be '_'-free")
   }
 
+  test("x62b: word-type merges equal a reference trainer on the weighted vocab") {
+    // independent replica: greedy BPE over the DISTINCT word types of
+    // the sf0.001 corpus, each rendered as its character sequence and
+    // weighted by corpus frequency — the Sennrich formulation x62b
+    // implements at vocabulary cost
+    val texts = graft.model.Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val freq = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    var seqs: Map[Vector[String], Long] =
+      freq.map { case (w, n) => w.toVector.map(_.toString) -> n }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (round <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (w, n) =>
+        w.indices.dropRight(1).foreach { i =>
+          counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + n
+        }
+      }
+      val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+      expect += ((round.toLong, l, r, n))
+      seqs = seqs.map { case (w, nw) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == l && w(i + 1) == r) {
+            out += s"${l}_$r"; i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.result() -> nw
+      }.groupBy(_._1).map { case (w, m) => w -> m.values.sum } // rewrites may collide
+    }
+    val got = TextOps.x62bBpeWordTrain(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq, s"word-type merge mismatch:\n got $got\n exp $expect")
+    // the checkpoint knob changes the plan, never the merges
+    val s = spark
+    import org.apache.spark.sql.functions.{array_join, col, concat, count, explode, lit, split, trim}
+    val types = graft.model.Tables.documents(s, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(split(col("tok"), ""), "  "), lit(" ")).as("s"),
+        col("freq"))
+    val ck = TextOps.bpeTrainSeqs(s, types, rounds = 6, checkpointEvery = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(ck == expect.toSeq, s"checkpointEvery=1 must not change the merges: $ck")
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
@@ -1256,6 +1305,7 @@ class OpsSpec extends SparkTestBase {
       "x49" -> TextOps.x49SetsimJoin _,
       "x62" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextOps.x62BpeTrain(s, d)),
       "x63" -> PipelineOps.x63SplitAssign _,
+      "x68" -> PipelineOps.x68SplitStable _,
       "x64" -> TextOps.x64VocabGrowth _,
       "x65" -> PipelineOps.x65BudgetSelect _,
       "x66" -> PipelineOps.x66SplitAudit _,
@@ -1315,6 +1365,14 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(x63(4L) == x63(100L), "the near-dup pair must share a split")
     assert(PipelineOps.x66SplitAudit(spark, dir).collect().forall(_.getLong(4) == 0L))
+    // x68 on the edge corpus: thr = ⌊9·101/10⌋ = 90, so docs 100/101 are
+    // arrivals — 100 joins held doc 4's singleton cluster (inherited),
+    // gram-less 101 forms a new-only cluster (fresh); docs 0-4 are held
+    val x68 = PipelineOps.x68SplitStable(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    (0L to 4L).foreach(d => assert(x68(d)._2 == "held", s"doc $d: ${x68(d)}"))
+    assert(x68(100L) == ((x68(4L)._1, "inherited")), s"dup arrival: ${x68(100L)}")
+    assert(x68(101L)._2 == "fresh", s"gram-less arrival: ${x68(101L)}")
     // x64: densified grid = 10 rows per source; decile-10 cum == vocab
     val x64 = TextOps.x64VocabGrowth(spark, dir).collect()
     assert(x64.length == 30, s"3 sources x 10 deciles expected, got ${x64.length}")

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+
+/** x68's sticky-split contract, proven on adversarial two-installment
+  * graphs the generated corpora don't contain: (1) history docs NEVER
+  * migrate when growth merges their clusters; (2) arrivals that bridge
+  * clusters with different held splits are quarantined, never inherited;
+  * (3) no candidate pair straddles two distinct REAL splits; and (4) the
+  * x63 rule alone — the hole x68 closes — demonstrably migrates a held
+  * doc on the same graph. */
+class SplitStableSpec extends SparkTestBase {
+
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(i => i -> find(i)).toMap
+  }
+
+  /** splitOf evaluated through the engine (the shared x63/x68 rule). */
+  private def splitsOf(ids: Seq[Long]): Map[Long, String] = {
+    val s = spark
+    import s.implicits._
+    ids.distinct.toDF("cluster_id")
+      .select(col("cluster_id"), PipelineOps.splitOf(col("cluster_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  /** Driver-side reference of the x68 rule over an explicit graph. */
+  private def reference(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+      thr: Long): Map[Long, (Long, String, String)] = {
+    val old = nodes.filter(_ <= thr)
+    val oldUf = unionFind(old, pairs.filter(p => p._1 <= thr && p._2 <= thr))
+    val fullUf = unionFind(nodes, pairs)
+    val sp = splitsOf((oldUf.values ++ fullUf.values).toSeq)
+    val sticky = old.map(d => d -> sp(oldUf(d))).toMap
+    val byCluster = nodes.groupBy(fullUf)
+    nodes.map { d =>
+      val c = fullUf(d)
+      val oldSplits = byCluster(c).filter(_ <= thr).map(sticky).distinct
+      val (split, origin) =
+        if (d <= thr) (sticky(d), "held")
+        else if (oldSplits.size == 1) (oldSplits.head, "inherited")
+        else if (oldSplits.size >= 2) ("quarantine", "quarantined")
+        else (sp(c), "fresh")
+      d -> (c, split, origin)
+    }.toMap
+  }
+
+  /** The engine path on an explicit graph: both fixpoints + the rule. */
+  private def runX68(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+      thr: Long): Map[Long, (Long, String, String)] = {
+    val s = spark
+    import s.implicits._
+    val nodesDf = nodes.toDF("doc_id")
+    val pairsDf =
+      if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+      else pairs.toDF("d1", "d2")
+    val sticky = PipelineOps.connectedComponents(
+        nodesDf.filter(col("doc_id") <= thr),
+        pairsDf.filter(col("d1") <= thr && col("d2") <= thr))
+      .select(col("doc_id"), PipelineOps.splitOf(col("cluster_id")).as("split_old"))
+    val full = PipelineOps.connectedComponents(nodesDf, pairsDf)
+    PipelineOps.splitStableOn(sticky, full).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
+  }
+
+  /** Two singleton history clusters with DIFFERENT splits, found by
+    * scanning small ids (the split rule is a hash — the test must not
+    * assume which bucket any literal id lands in). */
+  private def twoOldDocsWithDifferentSplits(): (Long, Long, Map[Long, String]) = {
+    val sp = splitsOf(0L to 60L)
+    val bys = (0L to 60L).groupBy(sp)
+    val reps = bys.values.map(_.head).toSeq.sorted
+    assert(reps.size >= 2, s"hash rule degenerate over 0..60: $bys")
+    (reps(0), reps(1), sp)
+  }
+
+  test("a bridging arrival is quarantined; both held sides keep their split") {
+    val (a, b, sp) = twoOldDocsWithDifferentSplits()
+    val bridge = math.max(a, b) + 100L
+    val thr = math.max(a, b)
+    val out = runX68(Seq(a, b, bridge), Seq((a, bridge), (b, bridge)), thr)
+    assert(out(a) == ((math.min(a, b), sp(a), "held")), s"held a: ${out(a)}")
+    assert(out(b) == ((math.min(a, b), sp(b), "held")), s"held b: ${out(b)}")
+    assert(out(bridge)._2 == "quarantine" && out(bridge)._3 == "quarantined",
+      s"bridge doc must quarantine: ${out(bridge)}")
+    // the hole x68 closes: x63's rule (hash the FULL label) migrates the
+    // losing side on this exact graph — the merged cluster's split can
+    // equal at most one of the two held splits
+    val x63Style = sp.getOrElse(math.min(a, b), splitsOf(Seq(math.min(a, b)))(math.min(a, b)))
+    assert(Seq(sp(a), sp(b)).count(_ != x63Style) >= 1,
+      "x63's full-label rule must contradict at least one held assignment here")
+  }
+
+  test("an arrival joining a single-split cluster inherits; a new-only cluster is fresh") {
+    val (a, b, sp) = twoOldDocsWithDifferentSplits()
+    val thr = math.max(a, b)
+    val n1 = thr + 10L
+    val n2 = thr + 11L
+    val n3 = thr + 12L
+    // n1 attaches to a's cluster only; n2-n3 form their own new cluster
+    val out = runX68(Seq(a, b, n1, n2, n3), Seq((a, n1), (n2, n3)), thr)
+    assert(out(n1) == ((a, sp(a), "inherited")), s"inherit: ${out(n1)}")
+    assert(out(b) == ((b, sp(b), "held")))
+    val freshSplit = splitsOf(Seq(n2))(n2) // full label of {n2, n3} is n2
+    assert(out(n2) == ((n2, freshSplit, "fresh")), s"fresh: ${out(n2)}")
+    assert(out(n3) == ((n2, freshSplit, "fresh")), s"fresh: ${out(n3)}")
+  }
+
+  test("x68 == driver reference on 12 random two-installment graphs; no pair straddles real splits") {
+    val n = 20L
+    val thr = 14L
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, n - 1), Gen.choose(0L, n - 1)))
+      .map(_.collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }.distinct)
+    (1 to 12).foreach { i =>
+      val pairs = edgeGen(Gen.Parameters.default, Seed(1000L + i)).getOrElse(Nil)
+      val nodes = (0L until n).toSeq
+      val got = runX68(nodes, pairs, thr)
+      val want = reference(nodes, pairs, thr)
+      assert(got == want, s"seed=$i pairs=$pairs")
+      // zero migrations: every held doc's split equals its phase-1 split
+      // (already implied by got == want, but assert the contract directly)
+      nodes.filter(_ <= thr).foreach(d => assert(got(d)._3 == "held"))
+      // leakage: a pair may only straddle via a quarantined endpoint
+      pairs.foreach { case (d1, d2) =>
+        val (s1, s2) = (got(d1)._2, got(d2)._2)
+        assert(s1 == s2 || s1 == "quarantine" || s2 == "quarantine",
+          s"seed=$i pair ($d1,$d2) straddles real splits $s1/$s2")
+      }
+    }
+  }
+
+  test("x68 on the sf0.001 corpus: held slice replays the 90% assignment exactly") {
+    val out = PipelineOps.x68SplitStable(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.length == docs.length)
+    val thr = 9L * docs.max / 10L
+    val pairs = Stages.x13Pairs(spark, sf0001).select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = reference(docs, pairs, thr)
+    out.foreach { case (d, c, s, o) =>
+      assert(want(d) == ((c, s, o)), s"doc $d: got ($c,$s,$o) want ${want(d)}")
+    }
+    // the held slice is exactly the docs at or below the threshold
+    assert(out.filter(_._4 == "held").map(_._1).toSet == docs.filter(_ <= thr).toSet)
+  }
+}
