@@ -1332,16 +1332,24 @@ object PipelineOps {
     * keyed by cluster_id (count-distinct over ≤3 split values) and two
     * equi-joins keyed on doc_id/cluster_id — all map-side-combinable or
     * shuffle-on-the-key, no driver state beyond the 1-row threshold. */
-  def x68SplitStable(spark: SparkSession, dir: String): DataFrame = {
+  def x68SplitStable(spark: SparkSession, dir: String): DataFrame =
+    splitStableOn(Stages.x68Sticky(spark, dir), Stages.x24Labels(spark, dir))
+
+  /** The frozen per-doc split table of the HISTORY slice (doc_id ≤
+    * ⌊9·max/10⌋ — the s8/x36/s17 split): phase-1 components over
+    * history-internal candidate pairs, split via the shared hash rule.
+    * x68's sticky input and the s18 router's label source — consumers
+    * read it through [[Stages.x68Sticky]] so the phase-1 fixpoint runs
+    * once per session. */
+  private[graft] def stickySplitsUnstaged(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
     val thr = docs.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0) // 1 row — the installment boundary
     val pairs = Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))
-    val sticky = connectedComponents(
+    connectedComponents(
         docs.filter(col("doc_id") <= thr),
         pairs.filter(col("d1") <= thr && col("d2") <= thr))
       .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
-    splitStableOn(sticky, Stages.x24Labels(spark, dir))
   }
 
   /** x68's decision rule over any sticky (doc_id, split_old) and full
@@ -1522,9 +1530,11 @@ object PipelineOps {
     * exact agreement because min-label fixpoints are unique), the sticky
     * split hashed from the phase-1 label, and the same four-way decision
     * rule. */
+  /** The shared split rule's SQL CASE over a 0..9 bucket expression. */
+  private def splitCase(bkt: String): String =
+    s"CASE WHEN $bkt = 0 THEN 'test' WHEN $bkt = 1 THEN 'val' ELSE 'train' END"
+
   private val x68Sql: String = {
-    def splitCase(bkt: String) =
-      s"CASE WHEN $bkt = 0 THEN 'test' WHEN $bkt = 1 THEN 'val' ELSE 'train' END"
     s"""WITH RECURSIVE
        |t AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
        |prs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px),
@@ -1561,6 +1571,65 @@ object PipelineOps {
        |LEFT JOIN sticky s USING (doc_id)
        |LEFT JOIN co USING (cluster_id)
        |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** s18's oracle (lives here with the split lattice SQL): sticky via
+    * the history closure, the capped history band index with OR'd split
+    * bits, arrival bands re-derived, and the same four-way routing CASE.
+    * Band keys are hex-string concatenations where the engine packs two
+    * 16-bit ints — equality-preserving, join-key-only (the x13 note). */
+  private[graft] def s18OracleSql: String = {
+    def sigSql(src: String) =
+      (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s")
+        .mkString(s"SELECT doc_id, ", ", ", s" FROM $src GROUP BY doc_id")
+    def bandsSql(sig: String) =
+      (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, mh${2 * b} || mh${2 * b + 1} AS h FROM $sig")
+        .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |tt AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+       |prs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px, tt
+       |                     WHERE d1 <= tt.thr AND d2 <= tt.thr),
+       |oedges AS MATERIALIZED (SELECT d1, d2 FROM prs UNION SELECT d2 AS d1, d1 AS d2 FROM prs),
+       |oreach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents, tt WHERE doc_id <= tt.thr
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM oedges e JOIN oreach r ON r.d = e.d2
+       |),
+       |sticky AS MATERIALIZED (
+       |  SELECT doc_id, ${splitCase(s"${hex16Sql("md5(CAST(oc AS VARCHAR))")} % 10")} AS split_old
+       |  FROM (SELECT d AS doc_id, min(l) AS oc FROM oreach GROUP BY d) z),
+       |gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                    FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id <= tt.thr),
+       |sig AS MATERIALIZED (${sigSql("gh")}),
+       |bands AS MATERIALIZED (${bandsSql("sig")}),
+       |idx AS MATERIALIZED (
+       |  SELECT band, h,
+       |    bit_or(CASE s.split_old WHEN 'test' THEN 1 WHEN 'val' THEN 2 ELSE 4 END) AS bits
+       |  FROM (SELECT bands.doc_id, bands.band, bands.h FROM bands
+       |        JOIN (SELECT band, h FROM bands GROUP BY band, h
+       |              HAVING count(*) <= 50) k USING (band, h)) kept
+       |  JOIN sticky s USING (doc_id) GROUP BY 1, 2),
+       |agh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                     FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id > tt.thr),
+       |asig AS MATERIALIZED (${sigSql("agh")}),
+       |abands AS MATERIALIZED (${bandsSql("asig")}),
+       |hits AS MATERIALIZED (
+       |  SELECT ab.doc_id, CAST(bit_or(i.bits) AS BIGINT) AS bits
+       |  FROM abands ab JOIN idx i USING (band, h) GROUP BY ab.doc_id),
+       |arr AS (SELECT doc_id FROM documents, tt WHERE doc_id > tt.thr)
+       |SELECT a.doc_id, COALESCE(h.bits, 0) AS bits,
+       |  CASE WHEN COALESCE(h.bits, 0) = 1 THEN 'test'
+       |       WHEN COALESCE(h.bits, 0) = 2 THEN 'val'
+       |       WHEN COALESCE(h.bits, 0) = 4 THEN 'train'
+       |       WHEN COALESCE(h.bits, 0) = 0
+       |         THEN ${splitCase(s"${hex16Sql("md5(CAST(a.doc_id AS VARCHAR))")} % 10")}
+       |       ELSE 'quarantine' END AS split,
+       |  CASE WHEN COALESCE(h.bits, 0) = 0 THEN 'fresh'
+       |       WHEN COALESCE(h.bits, 0) IN (1, 2, 4) THEN 'inherited'
+       |       ELSE 'quarantined' END AS origin
+       |FROM arr a LEFT JOIN hits h USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

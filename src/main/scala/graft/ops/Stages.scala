@@ -277,6 +277,14 @@ object Stages {
       TextOps.x62BpeTrainOn(spark, d.filter(col("doc_id") <= thr))
     }
 
+  /** x68's sticky split table (doc_id, split_old — one row per HISTORY
+    * doc): phase-1 components over history-internal x13 pairs, hashed
+    * through the shared split rule. Read by x68's batch assignment and
+    * the s18 routing gate's frozen index, so the phase-1 fixpoint runs
+    * once per session. */
+  def x68Sticky(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
+
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by
     * the S8 stream gate's exact twin, so batch and stream score the

@@ -53,7 +53,7 @@ object TextOps {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles(col("w"))).as("gram"))
 
-  private val shingleRowsSql: String =
+  private[graft] val shingleRowsSql: String =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -407,8 +407,20 @@ object TextOps {
     * behind [[Stages.x13Pairs]] (consumers that re-aggregate, like x24's
     * connected components, must not pay a range exchange for an ordering
     * they immediately destroy). */
-  private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleHash64Rows(spark, dir)
+  private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame =
+    x13PairsOnBands(x13Bands(documents(spark, dir)))
+
+  /** The x13 MinHash band table (doc_id, band, h) over any (doc_id,
+    * text) frame — split out of [[x13Pairs]] so the s18 routing gate can
+    * band the HISTORY slice for its frozen index with the exact same
+    * signature pipeline the candidate generator uses. */
+  private[graft] def x13Bands(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("w"))).as("gram"))
+      .select(col("doc_id"),
+        md5Long(col("gram"), 0).as("h0"), md5Long(col("gram"), 1).as("h1"))
     val mhAggs = (0 until 8).map { s =>
       val half = if (s < 4) col("h0") else col("h1")
       min(md5Hex4(half, s % 4)).as(s"mh$s")
@@ -419,13 +431,27 @@ object TextOps {
     // re-compute; exprId renumbering defeats exchange reuse). Band key =
     // the two 16-bit minhashes packed into one long (equality-preserving
     // vs the oracle's hex-string concatenation).
-    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+    sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).cast(LongType).as("band"),
           (col(s"mh${2 * b}") * 65536L + col(s"mh${2 * b + 1}")).as("h"))
       }: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    x13PairsOnBands(bands)
   }
+
+  /** Per-ROW twin of [[x13Bands]]'s signature for a single document's
+    * distinct-shingle array `gs` — the stateless formulation a streaming
+    * router needs (no groupBy in the arrival path): band b's key from
+    * array-min minhashes instead of the batch min-aggregate. Pinned
+    * equal to the batch pipeline in StreamGateSpec. */
+  private[graft] def rowBandCols(gs: Column): Seq[Column] = {
+    def mh(s: Int): Column =
+      array_min(transform(gs, g => md5Hex4(md5Long(g, if (s < 4) 0 else 1), s % 4)))
+    (0 until 4).map(b => (mh(2 * b) * 65536L + mh(2 * b + 1)).as(s"b$b"))
+  }
+
+  /** [[shingles]] exposed for the s18 arrival path (same distinct
+    * 3-gram definition the batch band table uses). */
+  private[graft] def shinglesOf(w: Column): Column = shingles(w)
 
   /** x13's bucket-join body over any (doc_id, band, h) frame — split out
     * so the df-cap behavior is testable on a synthetic hot-bucket corpus.
@@ -709,12 +735,13 @@ object TextOps {
     * rewrite chain stays lazy codegen'd string ops layered on the scan
     * (k ≤ 8 here — recomputing j replaces on round j is j extra per-row
     * string passes, cheaper than materializing the corpus each round;
-    * past that, checkpoint the rewritten corpus every few rounds). The
-    * classic large-scale refactoring — intra-word BPE over the distinct
+    * past that, [[bpeTrainSeqs]]'s checkpointEvery knob materializes
+    * the rewritten frame and truncates the chain). The classic
+    * large-scale refactoring — intra-word BPE over the distinct
     * word-TYPE table weighted by frequency, collapsing the input from
-    * corpus tokens to vocabulary size — applies when merges stay within
-    * words; this operator keeps x54's cross-word niche (phrase/compound
-    * induction over the token stream). */
+    * corpus tokens to vocabulary size — is [[x62bBpeWordTrain]]; this
+    * operator keeps x54's cross-word niche (phrase/compound induction
+    * over the token stream). */
   def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
     x62BpeTrainOn(spark, documents(spark, dir), rounds)
 

@@ -391,6 +391,90 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** s18's split-bit packing: test=1, val=2, train=4 — OR-able through
+    * the band index, popcount-free to unpack (a routed doc's bits are
+    * in {0,1,2,4} or a multi-bit conflict). */
+  private def splitBit(s: Column): Column =
+    when(s === "test", 1L).when(s === "val", 2L).otherwise(4L)
+
+  /** s18 gate: continuous split ROUTING — x68's decision at serving
+    * time, before any batch re-clustering can run: each arriving
+    * document is banded with the exact x13 signature pipeline
+    * (per-row array-min twin, pinned equal in this spec) and probed
+    * against a FROZEN index of the history slice's bands, each band
+    * carrying the OR of its held members' sticky splits
+    * ([[graft.ops.Stages.x68Sticky]] — the same phase-1 table x68
+    * reads). One split bit → route there ('inherited'); conflicting
+    * bits → 'quarantine' (the arrival bridges clusters with different
+    * held splits — x68's rule, decided from direct band neighbors);
+    * no held neighbor → the hash rule on the arrival's own id
+    * ('fresh'). Band-neighbor routing is the serving approximation of
+    * x68's full transitive closure: transitivity through OTHER
+    * arrivals is the batch job's business, the router must decide per
+    * document NOW — and conservatively, which is why conflict
+    * quarantines rather than picks.
+    *
+    * Plan shape at 100 TB: the arrival path is stateless — per-row
+    * banding (HOF min over the doc's own shingles) + four stream-static
+    * equi-joins against the frozen (band, h) → bits index (no state
+    * store, no watermark); the index itself is history-banding + the
+    * staged sticky table, built once and frozen (here localCheckpoint'ed
+    * so micro-batches don't rebuild it; in production a materialized
+    * table). Hot buckets are capped at the x13 df cap before they enter
+    * the index. The DuckDB oracle re-derives the whole lattice — closure
+    * → sticky, bands → capped index, arrival bands → OR — independently;
+    * exact parity, no bound flags. */
+  def s18SplitRouteStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("h"))
+    // frozen index: ≤ 4 rows per history doc before the hot-bucket cap,
+    // one row per surviving (band, h) after the OR — bounded, and
+    // materialized once so the feed's micro-batches re-read blocks
+    // instead of re-running the banding + fixpoint per batch per join
+    val idx = graft.ops.TextOps.x13Bands(d.filter(col("doc_id") <= thr))
+      .withColumn("df", count(lit(1)).over(wB))
+      .filter(col("df") <= 50) // the x13 band df cap; singles stay (valid neighbors)
+      .join(graft.ops.Stages.x68Sticky(spark, dir), "doc_id")
+      .groupBy(col("band"), col("h"))
+      .agg(bit_or(splitBit(col("split_old"))).as("bits"))
+      .localCheckpoint(true)
+    val feed = sharedDocsFeed(spark, dir)
+    val arr = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+      .filter(col("doc_id") > thr)
+      .select(col("doc_id") +: graft.ops.TextOps.rowBandCols(
+        graft.ops.TextOps.shinglesOf(split(col("text"), " "))): _*)
+    // four stream-static left joins (stateless); a shingle-less arrival
+    // has null band keys, matches nothing, and routes 'fresh'
+    val joined = (0 until 4).foldLeft(arr) { (cur, b) =>
+      cur.join(idx.filter(col("band") === b)
+          .select(col("h").as(s"b$b"), col("bits").as(s"bits$b")),
+        Seq(s"b$b"), "left")
+    }
+    val routed = joined.select(col("doc_id"),
+      (0 until 4).map(b => coalesce(col(s"bits$b"), lit(0L)))
+        .reduce(_ bitwiseOR _).as("bits"))
+    val streamed = {
+      val name = s"s18_gate_${runId.incrementAndGet()}"
+      val q = routed.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    streamed
+      .select(col("doc_id"), col("bits"),
+        when(col("bits") === 1L, "test").when(col("bits") === 2L, "val")
+          .when(col("bits") === 4L, "train")
+          .when(col("bits") === 0L, graft.ops.PipelineOps.splitOf(col("doc_id")))
+          .otherwise(lit("quarantine")).as("split"),
+        when(col("bits") === 0L, "fresh")
+          .when(col("bits").isin(1L, 2L, 4L), "inherited")
+          .otherwise(lit("quarantined")).as("origin"))
+      .orderBy("doc_id")
+  }
+
   /** S10 MG capacity and slot count. k matches the batch q27c (so the
     * oracle is q27c's SQL verbatim); [[s10Slots]] spreads each language
     * over that many disjoint-token state keys. */
@@ -774,6 +858,7 @@ object StreamGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_split_route" -> s18SplitRouteStream,
     "s17_bpe_drift_stream" -> s17BpeDriftStream,
     "s16_pq_stream" -> s16PqStream,
     "s8_novelty_stream" -> s8NoveltyStream,
@@ -786,6 +871,10 @@ object StreamGate {
     "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
+    // s18: band-neighbor routing against the frozen history index is
+    // exact — the oracle re-derives closure→sticky, capped band index,
+    // arrival bands and the OR independently
+    "s18_split_route" -> graft.ops.PipelineOps.s18OracleSql,
     // s17: the frozen-merge replay is exact, so the oracle re-derives
     // both chains (train on <=thr, apply on >thr) independently
     "s17_bpe_drift_stream" -> graft.ops.TextOps.s17OracleSql(6),

@@ -16,6 +16,67 @@ class FrozenTimesFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
   * DuckDB compare — these tests pin the same equivalences locally. */
 class StreamGateSpec extends SparkTestBase {
 
+  test("s18: per-row band signature equals the batch x13 band pipeline") {
+    import org.apache.spark.sql.functions._
+    val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val batch = graft.ops.TextOps.x13Bands(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // per-row twin: band cols from the doc's own shingle array, exploded
+    // to the same (doc_id, band, h) shape (shingle-less docs emit null
+    // keys — excluded, as the batch pipeline's size>=3 filter excludes them)
+    val perRow = d
+      .select(col("doc_id") +: graft.ops.TextOps.rowBandCols(
+        graft.ops.TextOps.shinglesOf(split(col("text"), " "))): _*)
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("band"), col(s"b$b").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.h"))
+      .filter(col("h").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(perRow == batch, "the stateless arrival banding must equal the batch signature")
+  }
+
+  test("s18 gate == batch band-neighbor routing on the arrivals slice") {
+    import org.apache.spark.sql.functions._
+    val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val thr = d.agg(graft.model.Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    // batch twin of the frozen index + the routing rule
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("h"))
+    val sticky = graft.ops.Stages.x68Sticky(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bit = Map("test" -> 1L, "val" -> 2L, "train" -> 4L)
+    val idx = graft.ops.TextOps.x13Bands(d.filter(col("doc_id") <= thr))
+      .withColumn("df", count(lit(1)).over(wB)).filter(col("df") <= 50)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._2)
+      .map { case (bh, ds) => bh -> ds.map(x => bit(sticky(x._1))).reduce(_ | _) }
+    val arrBands = graft.ops.TextOps.x13Bands(d.filter(col("doc_id") > thr))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (id, bs) => id -> bs.map(_._2).toSet }
+    val arrivals = d.filter(col("doc_id") > thr).collect().map(_.getLong(0)).sorted
+    val got = StreamGate.s18SplitRouteStream(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.map(_._1).toSeq == arrivals.toSeq, "one routed row per arrival, in order")
+    got.foreach { case (id, bits, split, origin) =>
+      val want = arrBands.getOrElse(id, Set.empty)
+        .flatMap(idx.get).foldLeft(0L)(_ | _)
+      assert(bits == want, s"doc $id: bits $bits != batch $want")
+      val (wantSplit, wantOrigin) = bits match {
+        case 0L => (null, "fresh") // fresh split value is the hash rule — checked non-empty below
+        case 1L => ("test", "inherited")
+        case 2L => ("val", "inherited")
+        case 4L => ("train", "inherited")
+        case _  => ("quarantine", "quarantined")
+      }
+      if (wantSplit != null) assert(split == wantSplit, s"doc $id: $split != $wantSplit")
+      else assert(Set("train", "val", "test")(split), s"doc $id fresh split: $split")
+      assert(origin == wantOrigin, s"doc $id: $origin != $wantOrigin")
+      // an inherited arrival's split agrees with EVERY held band-neighbor
+      if (wantOrigin == "inherited")
+        arrBands(id).flatMap(idx.get).foreach(b => assert(b == bits))
+    }
+  }
+
   test("s17 gate == batch frozen-merge encode on the arrivals slice") {
     import org.apache.spark.sql.functions._
     val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
@@ -26,9 +87,10 @@ class StreamGateSpec extends SparkTestBase {
     assert(merges.nonEmpty && merges.length <= 6)
     // batch twin: the same frozen replaces applied without the stream
     val base = d.filter(col("doc_id") > thr)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
-        concat(lit(" "), array_join(col("w"), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"),
+        concat(lit(" "), array_join(split(col("text"), " "), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_tok"), col("s"))
     val batch = merges.foldLeft(base) { case (df, (l, r)) =>
       df.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")))
     }.select(col("doc_id"), col("n_tok"),
