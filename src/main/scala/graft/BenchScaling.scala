@@ -212,6 +212,9 @@ object BenchScaling {
     // + one cluster-keyed count-distinct agg + two equi-joins — every
     // corpus-sized step keyed, nothing all-pairs
     "x68_split_stable" -> fx(graft.ops.PipelineOps.x68SplitStable _),
+    // router-vs-closure reconciliation: x68's lattice + the staged band
+    // index probed batch-side + one bounded (≤3×3) matrix rollup
+    "x69_route_agreement" -> fx(graft.ops.PipelineOps.x69RouteAgreement _),
     // log compaction: disjoint per-replica users ⇒ keys ×f with per-key
     // history fixed — the struct-max partials must stay map-side-bound
     "c9_compact" -> fx(graft.ops.Changelog.c9Compact _),
@@ -340,7 +343,7 @@ object BenchScaling {
     "x54_bpe_pairs",
     "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
     "x66_split_audit", "x67_bpe_apply",
-    "x62_bpe_train", "x62b_bpe_word", "x68_split_stable",
+    "x62_bpe_train", "x62b_bpe_word", "x68_split_stable", "x69_route_agreement",
     // the x49 candidate A/B count legs read the x49_grams stage, which
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")

@@ -1437,6 +1437,7 @@ object PipelineOps {
     "x63_split_assign" -> x63SplitAssign,
     "x66_split_audit" -> x66SplitAudit,
     "x68_split_stable" -> x68SplitStable,
+    "x69_route_agreement" -> x69RouteAgreement,
     "x65_budget_select" -> x65BudgetSelect,
     "x39_shuffle_order" -> x39ShuffleOrder,
     "x42_grouped_topk" -> x42GroupedTopk,
@@ -1573,6 +1574,97 @@ object PipelineOps {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---- s18/x69 shared routing core ----
+
+  /** s18's split-bit packing: test=1, val=2, train=4 — OR-able through
+    * the band index, popcount-free to unpack. */
+  private[graft] def splitBitCol(s: Column): Column =
+    when(s === "test", 1L).when(s === "val", 2L).otherwise(4L)
+
+  /** The router's FROZEN index (band, h, bits): history-slice x13 bands
+    * (hot buckets capped at the x13 df cap; singles stay — a one-doc
+    * bucket is a valid neighbor) joined to the staged sticky splits,
+    * bits OR'd per bucket. Consumers read it through
+    * [[Stages.s18Index]] so the banding + fixpoint run once per session
+    * across the s18 gate and x69's agreement audit. */
+  private[graft] def routeIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val wB = Window.partitionBy(col("band"), col("h"))
+    TextOps.x13Bands(d.filter(col("doc_id") <= thr))
+      .withColumn("df", count(lit(1)).over(wB))
+      .filter(col("df") <= 50)
+      .join(Stages.x68Sticky(spark, dir), "doc_id")
+      .groupBy(col("band"), col("h"))
+      .agg(bit_or(splitBitCol(col("split_old"))).as("bits"))
+  }
+
+  /** The router's verdict columns from OR'd bits (shared by the s18
+    * gate's post-sink mapping and [[routeDecisions]]): one bit →
+    * inherited split, conflict → quarantine, none → the hash rule on
+    * the arrival's own id. */
+  private[graft] def routeVerdictCols(bits: Column, docId: Column): Seq[Column] = Seq(
+    when(bits === 1L, "test").when(bits === 2L, "val").when(bits === 4L, "train")
+      .when(bits === 0L, splitOf(docId)).otherwise(lit("quarantine")).as("split"),
+    when(bits === 0L, "fresh").when(bits.isin(1L, 2L, 4L), "inherited")
+      .otherwise(lit("quarantined")).as("origin"))
+
+  /** The s18 routing rule, batch-side: arrivals banded with the batch
+    * x13 pipeline, probed against the staged frozen index, bits OR'd per
+    * doc — one row per arrival (doc_id, bits, split, origin).
+    * StreamGateSpec pins the gate's stateless per-row execution equal to
+    * this; x69 audits it against x68's closure. */
+  private[graft] def routeDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val arrBits = TextOps.x13Bands(d.filter(col("doc_id") > thr))
+      .join(Stages.s18Index(spark, dir), Seq("band", "h"))
+      .groupBy(col("doc_id")).agg(bit_or(col("bits")).as("bits"))
+    val withBits = d.filter(col("doc_id") > thr).select(col("doc_id"))
+      .join(arrBits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bits"), lit(0L)).as("bits"))
+    withBits.select(
+      Seq(col("doc_id"), col("bits")) ++
+        routeVerdictCols(col("bits"), col("doc_id")): _*)
+  }
+
+  // ---- x69: router-vs-closure agreement audit ----
+
+  /** x69: the serving/batch governance RECONCILIATION — for every
+    * arrival, how did the s18 router's per-document decision (frozen
+    * band index, direct neighbors only) compare to x68's batch closure
+    * (full transitivity through other arrivals)? The matrix of
+    * (batch_origin, route_origin) cells with doc counts and
+    * split-agreement counts is the page a governance review reads: the
+    * diagonal is healthy, route-inherited-vs-batch-quarantined cells
+    * measure bridges the router could not see per-document, and any
+    * disagreement INSIDE an inherited/inherited cell would mean the
+    * index served a split the closure contradicts (x69 measures it
+    * rather than assuming it — the x33/x51/x66 posture).
+    *
+    * Plan shape: x68's assignment (staged labels + sticky) joined to
+    * the batch-side routing rule (staged index) on doc_id, then ONE
+    * tiny groupBy over ≤ 3×3 origin cells — map-side combinable, output
+    * bounded by construction. */
+  def x69RouteAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val batch = x68SplitStable(spark, dir)
+      .filter(col("origin") =!= "held")
+      .select(col("doc_id"), col("split").as("batch_split"),
+        col("origin").as("batch_origin"))
+    val routed = routeDecisions(spark, dir)
+      .select(col("doc_id"), col("split").as("route_split"),
+        col("origin").as("route_origin"))
+    batch.join(routed, "doc_id")
+      .groupBy(col("batch_origin"), col("route_origin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("batch_split") === col("route_split")).cast(LongType))
+          .as("n_split_agree"))
+      .orderBy("batch_origin", "route_origin")
+  }
+
   /** s18's oracle (lives here with the split lattice SQL): sticky via
     * the history closure, the capped history band index with OR'd split
     * bits, arrival bands re-derived, and the same four-way routing CASE.
@@ -1635,6 +1727,17 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "x63_split_assign" -> x63Sql,
     "x68_split_stable" -> x68Sql,
+    // x69: both sides' full lattices re-derived, joined per arrival,
+    // rolled up to the ≤3×3 origin matrix
+    "x69_route_agreement" ->
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, split AS batch_split, origin AS batch_origin
+         |                        FROM ($x68Sql) bx WHERE origin <> 'held'),
+         |r AS MATERIALIZED (SELECT doc_id, split AS route_split, origin AS route_origin
+         |                   FROM ($s18OracleSql) rx)
+         |SELECT b.batch_origin, r.route_origin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN b.batch_split = r.route_split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_agree
+         |FROM b JOIN r USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x66_split_audit" ->
       s"""WITH a AS (SELECT * FROM ($x63Sql) ax),
          |q AS (${TextOps.oracle("x9_quality")}),

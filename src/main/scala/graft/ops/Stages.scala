@@ -285,6 +285,13 @@ object Stages {
   def x68Sticky(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
 
+  /** The s18 router's frozen (band, h) → split-bits index over the
+    * history slice — read by the s18 gate's stream-static joins and by
+    * x69's agreement audit, so the history banding runs once per
+    * session. */
+  def s18Index(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "s18_index")(PipelineOps.routeIndexUnstaged(spark, dir))
+
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by
     * the S8 stream gate's exact twin, so batch and stream score the

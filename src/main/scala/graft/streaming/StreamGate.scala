@@ -391,12 +391,6 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
-  /** s18's split-bit packing: test=1, val=2, train=4 — OR-able through
-    * the band index, popcount-free to unpack (a routed doc's bits are
-    * in {0,1,2,4} or a multi-bit conflict). */
-  private def splitBit(s: Column): Column =
-    when(s === "test", 1L).when(s === "val", 2L).otherwise(4L)
-
   /** s18 gate: continuous split ROUTING — x68's decision at serving
     * time, before any batch re-clustering can run: each arriving
     * document is banded with the exact x13 signature pipeline
@@ -428,19 +422,12 @@ object StreamGate {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("h"))
     // frozen index: ≤ 4 rows per history doc before the hot-bucket cap,
-    // one row per surviving (band, h) after the OR — bounded, and
-    // materialized once so the feed's micro-batches re-read blocks
-    // instead of re-running the banding + fixpoint per batch per join
-    val idx = graft.ops.TextOps.x13Bands(d.filter(col("doc_id") <= thr))
-      .withColumn("df", count(lit(1)).over(wB))
-      .filter(col("df") <= 50) // the x13 band df cap; singles stay (valid neighbors)
-      .join(graft.ops.Stages.x68Sticky(spark, dir), "doc_id")
-      .groupBy(col("band"), col("h"))
-      .agg(bit_or(splitBit(col("split_old"))).as("bits"))
-      .localCheckpoint(true)
+    // one row per surviving (band, h) after the OR — bounded, STAGED
+    // (materialized once per session, shared with x69's audit) so the
+    // feed's micro-batches re-read blocks instead of re-running the
+    // banding + fixpoint per batch per join
+    val idx = graft.ops.Stages.s18Index(spark, dir)
     val feed = sharedDocsFeed(spark, dir)
     val arr = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
       .filter(col("doc_id") > thr)
@@ -464,14 +451,8 @@ object StreamGate {
       detachSink(spark, name)
     }
     streamed
-      .select(col("doc_id"), col("bits"),
-        when(col("bits") === 1L, "test").when(col("bits") === 2L, "val")
-          .when(col("bits") === 4L, "train")
-          .when(col("bits") === 0L, graft.ops.PipelineOps.splitOf(col("doc_id")))
-          .otherwise(lit("quarantine")).as("split"),
-        when(col("bits") === 0L, "fresh")
-          .when(col("bits").isin(1L, 2L, 4L), "inherited")
-          .otherwise(lit("quarantined")).as("origin"))
+      .select(Seq(col("doc_id"), col("bits")) ++
+        graft.ops.PipelineOps.routeVerdictCols(col("bits"), col("doc_id")): _*)
       .orderBy("doc_id")
   }
 

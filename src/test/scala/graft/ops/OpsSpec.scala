@@ -617,6 +617,30 @@ class OpsSpec extends SparkTestBase {
     assert(ck == expect.toSeq, s"checkpointEvery=1 must not change the merges: $ck")
   }
 
+  test("x69: agreement matrix reconciles with the per-doc frames it joins") {
+    import org.apache.spark.sql.functions._
+    val batch = PipelineOps.x68SplitStable(spark, sf0001).collect()
+      .filter(_.getString(3) != "held")
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    val routed = PipelineOps.routeDecisions(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(batch.keySet == routed.keySet, "both sides cover exactly the arrivals")
+    // driver-side recomputation of the matrix from the two per-doc maps
+    val want = batch.toSeq.map { case (id, (bs, bo)) =>
+      val (rs, ro) = routed(id)
+      ((bo, ro), if (bs == rs) 1L else 0L)
+    }.groupBy(_._1).map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    val got = PipelineOps.x69RouteAgreement(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"matrix mismatch:\n got $got\n exp $want")
+    assert(got.values.map(_._1).sum == batch.size.toLong)
+    // disagreement inside an inherited/inherited cell would mean the
+    // frozen index served a split the closure contradicts on THIS corpus
+    got.get(("inherited", "inherited")).foreach { case (n, agree) =>
+      assert(n == agree, s"inherited/inherited cell must fully agree here: $n vs $agree")
+    }
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)
