@@ -649,7 +649,7 @@ object PipelineOps {
 
   /** Deterministic 16-bit sampling key shared with x20: top 16 bits of
     * md5(doc_id). */
-  private def h16(c: Column): Column =
+  private[graft] def h16(c: Column): Column =
     shiftrightunsigned(graft.functions.HashFunctions.md5Long(c.cast("string"), 0), 48)
 
   /** x30: data-mixture rebalancing — the Llama/DoReMi mixing stage:
@@ -674,6 +674,55 @@ object PipelineOps {
       .agg(max(col("n_docs")).as("n_docs"), max(col("rate16")).as("rate16"),
         sum(when(col("h16") < col("rate16"), 1L).otherwise(0L)).as("n_kept"))
       .select(col("lang"), col("n_docs"), col("rate16"), col("n_kept"))
+      .orderBy("lang")
+  }
+
+  // ---- x70: temperature-sampled language mixture ----
+
+  /** x70: temperature-sampled mixture rebalancing (α = 1/2) — the
+    * XLM-R/mT5 mixing rule x30's uniform floor generalizes to: language
+    * l is kept ∝ cnt_l^α, flattening the head-language dominance
+    * without collapsing every language to the minimum like x30. All
+    * arithmetic is engine-exact: the weight is the INTEGER square root
+    * w_l = ⌊√cnt_l⌋ (floor(sqrt(double)) is exact for cnt < 2^52 —
+    * IEEE sqrt is correctly rounded and the nearest double below an
+    * integer k < 2^26 floors to k−1, so the boundary cannot
+    * mis-round at any corpus this engine sees), the keep budget is
+    * K = ⌊total/2⌋ docs, each language's target is
+    * min(cnt_l, ⌊K·w_l / Σw⌋), and the kept docs are the language's
+    * bottom-target by the 48-bit md5 priority — x44's reproducible
+    * draw, exact sizes on any cluster layout. The rollup counts the
+    * kept set and checksums it (sum of kept doc_ids) rather than
+    * asserting target reached — the measure-don't-assume posture.
+    *
+    * Plan shape at 100 TB: one tiny per-language count (broadcast), the
+    * priority draw as a per-language window over (h48, doc_id) — group
+    * count = |languages|, each group's sort spills independently; for
+    * corpora where one language dominates, the same two-level bucket
+    * trick as x65 applies (bucket by doc range, offsets frame), or
+    * x44's bounded heap when the target is small. */
+  def x70TempMixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"),
+      shiftrightunsigned(
+        graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 16).as("h48"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast(LongType))
+    val tot = counts.agg(sum(col("w")).as("sw"),
+      fdiv(sum(col("n_docs")), lit(2L)).as("k"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("w"),
+        least(col("n_docs"), fdiv(col("k") * col("w"), col("sw"))).as("target"))
+    val wL = Window.partitionBy(col("lang")).orderBy(col("h48"), col("doc_id"))
+    val kept = d.withColumn("rnk", row_number().over(wL))
+      .join(broadcast(targets.select(col("lang"), col("target"))), "lang")
+      .filter(col("rnk") <= col("target"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_doc_sum"))
+    targets.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("w"), col("target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_doc_sum"), lit(0L)).as("kept_doc_sum"))
       .orderBy("lang")
   }
 
@@ -1457,6 +1506,7 @@ object PipelineOps {
     "x28_surprisal" -> x28Surprisal,
     "x29_decontam" -> x29Decontam,
     "x30_mixture" -> x30Mixture,
+    "x70_temp_mixture" -> x70TempMixture,
     "x31_packing" -> x31Packing,
     "x32_repetition" -> x32Repetition,
     "x33_dedup_eval" -> x33DedupEval,
@@ -1468,7 +1518,7 @@ object PipelineOps {
 
   /** DuckDB twin of the Spark hex16 parse (no conv(); nibble positions
     * via instr on the hex alphabet). */
-  private def hex16Sql(h: String): String =
+  private[graft] def hex16Sql(h: String): String =
     (0 until 4).map { i =>
       val nib = TextOps.nibSql(h, i + 1)
       s"(${1L << (4 * (3 - i))} * $nib)"
@@ -1727,6 +1777,26 @@ object PipelineOps {
   val oracle: Map[String, String] = Map(
     "x63_split_assign" -> x63Sql,
     "x68_split_stable" -> x68Sql,
+    // x70: exact integer temperature mixing — isqrt weight, floored
+    // target, bottom-target-by-h48 draw, kept set counted AND checksummed
+    "x70_temp_mixture" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, lang,
+         |        ${hex48Sql("md5(CAST(doc_id AS VARCHAR))")} AS h48 FROM documents),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY lang),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+         |        ${Tables.fdivSql("CAST(sum(n_docs) AS BIGINT)", "2")} AS k FROM c),
+         |g AS (SELECT lang, n_docs, w,
+         |        LEAST(n_docs, ${Tables.fdivSql("k * w", "sw")}) AS target FROM c, t),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h48, doc_id) AS rnk FROM d),
+         |kp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |         CAST(sum(doc_id) AS BIGINT) AS kept_doc_sum
+         |       FROM r JOIN g USING (lang) WHERE rnk <= target GROUP BY r.lang)
+         |SELECT g.lang, g.n_docs, g.w, g.target,
+         |  COALESCE(kp.n_kept, 0) AS n_kept,
+         |  COALESCE(kp.kept_doc_sum, 0) AS kept_doc_sum
+         |FROM g LEFT JOIN kp USING (lang) ORDER BY g.lang""".stripMargin,
     // x69: both sides' full lattices re-derived, joined per arrival,
     // rolled up to the ≤3×3 origin matrix
     "x69_route_agreement" ->

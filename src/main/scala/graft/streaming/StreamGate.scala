@@ -456,6 +456,58 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** S19 budget shard count — the admission parallelism knob: the
+    * global budget splits evenly across this many state keys, each a
+    * ONE-long register. At cluster scale set ≈ state-store parallelism;
+    * the budget slices are x65's bucket idea made causal. */
+  private val s19Shards = 8L
+
+  /** s19 gate: continuous token-budget ADMISSION — x65's selection as a
+    * serving decision (the 12th gate): documents stream in id order,
+    * each hashes to a budget shard (h16(doc_id) % shards), and the
+    * shard's state machine admits it iff the shard-local running token
+    * sum stays within budget/shards — x65's greedy prefix rule, causal.
+    * A global FIFO admission is inherently sequential (one running sum
+    * = one state key = one writer); the SHARDED budget is the honest
+    * scalable contract: K independent registers, each deciding its own
+    * slice, the same two-level decomposition x65's bucket offsets use
+    * for the batch prefix sum.
+    *
+    * Plan shape at 100 TB: per-row O(1) — one hash, one state read, one
+    * add; state is ONE long per shard forever (no growth with the
+    * stream); shards scale with the cluster. The budget itself is a
+    * 1-row batch aggregate computed before the stream starts (in
+    * production: the capacity plan). Exact parity oracle: the per-shard
+    * prefix sum as a partitioned window — admission is a pure function
+    * of the running total, so the gate row IS the oracle row. */
+  def s19BudgetAdmitStream(spark: SparkSession, dir: String): DataFrame = withRocksDB(spark) {
+    import spark.implicits._
+    val budget = Tables.documents(spark, dir)
+      .agg(Tables.fdiv(sum(size(split(col("text"), " ")).cast("long")), lit(2L)).as("b"))
+      .collect()(0).getLong(0) // 1 row — the x65 budget rule
+    val shardBudget = Math.floorDiv(budget, s19Shards)
+    val feed = sharedDocsFeed(spark, dir)
+    val src = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+      .select(col("doc_id").as("docId"),
+        (graft.ops.PipelineOps.h16(col("doc_id")) % s19Shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("nTok"))
+      .as[BudgetDoc]
+    val streamed = {
+      val name = s"s19_gate_${runId.incrementAndGet()}"
+      val q = src.groupByKey(_.shard)
+        .transformWithState(new BudgetAdmitProcessor(shardBudget),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    streamed
+      .select(col("docId").as("doc_id"), col("shard"), col("nTok").as("n_tok"),
+        col("cumTok").as("cum_tok"), col("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** S10 MG capacity and slot count. k matches the batch q27c (so the
     * oracle is q27c's SQL verbatim); [[s10Slots]] spreads each language
     * over that many disjoint-token state keys. */
@@ -839,6 +891,7 @@ object StreamGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_budget_admit" -> s19BudgetAdmitStream,
     "s18_split_route" -> s18SplitRouteStream,
     "s17_bpe_drift_stream" -> s17BpeDriftStream,
     "s16_pq_stream" -> s16PqStream,
@@ -852,6 +905,23 @@ object StreamGate {
     "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
+    // s19: admission is a pure function of the shard-local running sum,
+    // so the oracle is the per-shard prefix sum as a partitioned window
+    "s19_budget_admit" -> {
+      val shardSql = s"${graft.ops.PipelineOps.hex16Sql("md5(CAST(doc_id AS VARCHAR))")} % $s19Shards"
+      s"""WITH d AS MATERIALIZED (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |        CAST($shardSql AS BIGINT) AS shard
+         |      FROM documents),
+         |t AS (SELECT ${Tables.fdivSql("CAST(sum(n_tok) AS BIGINT)", "2")} AS budget FROM d),
+         |sb AS (SELECT ${Tables.fdivSql("budget", s19Shards.toString)} AS shard_budget FROM t),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tok
+         |      FROM d)
+         |SELECT doc_id, shard, n_tok, cum_tok,
+         |  CAST(CASE WHEN cum_tok <= (SELECT shard_budget FROM sb) THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     // s18: band-neighbor routing against the frozen history index is
     // exact — the oracle re-derives closure→sticky, capped band index,
     // arrival bands and the OR independently

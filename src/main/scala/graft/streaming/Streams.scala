@@ -121,6 +121,42 @@ class TemporalAsofProcessor extends StatefulProcessor[Long, ProbeEvent, AsofMatc
   }
 }
 
+/** One arriving document for the budget-admission stream (S19):
+  * `shard` is the deterministic budget slice its id hashes to. */
+case class BudgetDoc(docId: Long, shard: Long, nTok: Long)
+
+/** S19 output: the doc with its shard-local running total and the
+  * admission verdict (1 = within the shard's budget). */
+case class BudgetAdmit(docId: Long, shard: Long, nTok: Long, cumTok: Long, admitted: Long)
+
+/** S19 state machine: per budget shard ONE long — the running token
+  * sum. Docs inside a batch-key group fold in doc_id order (the feed
+  * replays the corpus in id order across batches, so the shard-local
+  * arrival order IS id order), the sum advances unconditionally (x65's
+  * prefix rule: admitted ⟺ the running total at this doc stays within
+  * budget), and the verdict is a pure function of the total — so the
+  * emission is exactly the per-shard prefix sum the batch oracle
+  * computes with a partitioned window. State never grows: one register
+  * per shard, however long the stream runs. */
+class BudgetAdmitProcessor(shardBudget: Long)
+  extends StatefulProcessor[Long, BudgetDoc, BudgetAdmit] {
+  @transient private var cum: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[BudgetDoc],
+      timers: TimerValues): Iterator[BudgetAdmit] = {
+    var c = if (cum.exists()) cum.get() else 0L
+    val out = rows.toSeq.sortBy(_.docId).map { d =>
+      c += d.nTok
+      BudgetAdmit(d.docId, key, d.nTok, c, if (c <= shardBudget) 1L else 0L)
+    }
+    cum.update(c)
+    out.iterator
+  }
+}
+
 /** One token occurrence in the heavy-hitter stream: `slot` is a
   * DETERMINISTIC hash of the token (`pmod(xxhash64(bg), P)`), so one
   * token always lands in one slot — the per-(lang, slot) summaries

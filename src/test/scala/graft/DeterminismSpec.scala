@@ -22,7 +22,7 @@ class DeterminismSpec extends SparkTestBase {
     // sorted collect_list + pair explode, bucket self-join, vocab join,
     // broadcast min rate, per-writer window prefix sums
     "x25_boilerplate", "x26_winnowing", "x27_semantic_dedup",
-    "x28_surprisal", "x30_mixture", "x31_packing",
+    "x28_surprisal", "x30_mixture", "x70_temp_mixture", "x31_packing",
     "x33_dedup_eval", "x34_source_report", "x35_canonical_pick",
     "x36_incremental_dedup",
     // the bigram LM: three left joins against vocab tables + a

@@ -641,6 +641,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x70: temperature mixture equals a driver-side reference draw") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    def h48(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val byLang = docs.groupBy(_._2)
+    val cnt = byLang.map { case (l, ds) => l -> ds.length.toLong }
+    val w = cnt.map { case (l, n) => l -> math.sqrt(n.toDouble).floor.toLong }
+    val sw = w.values.sum
+    val k = cnt.values.sum / 2
+    val target = cnt.map { case (l, n) => l -> math.min(n, k * w(l) / sw) }
+    val kept = byLang.map { case (l, ds) =>
+      l -> ds.map(_._1).sortBy(id => (h48(id), id)).take(target(l).toInt)
+    }
+    val got = PipelineOps.x70TempMixture(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == cnt.keySet)
+    got.foreach { r =>
+      val l = r.getString(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((cnt(l), w(l), target(l))),
+        s"$l: ${r.toString}")
+      assert((r.getLong(4), r.getLong(5)) == ((kept(l).size.toLong, kept(l).sum)),
+        s"$l kept set: ${r.toString}")
+    }
+  }
+
   test("x38: e2e manifest accounts for exactly the surviving documents") {
     import org.apache.spark.sql.functions._
     val manifest = PipelineOps.x38PipelineE2e(spark, sf0001)

@@ -16,6 +16,31 @@ class FrozenTimesFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
   * DuckDB compare — these tests pin the same equivalences locally. */
 class StreamGateSpec extends SparkTestBase {
 
+  test("s19 gate == batch per-shard prefix-sum admission") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (graft.ops.PipelineOps.h16(col("doc_id")) % 8L).as("shard"))
+    val budget = d.agg(graft.model.Tables.fdiv(sum(col("n_tok")), lit(2L)))
+      .collect()(0).getLong(0)
+    val shardBudget = Math.floorDiv(budget, 8L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = d.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_tok"),
+        when(col("cum_tok") <= shardBudget, 1L).otherwise(0L).as("admitted"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = StreamGate.s19BudgetAdmitStream(spark, sf0001).collect()
+    assert(got.map(_.toString).toSeq == batch,
+      "the gate's cross-batch running sums must equal the batch window prefix sum")
+    // the budget rule actually bites: both admitted and rejected docs exist
+    val admitted = got.count(_.getLong(4) == 1L)
+    assert(admitted > 0 && admitted < got.length,
+      s"degenerate admission split: $admitted of ${got.length}")
+  }
+
   test("s18: per-row band signature equals the batch x13 band pipeline") {
     import org.apache.spark.sql.functions._
     val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
