@@ -1358,6 +1358,8 @@ class OpsSpec extends SparkTestBase {
       "x62" -> ((s: org.apache.spark.sql.SparkSession, d: String) => TextOps.x62BpeTrain(s, d)),
       "x63" -> PipelineOps.x63SplitAssign _,
       "x68" -> PipelineOps.x68SplitStable _,
+      "x69" -> PipelineOps.x69RouteAgreement _,
+      "x70" -> PipelineOps.x70TempMixture _,
       "x64" -> TextOps.x64VocabGrowth _,
       "x65" -> PipelineOps.x65BudgetSelect _,
       "x66" -> PipelineOps.x66SplitAudit _,
@@ -1425,6 +1427,26 @@ class OpsSpec extends SparkTestBase {
     (0L to 4L).foreach(d => assert(x68(d)._2 == "held", s"doc $d: ${x68(d)}"))
     assert(x68(100L) == ((x68(4L)._1, "inherited")), s"dup arrival: ${x68(100L)}")
     assert(x68(101L)._2 == "fresh", s"gram-less arrival: ${x68(101L)}")
+    // x69 on the edge corpus: the router agrees with the closure on both
+    // arrivals — 100 has exactly doc 4 as band neighbor (inherited, same
+    // split), gram-less 101 has no bands (fresh; both rules hash the same
+    // id, 101 is its own full-cluster label) — two all-agree diagonal cells
+    val x69 = PipelineOps.x69RouteAgreement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(x69 == Map(("fresh", "fresh") -> ((1L, 1L)),
+      ("inherited", "inherited") -> ((1L, 1L))), s"edge x69: $x69")
+    // x70 on the edge corpus: 3 languages (en:3, de:2, es:2), all isqrt
+    // weights 1, budget k = ⌊7/2⌋ = 3 ⇒ every target = ⌊3·1/3⌋ = 1 — each
+    // language keeps exactly its hash-min doc (a member of the language)
+    val x70 = PipelineOps.x70TempMixture(spark, dir).collect()
+    val langDocs = Map("en" -> Set(0L, 1L, 101L), "de" -> Set(2L, 3L), "es" -> Set(4L, 100L))
+    assert(x70.length == 3, s"edge x70: ${x70.mkString(", ")}")
+    x70.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L,
+        s"edge x70 row: $r")
+      assert(langDocs(r.getString(0)).contains(r.getLong(5)),
+        s"kept doc must belong to its language: $r")
+    }
     // x64: densified grid = 10 rows per source; decile-10 cum == vocab
     val x64 = TextOps.x64VocabGrowth(spark, dir).collect()
     assert(x64.length == 30, s"3 sources x 10 deciles expected, got ${x64.length}")
