@@ -56,7 +56,7 @@ object SparkEntry {
     * Batch keys register LAZY logical plans — registration executes
     * nothing, and each SELECT runs the same plan the function form
     * returns (shared Stages builds still materialize once per session on
-    * first touch). The streaming-gate keys (s8–s18) execute their gate
+    * first touch). The streaming-gate keys (s8–s19) execute their gate
     * ONCE at registration by construction — their result is already a
     * static materialized frame — so those views serve that snapshot;
     * likewise x62's training loop (driver-iterated argmax rounds) runs

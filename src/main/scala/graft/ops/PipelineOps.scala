@@ -706,8 +706,13 @@ object PipelineOps {
     val d = documents(spark, dir).select(col("doc_id"), col("lang"),
       shiftrightunsigned(
         graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 16).as("h48"))
+    // |languages| rows, eagerly materialized: the counts frame feeds BOTH
+    // the per-language targets and the 1-row totals — without this the
+    // diamond re-executes the corpus lang scan once per consumer (the
+    // x2DedupNearOn byK precedent)
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs"))).cast(LongType))
+      .localCheckpoint(true)
     val tot = counts.agg(sum(col("w")).as("sw"),
       fdiv(sum(col("n_docs")), lit(2L)).as("k"))
     val targets = counts.crossJoin(broadcast(tot))

@@ -68,6 +68,20 @@ class ContractSpec extends AnyFunSuite {
       "the global window must consume the per-(quality, bucket) aggregate, never the corpus")
   }
 
+  test("x70's draw window is language-partitioned (no global sort)") {
+    // the temperature draw ranks docs WITHIN each language; a window with
+    // an empty partitionSpec means the per-language draw reverted to one
+    // global corpus sort on a single task
+    import org.apache.spark.sql.execution.window.WindowExec
+    val spark = SparkTestBase.session
+    graft.ops.Stages.clear()
+    val df = SparkEntry.queries("x70_temp_mixture")(spark, "/root/testdata/sf0.001")
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "the per-language rank window must exist")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"x70 plans a global (un-partitioned) window:\n${wins.mkString("\n")}")
+  }
+
   test("no query plans a CartesianProduct") {
     val spark = SparkTestBase.session
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
