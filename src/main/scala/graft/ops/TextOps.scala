@@ -827,6 +827,12 @@ object TextOps {
       .select(explode(toks(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      // vocab-sized, eagerly materialized: every training round's action
+      // re-executes its input lineage, so a LAZY type table would pay the
+      // corpus count k times over — exactly the cost this operator exists
+      // to avoid (the 256× audit measured the lazy form at 29× the 64×
+      // leg before this landed). One corpus pass, then k vocab passes.
+      .localCheckpoint(true)
     bpeTrainSeqs(spark, types.select(
       concat(lit(" "), array_join(split(col("tok"), ""), "  "), lit(" ")).as("s"),
       col("freq")), rounds)
