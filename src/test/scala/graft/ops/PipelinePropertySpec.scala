@@ -18,6 +18,61 @@ class PipelinePropertySpec extends SparkTestBase {
   private def sample[A](g: Gen[A], seed: Long): A =
     graft.SparkTestBase.sampleGen(g, seed)
 
+  test("bpeTrainSeqs == reference trainer on random weighted corpora at every checkpoint cadence") {
+    val s = spark
+    import s.implicits._
+    // tiny alphabet forces merge collisions and ties (the (n DESC, l, r)
+    // tiebreak path); zero-length words exercise the <2-unit guard; the
+    // weights exercise the weighted argmax x62b relies on
+    val corpusGen = Gen.listOfN(12, Gen.zip(
+      Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))),
+      Gen.choose(1L, 9L)))
+    def reference(seqs0: Seq[(Vector[String], Long)], rounds: Int)
+        : Seq[(Long, String, String, Long)] = {
+      var seqs = seqs0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= rounds && !exhausted) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seqs.foreach { case (w, n) =>
+          w.indices.dropRight(1).foreach { i =>
+            counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((round.toLong, l, r, n))
+          seqs = seqs.map { case (w, nw) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == l && w(i + 1) == r) { b += s"${l}_$r"; i += 2 }
+              else { b += w(i); i += 1 }
+            }
+            (b.result(), nw)
+          }
+        }
+        round += 1
+      }
+      out.toSeq
+    }
+    for (seed <- 1L to 6L) {
+      val corpus = sample(corpusGen, 500L + seed)
+        .map { case (w, n) => (w.toVector, n) }
+      val expect = reference(corpus, rounds = 5)
+      val seqsDf = corpus.map { case (w, n) =>
+        (" " + w.mkString("  ") + " ", n) }.toDF("s", "freq")
+      Seq(1, 2, 8).foreach { cp =>
+        val got = TextOps.bpeTrainSeqs(s, seqsDf, rounds = 5, checkpointEvery = cp)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+        assert(got == expect,
+          s"seed $seed checkpointEvery $cp:\n got $got\n exp $expect\n corpus $corpus")
+      }
+    }
+  }
+
   test("winnowing: selection equals brute force and every shingle window is covered") {
     val s = spark
     import s.implicits._
