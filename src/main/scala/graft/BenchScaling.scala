@@ -215,10 +215,22 @@ object BenchScaling {
     // router-vs-closure reconciliation: x68's lattice + the staged band
     // index probed batch-side + one bounded (≤3×3) matrix rollup
     "x69_route_agreement" -> fx(graft.ops.PipelineOps.x69RouteAgreement _),
-    // temperature mixing: tiny per-lang count + per-lang window draw —
-    // replicas share languages, so group size grows ×f with the draw
-    // targets scaling by isqrt — the per-group sort is the term to watch
+    // temperature mixing: tiny per-lang count + the two-level bucket
+    // draw — replicas share languages, so group size grows ×f with the
+    // draw targets scaling by isqrt
     "x70_temp_mixture" -> fx(graft.ops.PipelineOps.x70TempMixture _),
+    // the HEAD-SKEW form (the r14 verdict's scale-killer scenario): every
+    // replica row (doc_id ≥ keyOffset) is remapped into ONE language, so
+    // at factor f the head language owns (f−1)/f of the corpus — under
+    // the old per-language window this serialized the draw onto one
+    // reducer; the two-level bucket rank must keep this leg tracking the
+    // uniform x70 line
+    "x70_skew" -> ((s: SparkSession, d: String, _: Int) => {
+      val frame = graft.ops.PipelineOps.x70DrawFrame(s, d)
+        .withColumn("lang",
+          when(col("doc_id") >= keyOffset, lit("skewhead")).otherwise(col("lang")))
+      graft.ops.PipelineOps.x70TempMixtureOn(frame)
+    }),
     // log compaction: disjoint per-replica users ⇒ keys ×f with per-key
     // history fixed — the struct-max partials must stay map-side-bound
     "c9_compact" -> fx(graft.ops.Changelog.c9Compact _),
@@ -348,7 +360,7 @@ object BenchScaling {
     "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
     "x66_split_audit", "x67_bpe_apply",
     "x62_bpe_train", "x62b_bpe_word", "x68_split_stable", "x69_route_agreement",
-    "x70_temp_mixture",
+    "x70_temp_mixture", "x70_skew",
     // the x49 candidate A/B count legs read the x49_grams stage, which
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")

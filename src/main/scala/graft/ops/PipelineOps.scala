@@ -695,17 +695,33 @@ object PipelineOps {
     * kept set and checksums it (sum of kept doc_ids) rather than
     * asserting target reached — the measure-don't-assume posture.
     *
-    * Plan shape at 100 TB: one tiny per-language count (broadcast), the
-    * priority draw as a per-language window over (h48, doc_id) — group
-    * count = |languages|, each group's sort spills independently; for
-    * corpora where one language dominates, the same two-level bucket
-    * trick as x65 applies (bucket by doc range, offsets frame), or
-    * x44's bounded heap when the target is small. */
-  def x70TempMixture(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir).select(col("doc_id"), col("lang"),
+    * Plan shape at 100 TB: one tiny per-language count (broadcast), and
+    * the priority draw as x65's TWO-LEVEL bucket rank — `lang` is an
+    * inherently head-skewed partition key (a real multilingual corpus
+    * puts 40–50% of documents in one language, so a per-language window
+    * is a one-reducer sort of half the corpus at scale): (1) docs bucket
+    * by the h48 RANGE (h48 is the primary order key, so buckets compose
+    * in draw order exactly); (2) a tiny per-(lang, bucket) count frame
+    * yields each bucket's rank offset via a window over THAT frame;
+    * (3) the corpus-sized window partitions by (lang, bucket) — the head
+    * language's sort spreads over [[x65Buckets]] tasks, the scale knob.
+    * ContractSpec pins the decomposition; BenchScaling's
+    * `x70_skew` leg (ONE language replicated) measures it. */
+  def x70TempMixture(spark: SparkSession, dir: String): DataFrame =
+    x70TempMixtureOn(x70DrawFrame(spark, dir))
+
+  /** x70's input projection (doc_id, lang, h48 draw priority) — split out
+    * so BenchScaling's skew leg can remap `lang` before the draw. */
+  private[graft] def x70DrawFrame(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("lang"),
       shiftrightunsigned(
         graft.functions.HashFunctions.md5Long(col("doc_id").cast("string"), 0), 16).as("h48"))
+
+  /** x70's core over any (doc_id, lang, h48) frame — split out so the
+    * skew leg can replicate one language and the two-level rank algebra
+    * is property-testable (the budgetSelectOn precedent). */
+  private[graft] def x70TempMixtureOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // |languages| rows, eagerly materialized: the counts frame feeds BOTH
     // the per-language targets and the 1-row totals — without this the
     // diamond re-executes the corpus lang scan once per consumer (the
@@ -718,8 +734,20 @@ object PipelineOps {
     val targets = counts.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("w"),
         least(col("n_docs"), fdiv(col("k") * col("w"), col("sw"))).as("target"))
-    val wL = Window.partitionBy(col("lang")).orderBy(col("h48"), col("doc_id"))
-    val kept = d.withColumn("rnk", row_number().over(wL))
+    // two-level draw rank (x65's offsets idiom): bucket over the h48
+    // range — same h48 ⇒ same bucket, so (h48, doc_id) order composes
+    // across buckets and rank = bucket offset + within-bucket row_number
+    val bucketed = d.withColumn("bkt", fdiv(col("h48") * x65Buckets, lit(1L << 48)))
+    val offW = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumn("off", sum(col("grp_n")).over(offW) - col("grp_n"))
+      .select(col("lang"), col("bkt"), col("off"))
+    val inW = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("h48"), col("doc_id"))
+    val kept = bucketed.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("rnk", col("off") + row_number().over(inW))
       .join(broadcast(targets.select(col("lang"), col("target"))), "lang")
       .filter(col("rnk") <= col("target"))
       .groupBy(col("lang"))
@@ -1650,7 +1678,10 @@ object PipelineOps {
     val wB = Window.partitionBy(col("band"), col("h"))
     TextOps.x13Bands(d.filter(col("doc_id") <= thr))
       .withColumn("df", count(lit(1)).over(wB))
-      .filter(col("df") <= 50)
+      // the ONE df-cap definition (TextOps.x13BandDfCap): retuning x13's
+      // cap must retune the router's index with it, or the neighbor set
+      // silently diverges from the pair table feeding x68Sticky
+      .filter(col("df") <= TextOps.x13BandDfCap)
       .join(Stages.x68Sticky(spark, dir), "doc_id")
       .groupBy(col("band"), col("h"))
       .agg(bit_or(splitBitCol(col("split_old"))).as("bits"))
@@ -1755,7 +1786,7 @@ object PipelineOps {
        |    bit_or(CASE s.split_old WHEN 'test' THEN 1 WHEN 'val' THEN 2 ELSE 4 END) AS bits
        |  FROM (SELECT bands.doc_id, bands.band, bands.h FROM bands
        |        JOIN (SELECT band, h FROM bands GROUP BY band, h
-       |              HAVING count(*) <= 50) k USING (band, h)) kept
+       |              HAVING count(*) <= ${TextOps.x13BandDfCap}) k USING (band, h)) kept
        |  JOIN sticky s USING (doc_id) GROUP BY 1, 2),
        |agh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
        |                     FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id > tt.thr),

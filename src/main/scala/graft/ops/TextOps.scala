@@ -781,6 +781,7 @@ object TextOps {
         .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n_pair"))
     var seqs = seqs0
+    var prevCkpt: Option[DataFrame] = None // superseded checkpoints, unpersisted promptly
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -794,10 +795,23 @@ object TextOps {
         merges += ((round.toLong, l, r, n))
         seqs = seqs.select(
           replace(col("s"), lit(s" $l  $r "), lit(s" ${l}_$r ")).as("s"), col("freq"))
-        if (round % checkpointEvery == 0) seqs = seqs.localCheckpoint(true)
+        if (round % checkpointEvery == 0) {
+          val ckpt = seqs.localCheckpoint(true)
+          // the superseded checkpoint's blocks are dead once the new one
+          // materializes — unpersist promptly (the connectedComponents
+          // prevCkpt pattern) instead of letting deep-vocab runs stack
+          // checkpointed block sets until the ContextCleaner gets there
+          prevCkpt.foreach(_.unpersist())
+          prevCkpt = Some(ckpt)
+          seqs = ckpt
+        }
         round += 1
       }
     }
+    // the merge table is driver state (one collect per round) — nothing
+    // downstream reads the rewritten sequence frame, so the last
+    // checkpoint's blocks are releasable here too
+    prevCkpt.foreach(_.unpersist())
     merges.toSeq.toDF("round", "l", "r", "n_pair").orderBy("round")
   }
 

@@ -129,30 +129,46 @@ case class BudgetDoc(docId: Long, shard: Long, nTok: Long)
   * admission verdict (1 = within the shard's budget). */
 case class BudgetAdmit(docId: Long, shard: Long, nTok: Long, cumTok: Long, admitted: Long)
 
-/** S19 state machine: per budget shard ONE long — the running token
-  * sum. Docs inside a batch-key group fold in doc_id order (the feed
-  * replays the corpus in id order across batches, so the shard-local
-  * arrival order IS id order), the sum advances unconditionally (x65's
-  * prefix rule: admitted ⟺ the running total at this doc stays within
-  * budget), and the verdict is a pure function of the total — so the
-  * emission is exactly the per-shard prefix sum the batch oracle
-  * computes with a partitioned window. State never grows: one register
-  * per shard, however long the stream runs. */
+/** S19 state machine: per budget shard TWO longs — the running token
+  * sum and the last admitted doc id. Docs inside a batch-key group fold
+  * in doc_id order (the `rows.toSeq.sortBy` buffer is bounded by ONE
+  * micro-batch's share of one shard — heap O(maxBatchRows/shards), the
+  * feed-sizing knob, never stream-length), the sum advances
+  * unconditionally (x65's prefix rule: admitted ⟺ the running total at
+  * this doc stays within budget), and the verdict is a pure function of
+  * the total — so the emission is exactly the per-shard prefix sum the
+  * batch oracle computes with a partitioned window. CROSS-batch order is
+  * a feed contract (the corpus replays in id order), not something this
+  * processor can sort — so it is enforced as a loud invariant: the
+  * `lastDoc` register rejects any arrival at-or-behind the shard's
+  * high-water id rather than silently emitting wrong admission verdicts
+  * off a reordered/re-listed feed. State never grows: two registers per
+  * shard, however long the stream runs. */
 class BudgetAdmitProcessor(shardBudget: Long)
   extends StatefulProcessor[Long, BudgetDoc, BudgetAdmit] {
   @transient private var cum: ValueState[Long] = _
+  @transient private var lastDoc: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+    lastDoc = getHandle.getValueState[Long]("lastDoc", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[BudgetDoc],
       timers: TimerValues): Iterator[BudgetAdmit] = {
     var c = if (cum.exists()) cum.get() else 0L
+    var hw = if (lastDoc.exists()) lastDoc.get() else Long.MinValue
     val out = rows.toSeq.sortBy(_.docId).map { d =>
+      if (d.docId <= hw)
+        throw new IllegalStateException(
+          s"s19 feed ordering violated: shard $key saw doc ${d.docId} after $hw — " +
+            "the budget prefix sum is only correct over an id-ordered replay")
+      hw = d.docId
       c += d.nTok
       BudgetAdmit(d.docId, key, d.nTok, c, if (c <= shardBudget) 1L else 0L)
     }
     cum.update(c)
+    lastDoc.update(hw)
     out.iterator
   }
 }

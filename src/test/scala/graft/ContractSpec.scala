@@ -68,18 +68,29 @@ class ContractSpec extends AnyFunSuite {
       "the global window must consume the per-(quality, bucket) aggregate, never the corpus")
   }
 
-  test("x70's draw window is language-partitioned (no global sort)") {
-    // the temperature draw ranks docs WITHIN each language; a window with
-    // an empty partitionSpec means the per-language draw reverted to one
-    // global corpus sort on a single task
+  test("x70's corpus draw window is bucket-partitioned (the two-level skew contract)") {
+    // `lang` is an inherently head-skewed key — a corpus-sized window
+    // partitioned by lang alone is a one-reducer sort of the head
+    // language at scale. The two-level form: the corpus window's
+    // partitionSpec must include the h48-range bucket column, and any
+    // window WITHOUT the bucket (the per-language offsets cumsum) must
+    // be language-partitioned AND consume the reduced per-(lang, bucket)
+    // aggregate, never the corpus.
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val spark = SparkTestBase.session
     graft.ops.Stages.clear()
     val df = SparkEntry.queries("x70_temp_mixture")(spark, "/root/testdata/sf0.001")
     val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
-    assert(wins.nonEmpty, "the per-language rank window must exist")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      s"x70 plans a global (un-partitioned) window:\n${wins.mkString("\n")}")
+    val (bucketed, rest) = wins.partition(_.partitionSpec.exists(_.toString.contains("bkt")))
+    assert(bucketed.nonEmpty, "the per-(lang, bucket) draw window must exist")
+    assert(rest.nonEmpty, "the per-language offsets window must exist")
+    rest.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"x70 plans a global (un-partitioned) window:\n$w")
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"a non-bucketed x70 window must consume the per-(lang, bucket) aggregate, never the corpus:\n$w")
+    }
   }
 
   test("no query plans a CartesianProduct") {

@@ -128,6 +128,35 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("x70 temp mixture: two-level bucket draw matches a sequential fold on skewed corpora") {
+    val s = spark
+    import s.implicits._
+    // lang heavily head-skewed (the exact shape the bucket decomposition
+    // exists for), sparse 48-bit priorities including bucket-boundary
+    // values, duplicate h48 (the doc_id tiebreak path)
+    val rowGen = Gen.listOfN(220, Gen.zip(
+      Gen.choose(0L, 9999L),
+      Gen.frequency(8 -> Gen.const("en"), 1 -> Gen.oneOf("de", "fr", "ja")),
+      Gen.oneOf(Gen.choose(0L, (1L << 48) - 1), Gen.choose(0L, 3L).map(_ << 43))))
+    for (seed <- 1L to 6L) {
+      val rows = sample(rowGen, 900L + seed)
+        .groupBy(_._1).map(_._2.head).toSeq // doc_id must be unique
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val w = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+      val sw = w.values.sum
+      val k = rows.size.toLong / 2
+      val target = counts.map { case (l, n) => l -> math.min(n, k * w(l) / sw) }
+      val expect = rows.groupBy(_._2).map { case (l, ds) =>
+        val kept = ds.sortBy { case (d, _, h) => (h, d) }.take(target(l).toInt)
+        l -> (counts(l), w(l), target(l), kept.size.toLong, kept.map(_._1).sum)
+      }
+      val got = PipelineOps.x70TempMixtureOn(rows.toDF("doc_id", "lang", "h48"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == expect, s"seed $seed:\n got $got\n exp $expect")
+    }
+  }
+
   test("packing: per-writer prefix sums match brute force on arbitrary corpora") {
     val s = spark
     import s.implicits._
