@@ -1434,6 +1434,21 @@ object PipelineOps {
       .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
   }
 
+  /** Persist the sticky-split table — x68's PRODUCTION contract: the
+    * governance assignment is a STORED per-doc table, written once when
+    * the history slice freezes and consumed by every later installment,
+    * session, and serving router — not re-derived per run. (Re-derivation
+    * is deterministic today — min-label fixpoints are unique — but the
+    * stored table is the artifact auditors sign off on and the only form
+    * that survives a candidate-generator retune.) Point
+    * `spark.graft.stickyPath` (or the SPARK_GRAFT_STICKY_PATH env var) at
+    * the written path and [[Stages.x68Sticky]] serves the stored table to
+    * x68, the s18 router index, and x69's audit in any later session. The
+    * path names ONE corpus's table; keeping it pointed at the right
+    * corpus is the deployment's contract. */
+  def persistStickySplits(spark: SparkSession, dir: String, path: String): Unit =
+    stickySplitsUnstaged(spark, dir).write.mode("overwrite").parquet(path)
+
   /** x68's decision rule over any sticky (doc_id, split_old) and full
     * (doc_id, cluster_id) labelings — split out so SplitStableSpec can
     * drive it with adversarial two-installment graphs (the

@@ -277,13 +277,34 @@ object Stages {
       TextOps.x62BpeTrainOn(spark, d.filter(col("doc_id") <= thr))
     }
 
+  /** The PERSISTED sticky-table location, if configured: runtime conf
+    * `spark.graft.stickyPath` first (testable per session; an empty value
+    * forces re-derivation — the stageDir convention), env var
+    * `SPARK_GRAFT_STICKY_PATH` as the deployment default. */
+  private def stickyPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.stickyPath") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_STICKY_PATH").filter(_.nonEmpty)
+    }
+
   /** x68's sticky split table (doc_id, split_old — one row per HISTORY
-    * doc): phase-1 components over history-internal x13 pairs, hashed
-    * through the shared split rule. Read by x68's batch assignment and
-    * the s18 routing gate's frozen index, so the phase-1 fixpoint runs
-    * once per session. */
+    * doc). Two sources, in priority order: (1) the PERSISTED table
+    * ([[PipelineOps.persistStickySplits]] + `spark.graft.stickyPath`) —
+    * x68's production contract, a stored governance assignment every
+    * later installment reads back (a configured-but-missing path throws
+    * rather than silently re-deriving: a re-derive under a retuned
+    * candidate generator could migrate held docs, the exact defect the
+    * stored table exists to prevent); (2) the in-session derivation —
+    * phase-1 components over history-internal x13 pairs, hashed through
+    * the shared split rule, staged so the fixpoint runs once per
+    * session. Read by x68's batch assignment and the s18 routing gate's
+    * frozen index. */
   def x68Sticky(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
+    stickyPath(spark) match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
+    }
 
   /** The s18 router's frozen (band, h) → split-bits index over the
     * history slice — read by the s18 gate's stream-static joins and by

@@ -142,6 +142,66 @@ class SplitStableSpec extends SparkTestBase {
     }
   }
 
+  test("persisted sticky table: a fresh session reads it back with zero migrations") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sticky_").toString
+    val path = s"$tmp/sticky"
+    PipelineOps.persistStickySplits(spark, sf0001, path)
+    val baseline = PipelineOps.x68SplitStable(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    // the second installment: a FRESH session (own conf, own Stages keys)
+    // pointed at the stored table instead of re-deriving the fixpoint
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", path)
+    try {
+      val stored = fresh.read.parquet(path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val out = PipelineOps.x68SplitStable(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      // observationally identical to the derive-per-session run...
+      assert(out == baseline)
+      // ...and zero migrations across the parquet round trip: every
+      // stored doc comes back held with its stored split, exactly
+      val held = out.filter(_._4 == "held")
+      assert(held.map(_._1).toSet == stored.keySet)
+      held.foreach { case (d, _, s, _) =>
+        assert(s == stored(d), s"doc $d migrated across the round trip: $s != ${stored(d)}")
+      }
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
+  test("x68 CONSUMES the stored table: a doctored held split is served, not re-derived") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sticky_").toString
+    val path = s"$tmp/sticky"
+    PipelineOps.persistStickySplits(spark, sf0001, path)
+    val stored = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    // flip one held doc's split to a different real split and store THAT
+    val (victim, orig) = stored.head
+    val flipped = if (orig == "train") "val" else "train"
+    val doctoredPath = s"$tmp/doctored"
+    val s = spark
+    import s.implicits._
+    stored.map { case (d, sp) => (d, if (d == victim) flipped else sp) }
+      .toDF("doc_id", "split_old").write.parquet(doctoredPath)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", doctoredPath)
+    try {
+      val out = PipelineOps.x68SplitStable(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      val got = out.find(_._1 == victim).get
+      assert(got == ((victim, flipped, "held")),
+        s"x68 re-derived instead of consuming the stored table: $got")
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
+  test("a configured-but-missing sticky path fails loudly instead of re-deriving") {
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", "/tmp/graft_sticky_does_not_exist_xyz")
+    try intercept[org.apache.spark.sql.AnalysisException] {
+      Stages.x68Sticky(fresh, sf0001).collect()
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
   test("x68 on the sf0.001 corpus: held slice replays the 90% assignment exactly") {
     val out = PipelineOps.x68SplitStable(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
