@@ -1421,16 +1421,59 @@ object PipelineOps {
     * ⌊9·max/10⌋ — the s8/x36/s17 split): phase-1 components over
     * history-internal candidate pairs, split via the shared hash rule.
     * x68's sticky input and the s18 router's label source — consumers
-    * read it through [[Stages.x68Sticky]] so the phase-1 fixpoint runs
-    * once per session. */
+    * read it through [[Stages.x68Sticky]] so the phase-1 derivation runs
+    * once per session (or never, when the PERSISTED table is configured).
+    *
+    * The phase-1 fixpoint is SEEDED from the staged full fixpoint
+    * ([[Stages.x24Labels]]) instead of re-propagating the whole history
+    * graph — see [[histStickyOn]]; the full fixpoint is already paid for
+    * (staged, shared with x24/x63/x68's phase 2), so the history pass
+    * adds only the residual propagation over arrival-touching clusters. */
   private[graft] def stickySplitsUnstaged(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
     val thr = docs.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0) // 1 row — the installment boundary
-    val pairs = Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))
-    connectedComponents(
-        docs.filter(col("doc_id") <= thr),
-        pairs.filter(col("d1") <= thr && col("d2") <= thr))
+    histStickyOn(Stages.x13Pairs(spark, dir).select(col("d1"), col("d2")),
+      Stages.x24Labels(spark, dir), thr)
+  }
+
+  /** History-slice components from the FULL fixpoint plus a residual
+    * propagation — the r14 verdict's seeding lever, made sound: history
+    * components refine full components, and a full cluster whose members
+    * are ALL history docs keeps every one of its connecting pairs under
+    * the history filter — its history restriction IS the full component,
+    * min label included, so the staged full label is reused verbatim.
+    * Only clusters touching an arrival (doc_id > thr) can split under the
+    * history restriction; the label-propagation fixpoint re-runs on THAT
+    * residual subgraph alone (its history docs + the pairs inside those
+    * clusters — at a 10% arrival share this is the boundary fraction of
+    * the pair table, not the whole of it, which is what turned x68's
+    * 256× leg superlinear). Exact by construction: pairs never cross full
+    * clusters, so the residual subgraph is vertex-disjoint from the pure
+    * slice and the union of labelings is the history fixpoint. */
+  private[graft] def histStickyOn(pairs: DataFrame, full: DataFrame,
+      thr: Long): DataFrame = {
+    // clusters whose history restriction can differ from the full
+    // component: exactly those containing an arrival — one map-side-
+    // combinable agg over the label table (cluster count ≤ doc count)
+    val mixed = full.groupBy(col("cluster_id"))
+      .agg(max(col("doc_id")).as("mx"))
+      .filter(col("mx") > thr)
+      .select(col("cluster_id"))
+    val histFull = full.filter(col("doc_id") <= thr)
+    // pure-history clusters: full label = history label, no propagation
+    val pure = histFull.join(mixed, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    // residual: history members + history-internal pairs of mixed
+    // clusters (an edge's endpoints share a full cluster, so classifying
+    // by d1 classifies the pair)
+    val residNodes = histFull.join(mixed, "cluster_id").select(col("doc_id"))
+    val residPairs = pairs
+      .filter(col("d1") <= thr && col("d2") <= thr)
+      .join(full.select(col("doc_id").as("d1"), col("cluster_id")), "d1")
+      .join(mixed, "cluster_id")
+      .select(col("d1"), col("d2"))
+    pure.unionByName(connectedComponents(residNodes, residPairs))
       .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
   }
 

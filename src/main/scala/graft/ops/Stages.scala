@@ -262,10 +262,15 @@ object Stages {
   def x62Merges(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x62_merges")(TextOps.x62BpeTrain(spark, dir))
 
-  /** The s17 drift gate's FROZEN merge table: x62's trainer over the
+  /** The s17 drift gate's FROZEN merge table: the WORD-TYPE trainer
+    * (x62b — ONE corpus pass for the weighted type table, k vocab-sized
+    * rounds; the production path for subword vocabularies) over the
     * oldest-90% history slice (the s8/x36 split), so the gate replays a
     * tokenizer that has never seen its arrivals — the drift-monitoring
-    * posture. */
+    * posture. Trained on word types, replayed on documents rendered
+    * char-level-within-words ([[TextOps.charSeqCol]]). Until r15 this
+    * trained via x62's k-corpus-pass chain — the priced stage line
+    * (`stage:s17_merges`) now costs x62b-class. */
   def s17Merges(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "s17_merges") {
       val d = graft.model.Tables.documents(spark, dir)
@@ -274,7 +279,7 @@ object Stages {
             org.apache.spark.sql.functions.max(col("doc_id")),
           org.apache.spark.sql.functions.lit(10L)))
         .collect()(0).getLong(0) // 1 row — the split point
-      TextOps.x62BpeTrainOn(spark, d.filter(col("doc_id") <= thr))
+      TextOps.x62bBpeWordTrainOn(spark, d.filter(col("doc_id") <= thr))
     }
 
   /** The PERSISTED sticky-table location, if configured: runtime conf

@@ -836,8 +836,15 @@ object TextOps {
     * sums, 1-row argmax, literal replace — so k rounds cost k vocab
     * passes + 1 corpus pass, vs x62's k corpus passes. BenchScaling's
     * x62b leg is the measured form of that claim. */
-  def x62bBpeWordTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
-    val types = documents(spark, dir)
+  def x62bBpeWordTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    x62bBpeWordTrainOn(spark, documents(spark, dir), rounds)
+
+  /** x62b's trainer over any frame with a `text` column — split out so
+    * the s17 drift gate can freeze a word-type model trained on the
+    * history slice alone (the x62BpeTrainOn precedent). */
+  private[graft] def x62bBpeWordTrainOn(spark: SparkSession, docs: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val types = docs
       .select(explode(toks(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -897,6 +904,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Char-level-within-words document rendering for WORD-TYPE merge
+    * replay (the x62b model applied to documents): each non-empty word
+    * renders as its ' c1  c2  ...  cn ' character sequence (the x62b
+    * double-space joiner), and words join across a THREE-space boundary
+    * no ' l  r ' merge pattern can cross — so replaying intra-word
+    * merges on a whole document is exact, and token counts stay
+    * size(split(trim(s), '  ')) (the 3-space boundary leaves a stray
+    * leading space on the next token, which the double-space split
+    * ignores for counting). Shared by the s17 gate, its batch twin in
+    * StreamGateSpec, and the oracle's `charSeqSql` rendering. */
+  private[graft] def charSeqCol(text: Column): Column =
+    concat(lit(" "), array_join(
+      transform(filter(split(text, " "), w => w =!= ""),
+        w => array_join(split(w, ""), "  ")), "   "), lit(" "))
+
+  /** DuckDB twin of [[charSeqCol]]. */
+  private[graft] def charSeqSql(text: String): String =
+    s"' ' || array_to_string(list_transform(list_filter(string_split($text, ' '), w -> w <> ''), " +
+      s"w -> array_to_string(string_split(w, ''), '  ')), '   ') || ' '"
+
   /** Guarded merge-rewrite expression shared by the x62/x67/s17 oracle
     * chains: when round i trained no merge (x62BpeTrainOn stops early on
     * an exhausted corpus), m$i is empty and the scalar subqueries are
@@ -940,29 +967,35 @@ object TextOps {
     sb.toString
   }
 
-  /** DuckDB twin of the s17 drift gate: the k merge rounds trained on
-    * the ≤thr history slice (s-levels) and replayed over the >thr
-    * arrivals (a-levels) — two unrolled chains sharing each round's
-    * argmax. Same double-space rewrite, same (n DESC, l, r) order. */
+  /** DuckDB twin of the s17 drift gate: the k WORD-TYPE merge rounds
+    * trained on the ≤thr history slice (s-levels — the x62b weighted
+    * type table, one row per distinct history word) and replayed over
+    * the >thr arrivals rendered char-level-within-words with the
+    * 3-space word boundary (a-levels, [[charSeqSql]]) — two unrolled
+    * chains sharing each round's weighted argmax. Same double-space
+    * rewrite, same (n DESC, l, r) order. */
   private[graft] def s17OracleSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH t AS MATERIALIZED (SELECT ${Tables.fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
-      |s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s
-      |  FROM documents, t WHERE doc_id <= thr),
-      |a0 AS MATERIALIZED (SELECT doc_id, ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS s
+      |types AS MATERIALIZED (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents, t WHERE doc_id <= thr)
+      |  WHERE tok <> '' GROUP BY tok),
+      |s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(tok, ''), '  ') || ' ' AS s, freq FROM types),
+      |a0 AS MATERIALIZED (SELECT doc_id, ${charSeqSql("text")} AS s
       |  FROM documents, t WHERE doc_id > thr)""".stripMargin
     for (i <- 1 to rounds) {
       val p = i - 1
       sb ++= s""",
-        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w FROM s$p),
+        |w$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS w, freq FROM s$p),
         |m$i AS MATERIALIZED (
         |  SELECT l, r FROM (
-        |    SELECT w[t.i] AS l, w[t.i+1] AS r, count(*) AS n_pair
+        |    SELECT w[t.i] AS l, w[t.i+1] AS r, CAST(sum(freq) AS BIGINT) AS n_pair
         |    FROM w$i, unnest(generate_series(1, len(w) - 1)) AS t(i)
         |    GROUP BY 1, 2)
         |  ORDER BY n_pair DESC, l ASC, r ASC LIMIT 1),
         |s$i AS MATERIALIZED (
-        |  SELECT ${mergeReplaceSql(i)} AS s
+        |  SELECT ${mergeReplaceSql(i)} AS s, freq
         |  FROM s$p),
         |a$i AS MATERIALIZED (
         |  SELECT doc_id, ${mergeReplaceSql(i)} AS s

@@ -343,21 +343,24 @@ object StreamGate {
   }
 
   /** s17 gate: continuous tokenizer-drift monitor — the serving twin of
-    * x67's batch encode, in the s16 frozen-model posture: the BPE merge
-    * table is trained ONCE on the oldest-90% history slice (the s8/x36
-    * split, via [[graft.ops.Stages.s17Merges]]), frozen into the
-    * streaming plan as k literal `replace` passes, and applied to every
-    * arriving document. The emitted per-doc (n_tok, n_bpe,
-    * bpe_per_1000) is the drift series a monitor thresholds: a corpus
-    * shift shows up as the retained-tokens ratio climbing toward 1000
-    * (the stale vocabulary stops compressing).
+    * x67's batch encode, in the s16 frozen-model posture: the WORD-TYPE
+    * BPE merge table (x62b's trainer — the production subword path) is
+    * trained ONCE on the oldest-90% history slice (the s8/x36 split, via
+    * [[graft.ops.Stages.s17Merges]]), frozen into the streaming plan as
+    * k literal `replace` passes, and applied to every arriving document
+    * rendered char-level-within-words ([[graft.ops.TextOps.charSeqCol]]
+    * — the 3-space word boundary keeps intra-word merges exact on whole
+    * documents). The emitted per-doc (n_tok, n_bpe, bpe_per_1000) is the
+    * drift series a monitor thresholds: a corpus shift shows up as the
+    * retained-tokens ratio climbing toward 1000 (the stale vocabulary
+    * stops compressing).
     *
     * Stateless per-row map — no watermark, no state store; at 100 TB
     * the merge table is k rows shipped to every encoder task and the
     * gate scales exactly like the ingest scan. The DuckDB oracle
-    * re-derives BOTH chains independently (train on ≤thr, replay on
-    * >thr) as unrolled materialized CTEs — exact parity, no bound
-    * flags needed. */
+    * re-derives BOTH chains independently (weighted word-type rounds on
+    * ≤thr, char-level replay on >thr) as unrolled materialized CTEs —
+    * exact parity, no bound flags needed. */
   def s17BpeDriftStream(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
@@ -370,8 +373,7 @@ object StreamGate {
       .filter(col("doc_id") > thr)
       // n_tok from the same trimmed rendering n_bpe uses (x67's rule):
       // raw-array size would over-count boundary-space documents.
-      .select(col("doc_id"),
-        concat(lit(" "), array_join(split(col("text"), " "), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"), graft.ops.TextOps.charSeqCol(col("text")).as("s"))
       .select(col("doc_id"),
         size(split(trim(col("s")), "  ")).cast("long").as("n_tok"), col("s"))
     val encoded = merges.foldLeft(base) { case (df, (l, r)) =>

@@ -67,11 +67,12 @@ class SplitStableSpec extends SparkTestBase {
     val pairsDf =
       if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
       else pairs.toDF("d1", "d2")
-    val sticky = PipelineOps.connectedComponents(
-        nodesDf.filter(col("doc_id") <= thr),
-        pairsDf.filter(col("d1") <= thr && col("d2") <= thr))
-      .select(col("doc_id"), PipelineOps.splitOf(col("cluster_id")).as("split_old"))
     val full = PipelineOps.connectedComponents(nodesDf, pairsDf)
+    // the production path: phase-1 labels seeded from the full fixpoint
+    // (pure clusters reused, residual propagation only) — so every
+    // adversarial graph exercises the decomposition against the
+    // union-find reference's direct history fixpoint
+    val sticky = PipelineOps.histStickyOn(pairsDf, full, thr)
     PipelineOps.splitStableOn(sticky, full).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
   }

@@ -110,10 +110,10 @@ class StreamGateSpec extends SparkTestBase {
     val merges = graft.ops.Stages.s17Merges(spark, sf0001)
       .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
     assert(merges.nonEmpty && merges.length <= 6)
-    // batch twin: the same frozen replaces applied without the stream
+    // batch twin: the same frozen word-type replaces applied to the same
+    // char-level-within-words rendering, without the stream
     val base = d.filter(col("doc_id") > thr)
-      .select(col("doc_id"),
-        concat(lit(" "), array_join(split(col("text"), " "), "  "), lit(" ")).as("s"))
+      .select(col("doc_id"), graft.ops.TextOps.charSeqCol(col("text")).as("s"))
       .select(col("doc_id"),
         size(split(trim(col("s")), "  ")).cast("long").as("n_tok"), col("s"))
     val batch = merges.foldLeft(base) { case (df, (l, r)) =>
