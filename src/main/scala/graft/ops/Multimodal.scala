@@ -296,27 +296,74 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("byte_sum"), col("width"))
       .orderBy("doc_id")
 
-  /** x15b: media transforms — the resize / frame-sample verbs of a media
-    * pipeline, stubbed deterministically over the opaque payload (resize ≙
-    * truncate-or-pad the byte buffer to a target length; frame-sample ≙
-    * take every k-th byte as a "frame"). The Spark-side shape (binary in,
-    * binary/array out, per-partition batches) is exactly what a real codec
-    * transform plugs into. */
+  /** x15b transform geometry: the fixed target raster every image
+    * resizes to, and the top-left crop bound. */
+  private val rsW = 4
+  private val rsH = 3
+  private val cropMax = 2
+
+  /** x15b: REAL media transforms — the resize/crop verbs of an image
+    * pipeline, run on actual pixels (the r14 verdict's last stub,
+    * promoted): the generated-PNG corpus ingests as file bytes (the x15
+    * path), decodes via `javax.imageio`, and each raster is (a) resized
+    * to a fixed [[rsW]]×[[rsH]] target by nearest-neighbor — a REAL
+    * `BufferedImage` built pixel-by-pixel from source coords
+    * ⌊X·w/Wt⌋, ⌊Y·h/Ht⌋ (the standard NN mapping, chosen over
+    * `AffineTransformOp` because its inverse-map rounding is
+    * implementation-defined while this one is closed-form — the oracle
+    * recomputes every output pixel arithmetically), and (b) cropped to
+    * the top-left min(w,2)×min(h,2) region via `getSubimage`. Checksums
+    * are taken from the TRANSFORMED rasters' own getRGB, so a wrong
+    * pixel anywhere in write → ingest → decode → transform breaks the
+    * equality. Corrupt payloads degrade to decoded = 0, never a task
+    * failure. Compressed-video/audio transforms stay where a JNI/ONNX
+    * call would plug into the same per-partition batch. */
   def x15bMediaTransform(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val target = 64
-    val stride = 16
-    mediaTable(spark, dir)
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val resized = java.util.Arrays.copyOf(r.payload, target) // truncate/zero-pad
-          val frames = r.payload.indices.by(stride).map(i => r.payload(i) & 0xff)
-          (r.doc_id, resized.length.toLong,
-            resized.map(b => (b & 0xff).toLong).sum,
-            frames.length.toLong, frames.map(_.toLong).sum)
+    val media = graft.sources.Sources.binaryFiles(spark, pngCorpus(spark, dir), "*.png")
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast(LongType).as("doc_id"),
+        col("content").as("payload"),
+        lit("png").as("format"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) (r.doc_id, -1L, -1L, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            rsW, rsH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < rsH) {
+            var x = 0
+            while (x < rsW) { out.setRGB(x, y, img.getRGB(x * w / rsW, y * h / rsH)); x += 1 }
+            y += 1
+          }
+          var rs = 0L
+          y = 0
+          while (y < rsH) {
+            var x = 0
+            while (x < rsW) { rs += (out.getRGB(x, y) & 0xffffff); x += 1 }
+            y += 1
+          }
+          val crop = img.getSubimage(0, 0, math.min(w, cropMax), math.min(h, cropMax))
+          var cs = 0L
+          y = 0
+          while (y < crop.getHeight) {
+            var x = 0
+            while (x < crop.getWidth) { cs += (crop.getRGB(x, y) & 0xffffff); x += 1 }
+            y += 1
+          }
+          (r.doc_id, w.toLong, h.toLong, rs, cs, 1L)
         }
       }
-      .toDF("doc_id", "resized_len", "resized_sum", "n_frames", "frame_sum")
+    }.toDF("doc_id", "src_w", "src_h", "rs_checksum", "crop_checksum", "decoded")
       .orderBy("doc_id")
   }
 
@@ -324,20 +371,25 @@ object Multimodal {
     "x15_media_pipeline" -> x15MediaPipeline,
     "x15b_media_transform" -> x15bMediaTransform)
 
-  /** Oracles: x15b mirrors the stub transform arithmetically (byte sums
-    * of UTF-8 text — the corpus is ASCII); x15 recomputes the generated
-    * corpus's closed-form pixel function ([[pngCorpus]]) — dims from
-    * doc_id, checksum as the double sum over (7d + 3x + 11y) mod 2^24 —
-    * so DuckDB checks the real PNG write→ingest→decode round trip
-    * without ever decoding an image itself. */
+  /** Oracles: both recompute the generated corpus's closed-form pixel
+    * function ([[pngCorpus]]) — dims from doc_id, checksums as double
+    * sums over (7d + 3x + 11y) mod 2^24 (x15b maps output coords through
+    * the nearest-neighbor rule ⌊X·w/Wt⌋ first, and crops with LEAST) —
+    * so DuckDB checks the real PNG write→ingest→decode(→transform)
+    * round trips without ever decoding an image itself. */
   val oracle: Map[String, String] = Map(
     "x15b_media_transform" ->
-      """SELECT doc_id,
-        |  CAST(64 AS BIGINT) AS resized_len,
-        |  CAST(coalesce(list_sum(list_transform(string_split_regex(substring(text, 1, 64), ''), c -> ascii(c))), 0) AS BIGINT) AS resized_sum,
-        |  (octet_length(encode(text)) + 15) // 16 AS n_frames,
-        |  CAST(coalesce(list_sum(list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1, 16),
-        |       i -> ascii(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS frame_sum
+      s"""SELECT doc_id,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS src_w,
+        |  CAST(1 + doc_id % 6 AS BIGINT) AS src_h,
+        |  CAST(list_sum(flatten(list_transform(range(0, $rsH), y ->
+        |    list_transform(range(0, $rsW), x ->
+        |      (7 * doc_id + 3 * ((x * (1 + doc_id % 8)) // $rsW)
+        |                  + 11 * ((y * (1 + doc_id % 6)) // $rsH)) % 16777216)))) AS BIGINT) AS rs_checksum,
+        |  CAST(list_sum(flatten(list_transform(range(0, LEAST(1 + doc_id % 6, $cropMax)), y ->
+        |    list_transform(range(0, LEAST(1 + doc_id % 8, $cropMax)), x ->
+        |      (7 * doc_id + 3 * x + 11 * y) % 16777216)))) AS BIGINT) AS crop_checksum,
+        |  CAST(1 AS BIGINT) AS decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_media_pipeline" ->
       """SELECT doc_id,
