@@ -78,6 +78,10 @@ object Bench {
       "stage:q27c_hitters" -> (() => { graft.ops.Stages.q27cHitters(spark, sfDir); () }),
       "stage:q24_keystats" -> (() => { graft.ops.Stages.q24KeyStats(spark, sfDir); () }),
       "stage:q26_bloom" -> (() => { graft.ops.Stages.q26Bloom(spark, sfDir); () }),
+      // the generated-PNG corpus both media lines ingest (x15 decode,
+      // x15b transform) — one corpus write per session; without this
+      // whichever media line runs first absorbs ~5 s of PNG writes
+      "stage:png_corpus" -> (() => { graft.ops.Multimodal.pngCorpus(spark, sfDir); () }),
       // the streaming gates' shared replay feeds (events: s9/s11-s14;
       // documents: s8/s10) — one staging build per table per session
       "stage:gate_events_feed" ->
@@ -124,6 +128,38 @@ object Bench {
     // so REPEAT>=2 medians are a WARM regime — compare them only to
     // other REPEAT runs, never to single-run totals
     val repeat = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt, 1)
+    // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: opt-in per-attempt diagnostics
+    // — cumulative JVM GC ms, used heap, and the spark/RocksDB/feed
+    // scratch footprint under java.io.tmpdir — appended after every timed
+    // attempt. Purpose: pin the random-order RocksDB-gate inflation
+    // (r14: s12 4.5→25.1 s when late in a shuffled order) to session
+    // aging (GC/heap climb) vs state-store accumulation (scratch climb).
+    // Best-effort and opt-in: the walk costs real time on big scratch
+    // trees, so it must never run on a driver bench.
+    val diagPath = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
+    def diag(name: String, sec: Double): Unit = diagPath.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+        val heapMb = java.lang.management.ManagementFactory
+          .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+        def sizeOf(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+        val scratchMb = Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("spark-") ||
+            f.getName.contains("StateStore") || f.getName.startsWith("graft_") ||
+            f.getName.startsWith("temporary-"))
+          .map(sizeOf).sum >> 20
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          s"""{"q":${Json.quote(name)},"sec":${f"$sec%.3f"},"gc_ms":$gcMs,""" +
+            s""""heap_mb":$heapMb,"scratch_mb":$scratchMb}""" + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => }
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -141,7 +177,11 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             runs += (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => failed = true }
+            diag(name, runs.last)
+          } catch { case _: Throwable =>
+            failed = true
+            diag(name, -1.0)
+          }
           attempt += 1
         }
         if (failed) (name, -1.0, -1.0)
