@@ -400,14 +400,31 @@ object Stages {
   def pqBooks(spark: SparkSession, dir: String): Seq[(Long, Long, Seq[Long])] =
     pqCache.getOrElseUpdate((spark, dir), VectorOps.pqTrainBooks(spark, dir))
 
+  /** The PERSISTED IVFADC-index location, if configured (the
+    * [[stickyPath]] convention: runtime conf first, empty value forces
+    * re-derivation, env var as the deployment default). */
+  private def ivfIndexPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.ivfIndexPath") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_IVF_INDEX_PATH").filter(_.nonEmpty)
+    }
+
   /** The materialized IVFADC index (vec_id, m, cid, list_id): coarse
     * inverted-file assignment + PQ codes, M rows × three longs per
     * vector — the stored 4-byte/vector index a deployment builds once
-    * and serves many searches from. Read by x57's searcher and x58's
-    * recall QA; sized ∝ corpus rows (3 longs × M per vector), far
-    * smaller than any gram stage. */
+    * and serves many searches from. Two sources, in priority order:
+    * (1) the PERSISTED table ([[VectorOps.persistPqIndex]] +
+    * `spark.graft.ivfIndexPath`) — a configured-but-missing path throws
+    * rather than silently re-deriving (the x68Sticky rule: a re-derive
+    * under retrained books would serve codes the stored deployment never
+    * shipped); (2) the in-session stage. Read by x57's searcher, x58's
+    * recall QA, and the s16 gate; sized ∝ corpus rows (3 longs × M per
+    * vector), far smaller than any gram stage. */
   def x57Index(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
+    ivfIndexPath(spark) match {
+      case Some(p) => spark.read.parquet(p)
+      case None    => stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
+    }
 
   /** The per-user daily-cents series (user_id, sv) — |users| rows ×
     * #days longs, bounded. Read by the series trio x59/x60/x61, each of

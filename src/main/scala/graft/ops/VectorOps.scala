@@ -735,6 +735,23 @@ object VectorOps {
     codes.join(x16Assignment(spark, dir).withColumnRenamed("cid", "list_id"), "vec_id")
   }
 
+  /** Persist the IVFADC index — x57's PRODUCTION contract (the
+    * sticky-split idiom applied to the vector stack): the index is the
+    * artifact a deployment builds ONCE and serves many searches from
+    * across sessions, not a per-session stage. Point
+    * `spark.graft.ivfIndexPath` (or SPARK_GRAFT_IVF_INDEX_PATH) at the
+    * written path and [[Stages.x57Index]] serves the stored table to
+    * x57's search, x58's recall QA, and the s16 gate in any later
+    * session. The companion artifacts (coarse centroids, PQ codebooks)
+    * retrain deterministically per session from the same corpus (seeded
+    * Lloyd rounds), so a stored index is consistent with any session's
+    * re-derived books — in a deployment the books ship beside the index
+    * the same way the merge table ships with x67. The path names ONE
+    * corpus's index; keeping it pointed right is the deployment's
+    * contract. */
+  def persistPqIndex(spark: SparkSession, dir: String, path: String): Unit =
+    buildPqIndex(spark, dir).write.mode("overwrite").parquet(path)
+
   /** x57: IVF-PQ ADC search (Jégou et al. TPAMI'11 §IV, "IVFADC") — the
     * assembled billion-vector index the pieces have been building toward:
     * x16's learned coarse centroids route the query to nprobe=2 inverted

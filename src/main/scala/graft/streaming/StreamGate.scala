@@ -462,7 +462,7 @@ object StreamGate {
     * global budget splits evenly across this many state keys, each a
     * ONE-long register. At cluster scale set ≈ state-store parallelism;
     * the budget slices are x65's bucket idea made causal. */
-  private val s19Shards = 8L
+  private[streaming] val s19Shards = 8L
 
   /** s19 gate: continuous token-budget ADMISSION — x65's selection as a
     * serving decision (the 12th gate): documents stream in id order,

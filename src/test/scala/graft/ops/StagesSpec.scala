@@ -33,6 +33,52 @@ class StagesSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVFADC index: fresh session serves the stored table bit-identically") {
+    val tmp = Files.createTempDirectory("graft_ivf_").toString
+    val path = s"$tmp/ivf"
+    VectorOps.persistPqIndex(spark, sf0001, path)
+    val baseline = VectorOps.x57IvfPqSearch(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    // the serving installment: a fresh session (own conf, own stages)
+    // re-derives centroids/codebooks deterministically but reads the
+    // INDEX from the store instead of rebuilding it
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.ivfIndexPath", path)
+    try {
+      val got = VectorOps.x57IvfPqSearch(fresh, sf0001)
+        .collect().map(_.toString).toSeq
+      assert(got == baseline,
+        s"stored-index search diverged from the derive-path search: $got vs $baseline")
+    } finally fresh.conf.unset("spark.graft.ivfIndexPath")
+  }
+
+  test("x57Index CONSUMES the stored index; a missing path fails loudly") {
+    val tmp = Files.createTempDirectory("graft_ivf_").toString
+    val path = s"$tmp/ivf"
+    VectorOps.persistPqIndex(spark, sf0001, path)
+    // doctor one row's list routing and store THAT — the served index
+    // must reflect it (consumption, not re-derivation)
+    import org.apache.spark.sql.functions._
+    val doctoredPath = s"$tmp/doctored"
+    spark.read.parquet(path)
+      .withColumn("list_id",
+        when(col("vec_id") === 1 && col("m") === 0, lit(999L)).otherwise(col("list_id")))
+      .write.parquet(doctoredPath)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.ivfIndexPath", doctoredPath)
+    try {
+      val served = Stages.x57Index(fresh, sf0001)
+        .filter(col("vec_id") === 1 && col("m") === 0)
+        .collect().map(_.getAs[Long]("list_id")).toSeq
+      assert(served == Seq(999L),
+        s"x57Index re-derived instead of consuming the stored index: $served")
+      fresh.conf.set("spark.graft.ivfIndexPath", s"$tmp/does_not_exist")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Stages.x57Index(fresh, sf0001).collect()
+      }
+    } finally fresh.conf.unset("spark.graft.ivfIndexPath")
+  }
+
   test("evictSession releases one session's BLOCKS; an unrelated session's survive") {
     Stages.clear()
     val modeKey = "spark.graft.stageDir"

@@ -290,6 +290,85 @@ class StreamGateSpec extends SparkTestBase {
       s"first diff: ${got.zipAll(want, "<missing>", "<missing>").find(t => t._1 != t._2)}")
   }
 
+  test("s19 restart: budget registers survive a checkpointed restart without double-count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val watch = Files.createTempDirectory("graft-s19drop")
+    val ckpt = Files.createTempDirectory("graft-s19ckpt").toString
+    val sink = Files.createTempDirectory("graft-s19sink").toString
+    val docs = graft.model.Tables.documents(s, sf0001).select(col("doc_id"), col("text"))
+    val budget = docs.agg(graft.model.Tables.fdiv(
+        sum(size(split(col("text"), " ")).cast("long")), lit(2L)))
+      .collect()(0).getLong(0)
+    val shardBudget = Math.floorDiv(budget, StreamGate.s19Shards)
+    val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+    def dropChunk(i: Int, chunk: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = watch.resolve(s"stage$i")
+      chunk.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = watch.resolve(s"w$i.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      graft.SparkTestBase.deleteRecursively(tmp.toFile)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def runPass(): Unit = {
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+          .select(col("doc_id").as("docId"),
+            (graft.ops.PipelineOps.h16(col("doc_id")) % StreamGate.s19Shards).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("nTok"))
+          .as[BudgetDoc]
+        val q = src.groupByKey(_.shard)
+          .transformWithState(new BudgetAdmitProcessor(shardBudget),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+    dropChunk(0, docs.filter(col("doc_id") <= mid))
+    runPass()
+    assert(s.read.parquet(sink).count() > 0, "first half emitted no admissions")
+    dropChunk(1, docs.filter(col("doc_id") > mid))
+    runPass()
+    // reference: the whole-corpus per-shard prefix sum in doc_id order —
+    // a rewound register would RECOUNT the first half (cum inflated past
+    // the reference), a lost register would reset to zero (cum too
+    // small); exact equality rules out both at once. This also drives
+    // the lastDoc ordering register through a checkpoint reload.
+    val ref = docs
+      .select(col("doc_id"),
+        (graft.ops.PipelineOps.h16(col("doc_id")) % StreamGate.s19Shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._2).flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (d, _, n) =>
+          cum += n
+          d -> ((shard, n, cum, if (cum <= shardBudget) 1L else 0L))
+        }
+      }.toMap
+    val got = s.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("docId") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("nTok"),
+          r.getAs[Long]("cumTok"), r.getAs[Long]("admitted")))).toMap
+    assert(got.size == ref.size, s"row count ${got.size} vs ${ref.size}")
+    ref.foreach { case (d, want) =>
+      assert(got(d) == want, s"doc $d: got ${got(d)} want $want")
+    }
+  }
+
   test("s11 restart: HLL state survives a checkpointed restart (no loss past the bound)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
