@@ -73,6 +73,56 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("charSeqCol: rendering matches the reference and merges never cross word boundaries") {
+    val s = spark
+    import s.implicits._
+    // adversarial shapes the corpus never exercises: empty words (from
+    // double spaces), leading/trailing spaces, single-char words, and a
+    // tiny alphabet so ' l  r ' merge patterns straddle word boundaries
+    // IF the 3-space isolation ever broke
+    val docGen = Gen.listOfN(40, Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("", "a", "b", "ab", "ba", "aab"))))
+    def renderRef(words: Seq[String]): String =
+      " " + words.filter(_.nonEmpty)
+        .map(w => w.split("").mkString("  ")).mkString("   ") + " "
+    for (seed <- 1L to 6L) {
+      val docs = sample(docGen, 300L + seed).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val rendered = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.charSeqCol(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.foreach { case (id, text) =>
+        val want = renderRef(text.split(" ").toSeq)
+        assert(rendered(id) == want, s"seed $seed doc $id [$text]: '${rendered(id)}' != '$want'")
+      }
+      // boundary isolation: replaying the merge (a, b) must count only
+      // WITHIN-word greedy non-overlapping 'a b' adjacencies — a match
+      // across the 3-space word boundary would inflate the count
+      def mergedCountRef(words: Seq[String]): Int =
+        words.filter(_.nonEmpty).map { w =>
+          val cs = w.split("")
+          var i = 0; var n = 0
+          while (i < cs.length) {
+            if (i + 1 < cs.length && cs(i) == "a" && cs(i + 1) == "b") { n += 1; i += 2 }
+            else i += 1
+          }
+          n
+        }.sum
+      val counted = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), TextOps.charSeqCol(col("text")).as("s"))
+        .select(col("doc_id"),
+          size(split(trim(col("s")), "  ")).as("n0"),
+          size(split(trim(replace(col("s"), lit(" a  b "), lit(" a_b "))), "  ")).as("n1"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1) - r.getInt(2))).toMap
+      docs.foreach { case (id, text) =>
+        val words = text.split(" ").toSeq
+        if (words.exists(_.nonEmpty)) // all-empty docs render '  ' — count formula degenerate
+          assert(counted(id) == mergedCountRef(words),
+            s"seed $seed doc $id [$text]: merge count ${counted(id)} != ${mergedCountRef(words)}")
+      }
+    }
+  }
+
   test("winnowing: selection equals brute force and every shingle window is covered") {
     val s = spark
     import s.implicits._
