@@ -370,9 +370,10 @@ object PipelineOps {
 
   // ---- x24: near-dup clusters (connected components) ----
 
-  /** Iteration cap for x24's label propagation — convergence needs
-    * O(component diameter) rounds; the cap only guards a pathological
-    * chain (the run fails loudly rather than returning a half-converged
+  /** Iteration cap for x24's star contraction — convergence needs
+    * O(log n) alternating rounds (Kiveris et al.), so 50 covers any
+    * graph that fits in an exabyte; the cap only guards a logic error
+    * (the run fails loudly rather than returning a half-converged
     * labeling). */
   private val ccMaxIters = 50
 
@@ -382,16 +383,13 @@ object PipelineOps {
     * label themselves). This is the step that turns pairwise near-dup
     * evidence into "keep one per cluster" decisions.
     *
-    * Spark side: Pregel-style min-label propagation to a FIXPOINT — per
-    * round one join of labels to the symmetrized edge list + a min
-    * aggregation, with a driver-side convergence check (the one action
-    * per round is the standard iterative-graph pattern; rounds =
-    * component diameter). The DuckDB oracle computes the same fixpoint
-    * as a recursive transitive-closure CTE — an independent derivation
-    * that agrees exactly BECAUSE min-label fixpoints are unique.
-    * At 100 TB you switch the propagation to the large-star/small-star
-    * contraction (fewer, denser rounds); the per-round plan is the same
-    * join+agg.
+    * Spark side: alternating large-star/small-star contraction to the
+    * star-forest FIXPOINT (see [[connectedComponents]]) — O(log n)
+    * rounds independent of component diameter, with the edge set
+    * contracting every round instead of being re-joined at full size. The
+    * DuckDB oracle computes the same labeling as a recursive
+    * transitive-closure CTE — an independent derivation that agrees
+    * exactly BECAUSE min-reachable labelings are unique.
     *
     * Reads the [[Stages.x24Labels]] materialized stage (itself built
     * from the x13 pair stage) — the fixpoint runs once per session and
@@ -399,51 +397,98 @@ object PipelineOps {
   def x24DedupClusters(spark: SparkSession, dir: String): DataFrame =
     Stages.x24Labels(spark, dir).orderBy("doc_id")
 
+  /** Large-star contraction round: every node points its LARGER
+    * neighbors at the minimum of its closed neighborhood. Each
+    * undirected edge (u, v), u < v, is processed exactly once (at u's
+    * group) and rewrites to (v, min(Γ(u) ∪ {u})) — endpoints only ever
+    * decrease, high-degree hubs collapse their whole fringe onto the
+    * local minimum in one round, and the per-node min is one map-side-
+    * combinable aggregate + one equi-join, never a collect_list. */
+  private def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v: oriented, no self-loop
+      .distinct()
+  }
+
+  /** Small-star contraction round: every node rewires its SMALLER
+    * neighbors (and itself) to the minimum of that set — the step that
+    * turns the chains large-star leaves into stars. Same plan shape:
+    * one min aggregate, one equi-join, one union, one distinct. */
+  private def ccSmallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")) // drop the rewired minimum's self-loop
+      .distinct()
+  }
+
+  /** Exact termination test: the edge set is a star forest ⟺ no child
+    * carries two parents and no parent is itself a child. Two cheap
+    * scans over the round's checkpointed blocks — both operations leave
+    * a star forest unchanged, and the alternation is guaranteed to
+    * reach one, so this IS convergence (never a heuristic count/hash
+    * comparison that could terminate early on a collision). */
+  private def ccIsStarForest(e: DataFrame): Boolean =
+    e.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1L).isEmpty &&
+      e.select(col("v")).join(e.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+
   /** Connected components over any (doc_id) node / (d1, d2) pair frames —
     * x24's engine, split out so the fixpoint is property-testable against
-    * a driver-side union-find on arbitrary graphs. */
+    * a driver-side union-find on arbitrary graphs.
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * public algorithm behind GraphFrames' implementation): rounds are
+    * O(log n) REGARDLESS of component diameter, and the edge set
+    * CONTRACTS toward the final star forest instead of being re-joined
+    * at full size every round — the two terms that made the previous
+    * min-label propagation (per-round join over the whole pair table ×
+    * component diameter) the last superlinear stage in the dedup DAG at
+    * the 256×/1024× audit legs. Both operations preserve components and
+    * only ever decrease edge endpoints, so the fixpoint is the star
+    * forest rooted at each component's minimum id — exactly the
+    * min-reachable label the DuckDB oracle derives via its recursive
+    * transitive-closure CTE. Singletons (and star roots) label
+    * themselves via the final left join. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = ccMaxIters): DataFrame = {
-    val edges = pairs.unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true) // small (2·|pairs|); reused every round
-    var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("lab"))
+    var e = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
-    var converged = false
+    var converged = ccIsStarForest(e)
     var it = 0
-    var prevCkpt: DataFrame = labels // superseded checkpoints are unpersisted promptly
     try {
       while (!converged && it < maxIters) {
-        val viaEdges = edges
-          .join(labels.select(col("doc_id").as("d2"), col("lab").as("nbr_lab")), "d2")
-          .groupBy(col("d1").as("doc_id"))
-          .agg(min(col("nbr_lab")).as("nlab"))
-        // one materialization per round carrying BOTH the old and the new
-        // label: the convergence test is then a cheap scan of the
-        // checkpointed blocks instead of a second re-planned join
-        val joined = labels.join(viaEdges, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lab"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab_next"))
-          .localCheckpoint(true) // eager: materialize the round, truncate lineage
-        converged = joined.filter(col("lab_next") =!= col("lab")).isEmpty
-        prevCkpt.unpersist() // the old round's blocks are dead now
-        prevCkpt = joined
-        labels = joined.select(col("doc_id"), col("lab_next").as("lab"))
+        val next = ccSmallStar(ccLargeStar(e)).localCheckpoint(true)
+        // the superseded round's blocks are dead — released at the RDD
+        // layer (Dataset.unpersist is a no-op on checkpoint blocks; see
+        // [[graft.util.Checkpoints]])
+        graft.util.Checkpoints.release(e)
+        e = next
+        converged = ccIsStarForest(e)
         it += 1
       }
-      require(converged, s"connectedComponents: label propagation did not converge in $maxIters rounds")
+      require(converged, s"connectedComponents: star contraction did not converge in $maxIters rounds")
     } finally {
-      edges.unpersist() // the result plan reads only the final checkpoint
       // deterministic cleanup on the failure path too: without it, the
-      // edges and last-round blocks linger until ContextCleaner GC
-      if (!converged) prevCkpt.unpersist()
+      // last round's blocks linger until ContextCleaner GC
+      if (!converged) graft.util.Checkpoints.release(e)
     }
-    // the final round's checkpoint is deliberately NOT unpersisted on
+    // the final star forest's checkpoint is deliberately NOT released on
     // success: its lineage is truncated, so the returned plan depends on
     // those blocks (the ContextCleaner reclaims them once the result is
     // dropped)
-    labels.select(col("doc_id"), col("lab").as("cluster_id")).orderBy("doc_id")
+    nodes.join(e.select(col("u").as("doc_id"), col("v").as("lab")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   // ---- x25: boilerplate detection (segment-frequency dedup) ----

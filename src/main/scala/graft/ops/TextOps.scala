@@ -798,10 +798,11 @@ object TextOps {
         if (round % checkpointEvery == 0) {
           val ckpt = seqs.localCheckpoint(true)
           // the superseded checkpoint's blocks are dead once the new one
-          // materializes — unpersist promptly (the connectedComponents
-          // prevCkpt pattern) instead of letting deep-vocab runs stack
-          // checkpointed block sets until the ContextCleaner gets there
-          prevCkpt.foreach(_.unpersist())
+          // materializes — release them at the RDD layer (Dataset
+          // .unpersist is a no-op on checkpoint blocks; see
+          // [[graft.util.Checkpoints]]) instead of letting deep-vocab
+          // runs stack block sets until the ContextCleaner gets there
+          prevCkpt.foreach(graft.util.Checkpoints.release(_))
           prevCkpt = Some(ckpt)
           seqs = ckpt
         }
@@ -811,7 +812,7 @@ object TextOps {
     // the merge table is driver state (one collect per round) — nothing
     // downstream reads the rewritten sequence frame, so the last
     // checkpoint's blocks are releasable here too
-    prevCkpt.foreach(_.unpersist())
+    prevCkpt.foreach(graft.util.Checkpoints.release(_))
     merges.toSeq.toDF("round", "l", "r", "n_pair").orderBy("round")
   }
 

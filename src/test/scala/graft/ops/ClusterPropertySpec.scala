@@ -42,6 +42,38 @@ class ClusterPropertySpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents collapses a 200-node chain (diameter 199) within the O(log n) cap") {
+    val s = spark
+    import s.implicits._
+    // the shape the old min-label propagation priced at O(diameter)
+    // rounds: a long path. The star contraction must label it with the
+    // iteration budget of the LOG bound (16 ≫ log₂ 200 ≈ 7.6 alternating
+    // rounds, ≪ the 199 rounds propagation would need)
+    val n = 200L
+    val nodes = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = PipelineOps.connectedComponents(nodes, chain, maxIters = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents releases every superseded round's checkpoint blocks") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val nodes = (0L until 64L).toDF("doc_id")
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = PipelineOps.connectedComponents(nodes, chain)
+    labels.collect()
+    val pinned = s.sparkContext.getPersistentRDDs.keySet -- before
+    // multi-round run: only the FINAL star forest's checkpoint may stay
+    // pinned (the result plan reads it); every superseded round must have
+    // been released at the RDD layer — Dataset.unpersist would leave one
+    // block set per round here
+    assert(pinned.size <= 1,
+      s"superseded star-contraction rounds left ${pinned.size} checkpointed RDDs pinned")
+  }
+
   test("connectedComponents == union-find for 15 random graphs") {
     val s = spark
     import s.implicits._

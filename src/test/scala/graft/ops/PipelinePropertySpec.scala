@@ -73,6 +73,21 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("bpeTrainSeqs releases every checkpoint's blocks at the RDD layer") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val seqs = Seq.fill(40)((" a  b  a  b  c ", 2L)).toDF("s", "freq")
+    // checkpointEvery=1 rolls a checkpoint per accepted merge — the
+    // deep-vocab regime the r15 ADVICE flagged: Dataset.unpersist is a
+    // no-op on checkpoint blocks, so without the RDD-layer release this
+    // run would leave one pinned block set per round
+    TextOps.bpeTrainSeqs(s, seqs, rounds = 4, checkpointEvery = 1).collect()
+    val pinned = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.isEmpty,
+      s"bpeTrainSeqs left ${pinned.size} checkpointed RDDs pinned after training")
+  }
+
   test("charSeqCol: rendering matches the reference and merges never cross word boundaries") {
     val s = spark
     import s.implicits._
