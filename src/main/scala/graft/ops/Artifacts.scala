@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stamped persisted artifacts — the stored-governance contracts.
+  *
+  * Three tables cross session boundaries as parquet a deployment writes
+  * once and serves many times: x68's sticky splits (`stickyPath`), the
+  * IVFADC index (`ivfIndexPath`), and x24's cluster labels
+  * (`labelsPath`). An unstamped read would serve ANY parquet at the
+  * configured path — a wrong-corpus table, a different artifact, a
+  * torn write, or a table produced by an older operator version — and
+  * every one of those fails silently downstream (splits migrate, codes
+  * route to dead lists) instead of at the read. So every persist writes
+  * a one-row `_graft_meta` parquet beside the data (underscore prefix:
+  * invisible to the outer scan, the `_SUCCESS` convention) recording
+  * the artifact key, producing-operator version, schema DDL, and row
+  * count; every configured-path read validates all four and throws with
+  * the mismatch named. Consistent with the loud-failure posture the
+  * sticky/IVF paths established for MISSING paths — this extends it to
+  * wrong and stale ones.
+  *
+  * The stamp is provenance + integrity, not freshness: a stored
+  * artifact legitimately outlives corpus growth (that is the point of
+  * freezing it), so corpus-consistency stays the deployment's contract;
+  * the `props` map carries the freeze parameters (e.g. the sticky
+  * threshold) for auditors.
+  */
+object Artifacts {
+  /** Producing-operator versions, bumped when an artifact's SEMANTICS
+    * change (schema drift alone is caught by the DDL check): a consumer
+    * from a newer engine refuses a table stamped by an incompatible
+    * producer instead of silently misreading it. */
+  val versions: Map[String, Int] = Map(
+    "x68_sticky" -> 1,
+    "x57_index" -> 1,
+    "x24_labels" -> 1)
+
+  private def metaPath(path: String): String = s"${path.stripSuffix("/")}/_graft_meta"
+
+  /** Persist `df` as parquet at `path` with the `_graft_meta` stamp.
+    * The stamp records the READ-BACK schema and count, so it certifies
+    * the bytes on disk, not the plan that produced them. */
+  def writeStamped(spark: SparkSession, df: DataFrame, path: String,
+      artifact: String, props: Map[String, String] = Map.empty): Unit = {
+    require(versions.contains(artifact), s"unknown graft artifact key: $artifact")
+    df.write.mode("overwrite").parquet(path)
+    val written = spark.read.parquet(path)
+    import spark.implicits._
+    Seq((artifact, versions(artifact), written.schema.toDDL, written.count(), props))
+      .toDF("artifact", "version", "schema_ddl", "n_rows", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  /** Read a stamped artifact, failing loudly (with the mismatch named)
+    * on: missing/malformed stamp, wrong artifact key, producer-version
+    * mismatch, schema drift, row-count drift, or an empty table. */
+  def readStamped(spark: SparkSession, path: String, artifact: String): DataFrame = {
+    val mp = metaPath(path)
+    val meta =
+      try spark.read.parquet(mp).collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$artifact: no _graft_meta stamp under $path — not a stamped graft artifact " +
+            s"(persist through the stamped writer, e.g. PipelineOps.persistStickySplits / " +
+            s"persistLabels / VectorOps.persistPqIndex): ${e.getMessage}")
+      }
+    require(meta.length == 1,
+      s"$artifact: malformed _graft_meta at $mp — expected 1 row, found ${meta.length}")
+    val m = meta(0)
+    val storedArtifact = m.getAs[String]("artifact")
+    require(storedArtifact == artifact,
+      s"configured path $path holds artifact '$storedArtifact', not '$artifact' — " +
+        "refusing to serve a different table")
+    val storedVersion = m.getAs[Int]("version")
+    require(storedVersion == versions(artifact),
+      s"$artifact at $path was produced by version $storedVersion; this engine " +
+        s"expects ${versions(artifact)} — re-persist with the current producer")
+    val df = spark.read.parquet(path)
+    val storedDdl = m.getAs[String]("schema_ddl")
+    require(df.schema.toDDL == storedDdl,
+      s"$artifact at $path: schema drifted from its stamp — stored '$storedDdl', " +
+        s"found '${df.schema.toDDL}'")
+    val storedRows = m.getAs[Long]("n_rows")
+    val n = df.count()
+    require(n == storedRows,
+      s"$artifact at $path: row count $n != stamped $storedRows — torn or tampered table")
+    require(n > 0L, s"$artifact at $path: stamped table is empty")
+    df
+  }
+
+  /** The stamp's props map (freeze parameters), for audits. */
+  def readProps(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.parquet(metaPath(path)).collect()(0)
+      .getAs[scala.collection.Map[String, String]]("props").toMap
+}

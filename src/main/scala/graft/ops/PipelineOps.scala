@@ -1533,9 +1533,40 @@ object PipelineOps {
     * the written path and [[Stages.x68Sticky]] serves the stored table to
     * x68, the s18 router index, and x69's audit in any later session. The
     * path names ONE corpus's table; keeping it pointed at the right
-    * corpus is the deployment's contract. */
-  def persistStickySplits(spark: SparkSession, dir: String, path: String): Unit =
-    stickySplitsUnstaged(spark, dir).write.mode("overwrite").parquet(path)
+    * corpus is the deployment's contract. Written STAMPED
+    * ([[Artifacts]]): a one-row `_graft_meta` beside the parquet records
+    * artifact key, producer version, schema, row count, and the frozen
+    * threshold; [[Stages.x68Sticky]] validates all of it at read and
+    * throws on any mismatch — a wrong-table, stale-version, or torn
+    * store fails at the read, never as silent split migration. */
+  def persistStickySplits(spark: SparkSession, dir: String, path: String): Unit = {
+    val thr = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the frozen boundary, stamped as provenance
+    Artifacts.writeStamped(spark, stickySplitsUnstaged(spark, dir), path,
+      "x68_sticky", Map("thr" -> thr.toString))
+  }
+
+  /** Persist x24's cluster labels — the THIRD stored-governance artifact
+    * (the sticky/IVF idiom applied to the label stage every governance
+    * consumer derives from): x63/x66's splits, x35's canonical picks,
+    * and the sticky seeding all read the label table, so a retuned x13
+    * candidate generator re-deriving it silently RESHAPES the splits —
+    * the exact defect class the sticky store closed for x68, one level
+    * up. Point `spark.graft.labelsPath` (or SPARK_GRAFT_LABELS_PATH) at
+    * the written path and [[Stages.x24Labels]] serves the stored table
+    * to every consumer in any later session, stamp-validated
+    * ([[Artifacts]]), loud on missing/wrong/stale. The path names ONE
+    * corpus's labels; keeping it pointed right is the deployment's
+    * contract. Derives the fixpoint fresh (never through a configured
+    * labelsPath — persisting a copy of the store would launder a stale
+    * table into a fresh stamp). */
+  def persistLabels(spark: SparkSession, dir: String, path: String): Unit =
+    Artifacts.writeStamped(spark,
+      connectedComponents(
+        documents(spark, dir).select(col("doc_id")),
+        Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))),
+      path, "x24_labels")
 
   /** x68's decision rule over any sticky (doc_id, split_old) and full
     * (doc_id, cluster_id) labelings — split out so SplitStableSpec can

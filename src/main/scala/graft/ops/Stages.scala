@@ -238,15 +238,36 @@ object Stages {
   def x13Pairs(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x13_pairs")(TextOps.x13Pairs(spark, dir))
 
+  /** The PERSISTED label-table location, if configured (the
+    * [[stickyPath]] convention: runtime conf `spark.graft.labelsPath`
+    * first, empty value forces re-derivation, `SPARK_GRAFT_LABELS_PATH`
+    * env var as the deployment default). */
+  private def labelsPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.labelsPath") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_LABELS_PATH").filter(_.nonEmpty)
+    }
+
   /** x24's connected-component labels (doc_id, cluster_id) over the x13
-    * candidate graph. Built FROM the x13 stage, so a session that runs
-    * x13 + x24 + x33 + x35 executes the shingle→minhash→band lineage
-    * exactly once. */
+    * candidate graph. Two sources, in priority order: (1) the PERSISTED
+    * table ([[PipelineOps.persistLabels]] + `spark.graft.labelsPath`) —
+    * the stored-governance form: x63/x66's splits, x35's canonical
+    * picks, and the sticky seeding ALL derive from this stage, so a
+    * re-derive under a retuned x13 candidate generator would silently
+    * reshape every one of them; the store is stamp-validated
+    * ([[Artifacts.readStamped]]) and loud on missing/wrong/stale;
+    * (2) the in-session stage, built FROM the x13 stage, so a session
+    * that runs x13 + x24 + x33 + x35 executes the
+    * shingle→minhash→band lineage exactly once. */
   def x24Labels(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "x24_labels")(
-      PipelineOps.connectedComponents(
-        graft.model.Tables.documents(spark, dir).select(col("doc_id")),
-        x13Pairs(spark, dir).select(col("d1"), col("d2"))))
+    labelsPath(spark) match {
+      case Some(p) => Artifacts.readStamped(spark, p, "x24_labels")
+      case None =>
+        stage(spark, dir, "x24_labels")(
+          PipelineOps.connectedComponents(
+            graft.model.Tables.documents(spark, dir).select(col("doc_id")),
+            x13Pairs(spark, dir).select(col("d1"), col("d2"))))
+    }
 
   /** x9's per-document quality scores (doc_id + five ints, one row per
     * doc) — read by the x9 query itself, x34's source report, x35's
@@ -296,17 +317,20 @@ object Stages {
     * doc). Two sources, in priority order: (1) the PERSISTED table
     * ([[PipelineOps.persistStickySplits]] + `spark.graft.stickyPath`) —
     * x68's production contract, a stored governance assignment every
-    * later installment reads back (a configured-but-missing path throws
-    * rather than silently re-deriving: a re-derive under a retuned
-    * candidate generator could migrate held docs, the exact defect the
-    * stored table exists to prevent); (2) the in-session derivation —
+    * later installment reads back (stamp-validated via
+    * [[Artifacts.readStamped]] — a configured-but-missing, wrong-table,
+    * stale-version, or torn path throws with the mismatch named rather
+    * than silently re-deriving or serving the wrong table: a re-derive
+    * under a retuned candidate generator could migrate held docs, the
+    * exact defect the stored table exists to prevent); (2) the
+    * in-session derivation —
     * phase-1 components over history-internal x13 pairs, hashed through
     * the shared split rule, staged so the fixpoint runs once per
     * session. Read by x68's batch assignment and the s18 routing gate's
     * frozen index. */
   def x68Sticky(spark: SparkSession, dir: String): DataFrame =
     stickyPath(spark) match {
-      case Some(p) => spark.read.parquet(p)
+      case Some(p) => Artifacts.readStamped(spark, p, "x68_sticky")
       case None =>
         stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
     }
@@ -422,7 +446,7 @@ object Stages {
     * vector), far smaller than any gram stage. */
   def x57Index(spark: SparkSession, dir: String): DataFrame =
     ivfIndexPath(spark) match {
-      case Some(p) => spark.read.parquet(p)
+      case Some(p) => Artifacts.readStamped(spark, p, "x57_index")
       case None    => stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
     }
 

@@ -748,9 +748,13 @@ object VectorOps {
     * re-derived books — in a deployment the books ship beside the index
     * the same way the merge table ships with x67. The path names ONE
     * corpus's index; keeping it pointed right is the deployment's
-    * contract. */
+    * contract. Written STAMPED ([[graft.ops.Artifacts]]) —
+    * [[Stages.x57Index]] validates artifact key / producer version /
+    * schema / row count at read and throws on any mismatch, so a
+    * wrong-table or torn store fails at the read, never as codes routed
+    * to dead lists. */
   def persistPqIndex(spark: SparkSession, dir: String, path: String): Unit =
-    buildPqIndex(spark, dir).write.mode("overwrite").parquet(path)
+    Artifacts.writeStamped(spark, buildPqIndex(spark, dir), path, "x57_index")
 
   /** x57: IVF-PQ ADC search (Jégou et al. TPAMI'11 §IV, "IVFADC") — the
     * assembled billion-vector index the pieces have been building toward:

@@ -182,8 +182,11 @@ class SplitStableSpec extends SparkTestBase {
     val doctoredPath = s"$tmp/doctored"
     val s = spark
     import s.implicits._
-    stored.map { case (d, sp) => (d, if (d == victim) flipped else sp) }
-      .toDF("doc_id", "split_old").write.parquet(doctoredPath)
+    // re-stamped through the writer API: the point under test is
+    // consumption-not-rederivation, not stamp validation
+    Artifacts.writeStamped(s,
+      stored.map { case (d, sp) => (d, if (d == victim) flipped else sp) }
+        .toDF("doc_id", "split_old"), doctoredPath, "x68_sticky")
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.stickyPath", doctoredPath)
     try {
@@ -198,9 +201,95 @@ class SplitStableSpec extends SparkTestBase {
   test("a configured-but-missing sticky path fails loudly instead of re-deriving") {
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.stickyPath", "/tmp/graft_sticky_does_not_exist_xyz")
-    try intercept[org.apache.spark.sql.AnalysisException] {
-      Stages.x68Sticky(fresh, sf0001).collect()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Stages.x68Sticky(fresh, sf0001).collect()
+      }
+      assert(e.getMessage.contains("_graft_meta"), e.getMessage)
     } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
+  test("sticky stamp validation: wrong artifact, tampered rows, and unstamped tables all fail loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sticky_").toString
+    val s = spark
+    import s.implicits._
+    val fresh = spark.newSession()
+    try {
+      // (1) the configured path holds a DIFFERENT stamped artifact — the
+      // wrong-table defect the r15 verdict named; must refuse by name
+      VectorOps.persistPqIndex(s, sf0001, s"$tmp/ivf")
+      fresh.conf.set("spark.graft.stickyPath", s"$tmp/ivf")
+      val wrong = intercept[IllegalArgumentException] {
+        Stages.x68Sticky(fresh, sf0001).collect()
+      }
+      assert(wrong.getMessage.contains("x57_index") && wrong.getMessage.contains("x68_sticky"),
+        wrong.getMessage)
+      // (2) rows tampered AFTER the stamp (a dropped parquet part, a
+      // partial overwrite): count drifts from the stamp — must refuse
+      PipelineOps.persistStickySplits(s, sf0001, s"$tmp/sticky")
+      val rows = s.read.parquet(s"$tmp/sticky")
+      rows.limit(3).write.mode("overwrite").parquet(s"$tmp/sticky_data_tmp")
+      // splice the truncated data under the ORIGINAL stamp
+      val metaSrc = new java.io.File(s"$tmp/sticky/_graft_meta")
+      val spliced = s"$tmp/spliced"
+      s.read.parquet(s"$tmp/sticky_data_tmp").write.parquet(spliced)
+      val metaDst = new java.io.File(s"$spliced/_graft_meta")
+      org.apache.commons.io.FileUtils.copyDirectory(metaSrc, metaDst)
+      fresh.conf.set("spark.graft.stickyPath", spliced)
+      val torn = intercept[IllegalArgumentException] {
+        Stages.x68Sticky(fresh, sf0001).collect()
+      }
+      assert(torn.getMessage.contains("row count"), torn.getMessage)
+      // (3) a bare unstamped parquet (the pre-r16 store format): must
+      // name the missing stamp rather than serve it
+      rows.write.parquet(s"$tmp/bare")
+      fresh.conf.set("spark.graft.stickyPath", s"$tmp/bare")
+      val bare = intercept[IllegalArgumentException] {
+        Stages.x68Sticky(fresh, sf0001).collect()
+      }
+      assert(bare.getMessage.contains("_graft_meta"), bare.getMessage)
+      // (4) the stamp carries the freeze threshold for auditors
+      val props = Artifacts.readProps(s, s"$tmp/sticky")
+      assert(props.contains("thr") && props("thr").toLong > 0L, props.toString)
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
+  test("persisted x24 labels: consumers serve the stored table; missing path fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_labels_").toString
+    val path = s"$tmp/labels"
+    PipelineOps.persistLabels(spark, sf0001, path)
+    val baseline = PipelineOps.x24DedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // stored table == the in-session fixpoint (deterministic derivation)
+    val stored = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(stored == baseline, "persisted labels diverged from the staged fixpoint")
+    // doctored-consumption: flip one doc's cluster, re-stamp, and the
+    // label CONSUMERS (x24 itself and x63's split rule) must serve it
+    val s = spark
+    import s.implicits._
+    val victim = stored.head._1
+    val doctoredPath = s"$tmp/doctored"
+    Artifacts.writeStamped(s,
+      stored.map { case (d, c) => (d, if (d == victim) 424242L else c) }
+        .toDF("doc_id", "cluster_id"), doctoredPath, "x24_labels")
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.labelsPath", doctoredPath)
+    try {
+      val got = PipelineOps.x24DedupClusters(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).find(_._1 == victim).get
+      assert(got == ((victim, 424242L)),
+        s"x24 re-derived instead of consuming the stored labels: $got")
+      val x63 = PipelineOps.x63SplitAssign(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).find(_._1 == victim).get
+      assert(x63._2 == 424242L,
+        s"x63 re-derived instead of consuming the stored labels: $x63")
+      fresh.conf.set("spark.graft.labelsPath", s"$tmp/does_not_exist")
+      val e = intercept[IllegalArgumentException] {
+        PipelineOps.x24DedupClusters(fresh, sf0001).collect()
+      }
+      assert(e.getMessage.contains("_graft_meta"), e.getMessage)
+    } finally fresh.conf.unset("spark.graft.labelsPath")
   }
 
   test("x68 on the sf0.001 corpus: held slice replays the 90% assignment exactly") {

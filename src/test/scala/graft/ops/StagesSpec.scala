@@ -60,10 +60,12 @@ class StagesSpec extends SparkTestBase {
     // must reflect it (consumption, not re-derivation)
     import org.apache.spark.sql.functions._
     val doctoredPath = s"$tmp/doctored"
-    spark.read.parquet(path)
+    // re-stamped through the writer API: the point under test is
+    // consumption-not-rederivation, not stamp validation
+    Artifacts.writeStamped(spark, spark.read.parquet(path)
       .withColumn("list_id",
-        when(col("vec_id") === 1 && col("m") === 0, lit(999L)).otherwise(col("list_id")))
-      .write.parquet(doctoredPath)
+        when(col("vec_id") === 1 && col("m") === 0, lit(999L)).otherwise(col("list_id"))),
+      doctoredPath, "x57_index")
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.ivfIndexPath", doctoredPath)
     try {
@@ -73,9 +75,22 @@ class StagesSpec extends SparkTestBase {
       assert(served == Seq(999L),
         s"x57Index re-derived instead of consuming the stored index: $served")
       fresh.conf.set("spark.graft.ivfIndexPath", s"$tmp/does_not_exist")
-      intercept[org.apache.spark.sql.AnalysisException] {
+      val e = intercept[IllegalArgumentException] {
         Stages.x57Index(fresh, sf0001).collect()
       }
+      assert(e.getMessage.contains("_graft_meta"), e.getMessage)
+      // a stale-producer stamp (version drift) must refuse by name: fake
+      // a version-0 stamp over the same data
+      val stale = s"$tmp/stale"
+      spark.read.parquet(path).write.parquet(stale)
+      spark.read.parquet(s"$path/_graft_meta")
+        .withColumn("version", lit(0))
+        .write.parquet(s"$stale/_graft_meta")
+      fresh.conf.set("spark.graft.ivfIndexPath", stale)
+      val old = intercept[IllegalArgumentException] {
+        Stages.x57Index(fresh, sf0001).collect()
+      }
+      assert(old.getMessage.contains("version 0"), old.getMessage)
     } finally fresh.conf.unset("spark.graft.ivfIndexPath")
   }
 
