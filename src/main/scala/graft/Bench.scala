@@ -82,6 +82,9 @@ object Bench {
       // x15b transform) — one corpus write per session; without this
       // whichever media line runs first absorbs ~5 s of PNG writes
       "stage:png_corpus" -> (() => { graft.ops.Multimodal.pngCorpus(spark, sfDir); () }),
+      // the generated-WAV corpus x15c ingests — same one-write-per-session
+      // rationale as the PNG corpus above
+      "stage:wav_corpus" -> (() => { graft.ops.Multimodal.wavCorpus(spark, sfDir); () }),
       // the streaming gates' shared replay feeds (events: s9/s11-s14;
       // documents: s8/s10) — one staging build per table per session
       "stage:gate_events_feed" ->

@@ -170,21 +170,23 @@ object Multimodal {
     }
   }
 
-  private val pngCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // generated-media scratch dirs, keyed (session, sfDir, kind) — kind is
+  // "png" (x15/x15b) or "wav" (x15c)
+  private val mediaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
-  /** Drop and delete one session's generated PNG corpora — wired into
-    * [[graft.ops.Stages.evictSession]] (the StreamGate feed-eviction
-    * pattern), so the documented "one call frees everything this session
-    * pinned" contract covers the x15 image scratch dirs too. Before this,
-    * the TrieMap entry was never evicted: a long-lived JVM cycling
-    * sessions leaked one directory per (session, sfDir) until process
-    * exit. Local-FS scratch by construction (createTempDirectory), so a
-    * plain recursive delete suffices; best-effort — a leaked dir is disk,
-    * not correctness. */
-  private[graft] def evictSessionPng(spark: SparkSession): Unit = synchronized {
-    pngCache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
-      pngCache.remove(k).foreach(deletePngDir)
+  /** Drop and delete one session's generated media corpora (PNG + WAV) —
+    * wired into [[graft.ops.Stages.evictSession]] (the StreamGate
+    * feed-eviction pattern), so the documented "one call frees everything
+    * this session pinned" contract covers the x15 media scratch dirs too.
+    * Before this, the TrieMap entry was never evicted: a long-lived JVM
+    * cycling sessions leaked one directory per (session, sfDir) until
+    * process exit. Local-FS scratch by construction
+    * (createTempDirectory), so a plain recursive delete suffices;
+    * best-effort — a leaked dir is disk, not correctness. */
+  private[graft] def evictSessionMedia(spark: SparkSession): Unit = synchronized {
+    mediaCache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      mediaCache.remove(k).foreach(deleteMediaDir)
     }
   }
 
@@ -192,10 +194,10 @@ object Multimodal {
     * application-end listener and the stopped-context purge backstop:
     * the scratch dirs are driver-local disk, so they outlive the
     * executors and still need deleting after the context dies. */
-  private[graft] def evictPngByContext(sc: org.apache.spark.SparkContext): Unit =
+  private[graft] def evictMediaByContext(sc: org.apache.spark.SparkContext): Unit =
     synchronized {
-      pngCache.keys.filter(_._1.sparkContext eq sc).toSeq.foreach { k =>
-        pngCache.remove(k).foreach(deletePngDir)
+      mediaCache.keys.filter(_._1.sparkContext eq sc).toSeq.foreach { k =>
+        mediaCache.remove(k).foreach(deleteMediaDir)
       }
     }
 
@@ -203,17 +205,17 @@ object Multimodal {
     * [[graft.ops.Stages.purgeStopped]]'s slow path: entries whose
     * context died without an onApplicationEnd event would otherwise pin
     * their scratch dirs until process exit. */
-  private[graft] def purgeStoppedPng(): Unit = synchronized {
-    pngCache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach { k =>
-      pngCache.remove(k).foreach(deletePngDir)
+  private[graft] def purgeStoppedMedia(): Unit = synchronized {
+    mediaCache.keys.filter(_._1.sparkContext.isStopped).toSeq.foreach { k =>
+      mediaCache.remove(k).foreach(deleteMediaDir)
     }
   }
 
-  /** Test hook: whether a session still owns cached PNG corpora. */
-  private[graft] def cachedPngCount(spark: SparkSession): Int =
-    pngCache.keys.count(_._1 eq spark)
+  /** Test hook: how many generated media corpora a session still owns. */
+  private[graft] def cachedMediaCount(spark: SparkSession): Int =
+    mediaCache.keys.count(_._1 eq spark)
 
-  private def deletePngDir(dir: String): Unit =
+  private def deleteMediaDir(dir: String): Unit =
     try {
       import java.nio.file.{Files => JFiles, Paths}
       val root = Paths.get(dir)
@@ -237,7 +239,7 @@ object Multimodal {
     * duplicate build lands in its own temp dir and is dropped with the
     * losing cache entry — never a torn corpus. */
   def pngCorpus(spark: SparkSession, dir: String): String =
-    pngCache.getOrElseUpdate((spark, dir), {
+    mediaCache.getOrElseUpdate((spark, dir, "png"), {
       val out = java.nio.file.Files.createTempDirectory("graft_png_corpus_").toString
       import spark.implicits._
       documents(spark, dir).select(col("doc_id")).as[Long]
@@ -262,6 +264,72 @@ object Multimodal {
         }
       out
     })
+
+  /** x15c's generation parameters — closed-form in doc_id so the DuckDB
+    * oracle recomputes every field arithmetically: sample rate
+    * 8000 + 1000·(d mod 3) Hz, 1 + d mod 2 channels, 1 + d mod 16
+    * frames of 16-bit little-endian signed PCM whose RAW byte j is
+    * (5d + 13j) mod 256. */
+  private def wavRate(d: Long): Float = (8000 + 1000 * (d % 3)).toFloat
+  private def wavChannels(d: Long): Int = (1 + d % 2).toInt
+  private def wavFrames(d: Long): Int = (1 + d % 16).toInt
+
+  /** Deterministic generated-WAV corpus for the registered x15c — one
+    * REAL RIFF/WAVE file per document, built once per (session, sfDir)
+    * by executor tasks (the [[pngCorpus]] idiom: driver holds only the
+    * directory name; file names keyed by doc_id, idempotent overwrite;
+    * local-FS scratch here, the same foreachPartition writes through the
+    * Hadoop FS API to shared storage at 100 TB). PCM is uncompressed, so
+    * the oracle can recompute the decoded byte stream arithmetically
+    * while the engine side round-trips genuine `javax.sound.sampled`
+    * WAVE bytes. */
+  def wavCorpus(spark: SparkSession, dir: String): String =
+    mediaCache.getOrElseUpdate((spark, dir, "wav"), {
+      val out = java.nio.file.Files.createTempDirectory("graft_wav_corpus_").toString
+      import spark.implicits._
+      documents(spark, dir).select(col("doc_id")).as[Long]
+        .foreachPartition { (ids: Iterator[Long]) =>
+          ids.foreach { d =>
+            val fmt = new javax.sound.sampled.AudioFormat(
+              wavRate(d), 16, wavChannels(d), true, false) // 16-bit signed LE PCM
+            val pcm = new Array[Byte](wavFrames(d) * fmt.getFrameSize)
+            var j = 0
+            while (j < pcm.length) { pcm(j) = ((5 * d + 13 * j) % 256).toByte; j += 1 }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, wavFrames(d).toLong)
+            try javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE,
+              new java.io.File(out, s"snd_$d.wav"))
+            finally ais.close()
+          }
+        }
+      out
+    })
+
+  /** x15c: the audio modality END TO END on the REAL decode path —
+    * generated-WAV corpus → [[graft.sources.Sources.binaryFiles]] ingest
+    * (payload = actual file bytes) → per-partition [[decodeAudio]]
+    * (`javax.sound.sampled`), emitting the actual sample rate / channel
+    * count / frame count and the decoded-PCM checksum. WAV PCM is
+    * lossless and the byte function closed-form, so the oracle checks
+    * the codec end to end: a wrong byte anywhere in write → ingest →
+    * decode breaks the checksum equality (the x15/x15b idiom applied to
+    * the second modality; corrupt payloads degrade to decoded = 0 — the
+    * SourcesSpec degradation leg). */
+  def x15cAudioPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Sources.binaryFiles(spark, wavCorpus(spark, dir), "*.wav")
+      .select(
+        regexp_extract(col("path"), "snd_(\\d+)\\.wav$", 1).cast(LongType).as("doc_id"),
+        col("content").as("payload"),
+        lit("wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    decodeAudio(media)
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("n_frames"),
+        col("pcm_checksum"), col("decoded").cast(LongType).as("decoded"))
+      .orderBy("doc_id")
+  }
 
   /** x15: media pipeline on the REAL decode path — generated-PNG corpus
     * → [[graft.sources.Sources.binaryFiles]] ingest (payload = actual
@@ -369,15 +437,29 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_media_pipeline" -> x15MediaPipeline,
-    "x15b_media_transform" -> x15bMediaTransform)
+    "x15b_media_transform" -> x15bMediaTransform,
+    "x15c_audio" -> x15cAudioPipeline)
 
-  /** Oracles: both recompute the generated corpus's closed-form pixel
-    * function ([[pngCorpus]]) — dims from doc_id, checksums as double
-    * sums over (7d + 3x + 11y) mod 2^24 (x15b maps output coords through
-    * the nearest-neighbor rule ⌊X·w/Wt⌋ first, and crops with LEAST) —
-    * so DuckDB checks the real PNG write→ingest→decode(→transform)
-    * round trips without ever decoding an image itself. */
+  /** Oracles: all three recompute the generated corpora's closed-form
+    * content functions — the PNG pair from ([[pngCorpus]]) dims-from-
+    * doc_id + checksums as double sums over (7d + 3x + 11y) mod 2^24
+    * (x15b maps output coords through the nearest-neighbor rule
+    * ⌊X·w/Wt⌋ first, and crops with LEAST), the audio row from
+    * ([[wavCorpus]]) rate/channels/frames arithmetic + the PCM byte sum
+    * over (5d + 13j) mod 256 — so DuckDB checks the real
+    * write→ingest→decode(→transform) round trips without ever decoding
+    * an image or a waveform itself. */
   val oracle: Map[String, String] = Map(
+    "x15c_audio" ->
+      """SELECT doc_id,
+        |  CAST(8000 + 1000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (1 + doc_id % 16) * (1 + doc_id % 2) * 2),
+        |    j -> (5 * doc_id + 13 * j) % 256)) AS BIGINT) AS pcm_checksum,
+        |  CAST(1 AS BIGINT) AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x15b_media_transform" ->
       s"""SELECT doc_id,
         |  CAST(1 + doc_id % 8 AS BIGINT) AS src_w,

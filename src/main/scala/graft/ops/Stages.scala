@@ -88,7 +88,7 @@ object Stages {
     runIds.keys.filter(_.sparkContext eq sc).foreach(dropRunScratch)
     // x15's PNG scratch is driver-local disk — delete even after the
     // context died (the dirs outlive the executors)
-    Multimodal.evictPngByContext(sc)
+    Multimodal.evictMediaByContext(sc)
     // a LIVE context keeps its hook (the listener stays registered on the
     // bus either way — dropping the marker would make the next build add
     // a duplicate listener); a stopped context's marker is garbage
@@ -117,7 +117,7 @@ object Stages {
     // same way — one eviction call frees everything
     graft.streaming.StreamGate.evictSessionFeeds(spark)
     // ...as are x15's generated-PNG corpus scratch dirs
-    Multimodal.evictSessionPng(spark)
+    Multimodal.evictSessionMedia(spark)
   }
 
   /** Drop a session's run id, deleting its parquet-mode `run_<id>`
@@ -162,7 +162,7 @@ object Stages {
     blobCache.keys.filter(_._1.sparkContext.isStopped).foreach(blobCache.remove)
     runIds.keys.filter(_.sparkContext.isStopped).foreach(dropRunScratch)
     hooked.keys.filter(_.isStopped).foreach(hooked.remove)
-    Multimodal.purgeStoppedPng()
+    Multimodal.purgeStoppedMedia()
   }
 
   /** Per-session run tag under the configured stage root: two LIVE

@@ -720,6 +720,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x15c: real audio decode reproduces the generated corpus's closed-form PCM") {
+    val docIds = graft.model.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Multimodal.x15cAudioPipeline(spark, sf0001).collect()
+    // one decoded row per document — the WAV corpus, the binaryFile
+    // ingest, and the filename-keyed doc_id all line up
+    assert(rows.map(_.getLong(0)).toSet == docIds)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val channels = 1 + d % 2
+      val frames = 1 + d % 16
+      var sum = 0L
+      for (j <- 0L until frames * channels * 2) sum += (5 * d + 13 * j) % 256
+      assert(r.getLong(1) == 8000 + 1000 * (d % 3), s"rate mismatch: $r")
+      assert(r.getLong(2) == channels && r.getLong(3) == frames, r.toString)
+      assert(r.getLong(4) == sum, s"PCM checksum mismatch for doc $d: $r")
+      assert(r.getLong(5) == 1L, s"doc $d failed to decode")
+    }
+  }
+
   test("x14: blocked near-dup pairs are a subset of all-pairs with identical scores") {
     // sf0.01: the smallest SF with a ground-truth near-dup pair (sf0.001
     // has none, so the blocked result there is correctly empty).

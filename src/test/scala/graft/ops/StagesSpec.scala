@@ -167,11 +167,11 @@ class StagesSpec extends SparkTestBase {
       val theirs = Multimodal.pngCorpus(other, sf0001)
       assert(mine != theirs, "each session must own its own PNG scratch dir")
       assert(Files.exists(Paths.get(mine)) && Files.exists(Paths.get(theirs)))
-      assert(Multimodal.cachedPngCount(other) == 1)
+      assert(Multimodal.cachedMediaCount(other) == 1)
       Stages.evictSession(other)
       assert(!Files.exists(Paths.get(theirs)),
         "evicted session's PNG scratch dir must be deleted from disk")
-      assert(Multimodal.cachedPngCount(other) == 0)
+      assert(Multimodal.cachedMediaCount(other) == 0)
       assert(Files.exists(Paths.get(mine)),
         "evicting one session must not delete another session's PNG scratch")
       // a rebuilt corpus after eviction lands in a FRESH dir (no stale path)
@@ -179,7 +179,7 @@ class StagesSpec extends SparkTestBase {
       assert(rebuilt != theirs && Files.exists(Paths.get(rebuilt)))
     } finally {
       Stages.evictSession(other)
-      graft.ops.Multimodal.evictSessionPng(spark)
+      graft.ops.Multimodal.evictSessionMedia(spark)
     }
   }
 
