@@ -914,7 +914,16 @@ object TextOps {
     * size(split(trim(s), '  ')) (the 3-space boundary leaves a stray
     * leading space on the next token, which the double-space split
     * ignores for counting). Shared by the s17 gate, its batch twin in
-    * StreamGateSpec, and the oracle's `charSeqSql` rendering. */
+    * StreamGateSpec, and the oracle's `charSeqSql` rendering.
+    *
+    * DEGENERATE-DOC CONVENTION (pinned by PipelinePropertySpec): a
+    * document with no non-empty words renders as '  ' and counts
+    * n_tok = 1 (splitting the empty trimmed string yields one empty
+    * token — in Spark AND DuckDB, so oracle parity is exact). This is
+    * deliberate, not an off-by-one: s17's per-doc drift ratio is
+    * fdiv(1000·n_bpe, n_tok), and the 1-token floor keeps it total
+    * (an empty doc reads ratio 1000 — "nothing to compress" — where
+    * n_tok = 0 would divide by zero in both twins). */
   private[graft] def charSeqCol(text: Column): Column =
     concat(lit(" "), array_join(
       transform(filter(split(text, " "), w => w =!= ""),

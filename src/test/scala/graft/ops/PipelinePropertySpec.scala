@@ -131,10 +131,24 @@ class PipelinePropertySpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> (r.getInt(1) - r.getInt(2))).toMap
       docs.foreach { case (id, text) =>
         val words = text.split(" ").toSeq
-        if (words.exists(_.nonEmpty)) // all-empty docs render '  ' — count formula degenerate
+        if (words.exists(_.nonEmpty))
           assert(counted(id) == mergedCountRef(words),
             s"seed $seed doc $id [$text]: merge count ${counted(id)} != ${mergedCountRef(words)}")
       }
+    }
+    // the degenerate-doc convention (charSeqCol scaladoc): no non-empty
+    // words → rendering '  ', n_tok = 1 (NOT 0 — the 1-token floor keeps
+    // s17's fdiv(1000·n_bpe, n_tok) ratio total), and no merge applies
+    val degenerate = Seq((0L, ""), (1L, " "), (2L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.charSeqCol(col("text")).as("s"))
+      .select(col("doc_id"), col("s"),
+        size(split(trim(col("s")), "  ")).as("n_tok"),
+        size(split(trim(replace(col("s"), lit(" a  b "), lit(" a_b "))), "  ")).as("n_bpe"))
+      .collect()
+    degenerate.foreach { r =>
+      assert(r.getString(1) == "  ", s"doc ${r.getLong(0)}: rendering '${r.getString(1)}'")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1,
+        s"doc ${r.getLong(0)}: degenerate counts (${r.getInt(2)}, ${r.getInt(3)}) != (1, 1)")
     }
   }
 
