@@ -140,29 +140,8 @@ object Bench {
     // Best-effort and opt-in: the walk costs real time on big scratch
     // trees, so it must never run on a driver bench.
     val diagPath = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
-    def diag(name: String, sec: Double): Unit = diagPath.foreach { p =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-          .asScala.map(_.getCollectionTime).filter(_ > 0).sum
-        val heapMb = java.lang.management.ManagementFactory
-          .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
-        def sizeOf(f: java.io.File): Long =
-          if (f.isFile) f.length()
-          else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
-        val scratchMb = Option(new java.io.File(System.getProperty("java.io.tmpdir"))
-            .listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("spark-") ||
-            f.getName.contains("StateStore") || f.getName.startsWith("graft_") ||
-            f.getName.startsWith("temporary-"))
-          .map(sizeOf).sum >> 20
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-          s"""{"q":${Json.quote(name)},"sec":${f"$sec%.3f"},"gc_ms":$gcMs,""" +
-            s""""heap_mb":$heapMb,"scratch_mb":$scratchMb}""" + "\n",
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-      } catch { case _: Throwable => }
-    }
+    def diag(name: String, sec: Double): Unit =
+      graft.util.BenchDiag.log(diagPath, name, sec)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

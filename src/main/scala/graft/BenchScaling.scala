@@ -487,6 +487,11 @@ object BenchScaling {
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: per-leg GC/heap/scratch
+      // diagnostics (the Bench hook, shared via graft.util.BenchDiag) —
+      // tagged with the factor so one multi-factor session attributes an
+      // inflated leg to session aging vs scratch growth vs host band
+      val diagPath = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val df = fn(spark, dir, k)
@@ -494,7 +499,9 @@ object BenchScaling {
         // construction): the value itself is the artifact
         if (name.startsWith("count:")) counts(name) = df.collect()(0).getLong(0)
         else df.write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.util.BenchDiag.log(diagPath, name, sec, Map("factor" -> k.toString))
+        name -> sec
       }
       val qs = times.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
       val cs =
