@@ -1380,7 +1380,106 @@ object TextOps {
       .orderBy("source", "decile")
   }
 
+  /** x71: BM25 query-set retrieval — the lexical-retrieval member the
+    * text family lacked (x19 scores a doc's OWN terms; this ranks the
+    * CORPUS against queries, the shape decontamination sweeps, eval-set
+    * retrieval, and RAG backfills run at pipeline scale). Five
+    * deterministic queries (the distinct first-3 tokens of docs 0–4)
+    * retrieve their top-5 documents under BM25 scoring (k1 = 1.2,
+    * b = 0.75 — the standard Robertson/Okapi constants).
+    *
+    * Determinism: the idf factor keeps BM25's odds argument
+    * (N − df + ½)/(df + ½) as an exact integer ratio instead of its log
+    * (rankings stay oracle-reproducible: every score is integer
+    * arithmetic with two floor divisions both engines apply
+    * identically), and the length normalization is the scaled-int
+    * dnorm1e4 = 2500 + ⌊7500·N·dl/T⌋. Two-stage flooring (the tf ratio
+    * to 1e4, then the idf ratio) keeps every intermediate ≤ ~2×10¹¹ —
+    * exact-int headroom past 10⁶-document corpora; at true 100 TB
+    * corpus sizes production relaxes the idf to float log scoring at
+    * ranking tolerance (the standard trade), keeping this exact form as
+    * its QA oracle on samples.
+    *
+    * Plan shape at 100 TB: the query-term set (≤15 rows) BROADCASTS and
+    * prunes the posting explode BEFORE any aggregation (only
+    * query-term tokens survive the scan); tf is one map-side-combinable
+    * (term, doc) count; df one term-keyed count over that; per-doc
+    * length joins on doc_id; and the per-query top-5 is the x42
+    * bounded-heap `topk_by` aggregate — ≤ k pairs per query×task cross
+    * the shuffle, no corpus-sized sort, no rank window. The only
+    * driver state is the 1-row (N, T) corpus stat. */
+  def x71Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByAgg.topkBy
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val st = d.agg(count(lit(1)).as("n"), sum(size(col("w")).cast(LongType)).as("t"))
+      .collect()(0) // 1 row — corpus doc/token totals, the only driver state
+    val (n, t) = (st.getLong(0), st.getLong(1))
+    val qterms = d.filter(col("doc_id") < 5L)
+      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
+      .distinct() // ≤ 15 rows — the query set
+    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dnorm = d.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+      .select(col("doc_id"),
+        (lit(2500L) + call_function("div", lit(7500L) * lit(n) * col("dl"), lit(t)))
+          .as("dnorm1e4"))
+    // stage 1: the saturating-tf ratio 1e4·(k1+1)·tf / (tf + k1·dnorm),
+    // all ×10⁵ to clear the constants' denominators
+    val ratio1e4 = call_function("div",
+      lit(2200000000L) * col("tf"),
+      lit(100000L) * col("tf") + lit(12L) * col("dnorm1e4"))
+    // stage 2: the rational-odds idf (N−df+½)/(df+½), kept exact via ×2
+    val term1e4 = call_function("div",
+      (lit(2L) * (lit(n) - col("df")) + lit(1L)) * ratio1e4,
+      lit(2L) * col("df") + lit(1L))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(dft), "term")
+      .join(dnorm, "doc_id")
+      .select(col("q_id"), col("doc_id"), term1e4.as("s"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("s")).as("score1e4"))
+      .groupBy(col("q_id")).agg(topkBy(col("score1e4"), col("doc_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tag").as("doc_id"), col("col.ord").as("score1e4"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB twin of [[x71Bm25]] — the same two floor stages (`//`),
+    * integer end to end, rank ties broken on doc_id exactly like
+    * `topk_by`'s (ord DESC, tag ASC) order. */
+  private def x71OracleSql: String =
+    """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |st AS MATERIALIZED (SELECT count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS t FROM d),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:3]) AS term FROM d WHERE doc_id < 5),
+      |tf AS MATERIALIZED (
+      |  SELECT term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dn AS (SELECT doc_id,
+      |         2500 + (7500 * (SELECT n FROM st) * len(w)) // (SELECT t FROM st) AS dnorm1e4
+      |       FROM d),
+      |sc AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    CAST(sum(((2 * ((SELECT n FROM st) - dft.df) + 1)
+      |        * ((2200000000 * tf.tf) // (100000 * tf.tf + 12 * dn.dnorm1e4)))
+      |      // (2 * dft.df + 1)) AS BIGINT) AS score1e4
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN dft USING (term)
+      |  JOIN dn ON dn.doc_id = tf.doc_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, doc_id, score1e4,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score1e4 DESC, doc_id) AS rnk
+      |      FROM sc)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score1e4
+      |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x71_bm25" -> x71Bm25,
     "x64_vocab_growth" -> x64VocabGrowth,
     "x43_substring_dedup" -> x43SubstringDedup,
     "x46_edit_join" -> x46EditJoin,
@@ -1411,6 +1510,7 @@ object TextOps {
     s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    "x71_bm25" -> x71OracleSql,
     "x64_vocab_growth" ->
       s"""WITH b AS (SELECT source, min(doc_id) AS mn,
          |             max(doc_id) - min(doc_id) + 1 AS span

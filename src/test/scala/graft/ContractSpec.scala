@@ -48,6 +48,23 @@ class ContractSpec extends AnyFunSuite {
         s"as ReusedExchange; got:\n$plan")
   }
 
+  test("x71's retrieval plans no rank window and broadcast-prunes the postings (the top-k contract)") {
+    // the per-query top-5 is the x42 bounded-heap aggregate and the
+    // query-term set broadcasts into the posting explode BEFORE any
+    // aggregation; a WindowExec or a missing broadcast here means the
+    // retrieval reverted to sorting corpus-sized candidate sets
+    val spark = SparkTestBase.session
+    graft.ops.Stages.clear()
+    val df = graft.ops.TextOps.x71Bm25(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"x71 plans a window over the candidate set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x71 lost the broadcast query-term prune:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"x71 lost the bounded-heap topk_by aggregate:\n$plan")
+  }
+
   test("corpus-side vector routing plans no rank window (the argmin contract)") {
     // x56's encoder and x16's assignment replaced their corpus×k rank
     // windows with packed-min hash aggregates; a WindowExec reappearing
