@@ -281,6 +281,10 @@ object BenchScaling {
     // the held-out bigram LM: disjoint token namespaces grow the vocab and
     // bigram count tables ×f; per-doc scoring work is unchanged
     "x40_bigram_lm" -> fx(graft.ops.PipelineOps.x40BigramLm _),
+    // BM25 retrieval: replica-0 queries under disjoint token namespaces,
+    // so the broadcast prune keeps postings replica-local — the leg must
+    // track the one posting scan, with df/idf work constant
+    "x71_bm25" -> fx(graft.ops.TextOps.x71Bm25 _),
     // the snapshot diff: (doc_id, md5) pairs ×f through the full-outer join
     "x41_dataset_diff" -> fx(graft.ops.PipelineOps.x41DatasetDiff _),
     // BPE pair stats: disjoint token namespaces grow BOTH count tables
@@ -353,7 +357,7 @@ object BenchScaling {
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",
-    "x42_grouped_topk", "x42_window_topk",
+    "x42_grouped_topk", "x42_window_topk", "x71_bm25",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
     "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
     "x54_bpe_pairs",

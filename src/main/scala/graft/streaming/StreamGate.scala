@@ -510,6 +510,76 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** s20 gate: continuous RETRIEVAL screen — x71's BM25 scoring as a
+    * serving decision (the 13th gate), completing the retrieval
+    * lifecycle the way s16 completes the vector index's: the query-term
+    * statistics (N, total tokens, per-term df — BM25's whole index
+    * state for a fixed query set) FREEZE on the oldest-90% history
+    * slice (the s8/x36/s17 split), and every arriving document is
+    * scored against all five queries per-row, emitting the (doc, query)
+    * matches — the shape a continuous decontamination screen has: "an
+    * arriving training document just scored high against an eval query"
+    * is exactly this row.
+    *
+    * Stateless per-row map in the s17/s18 frozen-model posture: the
+    * ≤15 (q_id, term, df) rows collect once (bounded driver state, the
+    * s17 merge-table idiom) and fold into literal codegen'd expressions
+    * — per arrival, tf per term is a HOF count over the doc's own token
+    * array, the score the same two-floor integer arithmetic as x71
+    * (exact oracle parity, no bound flags). No state store, no
+    * watermark, no stream-side join or aggregation: at 100 TB the
+    * frozen stats ship to every scoring task like x67's merge table and
+    * the gate scales exactly like the ingest scan. */
+  def s20RetrievalStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val hist = d.filter(col("doc_id") <= thr)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val st = hist.agg(count(lit(1)).as("n"),
+      sum(size(col("w")).cast(LongType)).as("t")).collect()(0)
+    val (n, t) = (st.getLong(0), st.getLong(1)) // 1 row — frozen corpus stats
+    val qt = hist.filter(col("doc_id") < 5L)
+      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
+      .distinct()
+    val dft = hist.select(col("doc_id"), explode(col("w")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val frozen = qt.join(dft, "term")
+      .select(col("q_id"), col("term"), col("df"))
+      .collect() // ≤15 rows — the frozen retrieval index, the s17 idiom
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def termScore(term: String, df: Long): Column = {
+      val tf = size(filter(col("w"), x => x === lit(term))).cast(LongType)
+      val ratio = call_function("div",
+        lit(2200000000L) * tf, lit(100000L) * tf + lit(12L) * col("dnorm1e4"))
+      call_function("div", lit(2L * (n - df) + 1L) * ratio, lit(2L * df + 1L))
+    }
+    val perQuery = frozen.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, rows) =>
+      struct(lit(q).as("q_id"),
+        rows.map { case (_, tm, df) => termScore(tm, df) }.reduce(_ + _).as("score1e4"))
+    }
+    val feed = sharedDocsFeed(spark, dir)
+    val scored = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+      .filter(col("doc_id") > thr)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dnorm1e4", lit(2500L) +
+        call_function("div", lit(7500L) * lit(n) * size(col("w")).cast(LongType), lit(t)))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("doc_id"), col("qs.q_id").as("q_id"), col("qs.score1e4").as("score1e4"))
+      .filter(col("score1e4") > 0L) // ≥1 matching term — the screen's emission rule
+    val streamed = {
+      val name = s"s20_gate_${runId.incrementAndGet()}"
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    streamed.orderBy("doc_id", "q_id")
+  }
+
   /** S10 MG capacity and slot count. k matches the batch q27c (so the
     * oracle is q27c's SQL verbatim); [[s10Slots]] spreads each language
     * over that many disjoint-token state keys. */
@@ -893,6 +963,7 @@ object StreamGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_retrieval_stream" -> s20RetrievalStream,
     "s19_budget_admit" -> s19BudgetAdmitStream,
     "s18_split_route" -> s18SplitRouteStream,
     "s17_bpe_drift_stream" -> s17BpeDriftStream,
@@ -907,6 +978,31 @@ object StreamGate {
     "s13_quantile_stream" -> s13QuantileStream)
 
   val oracle: Map[String, String] = Map(
+    // s20: the frozen-stats scoring is exact (same two-floor integer
+    // arithmetic as x71), so the oracle re-derives the history index and
+    // the arrival scoring independently — exact parity, no bound flags
+    "s20_retrieval_stream" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT (9 * max(doc_id)) // 10 AS thr FROM d),
+        |hist AS MATERIALIZED (SELECT doc_id, w FROM d CROSS JOIN t WHERE doc_id <= thr),
+        |st AS MATERIALIZED (SELECT count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS tt FROM hist),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:3]) AS term FROM hist WHERE doc_id < 5),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df
+        |        FROM (SELECT doc_id, unnest(w) AS term FROM hist)
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |arr AS (SELECT doc_id, w,
+        |          2500 + (7500 * (SELECT n FROM st) * len(w)) // (SELECT tt FROM st) AS dnorm1e4
+        |        FROM d CROSS JOIN t WHERE doc_id > thr),
+        |p AS (SELECT arr.doc_id, qt.q_id, qt.term, arr.dnorm1e4,
+        |        CAST(len(list_filter(arr.w, x -> x = qt.term)) AS BIGINT) AS tf
+        |      FROM arr CROSS JOIN qt),
+        |sc AS (SELECT p.doc_id, p.q_id,
+        |         CAST(sum(((2 * ((SELECT n FROM st) - dft.df) + 1)
+        |             * ((2200000000 * p.tf) // (100000 * p.tf + 12 * p.dnorm1e4)))
+        |           // (2 * dft.df + 1)) AS BIGINT) AS score1e4
+        |       FROM p JOIN dft USING (term) GROUP BY 1, 2)
+        |SELECT doc_id, q_id, score1e4 FROM sc
+        |WHERE score1e4 > 0 ORDER BY doc_id, q_id""".stripMargin,
     // s19: admission is a pure function of the shard-local running sum,
     // so the oracle is the per-shard prefix sum as a partitioned window
     "s19_budget_admit" -> {

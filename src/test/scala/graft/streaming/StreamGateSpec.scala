@@ -41,6 +41,35 @@ class StreamGateSpec extends SparkTestBase {
       s"degenerate admission split: $admitted of ${got.length}")
   }
 
+  test("s20 gate == a driver-side BM25 reference over the frozen history index") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamGate.s20RetrievalStream(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: everything recomputed driver-side from the raw table —
+    // independent of every Spark expression the gate uses
+    val docs = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).sortBy(_._1)
+    val thr = 9L * docs.map(_._1).max / 10L
+    val hist = docs.filter(_._1 <= thr)
+    val n = hist.size.toLong
+    val t = hist.map(_._2.size.toLong).sum
+    val qt = hist.filter(_._1 < 5).flatMap { case (q, w) => w.take(3).distinct.map(q -> _) }
+    val dfm = qt.map(_._2).distinct
+      .map(tm => tm -> hist.count(_._2.contains(tm)).toLong).toMap
+    val expect = (for {
+      (dId, w) <- docs if dId > thr
+      dnorm = 2500L + 7500L * n * w.size / t
+      (q, tm) <- qt
+      tf = w.count(_ == tm).toLong
+    } yield ((dId, q),
+        (2L * (n - dfm(tm)) + 1L) *
+          (2200000000L * tf / (100000L * tf + 12L * dnorm)) / (2L * dfm(tm) + 1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 > 0L).toMap
+    assert(got == expect,
+      s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+  }
+
   test("s18: per-row band signature equals the batch x13 band pipeline") {
     import org.apache.spark.sql.functions._
     val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
