@@ -369,6 +369,17 @@ object BenchScaling {
     // derives from documents — selecting them alone must still replicate
     "count:x49_cand_pos", "count:x49_cand_all")
 
+  /** The q25 audit family is QUADRATIC under concentration by design
+    * (product rows = hotLeft × hotRight — see the q25Right scaladoc and
+    * the README "Many-right-rows skew leg" protocol: those legs run on
+    * a SMALL base at modest factors). On an sf0.1 base the naive leg
+    * alone parks ~10 minutes of one reducer computing a 2.25-billion-row
+    * hot product, so the DEFAULT selection excludes the family — loudly,
+    * per the no-silent-caps rule — and an explicit
+    * SPARK_GRAFT_SCALE_QUERIES still runs them anywhere. */
+  private val quadraticLegs = Set(
+    "q25_naive_join", "q25_salted16_join", "q25_salted32_join", "q25_split_join")
+
   /** Audited subset; override with SPARK_GRAFT_SCALE_QUERIES=q4,...
     * (comma-separated keys) — e.g. to run the linear core at high
     * factors without the fixed-parameter vector trio. */
@@ -381,7 +392,11 @@ object BenchScaling {
         val unknown = want -- audited.map(_._1).toSet
         require(unknown.isEmpty, s"unknown SPARK_GRAFT_SCALE_QUERIES keys: $unknown")
         audited.filter { case (n, _) => want(n) }
-      case None => audited
+      case None =>
+        System.err.println(s"[scaling] default selection excludes the quadratic " +
+          s"q25 audit family (${quadraticLegs.toSeq.sorted.mkString(", ")}) — " +
+          "request them explicitly via SPARK_GRAFT_SCALE_QUERIES on a small base")
+        audited.filterNot { case (n, _) => quadraticLegs(n) }
     }
 
   private def replicate(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
