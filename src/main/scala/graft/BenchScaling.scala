@@ -513,12 +513,25 @@ object BenchScaling {
       val diagPath = sys.env.get("SPARK_GRAFT_BENCH_DIAG")
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val df = fn(spark, dir, k)
-        // "count:" legs are one-row diagnostics (bounded collect by
-        // construction): the value itself is the artifact
-        if (name.startsWith("count:")) counts(name) = df.collect()(0).getLong(0)
-        else df.write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
+        // a failed leg reports the Bench -1.0 sentinel instead of killing
+        // the whole multi-factor session: some legs fail BY DESIGN at
+        // high factors (q28c's theta exact-mode guard throws once weekly
+        // cardinality crosses 2^12; q27's scaled-support variant refuses
+        // supports below the builtin floor) — the loud guard is the
+        // point, and the audit records it as a marked line
+        val sec =
+          try {
+            val df = fn(spark, dir, k)
+            // "count:" legs are one-row diagnostics (bounded collect by
+            // construction): the value itself is the artifact
+            if (name.startsWith("count:")) counts(name) = df.collect()(0).getLong(0)
+            else df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scaling] $name failed at factor $k " +
+              s"(reported -1.0): ${e.getMessage}")
+            -1.0
+          }
         graft.util.BenchDiag.log(diagPath, name, sec, Map("factor" -> k.toString))
         name -> sec
       }
