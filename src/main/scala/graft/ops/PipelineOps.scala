@@ -429,14 +429,20 @@ object PipelineOps {
   }
 
   /** Exact termination test: the edge set is a star forest ⟺ no child
-    * carries two parents and no parent is itself a child. Two cheap
-    * scans over the round's checkpointed blocks — both operations leave
-    * a star forest unchanged, and the alternation is guaranteed to
-    * reach one, so this IS convergence (never a heuristic count/hash
+    * carries two parents and no parent is itself a child. ONE aggregate
+    * job over the round's checkpointed blocks (each node's child-row
+    * count and a parent marker carry both conditions) — both operations
+    * leave a star forest unchanged, and the alternation is guaranteed
+    * to reach one, so this IS convergence (never a heuristic count/hash
     * comparison that could terminate early on a collision). */
   private def ccIsStarForest(e: DataFrame): Boolean =
-    e.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1L).isEmpty &&
-      e.select(col("v")).join(e.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+    e.select(col("u").as("n"), lit(1L).as("c"))
+      .unionByName(e.select(col("v").as("n"), lit(0L).as("c")))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("nc"), min(col("c")).as("mn"))
+      // nc = how many parents n carries; mn = 0 ⟺ n is also a parent
+      .filter(col("nc") > 1L || (col("nc") >= 1L && col("mn") === 0L))
+      .isEmpty
 
   /** Connected components over any (doc_id) node / (d1, d2) pair frames —
     * x24's engine, split out so the fixpoint is property-testable against
