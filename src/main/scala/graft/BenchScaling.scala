@@ -174,6 +174,9 @@ object BenchScaling {
     // shared-gram sets are replica-local — gram volume grows ×f, the
     // span work per doc is unchanged; the honest linear shape
     "x43_substring_dedup" -> fx(graft.ops.TextOps.x43SubstringDedup _),
+    // the rewrite half: same staged gram frame, ownership + covered-
+    // position exchanges ∝ duplicated-span volume, per-row HOF rewrite
+    "x72_span_scrub" -> fx(graft.ops.TextOps.x72SpanScrub _),
     "x23_simhash_neardup" -> fx(graft.ops.PipelineOps.x23SimhashNeardup _),
     "x24_dedup_clusters" -> fx(graft.ops.PipelineOps.x24DedupClusters _),
     "x25_boilerplate" -> fx(graft.ops.PipelineOps.x25Boilerplate _),
@@ -354,6 +357,7 @@ object BenchScaling {
     "q27_freq_items", "q27_freq_items_scaledsupport",
     "q27b_freq_deep", "q27b_freq_deep_scaledk",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters", "x43_substring_dedup",
+    "x72_span_scrub",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",

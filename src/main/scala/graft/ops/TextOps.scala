@@ -1128,6 +1128,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x72: substring-dedup REWRITE — the ACT half of x43's detection
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": after finding corpus-duplicated spans you REMOVE the
+    * repeats, keeping one canonical occurrence). Every 5-gram hash
+    * occurring in ≥2 distinct documents gets a canonical owner (the
+    * MINIMUM doc_id containing it — the x1/x24 keep-lowest rule);
+    * every occurrence in a NON-owner document marks its 5-token span
+    * for scrubbing, and each document is rewritten with the covered
+    * positions dropped. Emits per doc the token counts and the md5 of
+    * the scrubbed text (the x22 scrub-fingerprint idiom: the rewrite is
+    * verified end to end without shipping corpus text through the
+    * gate).
+    *
+    * Plan shape at 100 TB: rides the SAME staged gram frame as x43/x45
+    * (one corpus 5-gram pass per session); ownership is one distinct +
+    * one primitive min/count exchange keyed on the gram hash (never
+    * countDistinct's double exchange); covered positions are one
+    * explode + distinct keyed on (doc, pos) — shuffle ∝ duplicated-span
+    * volume, not corpus²; the rewrite itself is a per-row HOF over the
+    * doc's own token array (codegen'd, no further shuffle). The
+    * per-doc cuts array is bounded by the doc's own token count — the
+    * same per-row bound as the token array it filters. */
+  def x72SpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val grams = Stages.grams5(spark, dir).select(col("doc_id"), col("p"), col("h"))
+    val owners = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") >= 2L)
+      .select(col("h"), col("owner"))
+    val cuts = grams.join(owners, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(4L))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    d.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("cuts"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(col("cuts")).cast(LongType).as("n_scrubbed"),
+        expr("transform(filter(sequence(CAST(1 AS BIGINT), CAST(size(w) AS BIGINT)), " +
+          "i -> NOT array_contains(cuts, i)), i -> element_at(w, CAST(i AS INT)))").as("keep"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("keep")).cast(LongType).as("n_kept"),
+        col("n_scrubbed"),
+        md5(concat_ws(" ", col("keep")).cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** The shared positional 5-gram frame build — the stage body behind
     * [[Stages.grams5]]: (doc_id, source, p, h) with h the 64-BIT gram
     * key (md5's first half — the x49/x2 key convention; both consumers'
@@ -1480,6 +1531,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x71_bm25" -> x71Bm25,
+    "x72_span_scrub" -> x72SpanScrub,
     "x64_vocab_growth" -> x64VocabGrowth,
     "x43_substring_dedup" -> x43SubstringDedup,
     "x46_edit_join" -> x46EditJoin,
@@ -1511,6 +1563,33 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "x71_bm25" -> x71OracleSql,
+    // x72: the whole lattice re-derived independently — owner = min doc
+    // per ≥2-doc gram hash, covered positions, and the rewrite itself
+    // (DuckDB's md5 of the same retained-token join) — so the clean_md5
+    // equality checks the rewrite end to end without shipping text
+    "x72_span_scrub" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(w) >= 5
+        |         THEN list_transform(range(1, len(w) - 3),
+        |                i -> substring(md5(array_to_string(w[i : i + 4], ' ')), 1, 16))
+        |         ELSE [] END AS gs FROM d),
+        |g AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS p, unnest(gs) AS h FROM g0),
+        |own AS (SELECT h, min(doc_id) AS owner
+        |        FROM (SELECT DISTINCT h, doc_id FROM g)
+        |        GROUP BY h HAVING count(*) >= 2),
+        |cut AS (SELECT DISTINCT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos
+        |        FROM g JOIN own ON g.h = own.h AND g.doc_id <> own.owner),
+        |cuts AS (SELECT doc_id, list_sort(list(pos)) AS cuts FROM cut GROUP BY doc_id),
+        |f AS (SELECT d.doc_id, d.w, len(d.w) AS n_tokens,
+        |        coalesce(len(c.cuts), 0) AS n_scrubbed,
+        |        list_filter(range(1, len(d.w) + 1),
+        |          i -> NOT list_contains(coalesce(c.cuts, CAST([] AS BIGINT[])), i)) AS keep
+        |      FROM d LEFT JOIN cuts c USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  CAST(n_scrubbed AS BIGINT) AS n_scrubbed,
+        |  md5(coalesce(array_to_string(list_transform(keep, i -> w[i]), ' '), '')) AS clean_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x64_vocab_growth" ->
       s"""WITH b AS (SELECT source, min(doc_id) AS mn,
          |             max(doc_id) - min(doc_id) + 1 AS span

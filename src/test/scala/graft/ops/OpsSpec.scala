@@ -740,6 +740,56 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("x72: scrub counts partition the doc; exact duplicates scrub fully except the owner") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.x72SpanScrub(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // partition invariant: kept + scrubbed = tokens, md5 never null
+    rows.foreach { case (d, (nt, nk, ns, m)) =>
+      assert(nk + ns == nt, s"doc $d: $nk + $ns != $nt")
+      assert(m != null && m.length == 32, s"doc $d: bad md5 '$m'")
+    }
+    // the keep-lowest rule, on a synthetic corpus with EXACT duplicates
+    // (the sf corpora have none): the lowest copy keeps every token,
+    // every other copy scrubs fully (all its grams are shared with the
+    // owner), an overlapping-suffix doc scrubs just the shared span,
+    // and an unrelated doc is untouched
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x72_").toString
+    val dup = "a b c d e f g h"
+    Seq(
+      (1L, dup, "en", "srcA", dup.length.toLong),
+      (5L, dup, "en", "srcB", dup.length.toLong),
+      (6L, "x y d e f g h z", "en", "srcA", 15L), // tail shares ONE 5-gram: d e f g h
+      (7L, "p q r s t u v w", "en", "srcC", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    try {
+      val syn = TextOps.x72SpanScrub(s, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(syn(1L) == ((8L, 8L, 0L)), s"owner scrubbed: ${syn(1L)}")
+      assert(syn(5L) == ((8L, 0L, 8L)), s"duplicate kept tokens: ${syn(5L)}")
+      // doc 6: gram 'd e f g h' at p=3 is shared with owner 1 → positions
+      // 3..7 scrub, 3 tokens survive
+      assert(syn(6L) == ((8L, 3L, 5L)), s"overlap doc wrong: ${syn(6L)}")
+      assert(syn(7L) == ((8L, 8L, 0L)), s"unrelated doc touched: ${syn(7L)}")
+    } finally {
+      graft.ops.Stages.clear() // the synthetic dir's gram stage must not outlive it
+      graft.SparkTestBase.deleteRecursively(new java.io.File(tmp))
+    }
+    // a doc whose grams are all unique keeps everything, and its md5 is
+    // the md5 of its own text (the rewrite is the identity there)
+    val untouched = graft.model.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val identity = rows.collect { case (d, (nt, nk, _, m)) if nk == nt => (d, m) }
+    assert(identity.nonEmpty)
+    identity.foreach { case (d, m) =>
+      assert(m == untouched(d), s"doc $d rewrote despite zero scrubbed tokens")
+    }
+  }
+
   test("x14: blocked near-dup pairs are a subset of all-pairs with identical scores") {
     // sf0.01: the smallest SF with a ground-truth near-dup pair (sf0.001
     // has none, so the blocked result there is correctly empty).
