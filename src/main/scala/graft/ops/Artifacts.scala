@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stamped persisted artifacts — the stored-governance contracts.
   *
-  * Three tables cross session boundaries as parquet a deployment writes
+  * Four tables cross session boundaries as parquet a deployment writes
   * once and serves many times: x68's sticky splits (`stickyPath`), the
-  * IVFADC index (`ivfIndexPath`), and x24's cluster labels
-  * (`labelsPath`). An unstamped read would serve ANY parquet at the
+  * IVFADC index (`ivfIndexPath`), x24's cluster labels (`labelsPath`),
+  * and s20's frozen retrieval stats (`retrievalStatsPath`). An
+  * unstamped read would serve ANY parquet at the
   * configured path — a wrong-corpus table, a different artifact, a
   * torn write, or a table produced by an older operator version — and
   * every one of those fails silently downstream (splits migrate, codes
@@ -34,7 +35,8 @@ object Artifacts {
   val versions: Map[String, Int] = Map(
     "x68_sticky" -> 1,
     "x57_index" -> 1,
-    "x24_labels" -> 1)
+    "x24_labels" -> 1,
+    "s20_stats" -> 1)
 
   private def metaPath(path: String): String = s"${path.stripSuffix("/")}/_graft_meta"
 

@@ -510,6 +510,54 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** The PERSISTED retrieval-stats location, if configured (the
+    * stickyPath convention: runtime conf first, empty value forces
+    * re-derivation, env var as the deployment default). */
+  private def retrievalStatsPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.retrievalStatsPath") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_RETRIEVAL_STATS_PATH").filter(_.nonEmpty)
+    }
+
+  /** s20's frozen retrieval index, derived from the history slice: one
+    * row per (q_id, term) with the term's history df and the history
+    * corpus stats (n docs, t tokens) denormalized onto every row —
+    * ≤15 rows by construction (5 queries × ≤3 distinct terms), BM25's
+    * whole index state for a fixed query set. */
+  private[streaming] def deriveRetrievalStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val hist = d.filter(col("doc_id") <= thr)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val st = hist.agg(count(lit(1)).as("n"),
+      sum(size(col("w")).cast(LongType)).as("t")).collect()(0)
+    val (n, t) = (st.getLong(0), st.getLong(1)) // 1 row — frozen corpus stats
+    val qt = hist.filter(col("doc_id") < 5L)
+      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
+      .distinct()
+    val dft = hist.select(col("doc_id"), explode(col("w")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qt.join(dft, "term")
+      .select(col("q_id"), col("term"), col("df"), lit(n).as("n"), lit(t).as("t"))
+  }
+
+  /** Persist s20's frozen retrieval stats — the FOURTH stored-governance
+    * artifact (sticky splits / IVFADC index / x24 labels / this): the
+    * frozen (q_id, term, df, n, t) index a deployment ships to its
+    * serving routers, stamped and validated like the other three. Point
+    * `spark.graft.retrievalStatsPath` (or
+    * SPARK_GRAFT_RETRIEVAL_STATS_PATH) at the written path and the s20
+    * gate scores arrivals against the SHIPPED index in any later
+    * session — loud on missing/wrong/stale, never a silent re-derive
+    * against a drifted history slice. */
+  def persistRetrievalStats(spark: SparkSession, dir: String, path: String): Unit =
+    graft.ops.Artifacts.writeStamped(spark, deriveRetrievalStats(spark, dir),
+      path, "s20_stats")
+
   /** s20 gate: continuous RETRIEVAL screen — x71's BM25 scoring as a
     * serving decision (the 13th gate), completing the retrieval
     * lifecycle the way s16 completes the vector index's: the query-term
@@ -529,28 +577,28 @@ object StreamGate {
     * (exact oracle parity, no bound flags). No state store, no
     * watermark, no stream-side join or aggregation: at 100 TB the
     * frozen stats ship to every scoring task like x67's merge table and
-    * the gate scales exactly like the ingest scan. */
+    * the gate scales exactly like the ingest scan.
+    *
+    * The frozen stats PERSIST as the fourth stored-governance artifact
+    * ([[persistRetrievalStats]] + `spark.graft.retrievalStatsPath` /
+    * SPARK_GRAFT_RETRIEVAL_STATS_PATH — the stickyPath idiom, stamped
+    * and validated via [[graft.ops.Artifacts]]): a serving installment
+    * reads the index the deployment SHIPPED instead of re-deriving it
+    * from whatever the history slice looks like that day. */
   def s20RetrievalStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val hist = d.filter(col("doc_id") <= thr)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val st = hist.agg(count(lit(1)).as("n"),
-      sum(size(col("w")).cast(LongType)).as("t")).collect()(0)
-    val (n, t) = (st.getLong(0), st.getLong(1)) // 1 row — frozen corpus stats
-    val qt = hist.filter(col("doc_id") < 5L)
-      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
-      .distinct()
-    val dft = hist.select(col("doc_id"), explode(col("w")).as("term"))
-      .join(broadcast(qt.select(col("term")).distinct()), "term")
-      .distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val frozen = qt.join(dft, "term")
-      .select(col("q_id"), col("term"), col("df"))
-      .collect() // ≤15 rows — the frozen retrieval index, the s17 idiom
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val statRows = (retrievalStatsPath(spark) match {
+      case Some(p) => graft.ops.Artifacts.readStamped(spark, p, "s20_stats")
+      case None    => deriveRetrievalStats(spark, dir)
+    }).collect() // ≤15 rows — the frozen retrieval index, the s17 idiom
+    require(statRows.length <= 1000,
+      s"s20: frozen stats table has ${statRows.length} rows — not a query-set index")
+    val (n, t) = (statRows(0).getAs[Long]("n"), statRows(0).getAs[Long]("t"))
+    val frozen = statRows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[String]("term"), r.getAs[Long]("df")))
     def termScore(term: String, df: Long): Column = {
       val tf = size(filter(col("w"), x => x === lit(term))).cast(LongType)
       val ratio = call_function("div",

@@ -70,6 +70,48 @@ class StreamGateSpec extends SparkTestBase {
       s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
   }
 
+  test("s20 serves PERSISTED retrieval stats: round trip, doctored consumption, loud missing path") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s20_").toString
+    val path = s"$tmp/stats"
+    graft.streaming.StreamGate.persistRetrievalStats(spark, sf0001, path)
+    val baseline = graft.streaming.StreamGate.s20RetrievalStream(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // round trip: a fresh session scoring against the stored index
+    // emits exactly the derive-path rows
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.retrievalStatsPath", path)
+    try {
+      val stored = graft.streaming.StreamGate.s20RetrievalStream(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(stored == baseline, "stored-stats gate diverged from the derive-path gate")
+      // doctored consumption: inflate one term's df to the corpus size —
+      // its idf odds collapse toward 1, so every (doc, query) score that
+      // term contributes to must DROP if the store is really consumed
+      val rows = spark.read.parquet(path)
+      val victim = rows.orderBy(col("term")).collect()(0)
+      val (vq, vt) = (victim.getAs[Long]("q_id"), victim.getAs[String]("term"))
+      val doctoredPath = s"$tmp/doctored"
+      graft.ops.Artifacts.writeStamped(spark,
+        rows.withColumn("df",
+          when(col("term") === vt, col("n") - 1L).otherwise(col("df"))),
+        doctoredPath, "s20_stats")
+      fresh.conf.set("spark.graft.retrievalStatsPath", doctoredPath)
+      val doctored = graft.streaming.StreamGate.s20RetrievalStream(fresh, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val affected = baseline.keys.filter(_._2 == vq)
+      assert(affected.nonEmpty)
+      assert(affected.exists(k => doctored.getOrElse(k, 0L) < baseline(k)),
+        s"s20 re-derived instead of consuming the doctored stats for term '$vt'")
+      // loud on missing
+      fresh.conf.set("spark.graft.retrievalStatsPath", s"$tmp/does_not_exist")
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.StreamGate.s20RetrievalStream(fresh, sf0001).collect()
+      }
+      assert(e.getMessage.contains("_graft_meta"), e.getMessage)
+    } finally fresh.conf.unset("spark.graft.retrievalStatsPath")
+  }
+
   test("s18: per-row band signature equals the batch x13 band pipeline") {
     import org.apache.spark.sql.functions._
     val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
