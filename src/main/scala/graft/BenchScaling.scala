@@ -523,6 +523,10 @@ object BenchScaling {
         // cardinality crosses 2^12; q27's scaled-support variant refuses
         // supports below the builtin floor) — the loud guard is the
         // point, and the audit records it as a marked line
+        // NonFatal only: the by-design guard throws are all requires /
+        // IllegalArgumentExceptions. A fatal error (OOM, stack overflow)
+        // kills the session — timing later legs in a JVM that just blew
+        // its heap would report numbers nothing should trust
         val sec =
           try {
             val df = fn(spark, dir, k)
@@ -531,7 +535,7 @@ object BenchScaling {
             if (name.startsWith("count:")) counts(name) = df.collect()(0).getLong(0)
             else df.write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scaling] $name failed at factor $k " +
               s"(reported -1.0): ${e.getMessage}")
             -1.0

@@ -52,6 +52,28 @@ object Stages {
   // construction, no executor blocks to release — bare map hygiene only
   private val blobCache = TrieMap.empty[(SparkSession, String, String), Array[Byte]]
 
+  // validated stamped-store reads, memoized per (session, path, artifact):
+  // Artifacts.readStamped runs the meta collect plus a full count()
+  // validation job per call, and the label/sticky/index stores each have
+  // several consumers per session — validate once, serve the validated
+  // frame after that. Entries are lazy parquet plans (no pinned blocks);
+  // eviction is bare map removal.
+  private val stampedCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** [[Artifacts.readStamped]] with the validation memoized per
+    * (session, path, artifact) — the accessor every configured-path
+    * branch goes through. Same build discipline as [[stage]]: fast-path
+    * get, validate under the one monitor. */
+  private[graft] def readStamped(spark: SparkSession, path: String,
+      artifact: String): DataFrame = {
+    val key = (spark, path, artifact)
+    stampedCache.get(key).getOrElse(synchronized {
+      purgeStopped()
+      hookEviction(spark)
+      stampedCache.getOrElseUpdate(key, Artifacts.readStamped(spark, path, artifact))
+    })
+  }
+
   /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
     * `Dataset.unpersist` only uncaches CacheManager entries — it does NOT
     * release a checkpoint's blocks — so release goes through these
@@ -85,6 +107,7 @@ object Stages {
     else owned.foreach(release)
     centCache.keys.filter(_._1.sparkContext eq sc).foreach(centCache.remove)
     blobCache.keys.filter(_._1.sparkContext eq sc).foreach(blobCache.remove)
+    stampedCache.keys.filter(_._1.sparkContext eq sc).foreach(stampedCache.remove)
     runIds.keys.filter(_.sparkContext eq sc).foreach(dropRunScratch)
     // x15's PNG scratch is driver-local disk — delete even after the
     // context died (the dirs outlive the executors)
@@ -110,6 +133,7 @@ object Stages {
     cache.keys.filter(_._1 eq spark).foreach(release)
     centCache.keys.filter(_._1 eq spark).foreach(centCache.remove)
     blobCache.keys.filter(_._1 eq spark).foreach(blobCache.remove)
+    stampedCache.keys.filter(_._1 eq spark).foreach(stampedCache.remove)
     // parquet mode: this session's run_<id> scratch subdir is dead with
     // its entries
     dropRunScratch(spark)
@@ -160,6 +184,7 @@ object Stages {
     pinnedRdds.keys.filter(_._1.sparkContext.isStopped).foreach(pinnedRdds.remove)
     centCache.keys.filter(_._1.sparkContext.isStopped).foreach(centCache.remove)
     blobCache.keys.filter(_._1.sparkContext.isStopped).foreach(blobCache.remove)
+    stampedCache.keys.filter(_._1.sparkContext.isStopped).foreach(stampedCache.remove)
     runIds.keys.filter(_.sparkContext.isStopped).foreach(dropRunScratch)
     hooked.keys.filter(_.isStopped).foreach(hooked.remove)
     Multimodal.purgeStoppedMedia()
@@ -261,7 +286,7 @@ object Stages {
     * shingle→minhash→band lineage exactly once. */
   def x24Labels(spark: SparkSession, dir: String): DataFrame =
     labelsPath(spark) match {
-      case Some(p) => Artifacts.readStamped(spark, p, "x24_labels")
+      case Some(p) => readStamped(spark, p, "x24_labels")
       case None =>
         stage(spark, dir, "x24_labels")(
           PipelineOps.connectedComponents(
@@ -330,7 +355,7 @@ object Stages {
     * frozen index. */
   def x68Sticky(spark: SparkSession, dir: String): DataFrame =
     stickyPath(spark) match {
-      case Some(p) => Artifacts.readStamped(spark, p, "x68_sticky")
+      case Some(p) => readStamped(spark, p, "x68_sticky")
       case None =>
         stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
     }
@@ -446,7 +471,7 @@ object Stages {
     * vector), far smaller than any gram stage. */
   def x57Index(spark: SparkSession, dir: String): DataFrame =
     ivfIndexPath(spark) match {
-      case Some(p) => Artifacts.readStamped(spark, p, "x57_index")
+      case Some(p) => readStamped(spark, p, "x57_index")
       case None    => stage(spark, dir, "x57_index")(VectorOps.buildPqIndex(spark, dir))
     }
 
@@ -470,5 +495,6 @@ object Stages {
     centCache.clear()
     pqCache.clear()
     blobCache.clear()
+    stampedCache.clear()
   }
 }

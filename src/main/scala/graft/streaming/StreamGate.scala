@@ -590,12 +590,19 @@ object StreamGate {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val statRows = (retrievalStatsPath(spark) match {
-      case Some(p) => graft.ops.Artifacts.readStamped(spark, p, "s20_stats")
+    val statDf = retrievalStatsPath(spark) match {
+      case Some(p) => graft.ops.Stages.readStamped(spark, p, "s20_stats")
       case None    => deriveRetrievalStats(spark, dir)
-    }).collect() // ≤15 rows — the frozen retrieval index, the s17 idiom
+    }
+    // bound the collect BEFORE it happens: limit(1001) caps what can ever
+    // reach the driver (an oversized store cannot OOM the guard that
+    // exists to reject it), and both failure modes are named loudly —
+    // ≤15 rows by construction on a healthy index, the s17 idiom
+    val statRows = statDf.limit(1001).collect()
+    require(statRows.nonEmpty,
+      "s20: empty frozen retrieval stats — no history docs with doc_id < 5 (degenerate corpus)")
     require(statRows.length <= 1000,
-      s"s20: frozen stats table has ${statRows.length} rows — not a query-set index")
+      s"s20: frozen stats table exceeds 1000 rows — not a query-set index")
     val (n, t) = (statRows(0).getAs[Long]("n"), statRows(0).getAs[Long]("t"))
     val frozen = statRows.map(r =>
       (r.getAs[Long]("q_id"), r.getAs[String]("term"), r.getAs[Long]("df")))

@@ -27,7 +27,14 @@ object Checkpoints {
   /** Free a superseded checkpoint's blocks. Non-blocking by default (the
     * caller is mid-loop; the block manager removes asynchronously) and
     * exception-tolerant (a failed release is a leak, not a correctness
-    * error — the ContextCleaner backstop still applies). */
+    * error — the ContextCleaner backstop still applies).
+    *
+    * CONTRACT: pass only a DIRECT localCheckpoint result. This releases
+    * EVERY LogicalRDD in the plan, so a frame DERIVED from another live
+    * checkpointed frame (a join, a union) would silently free that
+    * frame's blocks too — and the victim cannot recompute (truncated
+    * lineage). Current call sites (the CC round loop, bpeTrainSeqs'
+    * chain truncation) all hold direct checkpoint handles. */
   def release(df: DataFrame, blocking: Boolean = false): Unit =
     rdds(df).foreach { r =>
       try r.unpersist(blocking)
