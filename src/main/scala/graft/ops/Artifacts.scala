@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stamped persisted artifacts — the stored-governance contracts.
   *
-  * Four tables cross session boundaries as parquet a deployment writes
+  * Five tables cross session boundaries as parquet a deployment writes
   * once and serves many times: x68's sticky splits (`stickyPath`), the
   * IVFADC index (`ivfIndexPath`), x24's cluster labels (`labelsPath`),
-  * and s20's frozen retrieval stats (`retrievalStatsPath`). An
+  * s20's frozen retrieval stats (`retrievalStatsPath`), and the trained
+  * BPE tokenizer (`mergesPath` — THE ship-once artifact of a
+  * training-data pipeline). An
   * unstamped read would serve ANY parquet at the
   * configured path — a wrong-corpus table, a different artifact, a
   * torn write, or a table produced by an older operator version — and
@@ -36,7 +38,8 @@ object Artifacts {
     "x68_sticky" -> 1,
     "x57_index" -> 1,
     "x24_labels" -> 1,
-    "s20_stats" -> 1)
+    "s20_stats" -> 1,
+    "x62b_merges" -> 1)
 
   private def metaPath(path: String): String = s"${path.stripSuffix("/")}/_graft_meta"
 
@@ -66,7 +69,7 @@ object Artifacts {
         throw new IllegalArgumentException(
           s"$artifact: no _graft_meta stamp under $path — not a stamped graft artifact " +
             s"(persist through the stamped writer, e.g. PipelineOps.persistStickySplits / " +
-            s"persistLabels / VectorOps.persistPqIndex): ${e.getMessage}")
+            s"persistLabels / VectorOps.persistPqIndex / TextOps.persistMerges): ${e.getMessage}")
       }
     require(meta.length == 1,
       s"$artifact: malformed _graft_meta at $mp — expected 1 row, found ${meta.length}")

@@ -316,17 +316,37 @@ object Stages {
     * posture. Trained on word types, replayed on documents rendered
     * char-level-within-words ([[TextOps.charSeqCol]]). Until r15 this
     * trained via x62's k-corpus-pass chain — the priced stage line
-    * (`stage:s17_merges`) now costs x62b-class. */
+    * (`stage:s17_merges`) now costs x62b-class. Two sources, in priority
+    * order: (1) the PERSISTED tokenizer ([[TextOps.persistMerges]] +
+    * `spark.graft.mergesPath`) — the ship-once form: a drift monitor
+    * comparing against a per-session re-derived model can silently
+    * monitor the WRONG tokenizer under any trainer retune, so the store
+    * is stamp-validated and loud on missing/wrong/stale; (2) the
+    * in-session stage. */
   def s17Merges(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "s17_merges") {
-      val d = graft.model.Tables.documents(spark, dir)
-      val thr = d.agg(graft.model.Tables.fdiv(
-          org.apache.spark.sql.functions.lit(9L) *
-            org.apache.spark.sql.functions.max(col("doc_id")),
-          org.apache.spark.sql.functions.lit(10L)))
-        .collect()(0).getLong(0) // 1 row — the split point
-      TextOps.x62bBpeWordTrainOn(spark, d.filter(col("doc_id") <= thr))
+    mergesPath(spark) match {
+      case Some(p) => readStamped(spark, p, "x62b_merges")
+      case None =>
+        stage(spark, dir, "s17_merges")(TextOps.frozenWordTypeMerges(spark, dir)._2)
     }
+
+  /** The PERSISTED tokenizer location, if configured (the [[stickyPath]]
+    * convention: runtime conf `spark.graft.mergesPath` first, empty value
+    * forces re-derivation, `SPARK_GRAFT_MERGES_PATH` env var as the
+    * deployment default). */
+  private def mergesPath(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.mergesPath") match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get("SPARK_GRAFT_MERGES_PATH").filter(_.nonEmpty)
+    }
+
+  /** The SHIPPED tokenizer, if a store is configured — the fifth stamped
+    * artifact ([[TextOps.persistMerges]]): x62b's word-type merge table
+    * frozen on the history slice, stamp-validated at read. Consumed by
+    * [[s17Merges]] (the drift gate's frozen model) and by x67's encode
+    * (store-served char-level replay). */
+  private[graft] def storedMerges(spark: SparkSession): Option[DataFrame] =
+    mergesPath(spark).map(p => readStamped(spark, p, "x62b_merges"))
 
   /** The PERSISTED sticky-table location, if configured: runtime conf
     * `spark.graft.stickyPath` first (testable per session; an empty value

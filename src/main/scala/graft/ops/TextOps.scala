@@ -879,18 +879,40 @@ object TextOps {
     * shuffle except the output sort. Each merge application inside a
     * doc reduces its token count by exactly 1, so n_tok − n_bpe is
     * also the per-doc applied-merge count (the OpsSpec invariant). */
-  def x67BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges = Stages.x62Merges(spark, dir)
-      .orderBy("round").collect() // k rows — the shipped tokenizer
-      .map(r => (r.getString(1), r.getString(2)))
-    // n_tok is derived from the SAME rendered string n_bpe uses
-    // (split(trim(s), '  ')), never from the raw token array: trim eats
-    // empty boundary tokens, so size(toks(text)) would over-count on
-    // leading/trailing-space documents and fake a nonzero n_merged where
-    // the oracle (which trims both sides) sees none.
-    val base = documents(spark, dir)
-      .select(col("doc_id"),
-        concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"))
+  def x67BpeApply(spark: SparkSession, dir: String): DataFrame =
+    Stages.storedMerges(spark) match {
+      case Some(m) =>
+        // store-served encode: replay the SHIPPED word-type tokenizer
+        // ([[persistMerges]] + spark.graft.mergesPath) over documents
+        // rendered char-level-within-words — the rendering the model was
+        // trained on ([[charSeqCol]]'s 3-space word boundary keeps
+        // intra-word merges exact on whole documents). Units are
+        // characters→subwords here (n_tok = char count), vs the
+        // derive path's tokens→phrases: a word-type model replayed on a
+        // token-level rendering would merge across unrelated tokens.
+        val frozen = m.orderBy("round").collect() // k rows — the shipped tokenizer
+          .map(r => (r.getString(1), r.getString(2)))
+        bpeApplyCounts(documents(spark, dir), frozen.toSeq, charSeqCol(col("text")))
+      case None =>
+        val merges = Stages.x62Merges(spark, dir)
+          .orderBy("round").collect() // k rows — the session-trained tokenizer
+          .map(r => (r.getString(1), r.getString(2)))
+        bpeApplyCounts(documents(spark, dir), merges.toSeq,
+          concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")))
+    }
+
+  /** Shared merge-replay + per-doc compression counts over any document
+    * rendering — x67's engine for both the session-trained (token
+    * stream) and store-served (char-level word-type) models. n_tok is
+    * derived from the SAME rendered string n_bpe uses
+    * (split(trim(s), '  ')), never from the raw token array: trim eats
+    * empty boundary tokens, so size(toks(text)) would over-count on
+    * leading/trailing-space documents and fake a nonzero n_merged where
+    * the oracle (which trims both sides) sees none. */
+  private[graft] def bpeApplyCounts(docs: DataFrame, merges: Seq[(String, String)],
+      rendering: Column): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), rendering.as("s"))
       .select(col("doc_id"),
         size(split(trim(col("s")), "  ")).cast(LongType).as("n_tok"), col("s"))
     val rewritten = merges.foldLeft(base) { case (df, (l, r)) =>
@@ -903,6 +925,41 @@ object TextOps {
         (col("n_tok") - col("n_bpe")).as("n_merged"),
         fdiv(lit(1000L) * col("n_bpe"), col("n_tok")).as("bpe_per_1000"))
       .orderBy("doc_id")
+  }
+
+  /** THE frozen tokenizer: x62b's word-type model trained on the
+    * oldest-90% history slice (the s8/x36/s17 split) — the model s17's
+    * drift gate replays and [[persistMerges]] ships. Returns the freeze
+    * boundary with the merge table so the stamp records it. */
+  private[graft] def frozenWordTypeMerges(spark: SparkSession, dir: String,
+      rounds: Int = 6): (Long, DataFrame) = {
+    val d = documents(spark, dir)
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the split point
+    (thr, x62bBpeWordTrainOn(spark, d.filter(col("doc_id") <= thr), rounds))
+  }
+
+  /** Persist the trained tokenizer — the FIFTH stored-governance
+    * artifact, and the prototypical one: a production tokenizer is
+    * trained ONCE when the corpus freezes and shipped to every encoder
+    * and monitor after that; it is never re-derived at serve time. Until
+    * this store, x67's encode and s17's drift gate re-trained their
+    * model per session (k corpus/vocab passes) — a monitor comparing
+    * against a re-derived model can silently monitor the WRONG tokenizer
+    * under any trainer retune, the exact defect class the stamp layer
+    * closed for splits/index/labels/retrieval-stats. Point
+    * `spark.graft.mergesPath` (or SPARK_GRAFT_MERGES_PATH) at the
+    * written path and [[Stages.s17Merges]] serves the stored model to
+    * the s17 gate, and [[x67BpeApply]] encodes with it (char-level
+    * word-type replay). Stamped ([[Artifacts]]) with the freeze
+    * boundary + round count as props; loud on missing/wrong/stale.
+    * Derives the model fresh (never through a configured mergesPath —
+    * persisting a copy of the store would launder a stale model into a
+    * fresh stamp). */
+  def persistMerges(spark: SparkSession, dir: String, path: String): Unit = {
+    val (thr, merges) = frozenWordTypeMerges(spark, dir)
+    Artifacts.writeStamped(spark, merges, path, "x62b_merges",
+      Map("thr" -> thr.toString, "rounds" -> "6"))
   }
 
   /** Char-level-within-words document rendering for WORD-TYPE merge
