@@ -1519,12 +1519,35 @@ object TextOps {
   def x71Bm25(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByAgg.topkBy
     val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    bm25ScoresOn(d, bm25QueryTerms(d))
+      .groupBy(col("q_id")).agg(topkBy(col("score1e4"), col("doc_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.tag").as("doc_id"), col("col.ord").as("score1e4"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The shared eval query set: the distinct first-3 tokens of docs 0–4
+    * (≤ 15 rows) — x71's retrieval queries and x73's decontamination
+    * probes. */
+  private def bm25QueryTerms(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 5L)
+      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
+      .distinct()
+
+  /** Exact-integer BM25 scores of every document in `d` (doc_id, w)
+    * against the query-term set — x71's two-floor arithmetic (see the
+    * x71 scaladoc for the derivation), shared with x73's
+    * decontamination screen. Corpus stats (N, T) and per-term df are
+    * computed over `d` itself, so the caller chooses the scored corpus
+    * (x71: everything; x73: the training slice). Plan shape: the
+    * query-term set BROADCASTS and prunes the posting explode before
+    * any aggregation; tf is one map-side-combinable (term, doc) count;
+    * the only driver state is the 1-row (N, T) stat. */
+  private def bm25ScoresOn(d: DataFrame, qterms: DataFrame): DataFrame = {
     val st = d.agg(count(lit(1)).as("n"), sum(size(col("w")).cast(LongType)).as("t"))
       .collect()(0) // 1 row — corpus doc/token totals, the only driver state
     val (n, t) = (st.getLong(0), st.getLong(1))
-    val qterms = d.filter(col("doc_id") < 5L)
-      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
-      .distinct() // ≤ 15 rows — the query set
     val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -1547,11 +1570,36 @@ object TextOps {
       .join(dnorm, "doc_id")
       .select(col("q_id"), col("doc_id"), term1e4.as("s"))
       .groupBy(col("q_id"), col("doc_id")).agg(sum(col("s")).as("score1e4"))
-      .groupBy(col("q_id")).agg(topkBy(col("score1e4"), col("doc_id"), 5).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")))
-      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rnk"),
-        col("col.tag").as("doc_id"), col("col.ord").as("score1e4"))
-      .orderBy("q_id", "rnk")
+  }
+
+  /** x73: BM25-scored decontamination — the retrieval family's real
+    * consumer, unifying x71's scoring with x29's decontamination
+    * posture: where x29 flags training docs sharing any EXACT n-gram
+    * with a benchmark doc, x73 runs the eval queries (x71's set — the
+    * distinct first-3 tokens of docs 0–4) against the TRAINING corpus
+    * (doc_id ≥ 5, the eval docs excluded) and emits every training
+    * document scoring suspiciously close to an eval query — the fuzzy
+    * contamination exact grams miss (paraphrases, dense token edits).
+    * The emission rule is relative and exact-integer: a doc is flagged
+    * when 2·score ≥ the query's best training-doc score, so the
+    * screen's output is the top doc per query plus every near-tie —
+    * deterministic, corpus-size-independent, and reproducible in the
+    * oracle with the same two floor stages.
+    *
+    * Plan shape at 100 TB: x71's — broadcast query-term prune before
+    * the posting aggregation, map-side-combinable tf/df, no rank
+    * window; the per-query max is a ≤5-row aggregate broadcast back
+    * onto the score frame (never a window over the candidate set).
+    * Stats (N, T, df) are computed over the training slice itself, so
+    * the screen is self-contained on the corpus it guards. */
+  def x73Bm25Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), toks(col("text")).as("w"))
+    val scores = bm25ScoresOn(d.filter(col("doc_id") >= 5L), bm25QueryTerms(d))
+    val tops = scores.groupBy(col("q_id")).agg(max(col("score1e4")).as("top1e4"))
+    scores.join(broadcast(tops), "q_id")
+      .filter(lit(2L) * col("score1e4") >= col("top1e4"))
+      .select(col("q_id"), col("doc_id"), col("score1e4"), col("top1e4"))
+      .orderBy("q_id", "doc_id")
   }
 
   /** DuckDB twin of [[x71Bm25]] — the same two floor stages (`//`),
@@ -1586,8 +1634,42 @@ object TextOps {
       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score1e4
       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** DuckDB twin of [[x73Bm25Decontam]] — x71's integer scoring over the
+    * training slice (doc_id ≥ 5 everywhere: stats, postings, dnorm) and
+    * the same 2·score ≥ max emission rule. */
+  private def x73OracleSql: String =
+    """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tr AS MATERIALIZED (SELECT doc_id, w FROM d WHERE doc_id >= 5),
+      |st AS MATERIALIZED (SELECT count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS t FROM tr),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:3]) AS term FROM d WHERE doc_id < 5),
+      |tf AS MATERIALIZED (
+      |  SELECT term, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM tr)
+      |  WHERE term IN (SELECT term FROM qt)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dn AS (SELECT doc_id,
+      |         2500 + (7500 * (SELECT n FROM st) * len(w)) // (SELECT t FROM st) AS dnorm1e4
+      |       FROM tr),
+      |sc AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    CAST(sum(((2 * ((SELECT n FROM st) - dft.df) + 1)
+      |        * ((2200000000 * tf.tf) // (100000 * tf.tf + 12 * dn.dnorm1e4)))
+      |      // (2 * dft.df + 1)) AS BIGINT) AS score1e4
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN dft USING (term)
+      |  JOIN dn ON dn.doc_id = tf.doc_id
+      |  GROUP BY 1, 2),
+      |tp AS (SELECT q_id, CAST(max(score1e4) AS BIGINT) AS top1e4 FROM sc GROUP BY 1)
+      |SELECT sc.q_id, sc.doc_id, sc.score1e4, tp.top1e4
+      |FROM sc JOIN tp USING (q_id)
+      |WHERE 2 * sc.score1e4 >= tp.top1e4
+      |ORDER BY sc.q_id, sc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x71_bm25" -> x71Bm25,
+    "x73_bm25_decontam" -> x73Bm25Decontam,
     "x72_span_scrub" -> x72SpanScrub,
     "x64_vocab_growth" -> x64VocabGrowth,
     "x43_substring_dedup" -> x43SubstringDedup,
@@ -1620,6 +1702,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "x71_bm25" -> x71OracleSql,
+    "x73_bm25_decontam" -> x73OracleSql,
     // x72: the whole lattice re-derived independently — owner = min doc
     // per ≥2-doc gram hash, covered positions, and the rewrite itself
     // (DuckDB's md5 of the same retained-token join) — so the clean_md5

@@ -65,6 +65,20 @@ class ContractSpec extends AnyFunSuite {
       s"x71 lost the bounded-heap topk_by aggregate:\n$plan")
   }
 
+  test("x73's decontamination screen plans no window and keeps the broadcast prune") {
+    // the per-query max is a ≤5-row aggregate broadcast back onto the
+    // score frame — a WindowExec here means the screen reverted to
+    // ranking corpus-sized candidate sets
+    val spark = SparkTestBase.session
+    graft.ops.Stages.clear()
+    val df = graft.ops.TextOps.x73Bm25Decontam(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"x73 plans a window over the candidate set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x73 lost the broadcast query-term prune:\n$plan")
+  }
+
   test("corpus-side vector routing plans no rank window (the argmin contract)") {
     // x56's encoder and x16's assignment replaced their corpus×k rank
     // windows with packed-min hash aggregates; a WindowExec reappearing
