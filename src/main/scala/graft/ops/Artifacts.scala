@@ -41,6 +41,29 @@ object Artifacts {
     "s20_stats" -> 1,
     "x62b_merges" -> 1)
 
+  /** Where each artifact's store is configured — (runtime conf key,
+    * env var): the stickyPath convention, one entry per stamped
+    * artifact. Conf first (testable per session; an EMPTY conf value
+    * forces re-derivation even when the env var is exported), env var
+    * as the deployment default. */
+  val pathKnobs: Map[String, (String, String)] = Map(
+    "x68_sticky" -> (("spark.graft.stickyPath", "SPARK_GRAFT_STICKY_PATH")),
+    "x57_index" -> (("spark.graft.ivfIndexPath", "SPARK_GRAFT_IVF_INDEX_PATH")),
+    "x24_labels" -> (("spark.graft.labelsPath", "SPARK_GRAFT_LABELS_PATH")),
+    "s20_stats" -> (("spark.graft.retrievalStatsPath", "SPARK_GRAFT_RETRIEVAL_STATS_PATH")),
+    "x62b_merges" -> (("spark.graft.mergesPath", "SPARK_GRAFT_MERGES_PATH")))
+
+  /** The configured store location for `artifact`, if any — the ONE
+    * resolution every configured-path branch (and x74's freshness
+    * audit) shares. */
+  def configuredPath(spark: SparkSession, artifact: String): Option[String] = {
+    val (confKey, envKey) = pathKnobs(artifact)
+    spark.conf.getOption(confKey) match {
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None    => sys.env.get(envKey).filter(_.nonEmpty)
+    }
+  }
+
   private def metaPath(path: String): String = s"${path.stripSuffix("/")}/_graft_meta"
 
   /** Persist `df` as parquet at `path` with the `_graft_meta` stamp.
@@ -99,4 +122,35 @@ object Artifacts {
   def readProps(spark: SparkSession, path: String): Map[String, String] =
     spark.read.parquet(metaPath(path)).collect()(0)
       .getAs[scala.collection.Map[String, String]]("props").toMap
+
+  /** The stamp's recorded row count and freeze props, identity-validated
+    * (artifact key + producer version) but WITHOUT the data-side count
+    * job — x74's freshness audit reads what the producer STAMPED;
+    * data-vs-stamp integrity stays [[readStamped]]'s job at serve
+    * time. Loud on a missing/malformed/foreign stamp, the readStamped
+    * posture. */
+  def readStampFacts(spark: SparkSession, path: String,
+      artifact: String): (Long, Map[String, String]) = {
+    val mp = metaPath(path)
+    val meta =
+      try spark.read.parquet(mp).collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$artifact: no _graft_meta stamp under $path — not a stamped graft artifact: " +
+            e.getMessage)
+      }
+    require(meta.length == 1,
+      s"$artifact: malformed _graft_meta at $mp — expected 1 row, found ${meta.length}")
+    val m = meta(0)
+    val storedArtifact = m.getAs[String]("artifact")
+    require(storedArtifact == artifact,
+      s"configured path $path holds artifact '$storedArtifact', not '$artifact' — " +
+        "refusing to audit a different table")
+    val storedVersion = m.getAs[Int]("version")
+    require(storedVersion == versions(artifact),
+      s"$artifact at $path was produced by version $storedVersion; this engine " +
+        s"expects ${versions(artifact)} — re-persist with the current producer")
+    (m.getAs[Long]("n_rows"),
+      m.getAs[scala.collection.Map[String, String]]("props").toMap)
+  }
 }

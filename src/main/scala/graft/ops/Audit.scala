@@ -127,13 +127,120 @@ object Audit {
       .orderBy("doc_id", "mask", "warn_mask")
   }
 
+  /** x74: artifact-freshness audit — the consumer the stamp layer's
+    * freeze props ([[Artifacts.readStampFacts]]) were written for. The
+    * stamp certifies IDENTITY and INTEGRITY (readStamped's job); it
+    * deliberately does not stop a store from outliving corpus growth —
+    * that is what freezing means — so corpus-vs-stamp staleness was
+    * "the deployment's contract" with no measuring operator. x74
+    * measures it (the x33/x66 posture): one row per stamped artifact
+    * comparing the FROZEN boundary (the `thr`/`max_id` prop persisted
+    * with the store) and row count against what a fresh persist on the
+    * CURRENT corpus would stamp, with a fresh 0/1 verdict. Artifacts
+    * whose store path is unconfigured audit the would-be-fresh values
+    * (frozen = current by construction) — the audit arithmetic itself
+    * is what the oracle checks; the configured path is exercised by the
+    * doctored-stale negative test.
+    *
+    * Expected row counts are ARITHMETIC, never a re-derivation: sticky
+    * = one row per history doc, labels = one per doc, the IVFADC index
+    * = M per vector, s20 stats = one per distinct (query, term) pair,
+    * and the merge table's "rows" are its configured training rounds
+    * (row-count freshness is meaningless for a fixed-k table; the
+    * boundary is its signal) — so the audit costs a few 1-row
+    * aggregates over id/text projections, no fixpoint, no trainer, no
+    * index build. At 100 TB it reads stamps + corpus stats, exactly
+    * what a governance review can afford to run per ingest. */
+  def x74ArtifactFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val head = d.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n")).collect()(0)
+    val (mx, nDocs) = (head.getLong(0), head.getLong(1))
+    val thr = Math.floorDiv(9L * mx, 10L) // the shared 9/10 freeze rule
+    val nHist = d.filter(col("doc_id") <= thr).count()
+    // s20's index is one row per distinct (q_id, term) of the history
+    // eval docs (every such term has df ≥ 1 — drawn from history text)
+    val nQt = d.filter(col("doc_id") <= thr && col("doc_id") < 5L)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct().count()
+    val eh = table(spark, dir, "embeddings")
+      .agg(max(col("vec_id")).as("mxv"), count(lit(1)).as("ne")).collect()(0)
+    val (mxV, nEmb) = (eh.getLong(0), eh.getLong(1))
+    def row(artifact: String, boundaryKey: String, currentBoundary: Long,
+        expectedRows: Long): (String, Long, Long, Long, Long, Long) =
+      Artifacts.configuredPath(spark, artifact) match {
+        case Some(p) =>
+          val (nRows, props) = Artifacts.readStampFacts(spark, p, artifact)
+          require(props.contains(boundaryKey),
+            s"x74: $artifact stamp at $p lacks the '$boundaryKey' freeze prop — " +
+              "re-persist with the current producer")
+          val frozen = props(boundaryKey).toLong
+          val stamped =
+            if (artifact == "x62b_merges") {
+              require(props.contains("rounds"),
+                s"x74: $artifact stamp at $p lacks the 'rounds' freeze prop")
+              props("rounds").toLong
+            } else nRows
+          (artifact, frozen, currentBoundary, stamped, expectedRows,
+            if (frozen == currentBoundary && stamped == expectedRows) 1L else 0L)
+        case None =>
+          (artifact, currentBoundary, currentBoundary, expectedRows, expectedRows, 1L)
+      }
+    Seq(
+      row("s20_stats", "thr", thr, nQt),
+      row("x24_labels", "max_id", mx, nDocs),
+      row("x57_index", "max_id", mxV, VectorOps.pqM.toLong * nEmb),
+      row("x62b_merges", "thr", thr, 6L),
+      row("x68_sticky", "thr", thr, nHist))
+      .toDF("artifact", "frozen_boundary", "current_boundary",
+        "stamped_rows", "expected_rows", "fresh")
+      .orderBy("artifact")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_constraint_audit" -> x48ConstraintAudit,
-    "x50_quarantine" -> x50Quarantine)
+    "x50_quarantine" -> x50Quarantine,
+    "x74_artifact_freshness" -> x74ArtifactFreshness)
 
   private val typeList = eventTypes.map(t => s"'$t'").mkString(", ")
 
+  /** x74's oracle: the unconfigured (would-be-fresh) audit — every
+    * expected quantity recomputed from the tables with the same
+    * arithmetic (9/10 floor boundary, history count, distinct
+    * (q_id, term) pairs, M·vectors, the 6-round constant). */
+  private val x74Sql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr,
+       |         CAST(max(doc_id) AS BIGINT) AS mx,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hist
+       |      FROM documents, t WHERE doc_id <= t.thr),
+       |q AS (SELECT CAST(count(*) AS BIGINT) AS n_qt FROM (
+       |  SELECT DISTINCT doc_id, unnest((string_split(text, ' '))[1:3]) AS term
+       |  FROM documents, t WHERE doc_id < 5 AND doc_id <= t.thr)),
+       |e AS (SELECT CAST(max(vec_id) AS BIGINT) AS mxv,
+       |             CAST(count(*) AS BIGINT) AS n_emb FROM embeddings)
+       |SELECT artifact, frozen_boundary, current_boundary,
+       |       stamped_rows, expected_rows, fresh FROM (
+       |  SELECT 's20_stats' AS artifact, t.thr AS frozen_boundary,
+       |         t.thr AS current_boundary, q.n_qt AS stamped_rows,
+       |         q.n_qt AS expected_rows, CAST(1 AS BIGINT) AS fresh FROM t, q
+       |  UNION ALL
+       |  SELECT 'x24_labels', t.mx, t.mx, t.n_docs, t.n_docs, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'x57_index', e.mxv, e.mxv,
+       |         CAST(${VectorOps.pqM} * e.n_emb AS BIGINT),
+       |         CAST(${VectorOps.pqM} * e.n_emb AS BIGINT), 1 FROM e
+       |  UNION ALL
+       |  SELECT 'x62b_merges', t.thr, t.thr, 6, 6, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'x68_sticky', t.thr, t.thr, h.n_hist, h.n_hist, 1 FROM t, h
+       |) ORDER BY artifact""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x74_artifact_freshness" -> x74Sql,
     "x48_constraint_audit" ->
       s"""WITH v AS (
          |  SELECT 'events.value_complete' AS check_name, count(*) AS checked,

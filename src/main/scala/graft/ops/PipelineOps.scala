@@ -1567,12 +1567,15 @@ object PipelineOps {
     * contract. Derives the fixpoint fresh (never through a configured
     * labelsPath — persisting a copy of the store would launder a stale
     * table into a fresh stamp). */
-  def persistLabels(spark: SparkSession, dir: String, path: String): Unit =
+  def persistLabels(spark: SparkSession, dir: String, path: String): Unit = {
+    val maxId = documents(spark, dir).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // 1 row — the freeze boundary, stamped for x74's audit
     Artifacts.writeStamped(spark,
       connectedComponents(
         documents(spark, dir).select(col("doc_id")),
         Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))),
-      path, "x24_labels")
+      path, "x24_labels", Map("max_id" -> maxId.toString))
+  }
 
   /** x68's decision rule over any sticky (doc_id, split_old) and full
     * (doc_id, cluster_id) labelings — split out so SplitStableSpec can

@@ -268,10 +268,7 @@ object Stages {
     * first, empty value forces re-derivation, `SPARK_GRAFT_LABELS_PATH`
     * env var as the deployment default). */
   private def labelsPath(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.labelsPath") match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get("SPARK_GRAFT_LABELS_PATH").filter(_.nonEmpty)
-    }
+    Artifacts.configuredPath(spark, "x24_labels")
 
   /** x24's connected-component labels (doc_id, cluster_id) over the x13
     * candidate graph. Two sources, in priority order: (1) the PERSISTED
@@ -335,10 +332,7 @@ object Stages {
     * forces re-derivation, `SPARK_GRAFT_MERGES_PATH` env var as the
     * deployment default). */
   private def mergesPath(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.mergesPath") match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get("SPARK_GRAFT_MERGES_PATH").filter(_.nonEmpty)
-    }
+    Artifacts.configuredPath(spark, "x62b_merges")
 
   /** The SHIPPED tokenizer, if a store is configured — the fifth stamped
     * artifact ([[TextOps.persistMerges]]): x62b's word-type merge table
@@ -353,10 +347,7 @@ object Stages {
     * forces re-derivation — the stageDir convention), env var
     * `SPARK_GRAFT_STICKY_PATH` as the deployment default. */
   private def stickyPath(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.stickyPath") match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get("SPARK_GRAFT_STICKY_PATH").filter(_.nonEmpty)
-    }
+    Artifacts.configuredPath(spark, "x68_sticky")
 
   /** x68's sticky split table (doc_id, split_old — one row per HISTORY
     * doc). Two sources, in priority order: (1) the PERSISTED table
@@ -473,10 +464,7 @@ object Stages {
     * [[stickyPath]] convention: runtime conf first, empty value forces
     * re-derivation, env var as the deployment default). */
   private def ivfIndexPath(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.ivfIndexPath") match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get("SPARK_GRAFT_IVF_INDEX_PATH").filter(_.nonEmpty)
-    }
+    Artifacts.configuredPath(spark, "x57_index")
 
   /** The materialized IVFADC index (vec_id, m, cid, list_id): coarse
     * inverted-file assignment + PQ codes, M rows × three longs per

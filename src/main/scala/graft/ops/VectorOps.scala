@@ -753,8 +753,12 @@ object VectorOps {
     * schema / row count at read and throws on any mismatch, so a
     * wrong-table or torn store fails at the read, never as codes routed
     * to dead lists. */
-  def persistPqIndex(spark: SparkSession, dir: String, path: String): Unit =
-    Artifacts.writeStamped(spark, buildPqIndex(spark, dir), path, "x57_index")
+  def persistPqIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val maxId = scaledEmb(spark, dir).agg(max(col("vec_id")))
+      .collect()(0).getLong(0) // 1 row — the freeze boundary, stamped for x74's audit
+    Artifacts.writeStamped(spark, buildPqIndex(spark, dir), path, "x57_index",
+      Map("max_id" -> maxId.toString))
+  }
 
   /** x57: IVF-PQ ADC search (Jégou et al. TPAMI'11 §IV, "IVFADC") — the
     * assembled billion-vector index the pieces have been building toward:

@@ -514,10 +514,7 @@ object StreamGate {
     * stickyPath convention: runtime conf first, empty value forces
     * re-derivation, env var as the deployment default). */
   private def retrievalStatsPath(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.retrievalStatsPath") match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get("SPARK_GRAFT_RETRIEVAL_STATS_PATH").filter(_.nonEmpty)
-    }
+    graft.ops.Artifacts.configuredPath(spark, "s20_stats")
 
   /** s20's frozen retrieval index, derived from the history slice: one
     * row per (q_id, term) with the term's history df and the history
@@ -554,9 +551,13 @@ object StreamGate {
     * gate scores arrivals against the SHIPPED index in any later
     * session — loud on missing/wrong/stale, never a silent re-derive
     * against a drifted history slice. */
-  def persistRetrievalStats(spark: SparkSession, dir: String, path: String): Unit =
+  def persistRetrievalStats(spark: SparkSession, dir: String, path: String): Unit = {
+    val thr = Tables.documents(spark, dir)
+      .agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the freeze boundary, stamped for x74's audit
     graft.ops.Artifacts.writeStamped(spark, deriveRetrievalStats(spark, dir),
-      path, "s20_stats")
+      path, "s20_stats", Map("thr" -> thr.toString))
+  }
 
   /** s20 gate: continuous RETRIEVAL screen — x71's BM25 scoring as a
     * serving decision (the 13th gate), completing the retrieval

@@ -83,6 +83,59 @@ class AuditSpec extends SparkTestBase {
       "warn mask must vary on the real corpus or the gate is vacuous")
   }
 
+  test("x74: unconfigured audit covers every stamped artifact, all fresh") {
+    val rows = Audit.x74ArtifactFreshness(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // one row per Artifacts.versions key — a sixth store must add its row
+    assert(rows.keySet == Artifacts.versions.keySet,
+      s"audit rows ${rows.keySet} != stamped artifacts ${Artifacts.versions.keySet}")
+    rows.foreach { case (a, (fb, cb, sr, er, fresh)) =>
+      assert(fb == cb && sr == er && fresh == 1L, s"$a not fresh unconfigured: ${rows(a)}")
+    }
+    // the expected counts are the real artifact sizes: sticky rows
+    val nHist = rows("x68_sticky")._4
+    assert(nHist > 0L && nHist < rows("x24_labels")._4,
+      s"history count $nHist vs docs ${rows("x24_labels")._4}")
+    assert(rows("x62b_merges")._4 == 6L)
+  }
+
+  test("x74: a fresh configured store audits fresh; a stale one is flagged with its frozen boundary") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x74_").toString
+    // fresh store: persist on THIS corpus, configure, audit agrees
+    PipelineOps.persistStickySplits(spark, sf0001, s"$tmp/sticky")
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", s"$tmp/sticky")
+    try {
+      val ok = Audit.x74ArtifactFreshness(fresh, sf0001).collect()
+        .find(_.getString(0) == "x68_sticky").get
+      assert(ok.getLong(5) == 1L, s"fresh store flagged stale: $ok")
+      // stale store: the same table frozen at an OLDER boundary (fewer
+      // history docs) — the corpus has since grown past it
+      val s = spark
+      val sticky = s.read.parquet(s"$tmp/sticky")
+      val staleThr = Audit.x74ArtifactFreshness(s, sf0001).collect()
+        .find(_.getString(0) == "x68_sticky").get.getLong(2) / 2
+      Artifacts.writeStamped(s, sticky.filter(col("doc_id") <= staleThr),
+        s"$tmp/stale", "x68_sticky", Map("thr" -> staleThr.toString))
+      fresh.conf.set("spark.graft.stickyPath", s"$tmp/stale")
+      val bad = Audit.x74ArtifactFreshness(fresh, sf0001).collect()
+        .find(_.getString(0) == "x68_sticky").get
+      assert(bad.getLong(5) == 0L, s"stale store not flagged: $bad")
+      assert(bad.getLong(1) == staleThr && bad.getLong(2) > staleThr,
+        s"frozen/current boundaries wrong: $bad")
+      assert(bad.getLong(3) < bad.getLong(4),
+        s"stamped rows should trail the grown corpus: $bad")
+      // a stamp with NO freeze prop (an out-of-band writer) fails loudly
+      Artifacts.writeStamped(s, sticky, s"$tmp/noprop", "x68_sticky")
+      fresh.conf.set("spark.graft.stickyPath", s"$tmp/noprop")
+      val e = intercept[IllegalArgumentException] {
+        Audit.x74ArtifactFreshness(fresh, sf0001).collect()
+      }
+      assert(e.getMessage.contains("thr"), e.getMessage)
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
   test("x48: row-level checks share one scan per table") {
     // events contributes 4 constraints (3 row checks + uniqueness) but
     // must scan once; the whole audit reads its 3 tables + the fk parent
