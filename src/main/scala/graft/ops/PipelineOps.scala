@@ -497,6 +497,86 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- x75: incremental label maintenance ----
+
+  /** x75: incremental cluster-label maintenance — the histStickyOn
+    * residual-subgraph idiom applied to the LABEL store itself: at
+    * 100 TB you never re-contract the whole candidate graph per ingest,
+    * you fold the arrivals into the labeling you already shipped. The
+    * stored labeling (frozen when the history slice froze) SEEDS the
+    * run: every history document contracts to its stored label, every
+    * arrival stands for itself, and the star contraction runs ONLY on
+    * the arrival-incident pairs over those supernodes — the boundary
+    * fraction of the pair table, not the corpus. Unlike x68's splits
+    * (which quarantine bridges), labels MAY merge: an arrival bridging
+    * two stored clusters relabels both to the merged minimum —
+    * exactness is the contraction theorem: seed labels are the min ids
+    * of their history components, so components of (contracted seed ∪
+    * arrival-incident pairs) carry the global min id, i.e. the full
+    * fixpoint's label. The emitted (doc_id, seed_id, cluster_id,
+    * changed) row is the maintenance diff a governance review reads:
+    * changed=1 rows are exactly the docs whose cluster grew past its
+    * freeze.
+    *
+    * Seed sources, in priority order: (1) the stamped labels store
+    * (`spark.graft.labelsPath` — the history boundary read from the
+    * stamp's `max_id` freeze prop, so the store itself declares what
+    * "arrived since"); (2) in-session derivation at the 9/10 boundary
+    * (CC over history-internal pairs — the correctness harness's
+    * stand-in for a store frozen at that boundary). The DuckDB oracle
+    * re-derives BOTH fixpoints as recursive closures; agreement is
+    * exact because min-label fixpoints are unique. */
+  def x75IncLabels(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"))
+    val pairs = Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))
+    val (thr, seed) = Artifacts.configuredPath(spark, "x24_labels") match {
+      case Some(p) =>
+        val stored = Stages.readStamped(spark, p, "x24_labels")
+        val (_, props) = Artifacts.readStampFacts(spark, p, "x24_labels")
+        require(props.contains("max_id"),
+          s"x75: labels store at $p lacks the 'max_id' freeze prop — " +
+            "re-persist with the current producer")
+        (props("max_id").toLong, stored.select(col("doc_id"), col("cluster_id")))
+      case None =>
+        val t = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+          .collect()(0).getLong(0) // 1 row — the installment boundary
+        (t, Stages.x75Seed(spark, dir))
+    }
+    incLabelsOn(seed, d, pairs.filter(col("d1") > thr || col("d2") > thr))
+  }
+
+  /** x75's engine over any seed labeling / node / arrival-pair frames —
+    * split out so ClusterPropertySpec can drive it against a driver-side
+    * union-find on arbitrary two-installment graphs. `seed` rows define
+    * history membership (absent docs are arrivals); `arrPairs` must be
+    * exactly the pairs with an endpoint outside the seed. */
+  private[graft] def incLabelsOn(seed: DataFrame, nodes: DataFrame,
+      arrPairs: DataFrame): DataFrame = {
+    // contract each arrival-incident edge to supernodes: a history
+    // endpoint becomes its stored label, an arrival stays itself —
+    // two equi-joins against the seed (label-table-sized, no corpus text)
+    val superEdges = arrPairs
+      .join(seed.select(col("doc_id").as("d1"), col("cluster_id").as("l1")),
+        Seq("d1"), "left")
+      .join(seed.select(col("doc_id").as("d2"), col("cluster_id").as("l2")),
+        Seq("d2"), "left")
+      .select(coalesce(col("l1"), col("d1")).as("d1"),
+        coalesce(col("l2"), col("d2")).as("d2"))
+    // supernodes: every stored cluster + every arrival; the contraction
+    // runs ONLY on arrival-incident edges (the marginal-cost property)
+    val superNodes = seed.select(col("cluster_id").as("doc_id")).distinct()
+      .unionByName(nodes.join(seed.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val superLabels = connectedComponents(superNodes, superEdges)
+      .select(col("doc_id").as("seed_id"), col("cluster_id"))
+    nodes
+      .join(seed.select(col("doc_id"), col("cluster_id").as("s")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("s"), col("doc_id")).as("seed_id"))
+      .join(superLabels, "seed_id")
+      .select(col("doc_id"), col("seed_id"), col("cluster_id"),
+        when(col("seed_id") =!= col("cluster_id"), 1L).otherwise(0L).as("changed"))
+      .orderBy("doc_id")
+  }
+
   // ---- x25: boilerplate detection (segment-frequency dedup) ----
 
   /** Segment geometry and hotness threshold for x25: non-overlapping
@@ -1677,6 +1757,7 @@ object PipelineOps {
     "x52_pii_scan" -> x52PiiScan,
     "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters,
+    "x75_inc_labels" -> x75IncLabels,
     "x25_boilerplate" -> x25Boilerplate,
     "x26_winnowing" -> x26Winnowing,
     "x28_surprisal" -> x28Surprisal,
@@ -1739,6 +1820,37 @@ object PipelineOps {
        |)
        |SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d
        |ORDER BY doc_id""".stripMargin
+
+  /** x75's oracle: BOTH fixpoints as recursive transitive closures —
+    * the full labeling (x24Sql's derivation) and the history-restricted
+    * seed — joined into the maintenance diff. Exact agreement with the
+    * incremental contraction because min-label fixpoints are unique and
+    * seed labels are the min ids of their history components. */
+  private val x75Sql: String =
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+       |prs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM prs UNION SELECT d2 AS d1, d1 AS d2 FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
+       |),
+       |fullc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d),
+       |oedges AS MATERIALIZED (SELECT e.d1, e.d2 FROM edges e, t WHERE e.d1 <= t.thr AND e.d2 <= t.thr),
+       |oreach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents, t WHERE doc_id <= t.thr
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM oedges e JOIN oreach r ON r.d = e.d2
+       |),
+       |seedc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS seed_id FROM oreach GROUP BY d)
+       |SELECT f.doc_id,
+       |  COALESCE(s.seed_id, f.doc_id) AS seed_id,
+       |  f.cluster_id,
+       |  CAST(CASE WHEN COALESCE(s.seed_id, f.doc_id) <> f.cluster_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS changed
+       |FROM fullc f LEFT JOIN seedc s USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** x63's oracle, a val because x66's audit embeds the same
     * label→split derivation (the x24Sql/x35 idiom). */
@@ -2190,6 +2302,7 @@ object PipelineOps {
          |ORDER BY d1, d2""".stripMargin
     },
     "x24_dedup_clusters" -> x24Sql,
+    "x75_inc_labels" -> x75Sql,
     "x25_boilerplate" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(0, (len(w) - 1) // $bpSegLen + 1),

@@ -291,6 +291,26 @@ object Stages {
             x13Pairs(spark, dir).select(col("d1"), col("d2"))))
     }
 
+  /** x75's in-session seed: the HISTORY labeling — connected components
+    * over history docs (doc_id ≤ the 9/10 boundary) and the
+    * history-internal pairs of the full-corpus candidate lattice — the
+    * correctness harness's stand-in for a labels store frozen at that
+    * boundary. Staged so x75 and its audit twins run the history
+    * fixpoint once per session. */
+  def x75Seed(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x75_seed") {
+      val d = graft.model.Tables.documents(spark, dir).select(col("doc_id"))
+      val thr = d.agg(graft.model.Tables.fdiv(
+          org.apache.spark.sql.functions.lit(9L) *
+            org.apache.spark.sql.functions.max(col("doc_id")),
+          org.apache.spark.sql.functions.lit(10L)))
+        .collect()(0).getLong(0) // 1 row — the installment boundary
+      PipelineOps.connectedComponents(
+        d.filter(col("doc_id") <= thr),
+        x13Pairs(spark, dir).filter(col("d1") <= thr && col("d2") <= thr)
+          .select(col("d1"), col("d2")))
+    }
+
   /** x9's per-document quality scores (doc_id + five ints, one row per
     * doc) — read by the x9 query itself, x34's source report, x35's
     * canonical pick, and the x38 capstone, so a report cycle scores the

@@ -91,4 +91,72 @@ class ClusterPropertySpec extends SparkTestBase {
       assert(got == expected, s"seed=$i edges=$edges")
     }
   }
+
+  test("x75 incremental == direct full fixpoint on 12 random two-installment graphs") {
+    // the contraction theorem under test: seeding from the history
+    // labeling and contracting ONLY arrival-incident pairs must
+    // reproduce the full fixpoint exactly — including merges an arrival
+    // causes between two stored clusters (labels, unlike splits, may
+    // merge; there is no quarantine)
+    val s = spark
+    import s.implicits._
+    val n = 24L
+    val thr = 17L
+    (1 to 12).foreach { i =>
+      val edges = edgeGen(n)(Gen.Parameters.default, Seed(500L + i)).getOrElse(Nil)
+      val nodes = (0L until n).toDF("doc_id")
+      val histEdges = edges.filter(e => e._1 <= thr && e._2 <= thr)
+      val seed = unionFind(thr + 1, histEdges).toSeq.toDF("doc_id", "cluster_id")
+      val arrPairs = edges.filter(e => e._1 > thr || e._2 > thr) match {
+        case Nil => Seq.empty[(Long, Long)].toDF("d1", "d2")
+        case es  => es.toDF("d1", "d2")
+      }
+      val got = PipelineOps.incLabelsOn(seed, nodes, arrPairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val full = unionFind(n, edges)
+      val hist = unionFind(thr + 1, histEdges)
+      got.foreach { case (d, seedId, clusterId, changed) =>
+        val wantSeed = if (d <= thr) hist(d) else d
+        assert(seedId == wantSeed && clusterId == full(d) &&
+          changed == (if (wantSeed == full(d)) 0L else 1L),
+          s"seed=$i doc=$d got=($seedId,$clusterId,$changed) " +
+            s"want=($wantSeed,${full(d)}) edges=$edges")
+      }
+      assert(got.map(_._1).toSeq == (0L until n), s"seed=$i row coverage")
+    }
+  }
+
+  test("x75 serves a stamped labels store as its seed; missing max_id prop fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x75_").toString
+    val sf = sf0001
+    // the store a deployment would have written when the corpus WAS the
+    // history slice: the in-session seed, stamped with its boundary
+    val seed = Stages.x75Seed(spark, sf)
+    val thr = graft.model.Tables.documents(spark, sf)
+      .agg(graft.model.Tables.fdiv(
+        org.apache.spark.sql.functions.lit(9L) *
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id")),
+        org.apache.spark.sql.functions.lit(10L))).collect()(0).getLong(0)
+    Artifacts.writeStamped(spark, seed, s"$tmp/labels", "x24_labels",
+      Map("max_id" -> thr.toString))
+    val baseline = PipelineOps.x75IncLabels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.labelsPath", s"$tmp/labels")
+    try {
+      val got = PipelineOps.x75IncLabels(fresh, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // deterministic seed ⇒ the store-served run is observationally
+      // identical to the in-session derivation
+      assert(got == baseline)
+      // a labels store stamped WITHOUT the boundary prop cannot declare
+      // what "arrived since" — x75 must refuse, not guess
+      Artifacts.writeStamped(spark, seed, s"$tmp/noprop", "x24_labels")
+      fresh.conf.set("spark.graft.labelsPath", s"$tmp/noprop")
+      val e = intercept[IllegalArgumentException] {
+        PipelineOps.x75IncLabels(fresh, sf).collect()
+      }
+      assert(e.getMessage.contains("max_id"), e.getMessage)
+    } finally fresh.conf.unset("spark.graft.labelsPath")
+  }
 }
