@@ -69,6 +69,7 @@ object Bench {
       "stage:x2_pairs" -> (() => { graft.ops.Stages.x2Pairs(spark, sfDir); () }),
       "stage:x13_pairs" -> (() => { graft.ops.Stages.x13Pairs(spark, sfDir); () }),
       "stage:x24_labels" -> (() => { graft.ops.Stages.x24Labels(spark, sfDir); () }),
+      "stage:x75_seed" -> (() => { graft.ops.Stages.x75Seed(spark, sfDir); () }),
       "stage:x68_sticky" -> (() => { graft.ops.Stages.x68Sticky(spark, sfDir); () }),
       "stage:s18_index" -> (() => { graft.ops.Stages.s18Index(spark, sfDir); () }),
       "stage:x9_scores" -> (() => { graft.ops.Stages.x9Scores(spark, sfDir); () }),

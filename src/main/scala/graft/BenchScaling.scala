@@ -179,6 +179,14 @@ object BenchScaling {
     "x72_span_scrub" -> fx(graft.ops.TextOps.x72SpanScrub _),
     "x23_simhash_neardup" -> fx(graft.ops.PipelineOps.x23SimhashNeardup _),
     "x24_dedup_clusters" -> fx(graft.ops.PipelineOps.x24DedupClusters _),
+    // incremental label maintenance: the full line (history-seed fixpoint
+    // + arrival contraction) and the MARGINAL line — the same query
+    // ordered immediately after, so the seed and pair stages are warm
+    // and the second reading times only the arrival-incident contraction
+    // + the final label joins: the per-ingest serving cost the operator
+    // exists to bound (compare it to x24's full-fixpoint line)
+    "x75_inc_labels" -> fx(graft.ops.PipelineOps.x75IncLabels _),
+    "x75_marginal" -> fx(graft.ops.PipelineOps.x75IncLabels _),
     "x25_boilerplate" -> fx(graft.ops.PipelineOps.x25Boilerplate _),
     "x26_winnowing" -> fx(graft.ops.PipelineOps.x26Winnowing _),
     "x28_surprisal" -> fx(graft.ops.PipelineOps.x28Surprisal _),
@@ -357,6 +365,7 @@ object BenchScaling {
     "q27_freq_items", "q27_freq_items_scaledsupport",
     "q27b_freq_deep", "q27b_freq_deep_scaledk",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters", "x43_substring_dedup",
+    "x75_inc_labels", "x75_marginal",
     "x72_span_scrub",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
@@ -509,6 +518,26 @@ object BenchScaling {
       spark.catalog.clearCache()
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
+      // SPARK_GRAFT_SCALE_STORES=<dir>: the STORE-SERVED governance leg
+      // (README protocol) — persist the label + sticky stores for THIS
+      // factor's corpus, timed as the "store:persist" line (the
+      // once-per-freeze derivation price), then point the session at
+      // them so every selected governance leg (x24/x63/x66/x68/x69/x75)
+      // times the serving path alone: stamped reads, no fixpoint
+      // in-session. Production order: labels persist fresh, the session
+      // flips to the labels store, the sticky derivation CONSUMES it
+      // (stickySplitsUnstaged reads Stages.x24Labels), then the session
+      // flips to the sticky store too. Confs are unset at factor end —
+      // a later factor serving this factor's store would be the exact
+      // wrong-corpus defect the stamps guard against elsewhere.
+      val storeLeg = sys.env.get("SPARK_GRAFT_SCALE_STORES").map { sb =>
+        val t0 = System.nanoTime()
+        graft.ops.PipelineOps.persistLabels(spark, dir, s"$sb/f$k/labels")
+        spark.conf.set("spark.graft.labelsPath", s"$sb/f$k/labels")
+        graft.ops.PipelineOps.persistStickySplits(spark, dir, s"$sb/f$k/sticky")
+        spark.conf.set("spark.graft.stickyPath", s"$sb/f$k/sticky")
+        "store:persist" -> (System.nanoTime() - t0) / 1e9
+      }
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: per-leg GC/heap/scratch
       // diagnostics (the Bench hook, shared via graft.util.BenchDiag) —
@@ -543,7 +572,12 @@ object BenchScaling {
         graft.util.BenchDiag.log(diagPath, name, sec, Map("factor" -> k.toString))
         name -> sec
       }
-      val qs = times.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
+      if (storeLeg.isDefined) {
+        spark.conf.unset("spark.graft.labelsPath")
+        spark.conf.unset("spark.graft.stickyPath")
+      }
+      val withStores = storeLeg.toSeq ++ times
+      val qs = withStores.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
       val cs =
         if (counts.isEmpty) ""
         else counts.map { case (n, v) => s""""$n":$v""" }.mkString(""","counts":{""", ",", "}")
