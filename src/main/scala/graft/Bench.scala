@@ -103,7 +103,12 @@ object Bench {
       else stageBuilds.map { case (name, build) =>
         val t0 = System.nanoTime()
         val ok = try { build(); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // stage lines get the same per-attempt diag rows as queries —
+        // a regressed stage build (the r16 x68_sticky/x16_centroids
+        // watch) needs GC/heap/scratch context to adjudicate band vs code
+        graft.util.BenchDiag.log(sys.env.get("SPARK_GRAFT_BENCH_DIAG"), name, sec)
+        name -> sec
       }
     // default order is sorted keys (run-to-run comparability); set
     // SPARK_GRAFT_BENCH_ORDER=random (+ optional SPARK_GRAFT_BENCH_SEED)
