@@ -72,6 +72,7 @@ object Bench {
       "stage:x75_seed" -> (() => { graft.ops.Stages.x75Seed(spark, sfDir); () }),
       "stage:x68_sticky" -> (() => { graft.ops.Stages.x68Sticky(spark, sfDir); () }),
       "stage:s18_index" -> (() => { graft.ops.Stages.s18Index(spark, sfDir); () }),
+      "stage:s21_index" -> (() => { graft.ops.Stages.s21Index(spark, sfDir); () }),
       "stage:x9_scores" -> (() => { graft.ops.Stages.x9Scores(spark, sfDir); () }),
       "stage:x62_merges" -> (() => { graft.ops.Stages.x62Merges(spark, sfDir); () }),
       "stage:s17_merges" -> (() => { graft.ops.Stages.s17Merges(spark, sfDir); () }),

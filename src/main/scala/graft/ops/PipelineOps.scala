@@ -1942,6 +1942,46 @@ object PipelineOps {
       .agg(bit_or(splitBitCol(col("split_old"))).as("bits"))
   }
 
+  /** The s21 label router's FROZEN index (band, h, lab): history-slice
+    * x13 bands (hot buckets capped at the x13 df cap — the s18 rule:
+    * one df definition across the lattice) joined to the frozen history
+    * labeling ([[Stages.x75Seed]] — the same seed x75's maintenance
+    * contracts from), min member label per bucket. Consumers read it
+    * through [[Stages.s21Index]] so the banding + seed fixpoint run
+    * once per session across the s21 gate and its batch twin. */
+  private[graft] def labelIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val wB = Window.partitionBy(col("band"), col("h"))
+    TextOps.x13Bands(d.filter(col("doc_id") <= thr))
+      .withColumn("df", count(lit(1)).over(wB))
+      .filter(col("df") <= TextOps.x13BandDfCap)
+      .join(Stages.x75Seed(spark, dir), "doc_id")
+      .groupBy(col("band"), col("h"))
+      .agg(min(col("cluster_id")).as("lab"))
+  }
+
+  /** The s21 assignment rule, batch-side: arrivals banded with the x13
+    * pipeline, probed against the staged frozen label index, min
+    * neighbor label per doc (own id when no held neighbor) — one row
+    * per arrival (doc_id, cluster_id, origin). StreamGateSpec pins the
+    * gate's stateless per-row execution equal to this. */
+  private[graft] def labelRouteDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val hit = TextOps.x13Bands(d.filter(col("doc_id") > thr))
+      .join(Stages.s21Index(spark, dir), Seq("band", "h"))
+      .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+    d.filter(col("doc_id") > thr).select(col("doc_id"))
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"),
+        when(col("lab").isNull, "fresh").otherwise("matched").as("origin"))
+  }
+
   /** The router's verdict columns from OR'd bits (shared by the s18
     * gate's post-sink mapping and [[routeDecisions]]): one bit →
     * inherited split, conflict → quarantine, none → the hash rule on
@@ -2061,6 +2101,55 @@ object PipelineOps {
        |  CASE WHEN COALESCE(h.bits, 0) = 0 THEN 'fresh'
        |       WHEN COALESCE(h.bits, 0) IN (1, 2, 4) THEN 'inherited'
        |       ELSE 'quarantined' END AS origin
+       |FROM arr a LEFT JOIN hits h USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** s21's oracle (lives here with the lattice SQL): the history
+    * min-label closure, the capped history band index carrying each
+    * bucket's min member label, arrival bands re-derived, and the
+    * min-matched-label / own-id assignment rule — the s18 oracle with
+    * labels in place of split bits. */
+  private[graft] def s21OracleSql: String = {
+    def sigSql(src: String) =
+      (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s")
+        .mkString(s"SELECT doc_id, ", ", ", s" FROM $src GROUP BY doc_id")
+    def bandsSql(sig: String) =
+      (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, mh${2 * b} || mh${2 * b + 1} AS h FROM $sig")
+        .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |tt AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+       |prs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px, tt
+       |                     WHERE d1 <= tt.thr AND d2 <= tt.thr),
+       |oedges AS MATERIALIZED (SELECT d1, d2 FROM prs UNION SELECT d2 AS d1, d1 AS d2 FROM prs),
+       |oreach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents, tt WHERE doc_id <= tt.thr
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM oedges e JOIN oreach r ON r.d = e.d2
+       |),
+       |seedc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS lab FROM oreach GROUP BY d),
+       |gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                    FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id <= tt.thr),
+       |sig AS MATERIALIZED (${sigSql("gh")}),
+       |bands AS MATERIALIZED (${bandsSql("sig")}),
+       |idx AS MATERIALIZED (
+       |  SELECT band, h, min(s.lab) AS lab
+       |  FROM (SELECT bands.doc_id, bands.band, bands.h FROM bands
+       |        JOIN (SELECT band, h FROM bands GROUP BY band, h
+       |              HAVING count(*) <= ${TextOps.x13BandDfCap}) k USING (band, h)) kept
+       |  JOIN seedc s USING (doc_id) GROUP BY 1, 2),
+       |agh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                     FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id > tt.thr),
+       |asig AS MATERIALIZED (${sigSql("agh")}),
+       |abands AS MATERIALIZED (${bandsSql("asig")}),
+       |hits AS MATERIALIZED (
+       |  SELECT ab.doc_id, CAST(min(i.lab) AS BIGINT) AS lab
+       |  FROM abands ab JOIN idx i USING (band, h) GROUP BY ab.doc_id),
+       |arr AS (SELECT doc_id FROM documents, tt WHERE doc_id > tt.thr)
+       |SELECT a.doc_id,
+       |  COALESCE(h.lab, a.doc_id) AS cluster_id,
+       |  CASE WHEN h.lab IS NULL THEN 'fresh' ELSE 'matched' END AS origin
        |FROM arr a LEFT JOIN hits h USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
   }

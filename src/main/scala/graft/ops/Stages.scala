@@ -118,7 +118,8 @@ object Stages {
     if (sc.isStopped) hooked.remove(sc)
   }
 
-  private[graft] def cachedEntryCount: Int = cache.size + centCache.size + blobCache.size
+  private[graft] def cachedEntryCount: Int =
+    cache.size + centCache.size + blobCache.size + stampedCache.size
 
   /** Explicit per-session release, for long-lived JVMs cycling many
     * sessions over ONE live context (a notebook server): Spark has no
@@ -397,6 +398,13 @@ object Stages {
     * session. */
   def s18Index(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "s18_index")(PipelineOps.routeIndexUnstaged(spark, dir))
+
+  /** The s21 label router's frozen (band, h) → min-history-label index —
+    * read by the s21 gate's stream-static joins and its batch twin, so
+    * the history banding + seed fixpoint run once per session (the
+    * s18Index pattern applied to labels). */
+  def s21Index(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "s21_index")(PipelineOps.labelIndexUnstaged(spark, dir))
 
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by

@@ -458,6 +458,60 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** s21 gate: continuous cluster-label ASSIGNMENT — the serving half
+    * of the label lifecycle x75's incremental maintenance batches (the
+    * 14th gate, and the s18 posture applied to LABELS): each arriving
+    * document is banded with the exact x13 signature pipeline and
+    * probed against a FROZEN (band, h) → min-history-label index
+    * ([[graft.ops.Stages.s21Index]] — history bands at the shared df
+    * cap joined to the frozen history labeling, x75's seed). The
+    * arrival is assigned the MINIMUM matched neighbor label
+    * ('matched' — "this incoming doc belongs to that stored dedup
+    * cluster, decide NOW"), or stands alone under its own id
+    * ('fresh'). Assignment is TO the stored cluster by its stored
+    * name: an arrival with a smaller id does not rename the cluster at
+    * serve time — renames (and merges an arrival bridges) are the
+    * batch maintenance job's business (x75), exactly the
+    * router-vs-closure division s18/x68 establish for splits.
+    *
+    * Plan shape at 100 TB: stateless — per-row banding (HOF min over
+    * the doc's own shingles) + four stream-static equi-joins against
+    * the frozen staged index; no state store, no watermark. The DuckDB
+    * oracle re-derives the whole lattice (history closure → labels,
+    * bands → capped min-label index, arrival bands → min) — exact
+    * parity, no bound flags. */
+  def s21LabelRouteStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val idx = graft.ops.Stages.s21Index(spark, dir)
+    val feed = sharedDocsFeed(spark, dir)
+    val arr = feedStream(spark, feed, docsFeedDf(spark, dir).schema)
+      .filter(col("doc_id") > thr)
+      .select(col("doc_id") +: graft.ops.TextOps.rowBandCols(
+        graft.ops.TextOps.shinglesOf(split(col("text"), " "))): _*)
+    // four stream-static left joins (stateless); a shingle-less arrival
+    // has null band keys, matches nothing, and assigns 'fresh'
+    val joined = (0 until 4).foldLeft(arr) { (cur, b) =>
+      cur.join(idx.filter(col("band") === b)
+          .select(col("h").as(s"b$b"), col("lab").as(s"lab$b")),
+        Seq(s"b$b"), "left")
+    }
+    // least() skips nulls: the min over however many bands matched
+    val minLab = least((0 until 4).map(b => col(s"lab$b")): _*)
+    val routed = joined.select(col("doc_id"),
+      coalesce(minLab, col("doc_id")).as("cluster_id"),
+      when(minLab.isNull, "fresh").otherwise("matched").as("origin"))
+    val streamed = {
+      val name = s"s21_gate_${runId.incrementAndGet()}"
+      val q = routed.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      feedThenStop(spark, name, q) { q.processAllAvailable() }
+      detachSink(spark, name)
+    }
+    streamed.orderBy("doc_id")
+  }
+
   /** S19 budget shard count — the admission parallelism knob: the
     * global budget splits evenly across this many state keys, each a
     * ONE-long register. At cluster scale set ≈ state-store parallelism;
@@ -1019,6 +1073,7 @@ object StreamGate {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_label_route" -> s21LabelRouteStream,
     "s20_retrieval_stream" -> s20RetrievalStream,
     "s19_budget_admit" -> s19BudgetAdmitStream,
     "s18_split_route" -> s18SplitRouteStream,
@@ -1080,6 +1135,10 @@ object StreamGate {
     // exact — the oracle re-derives closure→sticky, capped band index,
     // arrival bands and the OR independently
     "s18_split_route" -> graft.ops.PipelineOps.s18OracleSql,
+    // s21: band-neighbor label assignment against the frozen index is
+    // exact — the oracle re-derives closure→labels, capped min-label
+    // index, arrival bands and the min independently
+    "s21_label_route" -> graft.ops.PipelineOps.s21OracleSql,
     // s17: the frozen-merge replay is exact, so the oracle re-derives
     // both chains (train on <=thr, apply on >thr) independently
     "s17_bpe_drift_stream" -> graft.ops.TextOps.s17OracleSql(6),

@@ -7,6 +7,28 @@ import graft.SparkTestBase
 /** Stage-cache lifecycle: mode-aware keys and context eviction. */
 class StagesSpec extends SparkTestBase {
 
+  test("stamped-store reads are memoized per session and evicted with it") {
+    Stages.clear()
+    val path = s"${Files.createTempDirectory("graft_stamped_")}/sticky"
+    PipelineOps.persistStickySplits(spark, sf0001, path)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", path)
+    try {
+      val n0 = Stages.cachedEntryCount
+      val first = Stages.x68Sticky(fresh, sf0001)
+      assert(Stages.cachedEntryCount == n0 + 1,
+        "a configured-path read must land one stamped-cache entry")
+      // the second consumer serves the SAME validated frame — the meta
+      // collect + count() validation ran once per (session, path)
+      assert(Stages.x68Sticky(fresh, sf0001) eq first,
+        "second read must serve the memoized validated frame")
+      assert(Stages.cachedEntryCount == n0 + 1)
+      Stages.evictSession(fresh)
+      assert(Stages.cachedEntryCount == n0,
+        "evictSession must drop the session's stamped-cache entries")
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
   test("toggling the stage mode mid-session serves the new mode without clear()") {
     Stages.clear()
     val modeKey = "spark.graft.stageDir"

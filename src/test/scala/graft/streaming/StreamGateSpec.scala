@@ -173,6 +173,30 @@ class StreamGateSpec extends SparkTestBase {
     }
   }
 
+  test("s21 gate == batch label assignment; min matched label or own id") {
+    import org.apache.spark.sql.functions._
+    val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val thr = d.agg(graft.model.Tables.fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    // the batch twin is the shared rule itself — the gate must equal it
+    val want = graft.ops.PipelineOps.labelRouteDecisions(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val got = StreamGate.s21LabelRouteStream(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want, "the gate must equal the batch band-neighbor assignment")
+    val arrivals = d.filter(col("doc_id") > thr).collect().map(_.getLong(0)).sorted
+    assert(got.map(_._1) == arrivals.toSeq, "one assigned row per arrival, in order")
+    // a matched label names a HISTORY cluster (≤ thr — stored names only,
+    // never another arrival: transitivity is x75's business); fresh = own id
+    got.foreach { case (id, lab, origin) =>
+      if (origin == "matched") assert(lab <= thr, s"doc $id matched non-history label $lab")
+      else assert(lab == id, s"fresh doc $id must stand under its own id, got $lab")
+    }
+    // the gate found at least one real neighbor on this corpus
+    assert(got.exists(_._3 == "matched"), "no arrival matched — the leg tests nothing")
+  }
+
   test("s17 gate == batch frozen-merge encode on the arrivals slice") {
     import org.apache.spark.sql.functions._
     val d = graft.model.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
