@@ -1758,6 +1758,7 @@ object PipelineOps {
     "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters,
     "x75_inc_labels" -> x75IncLabels,
+    "x76_label_agreement" -> x76LabelAgreement,
     "x25_boilerplate" -> x25Boilerplate,
     "x26_winnowing" -> x26Winnowing,
     "x28_surprisal" -> x28Surprisal,
@@ -2105,6 +2106,103 @@ object PipelineOps {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** x76: label serving/batch RECONCILIATION — x69's
+    * measured-not-assumed posture applied to the label lifecycle: for
+    * every arrival, how did s21's per-document assignment (frozen band
+    * index, direct neighbors only, stored names only) compare to x75's
+    * batch maintenance label (full transitivity through other
+    * arrivals, merges and renames included)? One row per route origin
+    * with doc counts, label-agreement counts, and the count of
+    * arrivals whose BATCH cluster is arrival-named (cluster_id > thr —
+    * the fresh-cluster formations and renames the router structurally
+    * cannot see, measured rather than hand-waved). The diagonal story
+    * a governance review reads: matched/agree is healthy serving,
+    * matched/disagree are bridges that merged under a smaller name
+    * after the router decided, fresh/disagree are arrival-only
+    * clusters the batch job named later.
+    *
+    * Plan shape: x75's maintenance (staged seed + arrival contraction)
+    * joined to the batch routing twin (staged s21 index) on doc_id,
+    * then ONE tiny groupBy over ≤2 origin cells — map-side combinable,
+    * output bounded by construction. */
+  def x76LabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val thr = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    val batch = x75IncLabels(spark, dir)
+      .filter(col("doc_id") > thr)
+      .select(col("doc_id"), col("cluster_id").as("batch_label"))
+    val routed = labelRouteDecisions(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("route_label"),
+        col("origin").as("route_origin"))
+    batch.join(routed, "doc_id")
+      .groupBy(col("route_origin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("batch_label") === col("route_label")).cast(LongType))
+          .as("n_agree"),
+        sum((col("batch_label") > thr).cast(LongType)).as("n_arrival_named"))
+      .orderBy("route_origin")
+  }
+
+  /** x76's oracle: BOTH lattices re-derived independently — the full
+    * closure (x75's maintenance labels) and the band-neighbor
+    * assignment (s21's rule) — joined into the agreement matrix. */
+  private[graft] def x76OracleSql: String = {
+    def sigSql(src: String) =
+      (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s")
+        .mkString(s"SELECT doc_id, ", ", ", s" FROM $src GROUP BY doc_id")
+    def bandsSql(sig: String) =
+      (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, mh${2 * b} || mh${2 * b + 1} AS h FROM $sig")
+        .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |tt AS MATERIALIZED (SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
+       |allprs AS MATERIALIZED (SELECT d1, d2 FROM (${TextOps.oracle("x13_minhash_lsh")}) px),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM allprs UNION SELECT d2 AS d1, d1 AS d2 FROM allprs),
+       |reach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM edges e JOIN reach r ON r.d = e.d2
+       |),
+       |fullc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS cluster_id FROM reach GROUP BY d),
+       |oedges AS MATERIALIZED (SELECT e.d1, e.d2 FROM edges e, tt WHERE e.d1 <= tt.thr AND e.d2 <= tt.thr),
+       |oreach AS (
+       |  SELECT doc_id AS d, doc_id AS l FROM documents, tt WHERE doc_id <= tt.thr
+       |  UNION
+       |  SELECT e.d1 AS d, r.l FROM oedges e JOIN oreach r ON r.d = e.d2
+       |),
+       |seedc AS MATERIALIZED (SELECT d AS doc_id, min(l) AS lab FROM oreach GROUP BY d),
+       |gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                    FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id <= tt.thr),
+       |sig AS MATERIALIZED (${sigSql("gh")}),
+       |bands AS MATERIALIZED (${bandsSql("sig")}),
+       |idx AS MATERIALIZED (
+       |  SELECT band, h, min(s.lab) AS lab
+       |  FROM (SELECT bands.doc_id, bands.band, bands.h FROM bands
+       |        JOIN (SELECT band, h FROM bands GROUP BY band, h
+       |              HAVING count(*) <= ${TextOps.x13BandDfCap}) k USING (band, h)) kept
+       |  JOIN seedc s USING (doc_id) GROUP BY 1, 2),
+       |agh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                     FROM (${TextOps.shingleRowsSql}) sr, tt WHERE doc_id > tt.thr),
+       |asig AS MATERIALIZED (${sigSql("agh")}),
+       |abands AS MATERIALIZED (${bandsSql("asig")}),
+       |hits AS MATERIALIZED (
+       |  SELECT ab.doc_id, CAST(min(i.lab) AS BIGINT) AS lab
+       |  FROM abands ab JOIN idx i USING (band, h) GROUP BY ab.doc_id),
+       |arr AS (SELECT doc_id FROM documents, tt WHERE doc_id > tt.thr)
+       |SELECT
+       |  CASE WHEN h.lab IS NULL THEN 'fresh' ELSE 'matched' END AS route_origin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN COALESCE(h.lab, a.doc_id) = f.cluster_id
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(sum(CASE WHEN f.cluster_id > (SELECT thr FROM tt)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_arrival_named
+       |FROM arr a
+       |LEFT JOIN hits h USING (doc_id)
+       |JOIN fullc f ON f.doc_id = a.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** s21's oracle (lives here with the lattice SQL): the history
     * min-label closure, the capped history band index carrying each
     * bucket's min member label, arrival bands re-derived, and the
@@ -2392,6 +2490,7 @@ object PipelineOps {
     },
     "x24_dedup_clusters" -> x24Sql,
     "x75_inc_labels" -> x75Sql,
+    "x76_label_agreement" -> x76OracleSql,
     "x25_boilerplate" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(0, (len(w) - 1) // $bpSegLen + 1),
