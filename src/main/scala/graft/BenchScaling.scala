@@ -296,6 +296,10 @@ object BenchScaling {
     // so the broadcast prune keeps postings replica-local — the leg must
     // track the one posting scan, with df/idf work constant
     "x71_bm25" -> fx(graft.ops.TextOps.x71Bm25 _),
+    // BM25 decontamination: same broadcast-pruned posting shape as x71
+    // over the training slice; the per-query max is a ≤5-row broadcast —
+    // the leg must track x71's line, with the emitted-volume filter free
+    "x73_bm25_decontam" -> fx(graft.ops.TextOps.x73Bm25Decontam _),
     // the snapshot diff: (doc_id, md5) pairs ×f through the full-outer join
     "x41_dataset_diff" -> fx(graft.ops.PipelineOps.x41DatasetDiff _),
     // BPE pair stats: disjoint token namespaces grow BOTH count tables
@@ -370,7 +374,7 @@ object BenchScaling {
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
     "x40_bigram_lm", "x41_dataset_diff",
-    "x42_grouped_topk", "x42_window_topk", "x71_bm25",
+    "x42_grouped_topk", "x42_window_topk", "x71_bm25", "x73_bm25_decontam",
     "x44_group_sample", "x45_source_overlap", "x46_edit_join",
     "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
     "x54_bpe_pairs",
