@@ -60,6 +60,16 @@ class DeterminismSpec extends SparkTestBase {
     // the salted equi-join: salt routing re-buckets the shuffle, which
     // must never reach the result
     "q25_salted_join",
+    // incremental labels: the seed fixpoint + the arrival-incident
+    // contraction compose through two CC runs and a coalesce-keyed join
+    // — neither fixpoint's round structure may see partitioning
+    "x75_inc_labels",
+    // the BM25 screen: map-side tf/df partial aggregation + the ≤5-row
+    // max broadcast — floor-division sums must combine identically
+    "x73_bm25_decontam",
+    // label reconciliation: two staged lattices joined into a 2-cell
+    // rollup — agreement counts must not see how either side partitions
+    "x76_label_agreement",
     // the bloom semi-join reduction: the probe's false-positive set must
     // die in the join, never in the answer
     "q26_bloom_join",
