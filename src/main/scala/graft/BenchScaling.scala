@@ -187,6 +187,10 @@ object BenchScaling {
     // exists to bound (compare it to x24's full-fixpoint line)
     "x75_inc_labels" -> fx(graft.ops.PipelineOps.x75IncLabels _),
     "x75_marginal" -> fx(graft.ops.PipelineOps.x75IncLabels _),
+    // the serving/batch label reconciliation: both staged lattices + one
+    // ≤2-cell rollup — the leg must track the lattices it reads, with
+    // the agreement arithmetic free
+    "x76_label_agreement" -> fx(graft.ops.PipelineOps.x76LabelAgreement _),
     "x25_boilerplate" -> fx(graft.ops.PipelineOps.x25Boilerplate _),
     "x26_winnowing" -> fx(graft.ops.PipelineOps.x26Winnowing _),
     "x28_surprisal" -> fx(graft.ops.PipelineOps.x28Surprisal _),
@@ -369,7 +373,7 @@ object BenchScaling {
     "q27_freq_items", "q27_freq_items_scaledsupport",
     "q27b_freq_deep", "q27b_freq_deep_scaledk",
     "x13_minhash_lsh", "x23_simhash_neardup", "x24_dedup_clusters", "x43_substring_dedup",
-    "x75_inc_labels", "x75_marginal",
+    "x75_inc_labels", "x75_marginal", "x76_label_agreement",
     "x72_span_scrub",
     "x25_boilerplate", "x26_winnowing", "x28_surprisal",
     "x36_incremental_dedup", "x38_pipeline_e2e",
