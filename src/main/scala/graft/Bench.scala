@@ -87,6 +87,7 @@ object Bench {
       // the generated-WAV corpus x15c ingests — same one-write-per-session
       // rationale as the PNG corpus above
       "stage:wav_corpus" -> (() => { graft.ops.Multimodal.wavCorpus(spark, sfDir); () }),
+      "stage:gif_corpus" -> (() => { graft.ops.Multimodal.gifCorpus(spark, sfDir); () }),
       // the streaming gates' shared replay feeds (events: s9/s11-s14;
       // documents: s8/s10) — one staging build per table per session
       "stage:gate_events_feed" ->

@@ -29,6 +29,13 @@ case class ImageFeatures(doc_id: Long, format: String, img_w: Long,
 case class AudioFeatures(doc_id: Long, format: String, sample_rate: Long,
     channels: Long, n_frames: Long, pcm_checksum: Long, decoded: Boolean)
 
+/** REAL video-decode output: the clip's frame count, the number of
+  * SAMPLED frames actually decoded (first/middle/last — the video verb:
+  * never decode them all), and a checksum over the sampled frames'
+  * pixels; same degrade-to-verdict contract as [[ImageFeatures]]. */
+case class VideoFeatures(doc_id: Long, format: String, n_frames: Long,
+    n_sampled: Long, frame_checksum: Long, decoded: Boolean)
+
 /** X15: multimodal column plumbing — the Spark-side machinery a media
   * pipeline needs: a `binary` payload column with typed metadata, a typed
   * `Dataset[MediaRow]`, and per-partition batch "decode"/feature-extract.
@@ -41,7 +48,10 @@ case class AudioFeatures(doc_id: Long, format: String, sample_rate: Long,
   * external codec needed) yielding actual pixel dimensions and a raster
   * checksum, and a REAL audio decode ([[Multimodal.decodeAudio]]) via
   * `javax.sound.sampled` (WAV/AIFF/AU) yielding sample rate / channels /
-  * frames / PCM checksum; video and compressed-audio codecs stay out of
+  * frames / PCM checksum, and a REAL frame-sampled video decode
+  * ([[Multimodal.decodeVideo]]) over multi-frame GIF — the one video
+  * container the base JDK reads — counting frames and decoding ONLY the
+  * sampled ones; compressed video/audio codecs (mp4, mp3) stay out of
   * this container's reach, so those decodes remain where a JNI/ONNX call
   * would plug into the same batch. The plumbing — binary column, Encoder
   * schema, mapPartitions batch shape, partition sizing — is shared by
@@ -171,7 +181,7 @@ object Multimodal {
   }
 
   // generated-media scratch dirs, keyed (session, sfDir, kind) — kind is
-  // "png" (x15/x15b) or "wav" (x15c)
+  // "png" (x15/x15b), "wav" (x15c), or "gif" (x15d)
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
@@ -435,10 +445,154 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** x15d's generation parameters — closed-form in doc_id: 1 + d mod 7
+    * frames of (16 + d mod 5) × (16 + d mod 4) pixels; frame k's pixel
+    * (x, y) carries gray value (3d + 5k + 7x + 11y) mod 256. The ≥16
+    * floor is load-bearing: the JDK GIF writer corrupts rasters smaller
+    * than ~16×16 (bottom rows decode as palette entry 0 — measured on
+    * this JDK at 2×2 through 5×4, clean from 16×16 up), so tiny frames
+    * would fail the checksum equality for a writer bug, not a pipeline
+    * one. */
+  private def gifFrames(d: Long): Int = (1 + d % 7).toInt
+  private def gifW(d: Long): Int = (16 + d % 5).toInt
+  private def gifH(d: Long): Int = (16 + d % 4).toInt
+
+  /** Deterministic generated multi-frame-GIF corpus for the registered
+    * x15d — one REAL animated GIF per document (the [[pngCorpus]] idiom:
+    * executor-task writes, doc_id-keyed idempotent file names, local-FS
+    * scratch standing in for shared storage). Frames are TYPE_BYTE_INDEXED
+    * over an explicit 256-gray palette (r=g=b=index): GIF's indexed
+    * color table stores those sRGB entries VERBATIM, so the decoded
+    * `getRGB` round-trips the generated value exactly — and stays exact
+    * even if a writer permutes palette indices, because the checksum
+    * reads colors, not indices. (TYPE_BYTE_GRAY would NOT round-trip:
+    * its linear-gray color space gamma-converts under getRGB.) */
+  def gifCorpus(spark: SparkSession, dir: String): String =
+    mediaCache.getOrElseUpdate((spark, dir, "gif"), {
+      val out = java.nio.file.Files.createTempDirectory("graft_gif_corpus_").toString
+      import spark.implicits._
+      documents(spark, dir).select(col("doc_id")).as[Long]
+        .foreachPartition { (ids: Iterator[Long]) =>
+          javax.imageio.ImageIO.setUseCache(false) // once per task
+          val gray = Array.tabulate[Byte](256)(i => i.toByte)
+          val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+          ids.foreach { d =>
+            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(
+              new java.io.File(out, s"vid_$d.gif"))
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              var k = 0
+              while (k < gifFrames(d)) {
+                val img = new java.awt.image.BufferedImage(
+                  gifW(d), gifH(d), java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+                val raster = img.getRaster
+                var y = 0
+                while (y < gifH(d)) {
+                  var x = 0
+                  while (x < gifW(d)) {
+                    raster.setSample(x, y, 0, ((3 * d + 5 * k + 7 * x + 11 * y) % 256).toInt)
+                    x += 1
+                  }
+                  y += 1
+                }
+                writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+                k += 1
+              }
+              writer.endWriteSequence()
+            } finally {
+              writer.dispose()
+              ios.close()
+            }
+          }
+        }
+      out
+    })
+
+  /** The x15d frame-sampling rule: first, middle, last — distinct, so a
+    * 1-frame clip samples once and a 2-frame clip twice. Shared with the
+    * oracle's `list_distinct([0, n//2, n-1])`. */
+  private def sampledFrames(n: Int): Seq[Int] = Seq(0, n / 2, n - 1).distinct
+
+  /** REAL frame-sampled video decode over any media table: the
+    * `javax.imageio` GIF sequence reader on the payload bytes,
+    * per-partition batches — the video twin of [[decodeImages]]. Counts
+    * the clip's frames (`getNumImages`), decodes ONLY the sampled
+    * first/middle/last frames, and checksums their pixels (low byte of
+    * each getRGB — the gray/palette value); corrupt or frameless
+    * payloads degrade to decoded = false, never a task failure. */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task
+      rows.map { r =>
+        try {
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0)
+            val sampled = sampledFrames(n)
+            var cks = 0L
+            sampled.foreach { k =>
+              val img = reader.read(k)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { cks += (img.getRGB(x, y) & 0xff); x += 1 }
+                y += 1
+              }
+            }
+            VideoFeatures(r.doc_id, r.format, n.toLong, sampled.size.toLong, cks,
+              decoded = true)
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        } catch { case _: Exception =>
+          VideoFeatures(r.doc_id, r.format, 0L, 0L, 0L, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** x15d: the VIDEO modality end to end with FRAME SAMPLING — the
+    * multimodal verb x15/x15b/x15c don't cover (decode, transform, and
+    * audio are theirs; a video pipeline's first op is "sample k frames
+    * per clip, never decode them all"). Generated multi-frame GIF corpus
+    * ([[gifCorpus]]) → `binaryFile` ingest → per-partition
+    * `javax.imageio` GIF sequence reader: count the clip's frames
+    * (`getNumImages`), decode ONLY the sampled first/middle/last frames,
+    * and checksum their pixels — the decode cost is |sampled|, not
+    * |frames|, which is the operator's whole point at 100 TB of video.
+    * GIF frame content is lossless-indexed and the pixel function
+    * closed-form, so the oracle recomputes frame counts, the sample-set
+    * size, and the sampled-pixel checksum arithmetically — a wrong byte
+    * anywhere in write → ingest → seek → decode breaks the equality.
+    * Corrupt payloads degrade to decoded = 0 (the x15 rule). */
+  def x15dVideoPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Sources.binaryFiles(spark, gifCorpus(spark, dir), "*.gif")
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.gif$", 1).cast(LongType).as("doc_id"),
+        col("content").as("payload"),
+        lit("gif").as("format"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    decodeVideo(media)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("frame_checksum"), col("decoded").cast(LongType).as("decoded"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_media_pipeline" -> x15MediaPipeline,
     "x15b_media_transform" -> x15bMediaTransform,
-    "x15c_audio" -> x15cAudioPipeline)
+    "x15c_audio" -> x15cAudioPipeline,
+    "x15d_video" -> x15dVideoPipeline)
 
   /** Oracles: all three recompute the generated corpora's closed-form
     * content functions — the PNG pair from ([[pngCorpus]]) dims-from-
@@ -450,6 +604,26 @@ object Multimodal {
     * write→ingest→decode(→transform) round trips without ever decoding
     * an image or a waveform itself. */
   val oracle: Map[String, String] = Map(
+    "x15d_video" ->
+      """WITH p AS (SELECT doc_id,
+        |    1 + doc_id % 7 AS n, 16 + doc_id % 5 AS w, 16 + doc_id % 4 AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, n, w, h,
+        |        unnest(list_distinct([0, n // 2, n - 1])) AS fk
+        |      FROM p),
+        |c AS (SELECT doc_id,
+        |        CAST(sum((3 * doc_id + 5 * fk + 7 * x.i + 11 * y.j) % 256) AS BIGINT) AS cks,
+        |        CAST(count(DISTINCT fk) AS BIGINT) AS n_sampled
+        |      FROM k,
+        |        unnest(generate_series(0, w - 1)) AS x(i),
+        |        unnest(generate_series(0, h - 1)) AS y(j)
+        |      GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(p.n AS BIGINT) AS n_frames,
+        |  c.n_sampled,
+        |  c.cks AS frame_checksum,
+        |  CAST(1 AS BIGINT) AS decoded
+        |FROM p JOIN c USING (doc_id) ORDER BY p.doc_id""".stripMargin,
     "x15c_audio" ->
       """SELECT doc_id,
         |  CAST(8000 + 1000 * (doc_id % 3) AS BIGINT) AS sample_rate,

@@ -162,6 +162,46 @@ class SourcesSpec extends SparkTestBase {
       && feats(2).decoded, feats(2).toString)
   }
 
+  test("real video decode: multi-frame GIFs yield frame counts + sampled-frame checksums; corrupt bytes degrade") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-gifs")
+    // a real multi-frame GIF written by the SAME JDK sequence writer the
+    // corpus generator uses: 5 frames, 17x18, explicit 256-gray palette
+    // (dims >= 16: the JDK GIF writer corrupts tiny rasters — the floor
+    // the generator documents)
+    val gray = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val (w, h, nf) = (17, 18, 5)
+    def px(k: Int, x: Int, y: Int): Int = (9 * k + 4 * x + 6 * y) % 256
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(dir.resolve("clip.gif").toFile)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (k <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(k, x, y))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    Files.write(dir.resolve("corrupt.gif"), Array[Byte](71, 73, 70, 56)) // "GIF8" then EOF
+    val feats = graft.ops.Multimodal.decodeVideo(
+        graft.ops.Multimodal.mediaFromFiles(s, dir.toString, "*.gif"))
+      .collect().sortBy(_.n_frames)
+    assert(feats.length == 2, feats.mkString(", "))
+    // corrupt clip: verdict false, zero counts, no task failure
+    assert(feats.head == graft.ops.VideoFeatures(feats.head.doc_id, "gif", 0L, 0L, 0L, false),
+      feats.head.toString)
+    // the real clip: 5 frames counted, only {0, 2, 4} decoded, and their
+    // sampled-pixel checksum reproduces the written values exactly
+    val wantCks = (for (k <- Seq(0, 2, 4); y <- 0 until h; x <- 0 until w)
+      yield px(k, x, y).toLong).sum
+    assert(feats(1).n_frames == nf.toLong && feats(1).n_sampled == 3L
+      && feats(1).frame_checksum == wantCks && feats(1).decoded, feats(1).toString)
+  }
+
   test("real audio decode: generated WAVs yield actual rate/channels/frames + PCM checksum") {
     val s = spark
     val dir = Files.createTempDirectory("graft-wavs")
