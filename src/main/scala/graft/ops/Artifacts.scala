@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stamped persisted artifacts — the stored-governance contracts.
   *
-  * Five tables cross session boundaries as parquet a deployment writes
+  * Seven tables cross session boundaries as parquet a deployment writes
   * once and serves many times: x68's sticky splits (`stickyPath`), the
   * IVFADC index (`ivfIndexPath`), x24's cluster labels (`labelsPath`),
-  * s20's frozen retrieval stats (`retrievalStatsPath`), and the trained
+  * s20's frozen retrieval stats (`retrievalStatsPath`), the trained
   * BPE tokenizer (`mergesPath` — THE ship-once artifact of a
-  * training-data pipeline). An
+  * training-data pipeline), and the two serving band indexes — s18's
+  * split-bits router index (`routeIndexPath`) and s21's min-label
+  * assignment index (`labelIndexPath`). An
   * unstamped read would serve ANY parquet at the
   * configured path — a wrong-corpus table, a different artifact, a
   * torn write, or a table produced by an older operator version — and
@@ -39,7 +41,9 @@ object Artifacts {
     "x57_index" -> 1,
     "x24_labels" -> 1,
     "s20_stats" -> 1,
-    "x62b_merges" -> 1)
+    "x62b_merges" -> 1,
+    "s18_index" -> 1,
+    "s21_index" -> 1)
 
   /** Where each artifact's store is configured — (runtime conf key,
     * env var): the stickyPath convention, one entry per stamped
@@ -51,7 +55,9 @@ object Artifacts {
     "x57_index" -> (("spark.graft.ivfIndexPath", "SPARK_GRAFT_IVF_INDEX_PATH")),
     "x24_labels" -> (("spark.graft.labelsPath", "SPARK_GRAFT_LABELS_PATH")),
     "s20_stats" -> (("spark.graft.retrievalStatsPath", "SPARK_GRAFT_RETRIEVAL_STATS_PATH")),
-    "x62b_merges" -> (("spark.graft.mergesPath", "SPARK_GRAFT_MERGES_PATH")))
+    "x62b_merges" -> (("spark.graft.mergesPath", "SPARK_GRAFT_MERGES_PATH")),
+    "s18_index" -> (("spark.graft.routeIndexPath", "SPARK_GRAFT_ROUTE_INDEX_PATH")),
+    "s21_index" -> (("spark.graft.labelIndexPath", "SPARK_GRAFT_LABEL_INDEX_PATH")))
 
   /** The configured store location for `artifact`, if any — the ONE
     * resolution every configured-path branch (and x74's freshness
@@ -79,12 +85,25 @@ object Artifacts {
       .toDF("artifact", "version", "schema_ddl", "n_rows", "props")
       .coalesce(1)
       .write.mode("overwrite").parquet(metaPath(path))
+    // a persist-then-read flow reusing one path within a session must
+    // never serve the PREVIOUS table's memoized plan (a plan over
+    // overwritten files) or skip re-validating the new stamp — evict
+    // the path's validated-read entries alongside the overwrite
+    Stages.invalidateStamped(path)
   }
 
   /** Read a stamped artifact, failing loudly (with the mismatch named)
     * on: missing/malformed stamp, wrong artifact key, producer-version
     * mismatch, schema drift, row-count drift, or an empty table. */
-  def readStamped(spark: SparkSession, path: String, artifact: String): DataFrame = {
+  def readStamped(spark: SparkSession, path: String, artifact: String): DataFrame =
+    readStampedWithFacts(spark, path, artifact)._1
+
+  /** [[readStamped]] returning the stamp's row count and freeze props
+    * alongside the validated frame — ONE meta collect + ONE count()
+    * integrity job serve both, so a consumer that needs the frame AND
+    * the freeze boundary (x75's seed) doesn't validate twice. */
+  def readStampedWithFacts(spark: SparkSession, path: String,
+      artifact: String): (DataFrame, Long, Map[String, String]) = {
     val mp = metaPath(path)
     val meta =
       try spark.read.parquet(mp).collect()
@@ -115,7 +134,7 @@ object Artifacts {
     require(n == storedRows,
       s"$artifact at $path: row count $n != stamped $storedRows — torn or tampered table")
     require(n > 0L, s"$artifact at $path: stamped table is empty")
-    df
+    (df, n, m.getAs[scala.collection.Map[String, String]]("props").toMap)
   }
 
   /** The stamp's props map (freeze parameters), for audits. */

@@ -144,57 +144,101 @@ object Audit {
     *
     * Expected row counts are ARITHMETIC, never a re-derivation: sticky
     * = one row per history doc, labels = one per doc, the IVFADC index
-    * = M per vector, s20 stats = one per distinct (query, term) pair,
-    * and the merge table's "rows" are its configured training rounds
-    * (row-count freshness is meaningless for a fixed-k table; the
-    * boundary is its signal) — so the audit costs a few 1-row
-    * aggregates over id/text projections, no fixpoint, no trainer, no
-    * index build. At 100 TB it reads stamps + corpus stats, exactly
-    * what a governance review can afford to run per ingest. */
+    * = M per vector, s20 stats = one per distinct (query, term) pair
+    * (the shared [[TextOps.bm25QueryTerms]] builder — ONE query-set
+    * definition across derivation and audit), and the merge table's
+    * "rows" are its configured training rounds
+    * ([[TextOps.bpeRounds]] — row-count freshness is meaningless for a
+    * fixed-k table; the boundary is its signal). The two band indexes
+    * ([[Artifacts.versions]] s18_index/s21_index) audit BOUNDARY-ONLY:
+    * their row counts are lattice-shaped (capped (band, h) bucket
+    * counts — recomputing one means re-running the corpus banding the
+    * audit exists to avoid), so like the merges table the freeze
+    * boundary is their freshness signal and expected = stamped by
+    * convention (0 when unconfigured: no store, no rows to audit). So
+    * the audit costs a few 1-row aggregates over id/text projections,
+    * no fixpoint, no trainer, no banding, no index build. At 100 TB it
+    * reads stamps + corpus stats, exactly what a governance review can
+    * afford to run per ingest.
+    *
+    * The audit matrix is REGISTRY-DRIVEN: one row per
+    * [[Artifacts.versions]] key, each with its spec below — a store
+    * registered without an audit spec fails the whole audit loudly
+    * (store #8 cannot ship unaudited). Staleness MAGNITUDE rides two
+    * derived columns: `arrivals_past_freeze` (current − frozen
+    * boundary — how far the corpus grew past the freeze) and
+    * `row_drift` (expected − stamped rows — how many rows a fresh
+    * persist would add), so a verdict quantifies re-persist urgency
+    * instead of a bare 0/1. */
+  private[graft] final case class StoreAudit(
+      boundaryKey: String, currentBoundary: Long,
+      expectedRows: Option[Long], stampedRowsProp: Option[String])
+
   def x74ArtifactFreshness(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val head = d.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n")).collect()(0)
     val (mx, nDocs) = (head.getLong(0), head.getLong(1))
     val thr = Math.floorDiv(9L * mx, 10L) // the shared 9/10 freeze rule
     val nHist = d.filter(col("doc_id") <= thr).count()
     // s20's index is one row per distinct (q_id, term) of the history
-    // eval docs (every such term has df ≥ 1 — drawn from history text)
-    val nQt = d.filter(col("doc_id") <= thr && col("doc_id") < 5L)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct().count()
+    // eval docs (every such term has df ≥ 1 — drawn from history text);
+    // the query-set rule is the ONE shared builder, never re-stated
+    val nQt = TextOps.bm25QueryTerms(
+      d.filter(col("doc_id") <= thr)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))).count()
     val eh = table(spark, dir, "embeddings")
       .agg(max(col("vec_id")).as("mxv"), count(lit(1)).as("ne")).collect()(0)
     val (mxV, nEmb) = (eh.getLong(0), eh.getLong(1))
-    def row(artifact: String, boundaryKey: String, currentBoundary: Long,
-        expectedRows: Long): (String, Long, Long, Long, Long, Long) =
+    x74RowsFor(spark, Map(
+      "s20_stats" -> StoreAudit("thr", thr, Some(nQt), None),
+      "x24_labels" -> StoreAudit("max_id", mx, Some(nDocs), None),
+      "x57_index" -> StoreAudit("max_id", mxV, Some(VectorOps.pqM.toLong * nEmb), None),
+      "x62b_merges" -> StoreAudit("thr", thr, Some(TextOps.bpeRounds.toLong), Some("rounds")),
+      "x68_sticky" -> StoreAudit("thr", thr, Some(nHist), None),
+      "s18_index" -> StoreAudit("thr", thr, None, None),
+      "s21_index" -> StoreAudit("thr", thr, None, None)))
+  }
+
+  /** x74's row builder over an explicit spec registry — split out so a
+    * negative test can drive it with a registry that misses (or
+    * invents) an artifact and assert the loud failure. The registry
+    * must cover [[Artifacts.versions]] exactly: a new stamped store
+    * ships with its audit row or x74 refuses to run at all. */
+  private[graft] def x74RowsFor(spark: SparkSession,
+      specs: Map[String, StoreAudit]): DataFrame = {
+    import spark.implicits._
+    require(specs.keySet == Artifacts.versions.keySet,
+      s"x74 audit specs drifted from the artifact registry — " +
+        s"unaudited stores: ${(Artifacts.versions.keySet -- specs.keySet).toSeq.sorted}; " +
+        s"specs without a registered store: ${(specs.keySet -- Artifacts.versions.keySet).toSeq.sorted}")
+    specs.toSeq.map { case (artifact, sa) =>
       Artifacts.configuredPath(spark, artifact) match {
         case Some(p) =>
           val (nRows, props) = Artifacts.readStampFacts(spark, p, artifact)
-          require(props.contains(boundaryKey),
-            s"x74: $artifact stamp at $p lacks the '$boundaryKey' freeze prop — " +
+          require(props.contains(sa.boundaryKey),
+            s"x74: $artifact stamp at $p lacks the '${sa.boundaryKey}' freeze prop — " +
               "re-persist with the current producer")
-          val frozen = props(boundaryKey).toLong
-          val stamped =
-            if (artifact == "x62b_merges") {
-              require(props.contains("rounds"),
-                s"x74: $artifact stamp at $p lacks the 'rounds' freeze prop")
-              props("rounds").toLong
-            } else nRows
-          (artifact, frozen, currentBoundary, stamped, expectedRows,
-            if (frozen == currentBoundary && stamped == expectedRows) 1L else 0L)
+          val frozen = props(sa.boundaryKey).toLong
+          val stamped = sa.stampedRowsProp.map { rp =>
+            require(props.contains(rp),
+              s"x74: $artifact stamp at $p lacks the '$rp' freeze prop")
+            props(rp).toLong
+          }.getOrElse(nRows)
+          // boundary-only artifacts (expectedRows = None): expected
+          // mirrors stamped, so row_drift is 0 by construction and the
+          // boundary carries the verdict
+          val expected = sa.expectedRows.getOrElse(stamped)
+          (artifact, frozen, sa.currentBoundary, sa.currentBoundary - frozen,
+            stamped, expected, expected - stamped,
+            if (frozen == sa.currentBoundary && stamped == expected) 1L else 0L)
         case None =>
-          (artifact, currentBoundary, currentBoundary, expectedRows, expectedRows, 1L)
+          val e = sa.expectedRows.getOrElse(0L)
+          (artifact, sa.currentBoundary, sa.currentBoundary, 0L, e, e, 0L, 1L)
       }
-    Seq(
-      row("s20_stats", "thr", thr, nQt),
-      row("x24_labels", "max_id", mx, nDocs),
-      row("x57_index", "max_id", mxV, VectorOps.pqM.toLong * nEmb),
-      row("x62b_merges", "thr", thr, 6L),
-      row("x68_sticky", "thr", thr, nHist))
+    }
       .toDF("artifact", "frozen_boundary", "current_boundary",
-        "stamped_rows", "expected_rows", "fresh")
+        "arrivals_past_freeze", "stamped_rows", "expected_rows",
+        "row_drift", "fresh")
       .orderBy("artifact")
   }
 
@@ -208,7 +252,10 @@ object Audit {
   /** x74's oracle: the unconfigured (would-be-fresh) audit — every
     * expected quantity recomputed from the tables with the same
     * arithmetic (9/10 floor boundary, history count, distinct
-    * (q_id, term) pairs, M·vectors, the 6-round constant). */
+    * (q_id, term) pairs, M·vectors, the shared round constant; the two
+    * band indexes are boundary-only with 0 rows unconfigured), and the
+    * two magnitude columns 0 by construction (frozen = current,
+    * stamped = expected). */
   private val x74Sql: String =
     s"""WITH t AS MATERIALIZED (
        |  SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr,
@@ -223,10 +270,16 @@ object Audit {
        |e AS (SELECT CAST(max(vec_id) AS BIGINT) AS mxv,
        |             CAST(count(*) AS BIGINT) AS n_emb FROM embeddings)
        |SELECT artifact, frozen_boundary, current_boundary,
-       |       stamped_rows, expected_rows, fresh FROM (
+       |       CAST(0 AS BIGINT) AS arrivals_past_freeze,
+       |       stamped_rows, expected_rows,
+       |       CAST(0 AS BIGINT) AS row_drift, fresh FROM (
        |  SELECT 's20_stats' AS artifact, t.thr AS frozen_boundary,
        |         t.thr AS current_boundary, q.n_qt AS stamped_rows,
        |         q.n_qt AS expected_rows, CAST(1 AS BIGINT) AS fresh FROM t, q
+       |  UNION ALL
+       |  SELECT 's18_index', t.thr, t.thr, 0, 0, 1 FROM t
+       |  UNION ALL
+       |  SELECT 's21_index', t.thr, t.thr, 0, 0, 1 FROM t
        |  UNION ALL
        |  SELECT 'x24_labels', t.mx, t.mx, t.n_docs, t.n_docs, 1 FROM t
        |  UNION ALL
@@ -234,7 +287,8 @@ object Audit {
        |         CAST(${VectorOps.pqM} * e.n_emb AS BIGINT),
        |         CAST(${VectorOps.pqM} * e.n_emb AS BIGINT), 1 FROM e
        |  UNION ALL
-       |  SELECT 'x62b_merges', t.thr, t.thr, 6, 6, 1 FROM t
+       |  SELECT 'x62b_merges', t.thr, t.thr, ${TextOps.bpeRounds},
+       |         ${TextOps.bpeRounds}, 1 FROM t
        |  UNION ALL
        |  SELECT 'x68_sticky', t.thr, t.thr, h.n_hist, h.n_hist, 1 FROM t, h
        |) ORDER BY artifact""".stripMargin

@@ -531,8 +531,10 @@ object PipelineOps {
     val pairs = Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))
     val (thr, seed) = Artifacts.configuredPath(spark, "x24_labels") match {
       case Some(p) =>
-        val stored = Stages.readStamped(spark, p, "x24_labels")
-        val (_, props) = Artifacts.readStampFacts(spark, p, "x24_labels")
+        // ONE validation pass serves both the frame and the freeze
+        // boundary — readStampedFacts memoizes the triple, so the
+        // max_id prop costs no second meta read or count() job
+        val (stored, _, props) = Stages.readStampedFacts(spark, p, "x24_labels")
         require(props.contains("max_id"),
           s"x75: labels store at $p lacks the 'max_id' freeze prop — " +
             "re-persist with the current producer")
@@ -1655,6 +1657,49 @@ object PipelineOps {
         documents(spark, dir).select(col("doc_id")),
         Stages.x13Pairs(spark, dir).select(col("d1"), col("d2"))),
       path, "x24_labels", Map("max_id" -> maxId.toString))
+  }
+
+  /** Persist the s18 router's frozen band index — the SIXTH stored-
+    * governance artifact, and the serving path's last re-derived-at-
+    * serve-time table: the index is the router's WHOLE decision state
+    * ((band, h) → OR'd split bits over the frozen history slice), and
+    * until this store every serving session re-ran the corpus-sized
+    * history banding to rebuild it — the measured reason x69 read
+    * 39.7 s at the 1024× store-served leg while the stored-label path
+    * served at 0.97 s. Production order: freeze sticky splits first
+    * ([[persistStickySplits]]), point `spark.graft.stickyPath` at that
+    * store, THEN persist the index — the derivation deliberately
+    * consumes [[Stages.x68Sticky]], so the shipped index is banded over
+    * the exact sticky table the deployment signed off on, not a
+    * re-derived one. Point `spark.graft.routeIndexPath` (or
+    * SPARK_GRAFT_ROUTE_INDEX_PATH) at the written path and
+    * [[Stages.s18Index]] serves the stored index to the s18 gate, x69's
+    * audit, and the batch routing twin — stamped ([[Artifacts]]) with
+    * the freeze boundary, loud on missing/wrong/stale. */
+  def persistRouteIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val thr = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the frozen boundary, stamped for x74's audit
+    Artifacts.writeStamped(spark, routeIndexUnstaged(spark, dir), path,
+      "s18_index", Map("thr" -> thr.toString))
+  }
+
+  /** Persist the s21 label router's frozen band index — the SEVENTH
+    * stored-governance artifact ([[persistRouteIndex]]'s posture applied
+    * to the label lifecycle): (band, h) → min frozen-history-label,
+    * s21's whole assignment state. Built over the frozen history
+    * labeling ([[Stages.x75Seed]] — the same seed x75's maintenance
+    * contracts from), so the shipped index assigns exactly the stored
+    * names the batch job froze. Point `spark.graft.labelIndexPath` (or
+    * SPARK_GRAFT_LABEL_INDEX_PATH) at the written path and
+    * [[Stages.s21Index]] serves it to the s21 gate and its batch twin —
+    * stamped, loud on missing/wrong/stale. */
+  def persistLabelIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val thr = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — the frozen boundary, stamped for x74's audit
+    Artifacts.writeStamped(spark, labelIndexUnstaged(spark, dir), path,
+      "s21_index", Map("thr" -> thr.toString))
   }
 
   /** x68's decision rule over any sticky (doc_id, split_old) and full

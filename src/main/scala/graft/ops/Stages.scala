@@ -56,22 +56,49 @@ object Stages {
   // Artifacts.readStamped runs the meta collect plus a full count()
   // validation job per call, and the label/sticky/index stores each have
   // several consumers per session — validate once, serve the validated
-  // frame after that. Entries are lazy parquet plans (no pinned blocks);
-  // eviction is bare map removal.
-  private val stampedCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // frame (plus the stamp's row count and freeze props, so a consumer
+  // needing both never re-validates) after that. Entries are lazy
+  // parquet plans (no pinned blocks); eviction is bare map removal, and
+  // [[Artifacts.writeStamped]] evicts its path's entries on overwrite
+  // (a persist-then-read flow reusing one path must re-validate the new
+  // stamp, never serve a plan over deleted files).
+  private val stampedCache =
+    TrieMap.empty[(SparkSession, String, String), (DataFrame, Long, Map[String, String])]
 
   /** [[Artifacts.readStamped]] with the validation memoized per
     * (session, path, artifact) — the accessor every configured-path
     * branch goes through. Same build discipline as [[stage]]: fast-path
     * get, validate under the one monitor. */
   private[graft] def readStamped(spark: SparkSession, path: String,
-      artifact: String): DataFrame = {
+      artifact: String): DataFrame =
+    readStampedEntry(spark, path, artifact)._1
+
+  /** The memoized validated frame PLUS the stamp's row count and freeze
+    * props — for consumers that need both (x75's store-seeded
+    * maintenance reads the frame and the `max_id` boundary); one
+    * validation pass serves every ask. */
+  private[graft] def readStampedFacts(spark: SparkSession, path: String,
+      artifact: String): (DataFrame, Long, Map[String, String]) =
+    readStampedEntry(spark, path, artifact)
+
+  private def readStampedEntry(spark: SparkSession, path: String,
+      artifact: String): (DataFrame, Long, Map[String, String]) = {
     val key = (spark, path, artifact)
     stampedCache.get(key).getOrElse(synchronized {
       purgeStopped()
       hookEviction(spark)
-      stampedCache.getOrElseUpdate(key, Artifacts.readStamped(spark, path, artifact))
+      stampedCache.getOrElseUpdate(key,
+        Artifacts.readStampedWithFacts(spark, path, artifact))
     })
+  }
+
+  /** Drop every memoized read of `path` (all sessions, all artifact
+    * keys) — called by [[Artifacts.writeStamped]] when the path is
+    * overwritten, so a re-persist within a session is served fresh and
+    * re-validated instead of from a plan over the deleted files. */
+  private[graft] def invalidateStamped(path: String): Unit = {
+    val p = path.stripSuffix("/")
+    stampedCache.keys.filter(_._2.stripSuffix("/") == p).foreach(stampedCache.remove)
   }
 
   /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
@@ -355,14 +382,6 @@ object Stages {
   private def mergesPath(spark: SparkSession): Option[String] =
     Artifacts.configuredPath(spark, "x62b_merges")
 
-  /** The SHIPPED tokenizer, if a store is configured — the fifth stamped
-    * artifact ([[TextOps.persistMerges]]): x62b's word-type merge table
-    * frozen on the history slice, stamp-validated at read. Consumed by
-    * [[s17Merges]] (the drift gate's frozen model) and by x67's encode
-    * (store-served char-level replay). */
-  private[graft] def storedMerges(spark: SparkSession): Option[DataFrame] =
-    mergesPath(spark).map(p => readStamped(spark, p, "x62b_merges"))
-
   /** The PERSISTED sticky-table location, if configured: runtime conf
     * `spark.graft.stickyPath` first (testable per session; an empty value
     * forces re-derivation — the stageDir convention), env var
@@ -392,19 +411,49 @@ object Stages {
         stage(spark, dir, "x68_sticky")(PipelineOps.stickySplitsUnstaged(spark, dir))
     }
 
+  /** The PERSISTED route-index location, if configured (the
+    * [[stickyPath]] convention: runtime conf `spark.graft.routeIndexPath`
+    * first, empty value forces re-derivation, `SPARK_GRAFT_ROUTE_INDEX_PATH`
+    * env var as the deployment default). */
+  private def routeIndexPath(spark: SparkSession): Option[String] =
+    Artifacts.configuredPath(spark, "s18_index")
+
   /** The s18 router's frozen (band, h) → split-bits index over the
     * history slice — read by the s18 gate's stream-static joins and by
-    * x69's agreement audit, so the history banding runs once per
-    * session. */
+    * x69's agreement audit. Two sources, in priority order: (1) the
+    * PERSISTED table ([[PipelineOps.persistRouteIndex]] +
+    * `spark.graft.routeIndexPath`) — the serving form: the index is the
+    * router's whole decision state, and until this store it was the
+    * LAST artifact re-derived at serve time (a corpus-sized history
+    * banding pass per session — the measured cause of x69's 39.7 s at
+    * the 1024× store-served leg while the stored-label path served at
+    * 0.97 s); stamp-validated, loud on missing/wrong/stale; (2) the
+    * in-session stage, so the banding runs once per session. */
   def s18Index(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "s18_index")(PipelineOps.routeIndexUnstaged(spark, dir))
+    routeIndexPath(spark) match {
+      case Some(p) => readStamped(spark, p, "s18_index")
+      case None =>
+        stage(spark, dir, "s18_index")(PipelineOps.routeIndexUnstaged(spark, dir))
+    }
+
+  /** The PERSISTED label-index location, if configured (the
+    * [[stickyPath]] convention). */
+  private def labelIndexPath(spark: SparkSession): Option[String] =
+    Artifacts.configuredPath(spark, "s21_index")
 
   /** The s21 label router's frozen (band, h) → min-history-label index —
-    * read by the s21 gate's stream-static joins and its batch twin, so
-    * the history banding + seed fixpoint run once per session (the
-    * s18Index pattern applied to labels). */
+    * read by the s21 gate's stream-static joins and its batch twin (the
+    * s18Index pattern applied to labels). Two sources, in priority
+    * order: (1) the PERSISTED table ([[PipelineOps.persistLabelIndex]] +
+    * `spark.graft.labelIndexPath`), stamp-validated, loud on
+    * missing/wrong/stale; (2) the in-session stage, so the banding +
+    * seed fixpoint run once per session. */
   def s21Index(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "s21_index")(PipelineOps.labelIndexUnstaged(spark, dir))
+    labelIndexPath(spark) match {
+      case Some(p) => readStamped(spark, p, "s21_index")
+      case None =>
+        stage(spark, dir, "s21_index")(PipelineOps.labelIndexUnstaged(spark, dir))
+    }
 
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against
     * the 90%-corpus shingle index — read by x36's novelty verdict and by

@@ -742,14 +742,14 @@ object TextOps {
     * corpus tokens to vocabulary size — is [[x62bBpeWordTrain]]; this
     * operator keeps x54's cross-word niche (phrase/compound induction
     * over the token stream). */
-  def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+  def x62BpeTrain(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame =
     x62BpeTrainOn(spark, documents(spark, dir), rounds)
 
   /** [[x62BpeTrain]]'s loop over any frame with a `text` column — split
     * out so the s17 drift gate can train its frozen merge table on the
     * 90% history slice (the same split s8/x36 use). */
   private[graft] def x62BpeTrainOn(spark: SparkSession, docs: DataFrame,
-      rounds: Int = 6): DataFrame =
+      rounds: Int = bpeRounds): DataFrame =
     bpeTrainSeqs(spark, docs
       .select(concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")).as("s"),
         lit(1L).as("freq")), rounds)
@@ -837,14 +837,19 @@ object TextOps {
     * sums, 1-row argmax, literal replace — so k rounds cost k vocab
     * passes + 1 corpus pass, vs x62's k corpus passes. BenchScaling's
     * x62b leg is the measured form of that claim. */
-  def x62bBpeWordTrain(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+  /** The configured BPE training depth — the ONE round constant every
+    * trainer default, oracle unroll, and x74's expected-rows arithmetic
+    * for the merges store share. */
+  private[graft] val bpeRounds: Int = 6
+
+  def x62bBpeWordTrain(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame =
     x62bBpeWordTrainOn(spark, documents(spark, dir), rounds)
 
   /** x62b's trainer over any frame with a `text` column — split out so
     * the s17 drift gate can freeze a word-type model trained on the
     * history slice alone (the x62BpeTrainOn precedent). */
   private[graft] def x62bBpeWordTrainOn(spark: SparkSession, docs: DataFrame,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = bpeRounds): DataFrame = {
     val types = docs
       .select(explode(toks(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
@@ -878,28 +883,51 @@ object TextOps {
     * non-overlapping), and the counts are a pure per-row map — zero
     * shuffle except the output sort. Each merge application inside a
     * doc reduces its token count by exactly 1, so n_tok − n_bpe is
-    * also the per-doc applied-merge count (the OpsSpec invariant). */
-  def x67BpeApply(spark: SparkSession, dir: String): DataFrame =
-    Stages.storedMerges(spark) match {
-      case Some(m) =>
-        // store-served encode: replay the SHIPPED word-type tokenizer
-        // ([[persistMerges]] + spark.graft.mergesPath) over documents
-        // rendered char-level-within-words — the rendering the model was
-        // trained on ([[charSeqCol]]'s 3-space word boundary keeps
-        // intra-word merges exact on whole documents). Units are
-        // characters→subwords here (n_tok = char count), vs the
-        // derive path's tokens→phrases: a word-type model replayed on a
-        // token-level rendering would merge across unrelated tokens.
-        val frozen = m.orderBy("round").collect() // k rows — the shipped tokenizer
-          .map(r => (r.getString(1), r.getString(2)))
-        bpeApplyCounts(documents(spark, dir), frozen.toSeq, charSeqCol(col("text")))
-      case None =>
-        val merges = Stages.x62Merges(spark, dir)
-          .orderBy("round").collect() // k rows — the session-trained tokenizer
-          .map(r => (r.getString(1), r.getString(2)))
-        bpeApplyCounts(documents(spark, dir), merges.toSeq,
-          concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")))
-    }
+    * also the per-doc applied-merge count (the OpsSpec invariant).
+    *
+    * Always the SESSION-TRAINED token-level model: until r18 this
+    * switched to the stored word-type tokenizer when
+    * `spark.graft.mergesPath` was configured — changing the output's
+    * UNITS entirely (n_tok became a char count) while its registered
+    * oracle stayed token-level, so a configured store broke the
+    * correctness gate on a perfectly fresh store. The store-served
+    * encode is its own key now ([[x67bBpeFrozen]], with a char-level
+    * oracle), restoring the invariant every stamped store keeps:
+    * store-served output is observationally identical to the
+    * in-session derivation. */
+  def x67BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Stages.x62Merges(spark, dir)
+      .orderBy("round").collect() // k rows — the session-trained tokenizer
+      .map(r => (r.getString(1), r.getString(2)))
+    bpeApplyCounts(documents(spark, dir), merges.toSeq,
+      concat(lit(" "), array_join(toks(col("text")), "  "), lit(" ")))
+  }
+
+  /** x67b: the FROZEN-tokenizer encode — the production deploy shape
+    * ([[persistMerges]]'s consumer): replay the shipped word-type
+    * tokenizer (x62b, trained on the oldest-90% history slice and
+    * frozen there) over every document rendered char-level-within-words
+    * ([[charSeqCol]]'s 3-space word boundary keeps intra-word merges
+    * exact on whole documents). Units are characters→subwords (n_tok =
+    * non-space char count) — x67's session-trained twin counts
+    * tokens→phrases; the two keys are the two halves of the encode
+    * lifecycle, each with its own oracle. Model source: the stamped
+    * store when `spark.graft.mergesPath` is configured, the in-session
+    * frozen trainer otherwise — observationally identical (the
+    * deterministic trainer IS what the store holds), so the correctness
+    * gate passes with or without the knob: the invariant x67's old
+    * store branch broke.
+    *
+    * Plan shape at 100 TB: identical to x67 — k literal codegen'd
+    * `replace` passes on the scan, counts a pure per-row map, zero
+    * shuffle except the output sort; the model is ≤k rows of driver
+    * state collected from the store or the staged trainer. */
+  def x67bBpeFrozen(spark: SparkSession, dir: String): DataFrame = {
+    val frozen = Stages.s17Merges(spark, dir)
+      .orderBy("round").collect() // k rows — the shipped tokenizer
+      .map(r => (r.getString(1), r.getString(2)))
+    bpeApplyCounts(documents(spark, dir), frozen.toSeq, charSeqCol(col("text")))
+  }
 
   /** Shared merge-replay + per-doc compression counts over any document
     * rendering — x67's engine for both the session-trained (token
@@ -932,7 +960,7 @@ object TextOps {
     * drift gate replays and [[persistMerges]] ships. Returns the freeze
     * boundary with the merge table so the stamp records it. */
   private[graft] def frozenWordTypeMerges(spark: SparkSession, dir: String,
-      rounds: Int = 6): (Long, DataFrame) = {
+      rounds: Int = bpeRounds): (Long, DataFrame) = {
     val d = documents(spark, dir)
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0) // 1 row — the split point
@@ -1034,14 +1062,19 @@ object TextOps {
     sb.toString
   }
 
-  /** DuckDB twin of the s17 drift gate: the k WORD-TYPE merge rounds
-    * trained on the ≤thr history slice (s-levels — the x62b weighted
-    * type table, one row per distinct history word) and replayed over
-    * the >thr arrivals rendered char-level-within-words with the
-    * 3-space word boundary (a-levels, [[charSeqSql]]) — two unrolled
-    * chains sharing each round's weighted argmax. Same double-space
-    * rewrite, same (n DESC, l, r) order. */
-  private[graft] def s17OracleSql(rounds: Int): String = {
+  /** Shared DuckDB builder for the frozen word-type model's replay
+    * oracles: the k WORD-TYPE merge rounds trained on the ≤thr history
+    * slice (s-levels — the x62b weighted type table, one row per
+    * distinct history word) replayed over the `a0Where`-selected
+    * documents rendered char-level-within-words with the 3-space word
+    * boundary (a-levels, [[charSeqSql]]) — two unrolled chains sharing
+    * each round's weighted argmax. Same double-space rewrite, same
+    * (n DESC, l, r) order. s17's drift gate replays the arrivals
+    * (`doc_id > thr`, no n_merged column); x67b's frozen encode replays
+    * EVERYTHING (`TRUE`, with n_merged) — one builder so the trained
+    * model cannot drift between the two oracles. */
+  private def wordTypeReplaySql(rounds: Int, a0Where: String,
+      withMerged: Boolean): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH t AS MATERIALIZED (SELECT ${Tables.fdivSql("9 * max(doc_id)", "10")} AS thr FROM documents),
       |types AS MATERIALIZED (
@@ -1050,7 +1083,7 @@ object TextOps {
       |  WHERE tok <> '' GROUP BY tok),
       |s0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(tok, ''), '  ') || ' ' AS s, freq FROM types),
       |a0 AS MATERIALIZED (SELECT doc_id, ${charSeqSql("text")} AS s
-      |  FROM documents, t WHERE doc_id > thr)""".stripMargin
+      |  FROM documents, t WHERE $a0Where)""".stripMargin
     for (i <- 1 to rounds) {
       val p = i - 1
       sb ++= s""",
@@ -1068,14 +1101,29 @@ object TextOps {
         |  SELECT doc_id, ${mergeReplaceSql(i)} AS s
         |  FROM a$p)""".stripMargin
     }
+    val merged =
+      if (withMerged)
+        s"""
+          |  CAST(len(string_split(trim(a0.s), '  ')) - len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_merged,""".stripMargin
+      else ""
     sb ++= s"""
       |SELECT doc_id,
       |  CAST(len(string_split(trim(a0.s), '  ')) AS BIGINT) AS n_tok,
-      |  CAST(len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_bpe,
+      |  CAST(len(string_split(trim(f.s), '  ')) AS BIGINT) AS n_bpe,$merged
       |  ${Tables.fdivSql(s"1000 * len(string_split(trim(f.s), '  '))", s"len(string_split(trim(a0.s), '  '))")} AS bpe_per_1000
       |FROM a0 JOIN a$rounds f USING (doc_id) ORDER BY doc_id""".stripMargin
     sb.toString
   }
+
+  /** DuckDB twin of the s17 drift gate: the frozen model replayed over
+    * the arrivals alone. */
+  private[graft] def s17OracleSql(rounds: Int): String =
+    wordTypeReplaySql(rounds, "doc_id > thr", withMerged = false)
+
+  /** DuckDB twin of [[x67bBpeFrozen]]: the frozen model replayed over
+    * EVERY document, with x67's full count/compression column set. */
+  private[graft] def x67bOracleSql(rounds: Int): String =
+    wordTypeReplaySql(rounds, "TRUE", withMerged = true)
 
   /** DuckDB twin of [[x62BpeTrain]]: the k merge rounds unrolled as
     * materialized CTE levels (the x56/x60 idiom — each level references
@@ -1528,9 +1576,11 @@ object TextOps {
   }
 
   /** The shared eval query set: the distinct first-3 tokens of docs 0–4
-    * (≤ 15 rows) — x71's retrieval queries and x73's decontamination
-    * probes. */
-  private def bm25QueryTerms(d: DataFrame): DataFrame =
+    * (≤ 15 rows) — x71's retrieval queries, x73's decontamination
+    * probes, s20's frozen stats derivation, and x74's expected-row
+    * arithmetic for the s20 store. ONE definition: a tokenization or
+    * query-set retune changes every consumer together, or none. */
+  private[graft] def bm25QueryTerms(d: DataFrame): DataFrame =
     d.filter(col("doc_id") < 5L)
       .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
       .distinct()
@@ -1690,7 +1740,8 @@ object TextOps {
     "x54_bpe_pairs" -> x54BpePairs,
     "x62_bpe_train" -> ((s, d) => Stages.x62Merges(s, d).orderBy("round")),
     "x62b_bpe_word" -> ((s, d) => x62bBpeWordTrain(s, d)),
-    "x67_bpe_apply" -> x67BpeApply)
+    "x67_bpe_apply" -> x67BpeApply,
+    "x67b_bpe_frozen" -> x67bBpeFrozen)
 
   private val stopListSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1940,7 +1991,8 @@ object TextOps {
          |  ${fdivSql("1000000 * pc.n_pair", "(a.n * b.n)")} AS score_ppm
          |FROM pc JOIN uc a ON pc.l = a.term JOIN uc b ON pc.r = b.term
          |ORDER BY n_pair DESC, l ASC, r ASC LIMIT 20""".stripMargin,
-    "x62_bpe_train" -> x62OracleSql(6),
-    "x62b_bpe_word" -> x62bOracleSql(6),
-    "x67_bpe_apply" -> x67OracleSql(6))
+    "x62_bpe_train" -> x62OracleSql(bpeRounds),
+    "x62b_bpe_word" -> x62bOracleSql(bpeRounds),
+    "x67_bpe_apply" -> x67OracleSql(bpeRounds),
+    "x67b_bpe_frozen" -> x67bOracleSql(bpeRounds))
 }

@@ -585,9 +585,10 @@ object StreamGate {
     val st = hist.agg(count(lit(1)).as("n"),
       sum(size(col("w")).cast(LongType)).as("t")).collect()(0)
     val (n, t) = (st.getLong(0), st.getLong(1)) // 1 row — frozen corpus stats
-    val qt = hist.filter(col("doc_id") < 5L)
-      .select(col("doc_id").as("q_id"), explode(slice(col("w"), 1, 3)).as("term"))
-      .distinct()
+    // the ONE query-set definition (TextOps.bm25QueryTerms) — shared
+    // with x71/x73's probes and x74's expected-row arithmetic, so a
+    // tokenization or query-set retune changes all of them together
+    val qt = graft.ops.TextOps.bm25QueryTerms(hist)
     val dft = hist.select(col("doc_id"), explode(col("w")).as("term"))
       .join(broadcast(qt.select(col("term")).distinct()), "term")
       .distinct()
@@ -1141,7 +1142,7 @@ object StreamGate {
     "s21_label_route" -> graft.ops.PipelineOps.s21OracleSql,
     // s17: the frozen-merge replay is exact, so the oracle re-derives
     // both chains (train on <=thr, apply on >thr) independently
-    "s17_bpe_drift_stream" -> graft.ops.TextOps.s17OracleSql(6),
+    "s17_bpe_drift_stream" -> graft.ops.TextOps.s17OracleSql(graft.ops.TextOps.bpeRounds),
     // s16: the streamed per-list rollup is exact parity with the stored
     // index, so the oracle unrolls the index build (x16 assignment +
     // PQ codes) and pins both match flags to 1

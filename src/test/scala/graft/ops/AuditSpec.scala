@@ -86,18 +86,47 @@ class AuditSpec extends SparkTestBase {
   test("x74: unconfigured audit covers every stamped artifact, all fresh") {
     val rows = Audit.x74ArtifactFreshness(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
-    // one row per Artifacts.versions key — a sixth store must add its row
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // one row per Artifacts.versions key — a new store must add its row
     assert(rows.keySet == Artifacts.versions.keySet,
       s"audit rows ${rows.keySet} != stamped artifacts ${Artifacts.versions.keySet}")
-    rows.foreach { case (a, (fb, cb, sr, er, fresh)) =>
-      assert(fb == cb && sr == er && fresh == 1L, s"$a not fresh unconfigured: ${rows(a)}")
+    rows.foreach { case (a, (fb, cb, apf, sr, er, rd, fresh)) =>
+      assert(fb == cb && apf == 0L && sr == er && rd == 0L && fresh == 1L,
+        s"$a not fresh unconfigured: ${rows(a)}")
     }
     // the expected counts are the real artifact sizes: sticky rows
-    val nHist = rows("x68_sticky")._4
-    assert(nHist > 0L && nHist < rows("x24_labels")._4,
-      s"history count $nHist vs docs ${rows("x24_labels")._4}")
-    assert(rows("x62b_merges")._4 == 6L)
+    val nHist = rows("x68_sticky")._5
+    assert(nHist > 0L && nHist < rows("x24_labels")._5,
+      s"history count $nHist vs docs ${rows("x24_labels")._5}")
+    assert(rows("x62b_merges")._5 == TextOps.bpeRounds.toLong)
+    // the band indexes audit boundary-only: no store, no rows to audit
+    assert(rows("s18_index")._5 == 0L && rows("s21_index")._5 == 0L)
+    assert(rows("s18_index")._1 == rows("x68_sticky")._1,
+      "the route index freezes at the sticky boundary")
+  }
+
+  test("x74: an audit-spec registry that misses a stamped store fails loudly") {
+    // the registry-completeness contract: a new Artifacts.versions entry
+    // without its x74 spec must refuse to audit at all, never emit a
+    // matrix silently missing the new store's row
+    val d = graft.model.Tables.documents(spark, sf0001)
+    val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val full = Audit.x74ArtifactFreshness(spark, sf0001) // builds a valid spec set
+    assert(full.count() == Artifacts.versions.size.toLong)
+    val partial = Map("x68_sticky" ->
+      Audit.StoreAudit("thr", Math.floorDiv(9L * mx, 10L), None, None))
+    val e = intercept[IllegalArgumentException] {
+      Audit.x74RowsFor(spark, partial).collect()
+    }
+    assert(e.getMessage.contains("unaudited stores"), e.getMessage)
+    // ...and a spec for an artifact that is NOT a registered store is
+    // equally loud (a typo'd key would otherwise audit nothing)
+    val e2 = intercept[IllegalArgumentException] {
+      Audit.x74RowsFor(spark, partial + ("not_a_store" ->
+        Audit.StoreAudit("thr", 1L, None, None))).collect()
+    }
+    assert(e2.getMessage.contains("specs without a registered store") ||
+      e2.getMessage.contains("unaudited stores"), e2.getMessage)
   }
 
   test("x74: a fresh configured store audits fresh; a stale one is flagged with its frozen boundary") {
@@ -109,7 +138,9 @@ class AuditSpec extends SparkTestBase {
     try {
       val ok = Audit.x74ArtifactFreshness(fresh, sf0001).collect()
         .find(_.getString(0) == "x68_sticky").get
-      assert(ok.getLong(5) == 1L, s"fresh store flagged stale: $ok")
+      assert(ok.getLong(7) == 1L, s"fresh store flagged stale: $ok")
+      assert(ok.getLong(3) == 0L && ok.getLong(6) == 0L,
+        s"fresh store must read zero staleness magnitude: $ok")
       // stale store: the same table frozen at an OLDER boundary (fewer
       // history docs) — the corpus has since grown past it
       val s = spark
@@ -121,11 +152,17 @@ class AuditSpec extends SparkTestBase {
       fresh.conf.set("spark.graft.stickyPath", s"$tmp/stale")
       val bad = Audit.x74ArtifactFreshness(fresh, sf0001).collect()
         .find(_.getString(0) == "x68_sticky").get
-      assert(bad.getLong(5) == 0L, s"stale store not flagged: $bad")
+      assert(bad.getLong(7) == 0L, s"stale store not flagged: $bad")
       assert(bad.getLong(1) == staleThr && bad.getLong(2) > staleThr,
         s"frozen/current boundaries wrong: $bad")
-      assert(bad.getLong(3) < bad.getLong(4),
+      assert(bad.getLong(4) < bad.getLong(5),
         s"stamped rows should trail the grown corpus: $bad")
+      // the staleness MAGNITUDE columns quantify re-persist urgency:
+      // arrivals past the freeze and the rows a fresh persist would add
+      assert(bad.getLong(3) == bad.getLong(2) - bad.getLong(1) && bad.getLong(3) > 0L,
+        s"arrivals_past_freeze must be current - frozen: $bad")
+      assert(bad.getLong(6) == bad.getLong(5) - bad.getLong(4) && bad.getLong(6) > 0L,
+        s"row_drift must be expected - stamped: $bad")
       // a stamp with NO freeze prop (an out-of-band writer) fails loudly
       Artifacts.writeStamped(s, sticky, s"$tmp/noprop", "x68_sticky")
       fresh.conf.set("spark.graft.stickyPath", s"$tmp/noprop")

@@ -29,6 +29,38 @@ class StagesSpec extends SparkTestBase {
     } finally fresh.conf.unset("spark.graft.stickyPath")
   }
 
+  test("re-persisting a path in-session evicts the memoized stamped read") {
+    // the latent trap the r17 ADVICE named: writeStamped overwrites the
+    // parquet, so a memoized read of the same path would serve a plan
+    // over DELETED files (or skip re-validating the new stamp) — the
+    // writer must evict the path's entries
+    Stages.clear()
+    val path = s"${Files.createTempDirectory("graft_stamped_")}/sticky"
+    PipelineOps.persistStickySplits(spark, sf0001, path)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", path)
+    try {
+      val first = Stages.x68Sticky(fresh, sf0001)
+      val thr = first.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .collect()(0).getLong(0) // materialize BEFORE the overwrite
+      val n1 = first.count()
+      // overwrite the SAME path with a doctored table (every doc 'test')
+      val s = spark
+      import s.implicits._
+      val doctored = (0L until n1).map(i => (i, "test"))
+      Artifacts.writeStamped(s, doctored.toDF("doc_id", "split_old"), path,
+        "x68_sticky", Map("thr" -> thr.toString))
+      // the re-read must serve the NEW table through a fresh validation —
+      // a stale memo would either throw on deleted files or serve old rows
+      val second = Stages.x68Sticky(fresh, sf0001)
+      assert(!(second eq first), "overwrite must evict the memoized read")
+      val splits = second.select("split_old").distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(splits == Seq("test"),
+        s"re-read served stale content after the overwrite: $splits")
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
   test("toggling the stage mode mid-session serves the new mode without clear()") {
     Stages.clear()
     val modeKey = "spark.graft.stageDir"

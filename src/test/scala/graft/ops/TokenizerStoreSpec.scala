@@ -7,7 +7,7 @@ import graft.SparkTestBase
   * ([[TextOps.persistMerges]] + `spark.graft.mergesPath`): round-trip,
   * doctored-consumption, wrong-artifact, and loud-on-missing, the
   * SplitStableSpec idiom applied to the merge table. The defect class
-  * under test: a drift monitor (s17) or encoder (x67) re-deriving its
+  * under test: a drift monitor (s17) or encoder (x67b) re-deriving its
   * model per session can silently run the WRONG tokenizer after any
   * trainer retune; the store makes the model an explicit artifact. */
 class TokenizerStoreSpec extends SparkTestBase {
@@ -16,7 +16,7 @@ class TokenizerStoreSpec extends SparkTestBase {
     df.orderBy("round").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
 
-  test("persisted tokenizer: a fresh session serves the stored model to s17Merges and x67") {
+  test("persisted tokenizer: a fresh session serves the stored model to s17Merges and x67b") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merges_").toString
     val path = s"$tmp/merges"
     TextOps.persistMerges(spark, sf0001, path)
@@ -31,22 +31,32 @@ class TokenizerStoreSpec extends SparkTestBase {
       // s17's frozen model IS the stored table (deterministic trainer,
       // so the round trip is observationally exact)
       assert(mergeRows(Stages.s17Merges(fresh, sf0001)) == derived)
-      // x67 store-served = the char-level word-type replay of the
+      // x67b store-served = the char-level word-type replay of the
       // SHIPPED model, computed here directly from the store
       val want = TextOps.bpeApplyCounts(
           graft.model.Tables.documents(fresh, sf0001),
           derived.map(m => (m._2, m._3)),
           TextOps.charSeqCol(col("text")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val got = TextOps.x67BpeApply(fresh, sf0001)
+      val got = TextOps.x67bBpeFrozen(fresh, sf0001)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == want)
       // the replay actually compresses something (n_bpe < n_tok somewhere)
       assert(got.exists(r => r._3 < r._2), "stored model merged nothing")
+      // x67 (the SESSION-TRAINED encode) must IGNORE the store: its
+      // registered oracle is token-level, so a configured store changing
+      // its output would break the correctness gate on a fresh store —
+      // the r17 ADVICE defect this split fixes
+      val x67With = TextOps.x67BpeApply(fresh, sf0001)
+        .collect().map(_.toString).toSeq
+      val x67Without = TextOps.x67BpeApply(spark, sf0001)
+        .collect().map(_.toString).toSeq
+      assert(x67With == x67Without,
+        "x67 must be store-blind (x67b is the store-served encode)")
     } finally fresh.conf.unset("spark.graft.mergesPath")
   }
 
-  test("x67 CONSUMES the stored model: a doctored merge table is replayed, not re-derived") {
+  test("x67b CONSUMES the stored model: a doctored merge table is replayed, not re-derived") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merges_").toString
     val s = spark
     import s.implicits._
@@ -70,9 +80,9 @@ class TokenizerStoreSpec extends SparkTestBase {
           doctored.map(m => (m._2, m._3)),
           TextOps.charSeqCol(col("text")))
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
-      val got = TextOps.x67BpeApply(fresh, sf0001)
+      val got = TextOps.x67bBpeFrozen(fresh, sf0001)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
-      assert(got == want, "x67 re-derived instead of consuming the stored model")
+      assert(got == want, "x67b re-derived instead of consuming the stored model")
     } finally fresh.conf.unset("spark.graft.mergesPath")
   }
 
@@ -90,7 +100,7 @@ class TokenizerStoreSpec extends SparkTestBase {
         wrong.getMessage.contains("x62b_merges"), wrong.getMessage)
       fresh.conf.set("spark.graft.mergesPath", s"$tmp/does_not_exist")
       val missing = intercept[IllegalArgumentException] {
-        TextOps.x67BpeApply(fresh, sf0001).collect()
+        TextOps.x67bBpeFrozen(fresh, sf0001).collect()
       }
       assert(missing.getMessage.contains("_graft_meta"), missing.getMessage)
     } finally fresh.conf.unset("spark.graft.mergesPath")
