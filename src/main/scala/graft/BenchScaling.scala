@@ -258,6 +258,17 @@ object BenchScaling {
     // output (and the matrix) is invariant — the audit isolates the
     // dedup exchange, the one term that scales
     "x45_source_overlap" -> fx(graft.ops.TextOps.x45SourceOverlap _),
+    // the video modality at scale: the corpus build (one real multi-frame
+    // GIF per doc — executor-task writes, driver-local scratch) is its
+    // own timed line so the decode leg is decode-only (the Bench
+    // stage-line discipline); the decode leg's claim under measurement is
+    // |sampled|-not-|frames|: frames per clip are fixed (1–7 by doc_id
+    // mod), docs grow ×f, so BOTH legs must track |docs| linearly and the
+    // decode leg must stay ~3 sampled frames per clip regardless of f
+    "stage:gif_corpus" -> ((s: SparkSession, d: String, _: Int) => {
+      graft.ops.Multimodal.gifCorpus(s, d); s.range(1).toDF("ok")
+    }),
+    "x15d_video" -> fx(graft.ops.Multimodal.x15dVideoPipeline _),
     // PassJoin: disjoint token namespaces keep segments replica-local, so
     // candidate volume and verified pairs grow ×f with per-pair work
     // unchanged — index/probe fanout is a per-row constant
@@ -384,6 +395,7 @@ object BenchScaling {
     "x54_bpe_pairs",
     "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
     "x66_split_audit", "x67_bpe_apply",
+    "stage:gif_corpus", "x15d_video",
     "x62_bpe_train", "x62b_bpe_word", "x68_split_stable", "x69_route_agreement",
     "x70_temp_mixture", "x70_skew",
     // the x49 candidate A/B count legs read the x49_grams stage, which
@@ -527,16 +539,21 @@ object BenchScaling {
       // warmup: push the join+agg noop-write path through codegen once
       Relational.q3JoinBcast(spark, dir).write.format("noop").mode("overwrite").save()
       // SPARK_GRAFT_SCALE_STORES=<dir>: the STORE-SERVED governance leg
-      // (README protocol) — persist the label + sticky stores for THIS
+      // (README protocol) — persist the four governance stores for THIS
       // factor's corpus, timed as the "store:persist" line (the
       // once-per-freeze derivation price), then point the session at
-      // them so every selected governance leg (x24/x63/x66/x68/x69/x75)
-      // times the serving path alone: stamped reads, no fixpoint
-      // in-session. Production order: labels persist fresh, the session
-      // flips to the labels store, the sticky derivation CONSUMES it
-      // (stickySplitsUnstaged reads Stages.x24Labels), then the session
-      // flips to the sticky store too. Confs are unset at factor end —
-      // a later factor serving this factor's store would be the exact
+      // them so every selected governance leg
+      // (x24/x63/x66/x68/x69/x75/x76) times the serving path alone:
+      // stamped reads, no fixpoint, no corpus banding in-session.
+      // Production order: labels persist fresh, the session flips to the
+      // labels store, the sticky derivation CONSUMES it
+      // (stickySplitsUnstaged reads Stages.x24Labels), the session flips
+      // to the sticky store, and the ROUTE INDEX derivation consumes
+      // THAT (routeIndexUnstaged reads Stages.x68Sticky) — the shipped
+      // index is banded over the exact sticky table the deployment
+      // froze; the label index freezes its own history fixpoint
+      // (x75Seed) the same way. Confs are unset at factor end — a later
+      // factor serving this factor's store would be the exact
       // wrong-corpus defect the stamps guard against elsewhere.
       val storeLeg = sys.env.get("SPARK_GRAFT_SCALE_STORES").map { sb =>
         val t0 = System.nanoTime()
@@ -544,6 +561,10 @@ object BenchScaling {
         spark.conf.set("spark.graft.labelsPath", s"$sb/f$k/labels")
         graft.ops.PipelineOps.persistStickySplits(spark, dir, s"$sb/f$k/sticky")
         spark.conf.set("spark.graft.stickyPath", s"$sb/f$k/sticky")
+        graft.ops.PipelineOps.persistRouteIndex(spark, dir, s"$sb/f$k/route_index")
+        spark.conf.set("spark.graft.routeIndexPath", s"$sb/f$k/route_index")
+        graft.ops.PipelineOps.persistLabelIndex(spark, dir, s"$sb/f$k/label_index")
+        spark.conf.set("spark.graft.labelIndexPath", s"$sb/f$k/label_index")
         "store:persist" -> (System.nanoTime() - t0) / 1e9
       }
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -583,6 +604,8 @@ object BenchScaling {
       if (storeLeg.isDefined) {
         spark.conf.unset("spark.graft.labelsPath")
         spark.conf.unset("spark.graft.stickyPath")
+        spark.conf.unset("spark.graft.routeIndexPath")
+        spark.conf.unset("spark.graft.labelIndexPath")
       }
       val withStores = storeLeg.toSeq ++ times
       val qs = withStores.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
