@@ -46,6 +46,9 @@ class DeterminismSpec extends SparkTestBase {
     // an exact pair count — the (n DESC, l, r) total order must yield
     // the same merge table (and thus the same replay) at any parallelism
     "x67_bpe_apply",
+    // the frozen word-type encode: the history-trained weighted argmax
+    // chain + char-level replay must be partition-invariant end to end
+    "x67b_bpe_frozen",
     // the snapshot diff: a full-outer join's null sides drive the status
     // classification — join partitioning must not reach the rollup
     "x41_dataset_diff",
