@@ -242,10 +242,81 @@ object Audit {
       .orderBy("artifact")
   }
 
+  /** x77: cross-store COHERENCE audit — the constraint family x74
+    * cannot see: x74 audits each store against the CORPUS (is this
+    * store stale?); x77 audits the stores against EACH OTHER (are they
+    * the same freeze generation?). Seven artifacts now serve one
+    * lattice, and the defects that slip past per-store freshness are
+    * exactly cross-store: a route index banded over a DIFFERENT sticky
+    * generation serves splits the sticky table never assigned; a
+    * tokenizer or retrieval index frozen at another boundary monitors a
+    * model the splits never saw; a label store that doesn't cover the
+    * history slice strands the label index's seed. One row per
+    * cross-store constraint with both boundary values and a 0/1 pass —
+    * the page a deployment reads BEFORE flipping a session to a store
+    * set. Unconfigured artifacts audit at their would-be in-session
+    * boundaries (thr / max_id — every constraint then passes by the
+    * shared 9/10 rule, which is what the oracle checks; mixed
+    * generations are exercised by the negative test).
+    *
+    * Cost shape: stamps only ([[Artifacts.readStampFacts]] per
+    * configured store — a meta collect each) plus ONE 1-row max over
+    * the doc-id projection; no store data is read, no derivation runs.
+    * At 100 TB this is free, which is the point: coherence must be
+    * checkable on every session flip, not once per audit cycle. */
+  def x77StoreCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = documents(spark, dir).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // 1 row — the corpus head
+    val thr = Math.floorDiv(9L * mx, 10L)
+    def boundary(artifact: String, key: String, wouldBe: Long): Long =
+      Artifacts.configuredPath(spark, artifact) match {
+        case Some(p) =>
+          val (_, props) = Artifacts.readStampFacts(spark, p, artifact)
+          require(props.contains(key),
+            s"x77: $artifact stamp at $p lacks the '$key' freeze prop — " +
+              "re-persist with the current producer")
+          props(key).toLong
+        case None => wouldBe
+      }
+    val sticky = boundary("x68_sticky", "thr", thr)
+    val routeIdx = boundary("s18_index", "thr", thr)
+    val labelIdx = boundary("s21_index", "thr", thr)
+    val merges = boundary("x62b_merges", "thr", thr)
+    val s20 = boundary("s20_stats", "thr", thr)
+    val labels = boundary("x24_labels", "max_id", mx)
+    def row(name: String, la: String, ra: String, lb: Long, rb: Long,
+        ok: Boolean): (String, String, String, Long, Long, Long) =
+      (name, la, ra, lb, rb, if (ok) 1L else 0L)
+    Seq(
+      // the router's index must be banded over the EXACT sticky
+      // generation it serves (persistRouteIndex's production order)
+      row("route_index_matches_sticky", "s18_index", "x68_sticky",
+        routeIdx, sticky, routeIdx == sticky),
+      // the label index's seed slice must be covered by the label store
+      // x75 maintains from
+      row("label_index_inside_labels", "s21_index", "x24_labels",
+        labelIdx, labels, labelIdx <= labels),
+      // drift monitor + retrieval screen must freeze WITH the splits —
+      // a different generation monitors a corpus the splits never saw
+      row("merges_match_sticky", "x62b_merges", "x68_sticky",
+        merges, sticky, merges == sticky),
+      row("retrieval_stats_match_sticky", "s20_stats", "x68_sticky",
+        s20, sticky, s20 == sticky),
+      // the full labeling must cover the frozen history slice (sticky
+      // seeding and x63's inheritance both join through it)
+      row("labels_cover_history", "x24_labels", "x68_sticky",
+        labels, sticky, labels >= sticky))
+      .toDF("check_name", "left_artifact", "right_artifact",
+        "left_boundary", "right_boundary", "pass")
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x48_constraint_audit" -> x48ConstraintAudit,
     "x50_quarantine" -> x50Quarantine,
-    "x74_artifact_freshness" -> x74ArtifactFreshness)
+    "x74_artifact_freshness" -> x74ArtifactFreshness,
+    "x77_store_coherence" -> x77StoreCoherence)
 
   private val typeList = eventTypes.map(t => s"'$t'").mkString(", ")
 
@@ -293,8 +364,37 @@ object Audit {
        |  SELECT 'x68_sticky', t.thr, t.thr, h.n_hist, h.n_hist, 1 FROM t, h
        |) ORDER BY artifact""".stripMargin
 
+  /** x77's oracle: the unconfigured (single-generation) coherence audit
+    * — every boundary recomputed with the shared 9/10 arithmetic, every
+    * constraint passing by construction. */
+  private val x77Sql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr,
+       |         CAST(max(doc_id) AS BIGINT) AS mx
+       |  FROM documents)
+       |SELECT check_name, left_artifact, right_artifact,
+       |       left_boundary, right_boundary, pass FROM (
+       |  SELECT 'route_index_matches_sticky' AS check_name,
+       |         's18_index' AS left_artifact, 'x68_sticky' AS right_artifact,
+       |         t.thr AS left_boundary, t.thr AS right_boundary,
+       |         CAST(1 AS BIGINT) AS pass FROM t
+       |  UNION ALL
+       |  SELECT 'label_index_inside_labels', 's21_index', 'x24_labels',
+       |         t.thr, t.mx, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'merges_match_sticky', 'x62b_merges', 'x68_sticky',
+       |         t.thr, t.thr, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'retrieval_stats_match_sticky', 's20_stats', 'x68_sticky',
+       |         t.thr, t.thr, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'labels_cover_history', 'x24_labels', 'x68_sticky',
+       |         t.mx, t.thr, 1 FROM t
+       |) ORDER BY check_name""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x74_artifact_freshness" -> x74Sql,
+    "x77_store_coherence" -> x77Sql,
     "x48_constraint_audit" ->
       s"""WITH v AS (
          |  SELECT 'events.value_complete' AS check_name, count(*) AS checked,

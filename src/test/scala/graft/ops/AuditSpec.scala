@@ -173,6 +173,52 @@ class AuditSpec extends SparkTestBase {
     } finally fresh.conf.unset("spark.graft.stickyPath")
   }
 
+  test("x77: unconfigured coherence audit passes every cross-store constraint") {
+    val rows = Audit.x77StoreCoherence(spark, sf0001).collect()
+    assert(rows.length == 5, rows.mkString(", "))
+    assert(rows.forall(_.getLong(5) == 1L),
+      s"single-generation audit must pass everything: ${rows.mkString(", ")}")
+    // boundary columns carry the real would-be values, not placeholders
+    val m = rows.map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(m("route_index_matches_sticky")._1 == m("route_index_matches_sticky")._2)
+    assert(m("labels_cover_history")._1 > m("labels_cover_history")._2,
+      "max_id must exceed the 9/10 boundary on a real corpus")
+  }
+
+  test("x77: stores from different installments flip the named constraint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x77_").toString
+    // the OLD installment: the corpus as of the current 9/10 boundary
+    val full = graft.model.Tables.documents(spark, sf0001)
+    val mx = full.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cutoff = Math.floorDiv(9L * mx, 10L)
+    full.filter(col("doc_id") <= cutoff)
+      .write.parquet(s"$tmp/corpus0/documents.parquet")
+    // sticky frozen on the OLD installment, route index banded on the
+    // CURRENT one — the exact mixed-generation deployment x77 exists to
+    // refuse (x74 alone would only flag the sticky as stale)
+    PipelineOps.persistStickySplits(spark, s"$tmp/corpus0", s"$tmp/sticky")
+    PipelineOps.persistRouteIndex(spark, sf0001, s"$tmp/route_index")
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", s"$tmp/sticky")
+    fresh.conf.set("spark.graft.routeIndexPath", s"$tmp/route_index")
+    try {
+      val rows = Audit.x77StoreCoherence(fresh, sf0001).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val bad = rows("route_index_matches_sticky")
+      assert(bad.getLong(5) == 0L, s"mixed generations not flagged: $bad")
+      assert(bad.getLong(3) == cutoff && bad.getLong(4) == Math.floorDiv(9L * cutoff, 10L),
+        s"boundary columns must name both generations: $bad")
+      // the tokenizer/retrieval constraints compare against the STORED
+      // sticky generation now — unconfigured would-be boundaries (thr of
+      // the current corpus) no longer match it
+      assert(rows("merges_match_sticky").getLong(5) == 0L,
+        s"generation skew must propagate: ${rows("merges_match_sticky")}")
+    } finally {
+      fresh.conf.unset("spark.graft.stickyPath")
+      fresh.conf.unset("spark.graft.routeIndexPath")
+    }
+  }
+
   test("x48: row-level checks share one scan per table") {
     // events contributes 4 constraints (3 row checks + uniqueness) but
     // must scan once; the whole audit reads its 3 tables + the fk parent
