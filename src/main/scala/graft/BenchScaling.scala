@@ -555,18 +555,30 @@ object BenchScaling {
       // (x75Seed) the same way. Confs are unset at factor end — a later
       // factor serving this factor's store would be the exact
       // wrong-corpus defect the stamps guard against elsewhere.
-      val storeLeg = sys.env.get("SPARK_GRAFT_SCALE_STORES").map { sb =>
-        val t0 = System.nanoTime()
-        graft.ops.PipelineOps.persistLabels(spark, dir, s"$sb/f$k/labels")
-        spark.conf.set("spark.graft.labelsPath", s"$sb/f$k/labels")
-        graft.ops.PipelineOps.persistStickySplits(spark, dir, s"$sb/f$k/sticky")
-        spark.conf.set("spark.graft.stickyPath", s"$sb/f$k/sticky")
-        graft.ops.PipelineOps.persistRouteIndex(spark, dir, s"$sb/f$k/route_index")
-        spark.conf.set("spark.graft.routeIndexPath", s"$sb/f$k/route_index")
-        graft.ops.PipelineOps.persistLabelIndex(spark, dir, s"$sb/f$k/label_index")
-        spark.conf.set("spark.graft.labelIndexPath", s"$sb/f$k/label_index")
-        "store:persist" -> (System.nanoTime() - t0) / 1e9
-      }
+      // each store's freeze price is its own line (no silent aggregation
+      // — the labels fixpoint, the sticky residual, and the TWO corpus
+      // bandings are different costs with different scale stories);
+      // "store:persist" stays as the sum for r17-comparable totals
+      val storeLeg: Seq[(String, Double)] =
+        sys.env.get("SPARK_GRAFT_SCALE_STORES").toSeq.flatMap { sb =>
+          def persist(name: String, confKey: String, sub: String)(
+              run: String => Unit): (String, Double) = {
+            val t0 = System.nanoTime()
+            run(s"$sb/f$k/$sub")
+            spark.conf.set(confKey, s"$sb/f$k/$sub")
+            s"store:$name" -> (System.nanoTime() - t0) / 1e9
+          }
+          val per = Seq(
+            persist("labels", "spark.graft.labelsPath", "labels")(
+              graft.ops.PipelineOps.persistLabels(spark, dir, _)),
+            persist("sticky", "spark.graft.stickyPath", "sticky")(
+              graft.ops.PipelineOps.persistStickySplits(spark, dir, _)),
+            persist("route_index", "spark.graft.routeIndexPath", "route_index")(
+              graft.ops.PipelineOps.persistRouteIndex(spark, dir, _)),
+            persist("label_index", "spark.graft.labelIndexPath", "label_index")(
+              graft.ops.PipelineOps.persistLabelIndex(spark, dir, _)))
+          per :+ ("store:persist" -> per.map(_._2).sum)
+        }
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: per-leg GC/heap/scratch
       // diagnostics (the Bench hook, shared via graft.util.BenchDiag) —
@@ -601,13 +613,13 @@ object BenchScaling {
         graft.util.BenchDiag.log(diagPath, name, sec, Map("factor" -> k.toString))
         name -> sec
       }
-      if (storeLeg.isDefined) {
+      if (storeLeg.nonEmpty) {
         spark.conf.unset("spark.graft.labelsPath")
         spark.conf.unset("spark.graft.stickyPath")
         spark.conf.unset("spark.graft.routeIndexPath")
         spark.conf.unset("spark.graft.labelIndexPath")
       }
-      val withStores = storeLeg.toSeq ++ times
+      val withStores = storeLeg ++ times
       val qs = withStores.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
       val cs =
         if (counts.isEmpty) ""

@@ -43,7 +43,11 @@ object Artifacts {
     "s20_stats" -> 1,
     "x62b_merges" -> 1,
     "s18_index" -> 1,
-    "s21_index" -> 1)
+    "s21_index" -> 1,
+    // the store-SET manifest: one stamped table naming a freeze
+    // generation's store paths (artifact → path), so a deployment flips
+    // every serving knob with ONE conf — see [[writeManifest]]
+    "store_manifest" -> 1)
 
   /** Where each artifact's store is configured — (runtime conf key,
     * env var): the stickyPath convention, one entry per stamped
@@ -57,17 +61,77 @@ object Artifacts {
     "s20_stats" -> (("spark.graft.retrievalStatsPath", "SPARK_GRAFT_RETRIEVAL_STATS_PATH")),
     "x62b_merges" -> (("spark.graft.mergesPath", "SPARK_GRAFT_MERGES_PATH")),
     "s18_index" -> (("spark.graft.routeIndexPath", "SPARK_GRAFT_ROUTE_INDEX_PATH")),
-    "s21_index" -> (("spark.graft.labelIndexPath", "SPARK_GRAFT_LABEL_INDEX_PATH")))
+    "s21_index" -> (("spark.graft.labelIndexPath", "SPARK_GRAFT_LABEL_INDEX_PATH")),
+    "store_manifest" -> (("spark.graft.storeManifest", "SPARK_GRAFT_STORE_MANIFEST")))
 
   /** The configured store location for `artifact`, if any — the ONE
     * resolution every configured-path branch (and x74's freshness
-    * audit) shares. */
+    * audit) shares. Three layers, most specific wins:
+    * (1) the artifact's own runtime conf — an EMPTY value forces
+    * re-derivation, overriding everything below (the stageDir
+    * convention); (2) the artifact's env var (same empty rule);
+    * (3) the store-set MANIFEST (`spark.graft.storeManifest` /
+    * SPARK_GRAFT_STORE_MANIFEST — see [[writeManifest]]): one stamped
+    * table naming a whole freeze generation's paths, so a deployment
+    * flips every serving knob atomically with ONE conf instead of
+    * seven — the partial-flip (mixed-generation) window the per-knob
+    * form leaves open is exactly what x77 audits. An artifact absent
+    * from the manifest derives in-session as if unconfigured. */
   def configuredPath(spark: SparkSession, artifact: String): Option[String] = {
     val (confKey, envKey) = pathKnobs(artifact)
-    spark.conf.getOption(confKey) match {
-      case Some(v) => Some(v).filter(_.nonEmpty)
-      case None    => sys.env.get(envKey).filter(_.nonEmpty)
+    val explicit: Option[Option[String]] = spark.conf.getOption(confKey) match {
+      case Some(v) => Some(Some(v).filter(_.nonEmpty))
+      case None    => sys.env.get(envKey).map(v => Some(v).filter(_.nonEmpty))
     }
+    explicit match {
+      case Some(resolved) => resolved
+      case None if artifact != "store_manifest" =>
+        // the manifest knob itself resolves through the base layers
+        // only (no self-reference)
+        configuredPath(spark, "store_manifest")
+          .flatMap(mp => manifestEntries(spark, mp).get(artifact))
+      case None => None
+    }
+  }
+
+  // the manifest's (artifact → path) rows, collected once per
+  // (session, path): configuredPath runs on every query construction,
+  // and a 7-row parquet collect per call would be a driver job per
+  // query — memoized here, evicted when writeStamped overwrites the
+  // path; stopped-context entries are purged on the build path
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, String]]
+
+  private def manifestEntries(spark: SparkSession, mpath: String): Map[String, String] =
+    manifestCache.getOrElse((spark, mpath), {
+      manifestCache.keys.filter(_._1.sparkContext.isStopped).foreach(manifestCache.remove)
+      manifestCache.getOrElseUpdate((spark, mpath),
+        readStamped(spark, mpath, "store_manifest").collect()
+          .map(r => (r.getString(0), r.getString(1))).toMap)
+    })
+
+  /** Persist a store-set manifest — the atomic-flip form of the seven
+    * path knobs: one stamped table of (artifact, path) rows naming a
+    * freeze GENERATION's stores, written after the per-store persists
+    * and pointed at via `spark.graft.storeManifest`. Every
+    * [[configuredPath]] resolution without an explicit per-artifact
+    * knob then serves the manifest's path, so a session is either on
+    * the whole generation or none of it — the mixed-generation window
+    * a seven-knob flip leaves open (and x77 measures) closes to the
+    * one conf set. `thr` is the generation's freeze boundary, stamped
+    * for x74's audit (boundary-only, like the band indexes). Keys must
+    * be registered artifacts; the manifest cannot name itself. */
+  def writeManifest(spark: SparkSession, path: String,
+      paths: Map[String, String], thr: Long): Unit = {
+    require(paths.nonEmpty, "store manifest: no entries")
+    val unknown = paths.keySet -- versions.keySet
+    require(unknown.isEmpty,
+      s"store manifest: unknown artifact keys ${unknown.toSeq.sorted}")
+    require(!paths.contains("store_manifest"),
+      "store manifest: a manifest cannot name itself")
+    import spark.implicits._
+    writeStamped(spark, paths.toSeq.sortBy(_._1).toDF("artifact", "path"),
+      path, "store_manifest", Map("thr" -> thr.toString))
   }
 
   private def metaPath(path: String): String = s"${path.stripSuffix("/")}/_graft_meta"
@@ -90,6 +154,8 @@ object Artifacts {
     // overwritten files) or skip re-validating the new stamp — evict
     // the path's validated-read entries alongside the overwrite
     Stages.invalidateStamped(path)
+    val p = path.stripSuffix("/")
+    manifestCache.keys.filter(_._2.stripSuffix("/") == p).foreach(manifestCache.remove)
   }
 
   /** Read a stamped artifact, failing loudly (with the mismatch named)

@@ -164,7 +164,7 @@ object Audit {
     * The audit matrix is REGISTRY-DRIVEN: one row per
     * [[Artifacts.versions]] key, each with its spec below — a store
     * registered without an audit spec fails the whole audit loudly
-    * (store #8 cannot ship unaudited). Staleness MAGNITUDE rides two
+    * (a new store cannot ship unaudited). Staleness MAGNITUDE rides two
     * derived columns: `arrivals_past_freeze` (current − frozen
     * boundary — how far the corpus grew past the freeze) and
     * `row_drift` (expected − stamped rows — how many rows a fresh
@@ -196,7 +196,10 @@ object Audit {
       "x62b_merges" -> StoreAudit("thr", thr, Some(TextOps.bpeRounds.toLong), Some("rounds")),
       "x68_sticky" -> StoreAudit("thr", thr, Some(nHist), None),
       "s18_index" -> StoreAudit("thr", thr, None, None),
-      "s21_index" -> StoreAudit("thr", thr, None, None)))
+      "s21_index" -> StoreAudit("thr", thr, None, None),
+      // the store-set manifest: generation boundary only (its rows are
+      // however many stores the deployment chose to ship)
+      "store_manifest" -> StoreAudit("thr", thr, None, None)))
   }
 
   /** x74's row builder over an explicit spec registry — split out so a
@@ -285,6 +288,7 @@ object Audit {
     val merges = boundary("x62b_merges", "thr", thr)
     val s20 = boundary("s20_stats", "thr", thr)
     val labels = boundary("x24_labels", "max_id", mx)
+    val manifest = boundary("store_manifest", "thr", thr)
     def row(name: String, la: String, ra: String, lb: Long, rb: Long,
         ok: Boolean): (String, String, String, Long, Long, Long) =
       (name, la, ra, lb, rb, if (ok) 1L else 0L)
@@ -306,7 +310,11 @@ object Audit {
       // the full labeling must cover the frozen history slice (sticky
       // seeding and x63's inheritance both join through it)
       row("labels_cover_history", "x24_labels", "x68_sticky",
-        labels, sticky, labels >= sticky))
+        labels, sticky, labels >= sticky),
+      // the manifest names ONE generation — its stamped boundary must
+      // be the sticky generation it points the session at
+      row("manifest_matches_sticky", "store_manifest", "x68_sticky",
+        manifest, sticky, manifest == sticky))
       .toDF("check_name", "left_artifact", "right_artifact",
         "left_boundary", "right_boundary", "pass")
       .orderBy("check_name")
@@ -352,6 +360,8 @@ object Audit {
        |  UNION ALL
        |  SELECT 's21_index', t.thr, t.thr, 0, 0, 1 FROM t
        |  UNION ALL
+       |  SELECT 'store_manifest', t.thr, t.thr, 0, 0, 1 FROM t
+       |  UNION ALL
        |  SELECT 'x24_labels', t.mx, t.mx, t.n_docs, t.n_docs, 1 FROM t
        |  UNION ALL
        |  SELECT 'x57_index', e.mxv, e.mxv,
@@ -390,6 +400,9 @@ object Audit {
        |  UNION ALL
        |  SELECT 'labels_cover_history', 'x24_labels', 'x68_sticky',
        |         t.mx, t.thr, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'manifest_matches_sticky', 'store_manifest', 'x68_sticky',
+       |         t.thr, t.thr, 1 FROM t
        |) ORDER BY check_name""".stripMargin
 
   val oracle: Map[String, String] = Map(

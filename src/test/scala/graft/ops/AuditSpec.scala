@@ -175,7 +175,7 @@ class AuditSpec extends SparkTestBase {
 
   test("x77: unconfigured coherence audit passes every cross-store constraint") {
     val rows = Audit.x77StoreCoherence(spark, sf0001).collect()
-    assert(rows.length == 5, rows.mkString(", "))
+    assert(rows.length == 6, rows.mkString(", "))
     assert(rows.forall(_.getLong(5) == 1L),
       s"single-generation audit must pass everything: ${rows.mkString(", ")}")
     // boundary columns carry the real would-be values, not placeholders
