@@ -213,6 +213,11 @@ object BenchScaling {
     "x65_budget_select" -> fx(graft.ops.PipelineOps.x65BudgetSelect _),
     "x66_split_audit" -> fx(graft.ops.PipelineOps.x66SplitAudit _),
     "x67_bpe_apply" -> fx(graft.ops.TextOps.x67BpeApply _),
+    // the frozen encode: the history word-type training (vocab-sized
+    // rounds after one corpus pass) + k replaces over the full scan —
+    // must track the corpus like x67 with the trainer near-flat (types
+    // grow sublinearly under replication's disjoint namespaces)
+    "x67b_bpe_frozen" -> fx(graft.ops.TextOps.x67bBpeFrozen _),
     // tokenizer-training A/B: x62's cross-word trainer pays k corpus
     // passes with a growing replace chain (the documented O(k²) term);
     // x62b's word-type trainer pays ONE corpus pass (the weighted type
@@ -394,7 +399,7 @@ object BenchScaling {
     "x48_constraint_audit", "x49_setsim_join", "x50_quarantine",
     "x54_bpe_pairs",
     "x63_split_assign", "x64_vocab_growth", "x65_budget_select",
-    "x66_split_audit", "x67_bpe_apply",
+    "x66_split_audit", "x67_bpe_apply", "x67b_bpe_frozen",
     "stage:gif_corpus", "x15d_video",
     "x62_bpe_train", "x62b_bpe_word", "x68_split_stable", "x69_route_agreement",
     "x70_temp_mixture", "x70_skew",
