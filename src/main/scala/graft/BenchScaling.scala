@@ -582,7 +582,27 @@ object BenchScaling {
               graft.ops.PipelineOps.persistRouteIndex(spark, dir, _)),
             persist("label_index", "spark.graft.labelIndexPath", "label_index")(
               graft.ops.PipelineOps.persistLabelIndex(spark, dir, _)))
-          per :+ ("store:persist" -> per.map(_._2).sum)
+          // the serving FLIP is the manifest, not four knobs: the freeze
+          // pipeline above ran under explicit paths (production order —
+          // each persist consumed the store before it); the serving
+          // session gets ONE conf naming the whole generation, so every
+          // governance leg below exercises the manifest resolution path
+          // at this factor's scale
+          val t0 = System.nanoTime()
+          val thr = graft.ops.Artifacts
+            .readStampFacts(spark, s"$sb/f$k/sticky", "x68_sticky")._2("thr").toLong
+          graft.ops.Artifacts.writeManifest(spark, s"$sb/f$k/manifest", Map(
+            "x24_labels" -> s"$sb/f$k/labels",
+            "x68_sticky" -> s"$sb/f$k/sticky",
+            "s18_index" -> s"$sb/f$k/route_index",
+            "s21_index" -> s"$sb/f$k/label_index"), thr)
+          Seq("spark.graft.labelsPath", "spark.graft.stickyPath",
+            "spark.graft.routeIndexPath", "spark.graft.labelIndexPath")
+            .foreach(spark.conf.unset)
+          spark.conf.set("spark.graft.storeManifest", s"$sb/f$k/manifest")
+          val manifestLine = "store:manifest" -> (System.nanoTime() - t0) / 1e9
+          per ++ Seq(manifestLine,
+            "store:persist" -> (per.map(_._2).sum + manifestLine._2))
         }
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: per-leg GC/heap/scratch
@@ -619,10 +639,15 @@ object BenchScaling {
         name -> sec
       }
       if (storeLeg.nonEmpty) {
+        // per-store knobs were already dropped at the manifest flip;
+        // unset defensively anyway, plus the manifest itself — a later
+        // factor serving this factor's generation would be the exact
+        // wrong-corpus defect the stamps guard against elsewhere
         spark.conf.unset("spark.graft.labelsPath")
         spark.conf.unset("spark.graft.stickyPath")
         spark.conf.unset("spark.graft.routeIndexPath")
         spark.conf.unset("spark.graft.labelIndexPath")
+        spark.conf.unset("spark.graft.storeManifest")
       }
       val withStores = storeLeg ++ times
       val qs = withStores.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
