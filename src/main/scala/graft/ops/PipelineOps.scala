@@ -1707,12 +1707,30 @@ object PipelineOps {
     * drive it with adversarial two-installment graphs (the
     * budgetSelectOn/packingOn precedent). */
   private[graft] def splitStableOn(sticky: DataFrame, full: DataFrame): DataFrame = {
-    val clusterOld = full.join(sticky, "doc_id")
+    // ONE doc-keyed join feeds both consumers — the cluster-old
+    // aggregate and the per-doc decision probe — with NO filter between
+    // them: countDistinct/min ignore the null split_old of arrival-only
+    // rows, and a cluster with zero held members aggregates to
+    // n_splits = 0, which falls through the decision chain to the same
+    // 'fresh' branch its previously-ABSENT row (null n_splits) did. The
+    // unfiltered reuse is load-bearing: with identical subtrees on both
+    // sides, AQE dedupes the corpus-sized doc_id exchanges of `full`
+    // AND `sticky` via ReusedExchange — the old inner-join aggregate
+    // side carried an inferred isnotnull the probe side lacked, so the
+    // plan scanned and shuffled both inputs TWICE (the dominant term of
+    // x68's 1024× store-served line). The explicit cluster_id filter is
+    // vacuous (every producer coalesces it to doc_id) but load-bearing
+    // the same way: the final cluster-keyed left join INFERS
+    // isnotnull(cluster_id) on its aggregate side and pushes it into
+    // that side's scan — stating it on the shared frame keeps both
+    // occurrences canonically identical. Plan-pinned in SplitStableSpec.
+    val joined = full.filter(col("cluster_id").isNotNull)
+      .join(sticky, Seq("doc_id"), "left")
+    val clusterOld = joined
       .groupBy(col("cluster_id"))
       .agg(countDistinct(col("split_old")).as("n_splits"),
         min(col("split_old")).as("old_split"))
-    full
-      .join(sticky, Seq("doc_id"), "left")
+    joined
       .join(clusterOld, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("cluster_id"),
         when(col("split_old").isNotNull, col("split_old"))

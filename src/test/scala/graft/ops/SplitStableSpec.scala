@@ -308,4 +308,34 @@ class SplitStableSpec extends SparkTestBase {
     // the held slice is exactly the docs at or below the threshold
     assert(out.filter(_._4 == "held").map(_._1).toSet == docs.filter(_ <= thr).toSet)
   }
+
+  test("x68's decision plan reuses the doc-keyed exchanges of BOTH store scans (the one-shuffle-each contract)") {
+    // splitStableOn feeds its cluster-old aggregate and its per-doc
+    // probe from ONE left-join frame, with the vacuous cluster_id
+    // filter stated so the final join's inferred isnotnull cannot
+    // desync the two occurrences — under SMJ (forced here; at the
+    // 1024× store-served leg it's the real regime) AQE must then
+    // ReusedExchange both corpus-sized doc_id shuffles. Before this,
+    // labels AND sticky were each scanned and shuffled TWICE — the
+    // dominant term of x68's 18.8 s 1024× store-served line.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x68plan_").toString
+    PipelineOps.persistLabels(spark, sf0001, s"$tmp/labels")
+    PipelineOps.persistStickySplits(spark, sf0001, s"$tmp/sticky")
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.labelsPath", s"$tmp/labels")
+    fresh.conf.set("spark.graft.stickyPath", s"$tmp/sticky")
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = PipelineOps.x68SplitStable(fresh, sf0001)
+      df.collect() // AQE applies exchange reuse at stage materialization
+      val plan = df.queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(plan).length
+      assert(reused >= 2,
+        s"expected both store scans' doc_id exchanges reused, found $reused:\n$plan")
+    } finally {
+      fresh.conf.unset("spark.graft.labelsPath")
+      fresh.conf.unset("spark.graft.stickyPath")
+      fresh.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
