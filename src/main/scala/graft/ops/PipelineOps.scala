@@ -1488,8 +1488,13 @@ object PipelineOps {
       .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
       .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
       .filter(col("s1") =!= col("s2"))
-    val crossBySplit = sides.select(col("s1").as("split"))
-      .unionByName(sides.select(col("s2").as("split")))
+    // one row per SIDE of each cross pair — as a per-row explode, not a
+    // union of two projections: the union form planned the pairs ⋈
+    // assigned ⋈ assigned subtree TWICE (each branch its own scan+joins
+    // — the x68 double-derivation defect in audit clothing); the
+    // explode reads the joined frame once
+    val crossBySplit = sides
+      .select(explode(array(col("s1"), col("s2"))).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("cp"))
     perSplit.join(crossBySplit, Seq("split"), "left")
       .crossJoin(broadcast(tot))
