@@ -98,17 +98,43 @@ object Artifacts {
   // (session, path): configuredPath runs on every query construction,
   // and a 7-row parquet collect per call would be a driver job per
   // query — memoized here, evicted when writeStamped overwrites the
-  // path; stopped-context entries are purged on the build path
+  // path; stopped-context entries are purged on the build path. Keys
+  // are NORMALIZED paths ([[normPath]]) so insertion and eviction agree
+  // across spellings.
   private val manifestCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, String]]
 
-  private def manifestEntries(spark: SparkSession, mpath: String): Map[String, String] =
-    manifestCache.getOrElse((spark, mpath), {
+  /** One canonical spelling for store-path cache keys: qualified against
+    * the path's filesystem (file:/ URI vs bare path, relative vs
+    * absolute all collapse to one form), trailing slash stripped —
+    * insertion and eviction must agree on the key or an overwrite under
+    * a differently-spelled knob leaves a stale memo served for the rest
+    * of the session (the r18 ADVICE defect). Best-effort: an
+    * unresolvable path falls back to its raw spelling — the two
+    * spellings then miss each other, which is exactly the
+    * pre-normalization behavior, never a crash. */
+  private[graft] def normPath(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString.stripSuffix("/")
+    } catch { case scala.util.control.NonFatal(_) => path.stripSuffix("/") }
+
+  private def manifestEntries(spark: SparkSession, mpath: String): Map[String, String] = {
+    val key = (spark, normPath(spark, mpath))
+    manifestCache.getOrElse(key, {
       manifestCache.keys.filter(_._1.sparkContext.isStopped).foreach(manifestCache.remove)
-      manifestCache.getOrElseUpdate((spark, mpath),
+      manifestCache.getOrElseUpdate(key,
         readStamped(spark, mpath, "store_manifest").collect()
           .map(r => (r.getString(0), r.getString(1))).toMap)
     })
+  }
+
+  /** Drop every memoized manifest map (all sessions) — [[Stages.clear]]
+    * calls this so the global reset covers ALL read memos symmetrically
+    * (a per-factor scaling reset that cleared stages but kept manifest
+    * maps would serve a previous factor's store set). */
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
 
   /** Persist a store-set manifest — the atomic-flip form of the seven
     * path knobs: one stamped table of (artifact, path) rows naming a
@@ -152,10 +178,11 @@ object Artifacts {
     // a persist-then-read flow reusing one path within a session must
     // never serve the PREVIOUS table's memoized plan (a plan over
     // overwritten files) or skip re-validating the new stamp — evict
-    // the path's validated-read entries alongside the overwrite
-    Stages.invalidateStamped(path)
-    val p = path.stripSuffix("/")
-    manifestCache.keys.filter(_._2.stripSuffix("/") == p).foreach(manifestCache.remove)
+    // the path's validated-read entries alongside the overwrite, under
+    // the same normalized key the readers insert with
+    val norm = normPath(spark, path)
+    Stages.invalidateStamped(norm)
+    manifestCache.keys.filter(_._2 == norm).foreach(manifestCache.remove)
   }
 
   /** Read a stamped artifact, failing loudly (with the mismatch named)

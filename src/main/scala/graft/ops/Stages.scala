@@ -83,7 +83,11 @@ object Stages {
 
   private def readStampedEntry(spark: SparkSession, path: String,
       artifact: String): (DataFrame, Long, Map[String, String]) = {
-    val key = (spark, path, artifact)
+    // normalized key ([[Artifacts.normPath]]): equivalent spellings
+    // (file:/ URI vs bare, relative vs absolute) share one memo, so
+    // writeStamped's eviction cannot miss a read inserted under another
+    // spelling of the same location
+    val key = (spark, Artifacts.normPath(spark, path), artifact)
     stampedCache.get(key).getOrElse(synchronized {
       purgeStopped()
       hookEviction(spark)
@@ -92,14 +96,14 @@ object Stages {
     })
   }
 
-  /** Drop every memoized read of `path` (all sessions, all artifact
-    * keys) — called by [[Artifacts.writeStamped]] when the path is
-    * overwritten, so a re-persist within a session is served fresh and
-    * re-validated instead of from a plan over the deleted files. */
-  private[graft] def invalidateStamped(path: String): Unit = {
-    val p = path.stripSuffix("/")
-    stampedCache.keys.filter(_._2.stripSuffix("/") == p).foreach(stampedCache.remove)
-  }
+  /** Drop every memoized read of the NORMALIZED path `norm` (all
+    * sessions, all artifact keys) — called by [[Artifacts.writeStamped]]
+    * when the path is overwritten, so a re-persist within a session is
+    * served fresh and re-validated instead of from a plan over the
+    * deleted files. Callers pass [[Artifacts.normPath]] output; entries
+    * are inserted under the same normalization. */
+  private[graft] def invalidateStamped(norm: String): Unit =
+    stampedCache.keys.filter(_._2 == norm).foreach(stampedCache.remove)
 
   /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
     * `Dataset.unpersist` only uncaches CacheManager entries — it does NOT
@@ -581,5 +585,9 @@ object Stages {
     pqCache.clear()
     blobCache.clear()
     stampedCache.clear()
+    // the manifest (artifact → path) maps are read memos the same way —
+    // the global reset must cover them or a per-factor scaling run
+    // serves a previous factor's store set (r18 ADVICE)
+    Artifacts.clearManifestCache()
   }
 }

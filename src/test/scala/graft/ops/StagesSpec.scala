@@ -61,6 +61,35 @@ class StagesSpec extends SparkTestBase {
     } finally fresh.conf.unset("spark.graft.stickyPath")
   }
 
+  test("stamped-read memos key on the NORMALIZED path: an overwrite evicts reads under any spelling") {
+    // the r18 ADVICE gap: eviction matched paths by exact string, so a
+    // knob spelled file:/... and a persist spelled /... missed each
+    // other and the session kept serving the stale memo
+    Stages.clear()
+    val path = s"${Files.createTempDirectory("graft_stamped_")}/sticky"
+    PipelineOps.persistStickySplits(spark, sf0001, path)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.stickyPath", s"file:$path") // URI spelling
+    try {
+      val first = Stages.x68Sticky(fresh, sf0001)
+      val thr = first.agg(org.apache.spark.sql.functions.max("doc_id"))
+        .collect()(0).getLong(0)
+      val n1 = first.count()
+      val s = spark
+      import s.implicits._
+      // overwrite via the BARE spelling — must evict the file:-keyed memo
+      Artifacts.writeStamped(s, (0L until n1).map(i => (i, "test")).toDF("doc_id", "split_old"),
+        path, "x68_sticky", Map("thr" -> thr.toString))
+      val second = Stages.x68Sticky(fresh, sf0001)
+      assert(!(second eq first),
+        "overwrite under the bare spelling must evict the file:-spelled memo")
+      val splits = second.select("split_old").distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(splits == Seq("test"),
+        s"re-read under the URI spelling served stale content: $splits")
+    } finally fresh.conf.unset("spark.graft.stickyPath")
+  }
+
   test("toggling the stage mode mid-session serves the new mode without clear()") {
     Stages.clear()
     val modeKey = "spark.graft.stageDir"
