@@ -78,6 +78,8 @@ object Bench {
       "stage:s17_merges" -> (() => { graft.ops.Stages.s17Merges(spark, sfDir); () }),
       "stage:x36_hits" -> (() => { graft.ops.Stages.x36Hits(spark, sfDir); () }),
       "stage:q27c_hitters" -> (() => { graft.ops.Stages.q27cHitters(spark, sfDir); () }),
+      // the daily sketch warehouse q28/q29 roll up from (r19 store #9)
+      "stage:sketch_daily" -> (() => { graft.ops.Stages.sketchDaily(spark, sfDir); () }),
       "stage:q24_keystats" -> (() => { graft.ops.Stages.q24KeyStats(spark, sfDir); () }),
       "stage:q26_bloom" -> (() => { graft.ops.Stages.q26Bloom(spark, sfDir); () }),
       // the generated-PNG corpus both media lines ingest (x15 decode,

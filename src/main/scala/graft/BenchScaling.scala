@@ -581,8 +581,23 @@ object BenchScaling {
             persist("route_index", "spark.graft.routeIndexPath", "route_index")(
               graft.ops.PipelineOps.persistRouteIndex(spark, dir, _)),
             persist("label_index", "spark.graft.labelIndexPath", "label_index")(
-              graft.ops.PipelineOps.persistLabelIndex(spark, dir, _)))
-          // the serving FLIP is the manifest, not four knobs: the freeze
+              graft.ops.PipelineOps.persistLabelIndex(spark, dir, _)),
+            // r19: the remaining stores join the per-factor generation —
+            // the published freeze-price decomposition is COMPLETE (the
+            // r18 verdict's partial-generation gap): tokenizer (word-type
+            // trainer on the history slice), retrieval stats (s20's
+            // frozen per-(query, term) floors), the IVFADC index
+            // (embeddings axis), and the daily sketch warehouse (events
+            // axis)
+            persist("merges", "spark.graft.mergesPath", "merges")(
+              graft.ops.TextOps.persistMerges(spark, dir, _)),
+            persist("s20_stats", "spark.graft.retrievalStatsPath", "s20_stats")(
+              graft.streaming.StreamGate.persistRetrievalStats(spark, dir, _)),
+            persist("ivf_index", "spark.graft.ivfIndexPath", "ivf_index")(
+              graft.ops.VectorOps.persistPqIndex(spark, dir, _)),
+            persist("sketches", "spark.graft.sketchPath", "sketches")(
+              graft.ops.Analytics.persistSketchDaily(spark, dir, _)))
+          // the serving FLIP is the manifest, not eight knobs: the freeze
           // pipeline above ran under explicit paths (production order —
           // each persist consumed the store before it); the serving
           // session gets ONE conf naming the whole generation, so every
@@ -595,14 +610,78 @@ object BenchScaling {
             "x24_labels" -> s"$sb/f$k/labels",
             "x68_sticky" -> s"$sb/f$k/sticky",
             "s18_index" -> s"$sb/f$k/route_index",
-            "s21_index" -> s"$sb/f$k/label_index"), thr)
+            "s21_index" -> s"$sb/f$k/label_index",
+            "x62b_merges" -> s"$sb/f$k/merges",
+            "s20_stats" -> s"$sb/f$k/s20_stats",
+            "x57_index" -> s"$sb/f$k/ivf_index",
+            "sketch_daily" -> s"$sb/f$k/sketches"), thr)
           Seq("spark.graft.labelsPath", "spark.graft.stickyPath",
-            "spark.graft.routeIndexPath", "spark.graft.labelIndexPath")
+            "spark.graft.routeIndexPath", "spark.graft.labelIndexPath",
+            "spark.graft.mergesPath", "spark.graft.retrievalStatsPath",
+            "spark.graft.ivfIndexPath", "spark.graft.sketchPath")
             .foreach(spark.conf.unset)
           spark.conf.set("spark.graft.storeManifest", s"$sb/f$k/manifest")
           val manifestLine = "store:manifest" -> (System.nanoTime() - t0) / 1e9
+          // SPARK_GRAFT_SCALE_REFREEZE=1 (requires the store leg): the
+          // INCREMENTAL re-freeze price — generation A frozen on the
+          // factor corpus's own earlier installment (docs ≤ the 9/10
+          // boundary, written as a derived corpus), then the three
+          // incremental persists roll it forward to THIS generation's
+          // boundary, each timed. The claim under measurement: the
+          // *_inc lines are ∝ arrivals (the ~10% installment) where
+          // their full twins above re-band/re-hash the whole history —
+          // x78 proves the outputs equal; this leg prices the difference.
+          val refreeze: Seq[(String, Double)] =
+            if (!sys.env.get("SPARK_GRAFT_SCALE_REFREEZE").exists(_.nonEmpty)) Seq.empty
+            else {
+              def timed(name: String)(run: => Unit): (String, Double) = {
+                val t = System.nanoTime()
+                run
+                name -> (System.nanoTime() - t) / 1e9
+              }
+              val genA = s"$sb/f$k/genA"
+              val corpus0 = timed("store:genA_corpus") {
+                val docs = Tables.table(spark, dir, "documents")
+                val mx = docs.agg(max(col("doc_id"))).first().getLong(0)
+                docs.filter(col("doc_id") <= Math.floorDiv(9L * mx, 10L))
+                  .write.mode("overwrite").parquet(s"$genA/corpus0/documents.parquet")
+              }
+              // generation A freezes on the old installment with the
+              // manifest MASKED (its persists must derive corpus0's own
+              // lattice, not band the old installment over the CURRENT
+              // generation's stores) — one line, the price is NOT the
+              // claim under test
+              val persistsA = timed("store:genA_persists") {
+                spark.conf.unset("spark.graft.storeManifest")
+                try {
+                  graft.ops.PipelineOps.persistStickySplits(spark, s"$genA/corpus0", s"$genA/sticky")
+                  graft.ops.PipelineOps.persistRouteIndex(spark, s"$genA/corpus0", s"$genA/route_index")
+                  graft.ops.PipelineOps.persistLabelIndex(spark, s"$genA/corpus0", s"$genA/label_index")
+                } finally spark.conf.set("spark.graft.storeManifest", s"$sb/f$k/manifest")
+              }
+              // roll forward to the CURRENT generation: the sticky fold
+              // consumes the staged seed (residual over the labels store
+              // already configured via the manifest), then each index
+              // merge bands only the (thrA, thr] arrivals
+              val stickyInc = timed("store:sticky_inc") {
+                graft.ops.PipelineOps.persistStickySplitsIncremental(
+                  spark, dir, s"$genA/stickyB", s"$genA/sticky")
+              }
+              spark.conf.set("spark.graft.stickyPath", s"$genA/stickyB")
+              val routeInc = timed("store:route_index_inc") {
+                graft.ops.PipelineOps.persistRouteIndexIncremental(
+                  spark, dir, s"$genA/route_indexB", s"$genA/route_index")
+              }
+              val labelInc = timed("store:label_index_inc") {
+                graft.ops.PipelineOps.persistLabelIndexIncremental(
+                  spark, dir, s"$genA/label_indexB", s"$genA/label_index")
+              }
+              // back to the manifest generation for the serving legs
+              spark.conf.unset("spark.graft.stickyPath")
+              Seq(corpus0, persistsA, stickyInc, routeInc, labelInc)
+            }
           per ++ Seq(manifestLine,
-            "store:persist" -> (per.map(_._2).sum + manifestLine._2))
+            "store:persist" -> (per.map(_._2).sum + manifestLine._2)) ++ refreeze
         }
       val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       // SPARK_GRAFT_BENCH_DIAG=<path.jsonl>: per-leg GC/heap/scratch

@@ -408,11 +408,14 @@ object Analytics {
     // Monday-based week truncation matches DuckDB's ISO date_trunc('week')
     val e = events(spark, dir).select(
       date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
-      to_date(col("ts")).as("d"),
       col("user_id"))
-    val daily = e.groupBy(col("wk"), col("d"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val weekly = daily.groupBy(col("wk")).agg(hll_union_agg(col("sk")).as("sk"))
+    // the daily sketches come from the WAREHOUSE ([[Stages.sketchDaily]]
+    // — the stamped store when configured, so a serving session answers
+    // from stored bytes without touching raw history; the exact twin
+    // below exists FOR the gate and still scans events)
+    val weekly = Stages.sketchDaily(spark, dir)
+      .select(col("wk"), col("hll_users").as("sk"))
+      .groupBy(col("wk")).agg(hll_union_agg(col("sk")).as("sk"))
     val total = weekly.agg(hll_union_agg(col("sk")).as("sk"))
       .select(lit("total").as("wk"), col("sk"))
     val est = weekly.unionByName(total)
@@ -621,12 +624,15 @@ object Analytics {
     val e = events(spark, dir)
       .select(
         date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
-        to_date(col("ts")).as("d"),
         cents(col("value")).as("v"))
       .filter(col("v").isNotNull)
-    val daily = e.groupBy(col("wk"), col("d"))
-      .agg(KllSketchAgg.kllSketch(col("v")).as("sk"))
-    val weekly = daily.groupBy(col("wk")).agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
+    // daily KLL sketches from the warehouse (the q28 note): n_values > 0
+    // keeps the day-group set identical to the filtered in-session
+    // grouping (an all-null day would carry an empty sketch)
+    val weekly = Stages.sketchDaily(spark, dir)
+      .filter(col("n_values") > 0L)
+      .select(col("wk"), col("kll_value").as("sk"))
+      .groupBy(col("wk")).agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
     val wkSketch = weekly.collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toSeq.sortBy(_._1)
     val totalSketch = weekly.agg(KllSketchAgg.kllMerge(col("sk")).as("sk"))
@@ -671,6 +677,46 @@ object Analytics {
     spark.createDataFrame((weekRows ++ totalRows).toSeq)
       .toDF("wk", "pct", "n", "in_bound")
       .orderBy("wk", "pct")
+  }
+
+  /** The daily sketch-warehouse table — ONE pass over the event log
+    * yielding every per-day mergeable summary the rollup family needs:
+    * (wk, d, n_events, n_values, hll_users, kll_value). q28 rolls the
+    * HLL column up to weekly/all-time distincts, q29 the KLL column to
+    * quantiles; the counts make the store auditable (x74's expected
+    * rows) and let q29 reproduce its null-filtered day grouping
+    * (`n_values > 0`) without re-deriving. The KLL aggregate skips
+    * nulls, so one unfiltered grouping serves both columns. */
+  private[graft] def sketchDailyUnstaged(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketchAgg
+    events(spark, dir).select(
+        date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+        to_date(col("ts")).as("d"),
+        col("user_id"), cents(col("value")).as("v"))
+      .groupBy(col("wk"), col("d"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("v")).as("n_values"),
+        hll_sketch_agg(col("user_id")).as("hll_users"),
+        KllSketchAgg.kllSketch(col("v")).as("kll_value"))
+  }
+
+  /** Persist the daily sketch warehouse — the NINTH stored-governance
+    * artifact, and the first on the EVENTS axis: q28/q29's rollups are
+    * exactly the queries a deployment answers from stored sketches
+    * instead of history rescans, so the stored table is the artifact —
+    * until this store the specs round-tripped bare parquet while every
+    * session rebuilt the dailies from the raw log. Point
+    * `spark.graft.sketchPath` (or SPARK_GRAFT_SKETCH_PATH) at the
+    * written path and [[Stages.sketchDaily]] serves it to q28 and q29,
+    * stamp-validated ([[Artifacts]]), loud on missing/wrong/stale. The
+    * freeze boundary is the log head (`max_day`, yyyymmdd) — the axis
+    * x74 audits this store against. */
+  def persistSketchDaily(spark: SparkSession, dir: String, path: String): Unit = {
+    val mxDay = events(spark, dir)
+      .agg(max(date_format(to_date(col("ts")), "yyyyMMdd").cast("long")))
+      .collect()(0).getLong(0) // 1 row — the log head, stamped for x74
+    Artifacts.writeStamped(spark, sketchDailyUnstaged(spark, dir), path,
+      "sketch_daily", Map("max_day" -> mxDay.toString))
   }
 
   /** q30: weekly cohort retention — the event-log staple: users

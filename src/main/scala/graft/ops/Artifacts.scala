@@ -42,8 +42,15 @@ object Artifacts {
     "x24_labels" -> 1,
     "s20_stats" -> 1,
     "x62b_merges" -> 1,
-    "s18_index" -> 1,
-    "s21_index" -> 1,
+    // v2 (r19): the stored band indexes carry per-bucket occupancy `df`
+    // and tombstoned payloads past the cap — the MERGEABLE form the
+    // incremental re-freeze needs; v1 stores (bits/lab only, under-cap
+    // rows only) cannot be merged into and must re-persist
+    "s18_index" -> 2,
+    "s21_index" -> 2,
+    // the daily sketch warehouse (r19, store #9 — the first on the
+    // EVENTS axis): per-day HLL/KLL sketches q28/q29 roll up from
+    "sketch_daily" -> 1,
     // the store-SET manifest: one stamped table naming a freeze
     // generation's store paths (artifact → path), so a deployment flips
     // every serving knob with ONE conf — see [[writeManifest]]
@@ -62,6 +69,7 @@ object Artifacts {
     "x62b_merges" -> (("spark.graft.mergesPath", "SPARK_GRAFT_MERGES_PATH")),
     "s18_index" -> (("spark.graft.routeIndexPath", "SPARK_GRAFT_ROUTE_INDEX_PATH")),
     "s21_index" -> (("spark.graft.labelIndexPath", "SPARK_GRAFT_LABEL_INDEX_PATH")),
+    "sketch_daily" -> (("spark.graft.sketchPath", "SPARK_GRAFT_SKETCH_PATH")),
     "store_manifest" -> (("spark.graft.storeManifest", "SPARK_GRAFT_STORE_MANIFEST")))
 
   /** The configured store location for `artifact`, if any — the ONE

@@ -189,7 +189,14 @@ object Audit {
     val eh = table(spark, dir, "embeddings")
       .agg(max(col("vec_id")).as("mxv"), count(lit(1)).as("ne")).collect()(0)
     val (mxV, nEmb) = (eh.getLong(0), eh.getLong(1))
+    // the events-axis head: the sketch warehouse freezes at the log's
+    // max day and holds one row per active day
+    val ev = events(spark, dir).agg(
+      max(date_format(to_date(col("ts")), "yyyyMMdd").cast("long")).as("mxd"),
+      countDistinct(to_date(col("ts"))).as("nd")).collect()(0)
+    val (mxDay, nDays) = (ev.getLong(0), ev.getLong(1))
     x74RowsFor(spark, Map(
+      "sketch_daily" -> StoreAudit("max_day", mxDay, Some(nDays), None),
       "s20_stats" -> StoreAudit("thr", thr, Some(nQt), None),
       "x24_labels" -> StoreAudit("max_id", mx, Some(nDocs), None),
       "x57_index" -> StoreAudit("max_id", mxV, Some(VectorOps.pqM.toLong * nEmb), None),
@@ -267,13 +274,92 @@ object Audit {
     * the doc-id projection; no store data is read, no derivation runs.
     * At 100 TB this is free, which is the point: coherence must be
     * checkable on every session flip, not once per audit cycle. */
+  /** x77's per-artifact coherence decision — registry-driven like x74
+    * (`x77RowsFor` pins its spec keys to [[Artifacts.versions]]): every
+    * stamped store ships with EITHER a named cross-store constraint or
+    * an explicit [[X77Anchor]] declaration (the deliberate, reviewable
+    * choice that this artifact IS the generation anchor others compare
+    * against) — a store #N+1 can no longer ship outside the coherence
+    * matrix unnoticed, which is exactly how `x57_index` stayed
+    * row-less through r18. */
+  private[graft] sealed trait X77Spec
+  private[graft] case object X77Anchor extends X77Spec
+  private[graft] final case class X77Check(checkName: String,
+      rightKey: String, op: (Long, Long) => Boolean) extends X77Spec
+
   def x77StoreCoherence(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val mx = documents(spark, dir).agg(max(col("doc_id")))
       .collect()(0).getLong(0) // 1 row — the corpus head
     val thr = Math.floorDiv(9L * mx, 10L)
-    def boundary(artifact: String, key: String, wouldBe: Long): Long =
-      Artifacts.configuredPath(spark, artifact) match {
+    val mxV = table(spark, dir, "embeddings").agg(max(col("vec_id")))
+      .collect()(0).getLong(0) // 1 row — the vector-lattice head
+    val mxDay = events(spark, dir)
+      .agg(max(date_format(to_date(col("ts")), "yyyyMMdd").cast("long")))
+      .collect()(0).getLong(0) // 1 row — the events-axis head
+    x77RowsFor(spark,
+      specs = Map(
+        // the generation anchor: every doc-lattice row compares to it
+        "x68_sticky" -> X77Anchor,
+        // the router's index must be banded over the EXACT sticky
+        // generation it serves (persistRouteIndex's production order)
+        "s18_index" -> X77Check("route_index_matches_sticky", "x68_sticky", _ == _),
+        // the label index's seed slice must be covered by the label
+        // store x75 maintains from
+        "s21_index" -> X77Check("label_index_inside_labels", "x24_labels", _ <= _),
+        // drift monitor + retrieval screen must freeze WITH the splits —
+        // a different generation monitors a corpus the splits never saw
+        "x62b_merges" -> X77Check("merges_match_sticky", "x68_sticky", _ == _),
+        "s20_stats" -> X77Check("retrieval_stats_match_sticky", "x68_sticky", _ == _),
+        // the full labeling must cover the frozen history slice (sticky
+        // seeding and x63's inheritance both join through it)
+        "x24_labels" -> X77Check("labels_cover_history", "x68_sticky", _ >= _),
+        // the vector lattice's one store lives on a DIFFERENT corpus
+        // axis (embeddings, not documents) — its generation check is
+        // against that axis's head, stamped vs current
+        "x57_index" -> X77Check("ivf_index_matches_embeddings", "embeddings_head", _ == _),
+        // the sketch warehouse lives on the EVENTS axis — generation
+        // check against that axis's head (the x57 posture)
+        "sketch_daily" -> X77Check("sketches_match_events", "events_head", _ == _),
+        // the manifest names ONE generation — its stamped boundary must
+        // be the sticky generation it points the session at
+        "store_manifest" -> X77Check("manifest_matches_sticky", "x68_sticky", _ == _)),
+      bounds = Map(
+        "x68_sticky" -> (("thr", thr)),
+        "s18_index" -> (("thr", thr)),
+        "s21_index" -> (("thr", thr)),
+        "x62b_merges" -> (("thr", thr)),
+        "s20_stats" -> (("thr", thr)),
+        "x24_labels" -> (("max_id", mx)),
+        "x57_index" -> (("max_id", mxV)),
+        "sketch_daily" -> (("max_day", mxDay)),
+        "store_manifest" -> (("thr", thr))),
+      pseudo = Map("embeddings_head" -> mxV, "events_head" -> mxDay))
+  }
+
+  /** x77's row builder over explicit registries — split out (the
+    * x74RowsFor idiom) so a negative test can drive it with a spec map
+    * that misses or invents an artifact and assert the loud refusal.
+    * `specs` decides each artifact's constraint (or anchor role);
+    * `bounds` maps every artifact to its (freeze prop, would-be
+    * in-session value); `pseudo` carries non-artifact right sides
+    * (corpus heads on other axes). Both artifact-keyed maps must cover
+    * [[Artifacts.versions]] exactly. */
+  private[graft] def x77RowsFor(spark: SparkSession,
+      specs: Map[String, X77Spec],
+      bounds: Map[String, (String, Long)],
+      pseudo: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    def pinned(name: String, keys: scala.collection.Set[String]): Unit =
+      require(keys == Artifacts.versions.keySet,
+        s"x77 $name drifted from the artifact registry — " +
+          s"undecided stores: ${(Artifacts.versions.keySet -- keys).toSeq.sorted}; " +
+          s"entries without a registered store: ${(keys -- Artifacts.versions.keySet).toSeq.sorted}")
+    pinned("coherence specs", specs.keySet)
+    pinned("boundary specs", bounds.keySet)
+    // one boundary resolution per artifact (the anchor is the right side
+    // of several rows — never re-read its stamp per row)
+    val boundary: Map[String, Long] = bounds.map { case (artifact, (key, wouldBe)) =>
+      artifact -> (Artifacts.configuredPath(spark, artifact) match {
         case Some(p) =>
           val (_, props) = Artifacts.readStampFacts(spark, p, artifact)
           require(props.contains(key),
@@ -281,40 +367,17 @@ object Audit {
               "re-persist with the current producer")
           props(key).toLong
         case None => wouldBe
-      }
-    val sticky = boundary("x68_sticky", "thr", thr)
-    val routeIdx = boundary("s18_index", "thr", thr)
-    val labelIdx = boundary("s21_index", "thr", thr)
-    val merges = boundary("x62b_merges", "thr", thr)
-    val s20 = boundary("s20_stats", "thr", thr)
-    val labels = boundary("x24_labels", "max_id", mx)
-    val manifest = boundary("store_manifest", "thr", thr)
-    def row(name: String, la: String, ra: String, lb: Long, rb: Long,
-        ok: Boolean): (String, String, String, Long, Long, Long) =
-      (name, la, ra, lb, rb, if (ok) 1L else 0L)
-    Seq(
-      // the router's index must be banded over the EXACT sticky
-      // generation it serves (persistRouteIndex's production order)
-      row("route_index_matches_sticky", "s18_index", "x68_sticky",
-        routeIdx, sticky, routeIdx == sticky),
-      // the label index's seed slice must be covered by the label store
-      // x75 maintains from
-      row("label_index_inside_labels", "s21_index", "x24_labels",
-        labelIdx, labels, labelIdx <= labels),
-      // drift monitor + retrieval screen must freeze WITH the splits —
-      // a different generation monitors a corpus the splits never saw
-      row("merges_match_sticky", "x62b_merges", "x68_sticky",
-        merges, sticky, merges == sticky),
-      row("retrieval_stats_match_sticky", "s20_stats", "x68_sticky",
-        s20, sticky, s20 == sticky),
-      // the full labeling must cover the frozen history slice (sticky
-      // seeding and x63's inheritance both join through it)
-      row("labels_cover_history", "x24_labels", "x68_sticky",
-        labels, sticky, labels >= sticky),
-      // the manifest names ONE generation — its stamped boundary must
-      // be the sticky generation it points the session at
-      row("manifest_matches_sticky", "store_manifest", "x68_sticky",
-        manifest, sticky, manifest == sticky))
+      })
+    }
+    specs.toSeq.collect { case (artifact, X77Check(name, rightKey, op)) =>
+      val rb = pseudo.getOrElse(rightKey, {
+        require(boundary.contains(rightKey),
+          s"x77: check '$name' references unknown right side '$rightKey'")
+        boundary(rightKey)
+      })
+      val lb = boundary(artifact)
+      (name, artifact, rightKey, lb, rb, if (op(lb, rb)) 1L else 0L)
+    }
       .toDF("check_name", "left_artifact", "right_artifact",
         "left_boundary", "right_boundary", "pass")
       .orderBy("check_name")
@@ -347,7 +410,9 @@ object Audit {
        |  SELECT DISTINCT doc_id, unnest((string_split(text, ' '))[1:3]) AS term
        |  FROM documents, t WHERE doc_id < 5 AND doc_id <= t.thr)),
        |e AS (SELECT CAST(max(vec_id) AS BIGINT) AS mxv,
-       |             CAST(count(*) AS BIGINT) AS n_emb FROM embeddings)
+       |             CAST(count(*) AS BIGINT) AS n_emb FROM embeddings),
+       |ev AS (SELECT CAST(strftime(max(CAST(ts AS DATE)), '%Y%m%d') AS BIGINT) AS mxd,
+       |              CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS nd FROM events)
        |SELECT artifact, frozen_boundary, current_boundary,
        |       CAST(0 AS BIGINT) AS arrivals_past_freeze,
        |       stamped_rows, expected_rows,
@@ -359,6 +424,8 @@ object Audit {
        |  SELECT 's18_index', t.thr, t.thr, 0, 0, 1 FROM t
        |  UNION ALL
        |  SELECT 's21_index', t.thr, t.thr, 0, 0, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'sketch_daily', ev.mxd, ev.mxd, ev.nd, ev.nd, 1 FROM ev
        |  UNION ALL
        |  SELECT 'store_manifest', t.thr, t.thr, 0, 0, 1 FROM t
        |  UNION ALL
@@ -381,13 +448,19 @@ object Audit {
     s"""WITH t AS MATERIALIZED (
        |  SELECT ${fdivSql("9 * max(doc_id)", "10")} AS thr,
        |         CAST(max(doc_id) AS BIGINT) AS mx
-       |  FROM documents)
+       |  FROM documents),
+       |e AS MATERIALIZED (SELECT CAST(max(vec_id) AS BIGINT) AS mxv FROM embeddings),
+       |ev AS MATERIALIZED (
+       |  SELECT CAST(strftime(max(CAST(ts AS DATE)), '%Y%m%d') AS BIGINT) AS mxd FROM events)
        |SELECT check_name, left_artifact, right_artifact,
        |       left_boundary, right_boundary, pass FROM (
        |  SELECT 'route_index_matches_sticky' AS check_name,
        |         's18_index' AS left_artifact, 'x68_sticky' AS right_artifact,
        |         t.thr AS left_boundary, t.thr AS right_boundary,
        |         CAST(1 AS BIGINT) AS pass FROM t
+       |  UNION ALL
+       |  SELECT 'ivf_index_matches_embeddings', 'x57_index', 'embeddings_head',
+       |         e.mxv, e.mxv, 1 FROM e
        |  UNION ALL
        |  SELECT 'label_index_inside_labels', 's21_index', 'x24_labels',
        |         t.thr, t.mx, 1 FROM t
@@ -397,6 +470,9 @@ object Audit {
        |  UNION ALL
        |  SELECT 'retrieval_stats_match_sticky', 's20_stats', 'x68_sticky',
        |         t.thr, t.thr, 1 FROM t
+       |  UNION ALL
+       |  SELECT 'sketches_match_events', 'sketch_daily', 'events_head',
+       |         ev.mxd, ev.mxd, 1 FROM ev
        |  UNION ALL
        |  SELECT 'labels_cover_history', 'x24_labels', 'x68_sticky',
        |         t.mx, t.thr, 1 FROM t

@@ -1590,6 +1590,20 @@ object PipelineOps {
     * clusters, so the residual subgraph is vertex-disjoint from the pure
     * slice and the union of labelings is the history fixpoint. */
   private[graft] def histStickyOn(pairs: DataFrame, full: DataFrame,
+      thr: Long): DataFrame =
+    histLabelsOn(pairs, full, thr)
+      .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
+
+  /** The LABELING form of [[histStickyOn]]'s residual derivation — the
+    * history-slice connected components seeded from the full fixpoint,
+    * before the split hash: [[Stages.x75Seed]] serves this (the label
+    * index's seed, x75's in-session stand-in, the sticky roll-forward's
+    * cluster source), so in a store-served session the history labeling
+    * costs the residual propagation over arrival-touching clusters —
+    * never a fresh corpus-sized fixpoint. Exactness is [[histStickyOn]]'s
+    * argument verbatim (the split hash was a projection of these same
+    * rows). */
+  private[graft] def histLabelsOn(pairs: DataFrame, full: DataFrame,
       thr: Long): DataFrame = {
     // clusters whose history restriction can differ from the full
     // component: exactly those containing an arrival — one map-side-
@@ -1612,7 +1626,6 @@ object PipelineOps {
       .join(mixed, "cluster_id")
       .select(col("d1"), col("d2"))
     pure.unionByName(connectedComponents(residNodes, residPairs))
-      .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
   }
 
   /** Persist the sticky-split table — x68's PRODUCTION contract: the
@@ -1682,9 +1695,10 @@ object PipelineOps {
     * audit, and the batch routing twin — stamped ([[Artifacts]]) with
     * the freeze boundary, loud on missing/wrong/stale. */
   def persistRouteIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    val thr = documents(spark, dir)
-      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
-      .collect()(0).getLong(0) // 1 row — the frozen boundary, stamped for x74's audit
+    // the stamped boundary is the CONSUMED sticky generation's (one
+    // source of truth with the banded slice — see [[stickyGeneration]]);
+    // unconfigured it equals the corpus 9/10 boundary as before
+    val thr = stickyGeneration(spark, dir)._2
     Artifacts.writeStamped(spark, routeIndexUnstaged(spark, dir), path,
       "s18_index", Map("thr" -> thr.toString))
   }
@@ -1705,6 +1719,273 @@ object PipelineOps {
       .collect()(0).getLong(0) // 1 row — the frozen boundary, stamped for x74's audit
     Artifacts.writeStamped(spark, labelIndexUnstaged(spark, dir), path,
       "s21_index", Map("thr" -> thr.toString))
+  }
+
+  // ---- incremental re-freeze: the stored-governance maintenance path ----
+
+  /** Merge a stored route index with the bands of the docs that arrived
+    * past its freeze — the incremental re-freeze engine: occupancies
+    * add, split bits OR, and a bucket whose merged occupancy crosses
+    * the df cap tombstones (exactly what a full rebuild would do — df
+    * only grows, so a stored tombstone never un-tombstones). EXACT
+    * against a full rebuild at the new boundary provided (a) `deltaBands`
+    * covers precisely the docs in (old thr, new thr] and (b) the new
+    * sticky generation HOLDS old docs' splits (the x68 sticky contract —
+    * [[persistStickySplitsIncremental]]'s output, where held rows keep
+    * `split_old` verbatim); x78 proves the equality under the
+    * correctness gate rather than asserting it. */
+  private[graft] def mergeRouteIndex(old: DataFrame, deltaBands: DataFrame,
+      deltaSplits: DataFrame): DataFrame = {
+    val deltaAgg = deltaBands.join(deltaSplits, "doc_id")
+      .groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("df_d"), bit_or(splitBitCol(col("split"))).as("bits_d"))
+    old.select(col("band"), col("h"), col("df").as("df_o"), col("bits").as("bits_o"))
+      .join(deltaAgg, Seq("band", "h"), "full")
+      .select(col("band"), col("h"),
+        (coalesce(col("df_o"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"),
+        col("bits_o"), col("bits_d"))
+      .select(col("band"), col("h"), col("df"),
+        when(col("df") > TextOps.x13BandDfCap, lit(null).cast(LongType))
+          .otherwise(coalesce(col("bits_o"), lit(0L))
+            .bitwiseOR(coalesce(col("bits_d"), lit(0L)))).as("bits"))
+  }
+
+  /** [[mergeRouteIndex]]'s label twin, with the one extra move labels
+    * need: stored label SETS are remapped through the new generation's
+    * seed before the union (`renameTo`: old label → its doc's label
+    * under the new seed), because history clusters MERGE as the
+    * boundary advances and the merged cluster takes the smaller name —
+    * a member's new label IS the new label of its old label's doc
+    * (components only merge), so the remapped set union the delta set
+    * equals the full rebuild's set exactly. Occupancy math and the
+    * tombstone rule are [[mergeRouteIndex]]'s; delta label sets are
+    * collected ONLY for buckets whose merged occupancy stays under the
+    * cap (a boilerplate flood among the arrivals never materializes a
+    * set). Remap coverage is validated loudly by the caller
+    * ([[persistLabelIndexIncremental]]) — an inner join here would
+    * silently drop an unmapped label. */
+  private[graft] def mergeLabelIndex(old: DataFrame, deltaBands: DataFrame,
+      deltaLabels: DataFrame, renameTo: DataFrame): DataFrame = {
+    val emptyLabs = array().cast(org.apache.spark.sql.types.ArrayType(LongType))
+    val deltaDf = deltaBands.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("df_d"))
+    val merged = old
+      .select(col("band"), col("h"), col("df").as("df_o"), col("labs").as("labs_o"))
+      .join(deltaDf, Seq("band", "h"), "full")
+      .select(col("band"), col("h"),
+        (coalesce(col("df_o"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"),
+        col("labs_o"), col("df_d"))
+    val deltaLabs = deltaBands
+      .join(merged.filter(col("df") <= TextOps.x13BandDfCap && col("df_d").isNotNull)
+        .select(col("band"), col("h")), Seq("band", "h"), "left_semi")
+      .join(deltaLabels, "doc_id")
+      .groupBy(col("band"), col("h"))
+      .agg(collect_set(col("cluster_id")).as("labs_d"))
+    val remapped = old.filter(col("labs").isNotNull)
+      .select(col("band"), col("h"), explode(col("labs")).as("lab"))
+      .join(renameTo, "lab")
+      .groupBy(col("band"), col("h"))
+      .agg(collect_set(col("new_lab")).as("labs_r"))
+    merged
+      .join(deltaLabs, Seq("band", "h"), "left")
+      .join(remapped, Seq("band", "h"), "left")
+      .select(col("band"), col("h"), col("df"),
+        when(col("df") > TextOps.x13BandDfCap,
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(LongType)))
+          .otherwise(sort_array(array_distinct(concat(
+            coalesce(col("labs_r"), emptyLabs),
+            coalesce(col("labs_d"), emptyLabs))))).as("labs"))
+  }
+
+  /** Roll a stored sticky table forward one freeze generation — the
+    * production cadence behind the incremental index persists: fold the
+    * docs that arrived in (stored thr, current 9/10 boundary] into the
+    * stored assignment via x68's decision rule ([[splitStableOn]]
+    * against the NEW history labeling, [[Stages.x75Seed]]), so held
+    * docs keep their split verbatim (the contract
+    * [[mergeRouteIndex]]'s exactness needs), bridge arrivals
+    * quarantine, and the rest inherit or hash fresh. Writes the new
+    * generation STAMPED at the new boundary, with `merged_from_thr`
+    * recording the lineage for audits. Refuses an in-place overwrite
+    * (the read plan would consume files the write deletes) and a
+    * backwards boundary. */
+  def persistStickySplitsIncremental(spark: SparkSession, dir: String,
+      path: String, fromPath: String): Unit = {
+    require(Artifacts.normPath(spark, path) != Artifacts.normPath(spark, fromPath),
+      s"sticky refreeze: refusing in-place overwrite of $fromPath — " +
+        "write the new generation to a fresh path (generational store layout)")
+    val (oldSticky, _, props) = Stages.readStampedFacts(spark, fromPath, "x68_sticky")
+    require(props.contains("thr"),
+      s"sticky store at $fromPath lacks the 'thr' freeze prop — re-persist")
+    val thrOld = props("thr").toLong
+    val thrNew = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    require(thrNew >= thrOld,
+      s"sticky refreeze: current boundary $thrNew is behind the stored generation $thrOld — " +
+        "wrong corpus or wrong store")
+    Artifacts.writeStamped(spark,
+      splitStableOn(oldSticky, Stages.x75Seed(spark, dir))
+        .select(col("doc_id"), col("split").as("split_old")),
+      path, "x68_sticky",
+      Map("thr" -> thrNew.toString, "merged_from_thr" -> thrOld.toString))
+  }
+
+  /** Incremental route-index re-freeze: band ONLY the docs that arrived
+    * past the stored index's freeze and merge them into the stored
+    * (band, h) rows ([[mergeRouteIndex]]) — the full-history banding
+    * (the measured superlinear term of the r18 freeze price) never
+    * re-runs. The delta's splits come from the CURRENT sticky
+    * generation ([[stickyGeneration]] — store or in-session), whose
+    * boundary must be at or past the stored index's; production order
+    * is therefore: roll the sticky store forward first
+    * ([[persistStickySplitsIncremental]]), point `spark.graft.stickyPath`
+    * at the new generation, then re-freeze the index. x78 proves
+    * incremental ≡ full rebuild under the correctness gate. */
+  def persistRouteIndexIncremental(spark: SparkSession, dir: String,
+      path: String, fromPath: String): Unit = {
+    require(Artifacts.normPath(spark, path) != Artifacts.normPath(spark, fromPath),
+      s"route-index refreeze: refusing in-place overwrite of $fromPath — " +
+        "write the new generation to a fresh path")
+    val (oldIdx, _, props) = Stages.readStampedFacts(spark, fromPath, "s18_index")
+    require(props.contains("thr"),
+      s"route index at $fromPath lacks the 'thr' freeze prop — re-persist")
+    val thrOld = props("thr").toLong
+    val (sticky, thrNew) = stickyGeneration(spark, dir)
+    require(thrNew >= thrOld,
+      s"route-index refreeze: sticky generation $thrNew is behind the stored index $thrOld — " +
+        "roll the sticky store forward first (persistStickySplitsIncremental)")
+    val deltaDocs = documents(spark, dir)
+      .filter(col("doc_id") > thrOld && col("doc_id") <= thrNew)
+      .select(col("doc_id"), col("text"))
+    Artifacts.writeStamped(spark,
+      mergeRouteIndex(oldIdx, TextOps.x13Bands(deltaDocs),
+        sticky.filter(col("doc_id") > thrOld)
+          .select(col("doc_id"), col("split_old").as("split"))),
+      path, "s18_index",
+      Map("thr" -> thrNew.toString, "merged_from_thr" -> thrOld.toString))
+  }
+
+  /** Incremental label-index re-freeze ([[persistRouteIndexIncremental]]'s
+    * label twin): delta docs banded and labeled under the CURRENT seed
+    * generation ([[Stages.x75Seed]]), stored label sets remapped through
+    * the same seed (old label → its doc's current label — renames from
+    * cluster merges propagate), merged via [[mergeLabelIndex]]. Remap
+    * coverage is validated loudly: every stored label must resolve in
+    * the new seed (a label absent from the seed means the configured
+    * index was frozen over a different corpus). */
+  def persistLabelIndexIncremental(spark: SparkSession, dir: String,
+      path: String, fromPath: String): Unit = {
+    require(Artifacts.normPath(spark, path) != Artifacts.normPath(spark, fromPath),
+      s"label-index refreeze: refusing in-place overwrite of $fromPath — " +
+        "write the new generation to a fresh path")
+    val (oldIdx, _, props) = Stages.readStampedFacts(spark, fromPath, "s21_index")
+    require(props.contains("thr"),
+      s"label index at $fromPath lacks the 'thr' freeze prop — re-persist")
+    val thrOld = props("thr").toLong
+    val thrNew = documents(spark, dir)
+      .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0)
+    require(thrNew >= thrOld,
+      s"label-index refreeze: current boundary $thrNew is behind the stored index $thrOld — " +
+        "wrong corpus or wrong store")
+    val seedNew = Stages.x75Seed(spark, dir)
+    val renameTo = seedNew.select(col("doc_id").as("lab"), col("cluster_id").as("new_lab"))
+    val missing = oldIdx.filter(col("labs").isNotNull)
+      .select(explode(col("labs")).as("lab")).distinct()
+      .join(renameTo, Seq("lab"), "left_anti").count() // index-sized, freeze-time only
+    require(missing == 0L,
+      s"label-index refreeze: $missing stored labels are absent from the current seed " +
+        s"generation — the index at $fromPath was frozen over a different corpus")
+    val deltaDocs = documents(spark, dir)
+      .filter(col("doc_id") > thrOld && col("doc_id") <= thrNew)
+      .select(col("doc_id"), col("text"))
+    Artifacts.writeStamped(spark,
+      mergeLabelIndex(oldIdx, TextOps.x13Bands(deltaDocs),
+        seedNew.filter(col("doc_id") > thrOld), renameTo),
+      path, "s21_index",
+      Map("thr" -> thrNew.toString, "merged_from_thr" -> thrOld.toString))
+  }
+
+  /** One side of x78's comparison: (band, h) plus the STORED payload
+    * struct (df + bits/labs) and the SERVED payload struct (null past
+    * the cap), full-outer-joined so a bucket present on one side only
+    * reads as a mismatch. */
+  private def refreezeJoined(full: DataFrame, inc: DataFrame, payload: String,
+      servedVal: Column): DataFrame = {
+    def side(d: DataFrame, p: String, s: String) = d.select(col("band"), col("h"),
+      struct(col("df"), col(payload)).as(p),
+      when(col("df") <= TextOps.x13BandDfCap, struct(servedVal)).as(s))
+    side(full, "pa", "sa").join(side(inc, "pb", "sb"), Seq("band", "h"), "full")
+  }
+
+  /** x78's verdict rows from one joined frame: ONE aggregate yields
+    * both the stored-form and served-form equality counts (the
+    * rowChecks explode idiom — the corpus-sized join appears once in
+    * the plan, not once per row). */
+  private def refreezeRows(name: String, joined: DataFrame): DataFrame = {
+    def n(c: Column) = coalesce(sum(c.cast(LongType)), lit(0L))
+    joined.agg(
+      n(col("pa").isNotNull).as("f_st"), n(col("pb").isNotNull).as("i_st"),
+      n(not(col("pa") <=> col("pb"))).as("m_st"),
+      n(col("sa").isNotNull).as("f_se"), n(col("sb").isNotNull).as("i_se"),
+      n(not(col("sa") <=> col("sb"))).as("m_se"))
+      .select(explode(array(
+        struct(lit("stored").as("form"), col("f_st").as("n_full"),
+          col("i_st").as("n_inc"), col("m_st").as("n_mismatch")),
+        struct(lit("served").as("form"), col("f_se").as("n_full"),
+          col("i_se").as("n_inc"), col("m_se").as("n_mismatch")))).as("e"))
+      .select(lit(name).as("index_name"), col("e.form").as("form"),
+        col("e.n_full").as("n_full"), col("e.n_inc").as("n_inc"),
+        col("e.n_mismatch").as("n_mismatch"),
+        when(col("e.n_mismatch") === 0L && col("e.n_full") === col("e.n_inc"), 1L)
+          .otherwise(0L).as("pass"))
+  }
+
+  /** x78: the incremental re-freeze PROOF — incremental ≡ full rebuild,
+    * under the correctness gate rather than asserted. Replays the
+    * production cadence in-session: generation k is the staged band
+    * indexes at the standard 9/10 boundary; generation k+1 advances the
+    * boundary to the corpus head (every arrival becomes history), with
+    * the new sticky generation = x68's closure (held docs keep their
+    * splits — the contract [[mergeRouteIndex]] needs; bridge arrivals
+    * carry the quarantine bit, so the new bit-8 path is exercised) and
+    * the new seed = the full label fixpoint (renames from cluster
+    * merges exercise [[mergeLabelIndex]]'s remap). Both indexes are
+    * then built BOTH ways — incremental (stored rows + arrival bands
+    * only) and full rebuild (the whole corpus re-banded) — and compared
+    * bucket-by-bucket with null-safe equality on occupancy AND payload,
+    * in stored and served forms. Output: one row per (index, form) with
+    * both row counts, the mismatch count, and a 0/1 pass — the oracle
+    * pins the counts to an independent full-corpus banding and the
+    * mismatches to zero, so any divergence between the cheap path and
+    * the expensive path fails the hash gate.
+    *
+    * Scale shape: the FULL rebuild here is the proof's cost, paid only
+    * by the proof (production runs [[persistRouteIndexIncremental]] /
+    * [[persistLabelIndexIncremental]], whose price is ∝ arrivals — the
+    * 1024× store leg measures it); the compares are index-sized
+    * (lattice, not corpus) full-outer joins on (band, h). */
+  def x78IndexRefreeze(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val thrOld = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+      .collect()(0).getLong(0) // 1 row — generation k's boundary
+    val stickyNew = x68SplitStable(spark, dir).select(col("doc_id"), col("split"))
+    val seedNew = Stages.x24Labels(spark, dir)
+    val deltaBands = TextOps.x13Bands(d.filter(col("doc_id") > thrOld))
+    val allBands = TextOps.x13Bands(d)
+    val incRoute = mergeRouteIndex(Stages.s18IndexFull(spark, dir), deltaBands,
+      stickyNew.filter(col("doc_id") > thrOld))
+    val incLabel = mergeLabelIndex(Stages.s21IndexFull(spark, dir), deltaBands,
+      seedNew.filter(col("doc_id") > thrOld),
+      seedNew.select(col("doc_id").as("lab"), col("cluster_id").as("new_lab")))
+    refreezeRows("s18_index",
+      refreezeJoined(routeIndexOn(allBands, stickyNew), incRoute, "bits",
+        col("bits").as("v")))
+      .unionByName(refreezeRows("s21_index",
+        refreezeJoined(labelIndexOn(allBands, seedNew), incLabel, "labs",
+          array_min(col("labs")).as("v"))))
+      .orderBy("index_name", "form")
   }
 
   /** x68's decision rule over any sticky (doc_id, split_old) and full
@@ -1827,6 +2108,7 @@ object PipelineOps {
     "x24_dedup_clusters" -> x24DedupClusters,
     "x75_inc_labels" -> x75IncLabels,
     "x76_label_agreement" -> x76LabelAgreement,
+    "x78_index_refreeze" -> x78IndexRefreeze,
     "x25_boilerplate" -> x25Boilerplate,
     "x26_winnowing" -> x26Winnowing,
     "x28_surprisal" -> x28Surprisal,
@@ -1983,53 +2265,135 @@ object PipelineOps {
 
   // ---- s18/x69 shared routing core ----
 
-  /** s18's split-bit packing: test=1, val=2, train=4 — OR-able through
-    * the band index, popcount-free to unpack. */
+  /** s18's split-bit packing: test=1, val=2, train=4, quarantine=8 —
+    * OR-able through the band index, popcount-free to unpack. The
+    * quarantine bit never occurs in a phase-1 sticky table (hash splits
+    * only) but DOES once a next-generation sticky store folds bridge
+    * arrivals in ([[persistStickySplitsIncremental]]) — a quarantined
+    * neighbor then quarantines the arrival through
+    * [[routeVerdictCols]]'s conflict branch. */
   private[graft] def splitBitCol(s: Column): Column =
-    when(s === "test", 1L).when(s === "val", 2L).otherwise(4L)
+    when(s === "test", 1L).when(s === "val", 2L).when(s === "train", 4L)
+      .otherwise(8L)
 
-  /** The router's FROZEN index (band, h, bits): history-slice x13 bands
-    * (hot buckets capped at the x13 df cap; singles stay — a one-doc
-    * bucket is a valid neighbor) joined to the staged sticky splits,
-    * bits OR'd per bucket. Consumers read it through
-    * [[Stages.s18Index]] so the banding + fixpoint run once per session
-    * across the s18 gate and x69's agreement audit. */
-  private[graft] def routeIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
+  /** The band indexes' STORED form over any (doc_id, band, h) band
+    * frame and per-doc payload: one row per (band, h) BUCKET — under-
+    * and over-cap alike — carrying the bucket occupancy `df` and the
+    * aggregated payload, NULL for buckets past the df cap (tombstone:
+    * never served, but the occupancy must persist or an incremental
+    * merge could resurrect a hot bucket a full rebuild would drop — df
+    * only grows, so over-cap is absorbing). `df` makes the stored rows
+    * MERGEABLE: occupancies add and the payloads (bit_or / label sets)
+    * union, which is what lets a re-freeze band only the arrivals
+    * ([[mergeRouteIndex]]/[[mergeLabelIndex]]) instead of re-banding
+    * history — the r18 verdict's last superlinear freeze line. Serving
+    * applies the cap filter at read ([[serveRouteIndex]]/
+    * [[serveLabelIndex]]), so consumers see exactly the pre-v2 index. */
+  private[graft] def routeIndexOn(bands: DataFrame, splits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
-    val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
-      .collect()(0).getLong(0)
     val wB = Window.partitionBy(col("band"), col("h"))
-    TextOps.x13Bands(d.filter(col("doc_id") <= thr))
-      .withColumn("df", count(lit(1)).over(wB))
-      // the ONE df-cap definition (TextOps.x13BandDfCap): retuning x13's
-      // cap must retune the router's index with it, or the neighbor set
-      // silently diverges from the pair table feeding x68Sticky
-      .filter(col("df") <= TextOps.x13BandDfCap)
-      .join(Stages.x68Sticky(spark, dir), "doc_id")
-      .groupBy(col("band"), col("h"))
-      .agg(bit_or(splitBitCol(col("split_old"))).as("bits"))
+    val withDf = bands.withColumn("df", count(lit(1)).over(wB))
+    // the ONE df-cap definition (TextOps.x13BandDfCap): retuning x13's
+    // cap must retune the router's index with it, or the neighbor set
+    // silently diverges from the pair table feeding x68Sticky
+    withDf.filter(col("df") <= TextOps.x13BandDfCap)
+      .join(splits, "doc_id")
+      .groupBy(col("band"), col("h"), col("df"))
+      .agg(bit_or(splitBitCol(col("split"))).as("bits"))
+      .unionByName(withDf.filter(col("df") > TextOps.x13BandDfCap)
+        .select(col("band"), col("h"), col("df")).distinct()
+        .withColumn("bits", lit(null).cast(LongType)))
   }
 
-  /** The s21 label router's FROZEN index (band, h, lab): history-slice
-    * x13 bands (hot buckets capped at the x13 df cap — the s18 rule:
-    * one df definition across the lattice) joined to the frozen history
-    * labeling ([[Stages.x75Seed]] — the same seed x75's maintenance
-    * contracts from), min member label per bucket. Consumers read it
-    * through [[Stages.s21Index]] so the banding + seed fixpoint run
-    * once per session across the s21 gate and its batch twin. */
-  private[graft] def labelIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
+  /** [[routeIndexOn]]'s label twin: the payload is the SET of distinct
+    * member labels (sorted for determinism), not just their min — the
+    * min alone is not mergeable across freeze generations (two clusters
+    * sharing a bucket can flip relative order when one merges with an
+    * older cluster), while the set remaps exactly: every member's new
+    * label equals the new label of its OLD label's doc
+    * (components only merge), so remap(old set) ∪ delta set IS the full
+    * rebuild's set. Bounded by the df cap: a served bucket holds ≤ cap
+    * members, so ≤ cap labels; over-cap buckets tombstone to NULL
+    * before any set materializes. Serving reads `array_min(labs)` —
+    * the same min-member-label the pre-v2 index carried. */
+  private[graft] def labelIndexOn(bands: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("band"), col("h"))
+    val withDf = bands.withColumn("df", count(lit(1)).over(wB))
+    withDf.filter(col("df") <= TextOps.x13BandDfCap)
+      .join(labels, "doc_id")
+      .groupBy(col("band"), col("h"), col("df"))
+      .agg(sort_array(collect_set(col("cluster_id"))).as("labs"))
+      .unionByName(withDf.filter(col("df") > TextOps.x13BandDfCap)
+        .select(col("band"), col("h"), col("df")).distinct()
+        .withColumn("labs",
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(LongType))))
+  }
+
+  /** The SERVED projection of a stored route index: under-cap buckets
+    * only, (band, h, bits) — the shape every consumer (s18 gate,
+    * [[routeDecisions]], x69) reads; bit-identical to the pre-v2
+    * index. */
+  private[graft] def serveRouteIndex(full: DataFrame): DataFrame =
+    full.filter(col("df") <= TextOps.x13BandDfCap)
+      .select(col("band"), col("h"), col("bits"))
+
+  /** The SERVED projection of a stored label index: under-cap buckets,
+    * (band, h, lab = min member label). */
+  private[graft] def serveLabelIndex(full: DataFrame): DataFrame =
+    full.filter(col("df") <= TextOps.x13BandDfCap)
+      .select(col("band"), col("h"), array_min(col("labs")).as("lab"))
+
+  /** The sticky generation the route index is banded over, WITH its
+    * freeze boundary: the configured store's frame plus its STAMPED
+    * `thr` (one source of truth — until r19 the banding slice and the
+    * persisted stamp both re-derived the boundary from the current
+    * corpus, so an older configured sticky store produced an index
+    * banded over one generation but stamped with another, invisible to
+    * x74's boundary-only audit); unconfigured, the in-session stage at
+    * the corpus 9/10 boundary. */
+  private[graft] def stickyGeneration(spark: SparkSession, dir: String): (DataFrame, Long) =
+    Artifacts.configuredPath(spark, "x68_sticky") match {
+      case Some(p) =>
+        val (stored, _, props) = Stages.readStampedFacts(spark, p, "x68_sticky")
+        require(props.contains("thr"),
+          s"sticky store at $p lacks the 'thr' freeze prop — re-persist with the current producer")
+        (stored, props("thr").toLong)
+      case None =>
+        val thr = documents(spark, dir)
+          .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
+          .collect()(0).getLong(0) // 1 row — the installment boundary
+        (Stages.x68Sticky(spark, dir), thr)
+    }
+
+  /** The router's FROZEN index, stored form (band, h, df, bits):
+    * history-slice x13 bands (hot buckets tombstoned past the x13 df
+    * cap; singles stay — a one-doc bucket is a valid neighbor) joined
+    * to the sticky generation's splits, bits OR'd per bucket. Consumers
+    * read the served projection through [[Stages.s18Index]] so the
+    * banding + fixpoint run once per session across the s18 gate and
+    * x69's agreement audit. The banding slice is the STICKY generation's
+    * boundary ([[stickyGeneration]]), so a configured store and the
+    * banded slice can never disagree. */
+  private[graft] def routeIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val (sticky, thr) = stickyGeneration(spark, dir)
+    routeIndexOn(TextOps.x13Bands(d.filter(col("doc_id") <= thr)),
+      sticky.select(col("doc_id"), col("split_old").as("split")))
+  }
+
+  /** The s21 label router's FROZEN index, stored form (band, h, df,
+    * labs): history-slice x13 bands (the s18 rule: one df definition
+    * across the lattice) joined to the frozen history labeling
+    * ([[Stages.x75Seed]] — the same seed x75's maintenance contracts
+    * from), distinct member labels per bucket. Consumers read the
+    * served min-label projection through [[Stages.s21Index]]. */
+  private[graft] def labelIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val wB = Window.partitionBy(col("band"), col("h"))
-    TextOps.x13Bands(d.filter(col("doc_id") <= thr))
-      .withColumn("df", count(lit(1)).over(wB))
-      .filter(col("df") <= TextOps.x13BandDfCap)
-      .join(Stages.x75Seed(spark, dir), "doc_id")
-      .groupBy(col("band"), col("h"))
-      .agg(min(col("cluster_id")).as("lab"))
+    labelIndexOn(TextOps.x13Bands(d.filter(col("doc_id") <= thr)),
+      Stages.x75Seed(spark, dir))
   }
 
   /** The s21 assignment rule, batch-side: arrivals banded with the x13
@@ -2320,9 +2684,44 @@ object PipelineOps {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** x78's oracle: an INDEPENDENT full-corpus banding — the bucket
+    * counts (total and under-cap) pin BOTH build paths' row counts, and
+    * the mismatch/pass columns pin to 0/1, so the incremental-vs-full
+    * equality the Spark side measures must actually hold for the hash
+    * gate to pass. Splits/labels never enter the oracle: bucket
+    * membership (and so every count) is payload-independent — each
+    * banded doc has exactly one split and one label row on the Spark
+    * side, so the payload joins preserve occupancy. */
+  private[graft] def x78OracleSql: String = {
+    def sigSql(src: String) =
+      (0 until 8).map(s => s"min(substring(gh, ${4 * s + 1}, 4)) AS mh$s")
+        .mkString(s"SELECT doc_id, ", ", ", s" FROM $src GROUP BY doc_id")
+    def bandsSql(sig: String) =
+      (0 until 4).map(b =>
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, mh${2 * b} || mh${2 * b + 1} AS h FROM $sig")
+        .mkString(" UNION ALL ")
+    s"""WITH gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh
+       |                         FROM (${TextOps.shingleRowsSql}) sr),
+       |sig AS MATERIALIZED (${sigSql("gh")}),
+       |bands AS MATERIALIZED (${bandsSql("sig")}),
+       |b AS MATERIALIZED (SELECT band, h, count(*) AS df FROM bands GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_all,
+       |  CAST(sum(CASE WHEN df <= ${TextOps.x13BandDfCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_served
+       |  FROM b)
+       |SELECT index_name, form, n_full, n_inc,
+       |       CAST(0 AS BIGINT) AS n_mismatch, CAST(1 AS BIGINT) AS pass FROM (
+       |  SELECT 's18_index' AS index_name, 'served' AS form,
+       |         c.n_served AS n_full, c.n_served AS n_inc FROM c
+       |  UNION ALL SELECT 's18_index', 'stored', c.n_all, c.n_all FROM c
+       |  UNION ALL SELECT 's21_index', 'served', c.n_served, c.n_served FROM c
+       |  UNION ALL SELECT 's21_index', 'stored', c.n_all, c.n_all FROM c
+       |) ORDER BY index_name, form""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x63_split_assign" -> x63Sql,
     "x68_split_stable" -> x68Sql,
+    "x78_index_refreeze" -> x78OracleSql,
     // x70: exact integer temperature mixing — isqrt weight, floored
     // target, bottom-target-by-h48 draw, kept set counted AND checksummed
     "x70_temp_mixture" ->

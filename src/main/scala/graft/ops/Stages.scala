@@ -323,12 +323,19 @@ object Stages {
             x13Pairs(spark, dir).select(col("d1"), col("d2"))))
     }
 
-  /** x75's in-session seed: the HISTORY labeling — connected components
-    * over history docs (doc_id ≤ the 9/10 boundary) and the
-    * history-internal pairs of the full-corpus candidate lattice — the
+  /** x75's in-session seed: the HISTORY labeling (doc_id ≤ the 9/10
+    * boundary, components over history-internal pairs) — the
     * correctness harness's stand-in for a labels store frozen at that
-    * boundary. Staged so x75 and its audit twins run the history
-    * fixpoint once per session. */
+    * boundary, the label index's seed, and the sticky roll-forward's
+    * cluster source. Derived via the seeded residual
+    * ([[PipelineOps.histLabelsOn]] — the [[x68Sticky]] idiom): the full
+    * fixpoint is already paid for (staged, or FREE when the labels
+    * STORE is configured), so the history pass adds only the residual
+    * propagation over arrival-touching clusters — in a store-served
+    * session this is what keeps the label-index re-freeze ∝ arrivals
+    * instead of a fresh corpus-sized fixpoint. Exact: min-label
+    * fixpoints are unique (the histStickyOn argument). Staged so x75
+    * and its audit twins run the residual once per session. */
   def x75Seed(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x75_seed") {
       val d = graft.model.Tables.documents(spark, dir).select(col("doc_id"))
@@ -337,10 +344,9 @@ object Stages {
             org.apache.spark.sql.functions.max(col("doc_id")),
           org.apache.spark.sql.functions.lit(10L)))
         .collect()(0).getLong(0) // 1 row — the installment boundary
-      PipelineOps.connectedComponents(
-        d.filter(col("doc_id") <= thr),
-        x13Pairs(spark, dir).filter(col("d1") <= thr && col("d2") <= thr)
-          .select(col("d1"), col("d2")))
+      PipelineOps.histLabelsOn(
+        x13Pairs(spark, dir).select(col("d1"), col("d2")),
+        x24Labels(spark, dir), thr)
     }
 
   /** x9's per-document quality scores (doc_id + five ints, one row per
@@ -422,10 +428,11 @@ object Stages {
   private def routeIndexPath(spark: SparkSession): Option[String] =
     Artifacts.configuredPath(spark, "s18_index")
 
-  /** The s18 router's frozen (band, h) → split-bits index over the
-    * history slice — read by the s18 gate's stream-static joins and by
-    * x69's agreement audit. Two sources, in priority order: (1) the
-    * PERSISTED table ([[PipelineOps.persistRouteIndex]] +
+  /** The s18 router's frozen index in its STORED form (band, h, df,
+    * bits — over- and under-cap buckets, tombstoned payloads past the
+    * cap): what [[PipelineOps.persistRouteIndexIncremental]] merges
+    * into and x78's proof compares. Two sources, in priority order:
+    * (1) the PERSISTED table ([[PipelineOps.persistRouteIndex]] +
     * `spark.graft.routeIndexPath`) — the serving form: the index is the
     * router's whole decision state, and until this store it was the
     * LAST artifact re-derived at serve time (a corpus-sized history
@@ -433,30 +440,58 @@ object Stages {
     * the 1024× store-served leg while the stored-label path served at
     * 0.97 s); stamp-validated, loud on missing/wrong/stale; (2) the
     * in-session stage, so the banding runs once per session. */
-  def s18Index(spark: SparkSession, dir: String): DataFrame =
+  def s18IndexFull(spark: SparkSession, dir: String): DataFrame =
     routeIndexPath(spark) match {
       case Some(p) => readStamped(spark, p, "s18_index")
       case None =>
         stage(spark, dir, "s18_index")(PipelineOps.routeIndexUnstaged(spark, dir))
     }
 
+  /** The SERVED route index (band, h, bits — under-cap buckets only),
+    * read by the s18 gate's stream-static joins and x69's agreement
+    * audit; the cap filter applies at read so the stored form can keep
+    * the over-cap occupancies the incremental merge needs. */
+  def s18Index(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.serveRouteIndex(s18IndexFull(spark, dir))
+
   /** The PERSISTED label-index location, if configured (the
     * [[stickyPath]] convention). */
   private def labelIndexPath(spark: SparkSession): Option[String] =
     Artifacts.configuredPath(spark, "s21_index")
 
-  /** The s21 label router's frozen (band, h) → min-history-label index —
-    * read by the s21 gate's stream-static joins and its batch twin (the
-    * s18Index pattern applied to labels). Two sources, in priority
-    * order: (1) the PERSISTED table ([[PipelineOps.persistLabelIndex]] +
-    * `spark.graft.labelIndexPath`), stamp-validated, loud on
-    * missing/wrong/stale; (2) the in-session stage, so the banding +
-    * seed fixpoint run once per session. */
-  def s21Index(spark: SparkSession, dir: String): DataFrame =
+  /** The s21 label router's frozen index in its STORED form (band, h,
+    * df, labs — distinct member-label sets, tombstoned past the cap):
+    * the mergeable form [[PipelineOps.persistLabelIndexIncremental]]
+    * consumes. Two sources, in priority order: (1) the PERSISTED table
+    * ([[PipelineOps.persistLabelIndex]] + `spark.graft.labelIndexPath`),
+    * stamp-validated, loud on missing/wrong/stale; (2) the in-session
+    * stage, so the banding + seed fixpoint run once per session. */
+  def s21IndexFull(spark: SparkSession, dir: String): DataFrame =
     labelIndexPath(spark) match {
       case Some(p) => readStamped(spark, p, "s21_index")
       case None =>
         stage(spark, dir, "s21_index")(PipelineOps.labelIndexUnstaged(spark, dir))
+    }
+
+  /** The SERVED label index (band, h, lab = min member label), read by
+    * the s21 gate's stream-static joins and its batch twin (the
+    * s18Index pattern applied to labels). */
+  def s21Index(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.serveLabelIndex(s21IndexFull(spark, dir))
+
+  /** The daily sketch warehouse (wk, d, n_events, n_values, hll_users,
+    * kll_value) — q28/q29's rollup source. Two sources, in priority
+    * order: (1) the PERSISTED table ([[Analytics.persistSketchDaily]] +
+    * `spark.graft.sketchPath`) — the warehouse form: a serving session
+    * answers weekly/all-time distinct and quantile questions from
+    * stored bytes, never rescanning the event log; stamp-validated,
+    * loud on missing/wrong/stale; (2) the in-session build, staged so
+    * q28 and q29 aggregate the log once per session. */
+  def sketchDaily(spark: SparkSession, dir: String): DataFrame =
+    Artifacts.configuredPath(spark, "sketch_daily") match {
+      case Some(p) => readStamped(spark, p, "sketch_daily")
+      case None =>
+        stage(spark, dir, "sketch_daily")(Analytics.sketchDailyUnstaged(spark, dir))
     }
 
   /** x36's incremental-batch hit counts (doc_id, n_keys, n_hit) against

@@ -175,7 +175,7 @@ class AuditSpec extends SparkTestBase {
 
   test("x77: unconfigured coherence audit passes every cross-store constraint") {
     val rows = Audit.x77StoreCoherence(spark, sf0001).collect()
-    assert(rows.length == 6, rows.mkString(", "))
+    assert(rows.length == 8, rows.mkString(", "))
     assert(rows.forall(_.getLong(5) == 1L),
       s"single-generation audit must pass everything: ${rows.mkString(", ")}")
     // boundary columns carry the real would-be values, not placeholders
@@ -183,6 +183,38 @@ class AuditSpec extends SparkTestBase {
     assert(m("route_index_matches_sticky")._1 == m("route_index_matches_sticky")._2)
     assert(m("labels_cover_history")._1 > m("labels_cover_history")._2,
       "max_id must exceed the 9/10 boundary on a real corpus")
+    // the r19 row: the vector-lattice store audits against ITS axis head
+    assert(m("ivf_index_matches_embeddings")._1 == m("ivf_index_matches_embeddings")._2 &&
+      m("ivf_index_matches_embeddings")._1 > 0L,
+      s"x57_index must appear in the coherence matrix: ${rows.mkString(", ")}")
+  }
+
+  test("x77: a coherence-spec registry that misses or invents a store fails loudly") {
+    // the x74 registry pin applied to x77 (r18 verdict gap #2): a store
+    // registered in Artifacts.versions without a coherence DECISION
+    // (check row or explicit anchor role) refuses the whole audit
+    val partialSpecs = Map[String, Audit.X77Spec]("x68_sticky" -> Audit.X77Anchor)
+    val partialBounds = Map("x68_sticky" -> (("thr", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Audit.x77RowsFor(spark, partialSpecs, partialBounds, Map.empty).collect()
+    }
+    assert(e.getMessage.contains("undecided stores"), e.getMessage)
+    val fullSpecs = Artifacts.versions.keySet.map(a =>
+      a -> (Audit.X77Anchor: Audit.X77Spec)).toMap
+    val fullBounds = Artifacts.versions.keySet.map(a => a -> (("thr", 1L))).toMap
+    val e2 = intercept[IllegalArgumentException] {
+      Audit.x77RowsFor(spark,
+        fullSpecs + ("not_a_store" -> Audit.X77Anchor), fullBounds, Map.empty).collect()
+    }
+    assert(e2.getMessage.contains("entries without a registered store"), e2.getMessage)
+    // a check referencing an unresolvable right side is equally loud
+    val e3 = intercept[IllegalArgumentException] {
+      Audit.x77RowsFor(spark,
+        fullSpecs + ("x68_sticky" ->
+          Audit.X77Check("bogus_check", "no_such_axis", _ == _)),
+        fullBounds, Map.empty).collect()
+    }
+    assert(e3.getMessage.contains("unknown right side"), e3.getMessage)
   }
 
   test("x77: stores from different installments flip the named constraint") {

@@ -33,7 +33,7 @@ class BandIndexStoreSpec extends SparkTestBase {
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.routeIndexPath", path)
     try {
-      assert(rows(Stages.s18Index(fresh, sf0001)) == derivedIdx,
+      assert(rows(Stages.s18IndexFull(fresh, sf0001)) == derivedIdx,
         "stored route index diverged from the derivation")
       assert(rows(PipelineOps.routeDecisions(fresh, sf0001)) == derivedRoutes,
         "store-served routing diverged from the derive-path routing")
@@ -52,7 +52,7 @@ class BandIndexStoreSpec extends SparkTestBase {
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.labelIndexPath", path)
     try {
-      assert(rows(Stages.s21Index(fresh, sf0001)) == derivedIdx,
+      assert(rows(Stages.s21IndexFull(fresh, sf0001)) == derivedIdx,
         "stored label index diverged from the derivation")
       assert(rows(PipelineOps.labelRouteDecisions(fresh, sf0001)) == derivedAssign,
         "store-served assignment diverged from the derive-path assignment")

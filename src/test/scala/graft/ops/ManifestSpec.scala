@@ -30,7 +30,10 @@ class ManifestSpec extends SparkTestBase {
       "s18_index" -> s"$tmp/route_index",
       "x62b_merges" -> s"$tmp/merges"), freezeBoundary(sf0001))
     val sticky = spark.read.parquet(s"$tmp/sticky").collect().map(_.toString).sorted.toSeq
-    val idx = spark.read.parquet(s"$tmp/route_index").collect().map(_.toString).sorted.toSeq
+    // the stored form carries df + tombstones (v2); compare the SERVED
+    // projection, which is what s18Index yields
+    val idx = PipelineOps.serveRouteIndex(spark.read.parquet(s"$tmp/route_index"))
+      .collect().map(_.toString).sorted.toSeq
     val fresh = spark.newSession()
     fresh.conf.set("spark.graft.storeManifest", s"$tmp/manifest")
     try {

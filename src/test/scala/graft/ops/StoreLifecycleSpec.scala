@@ -90,4 +90,96 @@ class StoreLifecycleSpec extends SparkTestBase {
       serving.conf.unset("spark.graft.labelIndexPath")
     }
   }
+
+  test("manifest flip mid-flight: a RUNNING stream keeps its construction-time generation; a restart serves the flip") {
+    // the restart-to-flip contract (r18 verdict gap #4), pinned on the
+    // gates' exact mechanism — a stream-static join against a
+    // manifest-resolved store: the static side is resolved ONCE at query
+    // construction, and generation A's files are immutable (the
+    // incremental persists refuse in-place overwrites), so micro-batches
+    // arriving AFTER the manifest repoints keep routing on A; only a
+    // restarted query re-resolves and serves B. x77 is the page that
+    // gates the flip itself (AuditSpec's mixed-generation test).
+    val tmp = Files.createTempDirectory("graft_flip_").toString
+    val thr = {
+      val mx = graft.model.Tables.documents(spark, sf0001)
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      Math.floorDiv(9L * mx, 10L)
+    }
+    PipelineOps.persistStickySplits(spark, sf0001, s"$tmp/sticky")
+    PipelineOps.persistRouteIndex(spark, sf0001, s"$tmp/routeA")
+    // generation B: every bucket doctored to conflicting bits (3) — a
+    // query on B quarantines every band-matched arrival, observably
+    // different from A's inherited routes
+    Artifacts.writeStamped(spark, spark.read.parquet(s"$tmp/routeA")
+      .withColumn("bits", when(col("bits").isNotNull, lit(3L))),
+      s"$tmp/routeB", "s18_index",
+      Map("thr" -> Artifacts.readProps(spark, s"$tmp/routeA")("thr")))
+    def manifest(route: String): Unit =
+      Artifacts.writeManifest(spark, s"$tmp/manifest", Map(
+        "x68_sticky" -> s"$tmp/sticky", "s18_index" -> s"$tmp/$route"), thr)
+    manifest("routeA")
+    val serving = spark.newSession()
+    serving.conf.set("spark.graft.storeManifest", s"$tmp/manifest")
+    try {
+      // the docs generation A actually inherits (its observable signature)
+      val inheritedA = PipelineOps.routeDecisions(serving, sf0001)
+        .filter(col("origin") === "inherited").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(inheritedA.size >= 2, s"need ≥2 inherited arrivals: $inheritedA")
+      val (phase1, phase2) = inheritedA.splitAt(inheritedA.size / 2)
+      val arr = graft.model.Tables.documents(serving, sf0001)
+        .filter(col("doc_id") > thr).select(col("doc_id"), col("text"))
+      val feedDir = s"$tmp/feed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+      // the file-stream source lists FILES, not written parquet dirs —
+      // stage each phase and move its single part-file in flat
+      def feedFile(df: org.apache.spark.sql.DataFrame, stage: String, dst: String): Unit = {
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dst))
+      }
+      feedFile(arr.filter(col("doc_id").isin(phase1: _*)), s"$tmp/stage1", s"$feedDir/p1.parquet")
+      // the mini-gate: the s18 stream-static shape verbatim (per-row
+      // banding + four left joins against the construction-time index)
+      val idx = Stages.s18Index(serving, sf0001) // ← resolves generation A
+      val stream = serving.readStream.schema(arr.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .select(col("doc_id") +: TextOps.rowBandCols(
+          TextOps.shinglesOf(split(col("text"), " "))): _*)
+      val joined = (0 until 4).foldLeft(stream) { (cur, b) =>
+        cur.join(idx.filter(col("band") === b)
+            .select(col("h").as(s"b$b"), col("bits").as(s"bits$b")),
+          Seq(s"b$b"), "left")
+      }.select(col("doc_id"),
+        (0 until 4).map(b => coalesce(col(s"bits$b"), lit(0L)))
+          .reduce(_ bitwiseOR _).as("bits"))
+      val q = joined.writeStream.format("memory").queryName("flip_gate")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // phase 1 on generation A
+        manifest("routeB")      // THE FLIP: same manifest path, new set
+        feedFile(arr.filter(col("doc_id").isin(phase2: _*)),
+          s"$tmp/stage2", s"$feedDir/p2.parquet") // late micro-batches
+        q.processAllAvailable()
+      } finally q.stop()
+      val routedBits = serving.table("flip_gate").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      serving.catalog.dropTempView("flip_gate")
+      // BOTH phases routed on generation A: single-bit (inherited) rows
+      // exist even among the docs fed AFTER the flip — generation B
+      // would read bits=3 on every matched doc
+      assert(phase2.forall(d => Set(1L, 2L, 4L)(routedBits(d))),
+        s"post-flip micro-batches must keep the construction-time generation: $routedBits")
+      // a RESTART re-resolves: the manifest overwrite evicted the memo
+      // chain, so the same session's next query serves generation B
+      val restarted = PipelineOps.routeDecisions(serving, sf0001)
+        .groupBy(col("origin")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(!restarted.contains("inherited") &&
+        restarted.getOrElse("quarantined", 0L) >= phase2.size.toLong,
+        s"restarted query must serve the flipped generation: $restarted")
+    } finally serving.conf.unset("spark.graft.storeManifest")
+  }
 }
