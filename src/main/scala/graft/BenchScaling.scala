@@ -529,10 +529,17 @@ object BenchScaling {
         replicate(src, keys, reps)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
-      if (selected.exists(s => documentsUsers(s._1)))
+      // the store leg persists document- and embeddings-axis artifacts,
+      // so SPARK_GRAFT_SCALE_STORES forces those tables even when no
+      // selected query reads them (embeddings only up to the circular-
+      // shift cap — the IVF persist is skipped loudly past it below)
+      val storesOn = sys.env.get("SPARK_GRAFT_SCALE_STORES").exists(_.nonEmpty)
+      val embDim = Tables.table(spark, base, "embeddings")
+        .select(size(col("embedding"))).first().getInt(0)
+      if (selected.exists(s => documentsUsers(s._1)) || storesOn)
         replicateDocs(Tables.table(spark, base, "documents"), k)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      if (selected.exists(s => embeddingsUsers(s._1)))
+      if (selected.exists(s => embeddingsUsers(s._1)) || (storesOn && k <= embDim))
         replicateEmbeddings(Tables.table(spark, base, "embeddings"), k)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       graft.ops.Stages.clear() // per-factor dirs must not share dedup stages
@@ -593,10 +600,19 @@ object BenchScaling {
               graft.ops.TextOps.persistMerges(spark, dir, _)),
             persist("s20_stats", "spark.graft.retrievalStatsPath", "s20_stats")(
               graft.streaming.StreamGate.persistRetrievalStats(spark, dir, _)),
-            persist("ivf_index", "spark.graft.ivfIndexPath", "ivf_index")(
-              graft.ops.VectorOps.persistPqIndex(spark, dir, _)),
             persist("sketches", "spark.graft.sketchPath", "sketches")(
-              graft.ops.Analytics.persistSketchDaily(spark, dir, _)))
+              graft.ops.Analytics.persistSketchDaily(spark, dir, _))) ++
+            // the embeddings replication caps at `dim` distinct circular
+            // shifts, so past that factor the IVF store cannot freeze on
+            // honestly-replicated vectors — skipped LOUDLY (no-silent-caps)
+            (if (k <= embDim)
+              Seq(persist("ivf_index", "spark.graft.ivfIndexPath", "ivf_index")(
+                graft.ops.VectorOps.persistPqIndex(spark, dir, _)))
+            else {
+              System.err.println(s"[scaling] store leg: ivf_index persist skipped at " +
+                s"factor $k (> embedding dim $embDim — circular shifts would repeat)")
+              Seq.empty
+            })
           // the serving FLIP is the manifest, not eight knobs: the freeze
           // pipeline above ran under explicit paths (production order —
           // each persist consumed the store before it); the serving
@@ -613,8 +629,9 @@ object BenchScaling {
             "s21_index" -> s"$sb/f$k/label_index",
             "x62b_merges" -> s"$sb/f$k/merges",
             "s20_stats" -> s"$sb/f$k/s20_stats",
-            "x57_index" -> s"$sb/f$k/ivf_index",
-            "sketch_daily" -> s"$sb/f$k/sketches"), thr)
+            "sketch_daily" -> s"$sb/f$k/sketches") ++
+            (if (k <= embDim) Map("x57_index" -> s"$sb/f$k/ivf_index") else Map.empty),
+            thr)
           Seq("spark.graft.labelsPath", "spark.graft.stickyPath",
             "spark.graft.routeIndexPath", "spark.graft.labelIndexPath",
             "spark.graft.mergesPath", "spark.graft.retrievalStatsPath",
