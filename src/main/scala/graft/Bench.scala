@@ -70,7 +70,13 @@ object Bench {
       "stage:x13_pairs" -> (() => { graft.ops.Stages.x13Pairs(spark, sfDir); () }),
       "stage:x24_labels" -> (() => { graft.ops.Stages.x24Labels(spark, sfDir); () }),
       "stage:x75_seed" -> (() => { graft.ops.Stages.x75Seed(spark, sfDir); () }),
+      // x75's maintenance labels (r19: shared by x75 + x76 — each
+      // consumer used to re-run the arrival contraction on its own line)
+      "stage:x75_labels" -> (() => { graft.ops.Stages.x75Labels(spark, sfDir); () }),
       "stage:x68_sticky" -> (() => { graft.ops.Stages.x68Sticky(spark, sfDir); () }),
+      // x68's split assignment (r19: shared by x68 + x69 + x78) — AFTER
+      // its sticky input's line, so each line carries only its own build
+      "stage:x68_assign" -> (() => { graft.ops.Stages.x68Assign(spark, sfDir); () }),
       "stage:s18_index" -> (() => { graft.ops.Stages.s18Index(spark, sfDir); () }),
       "stage:s21_index" -> (() => { graft.ops.Stages.s21Index(spark, sfDir); () }),
       "stage:x9_scores" -> (() => { graft.ops.Stages.x9Scores(spark, sfDir); () }),

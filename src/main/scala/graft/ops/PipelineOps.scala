@@ -1970,10 +1970,22 @@ object PipelineOps {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val thrOld = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0) // 1 row — generation k's boundary
-    val stickyNew = x68SplitStable(spark, dir).select(col("doc_id"), col("split"))
+    // r19 opt (guide §2.4/§3.3): the proof's shared inputs each fed TWO+
+    // consumers as independent subtrees — the corpus banding appeared
+    // FOUR times in the one plan (full rebuild ×2, delta ×2; Spark
+    // recomputes diamond subtrees, and exprId renumbering defeats
+    // ReusedExchange across them) and the sticky closure twice. The
+    // banding is a bounded artifact (≤4 rows/doc of (doc_id, band, h)) —
+    // materialize it ONCE (the Stages discipline, inline because x78 is
+    // its only consumer) and derive the delta as a per-doc filter of the
+    // full banding (x13Bands is doc-local, so filter-then-band ≡
+    // band-then-filter); the sticky closure is the shared
+    // [[Stages.x68Assign]] stage. Plan: 50 Exchange / 15 SMJ → a handful
+    // per side; see plans/r19/x78_index_refreeze_*.txt.
+    val stickyNew = Stages.x68Assign(spark, dir).select(col("doc_id"), col("split"))
     val seedNew = Stages.x24Labels(spark, dir)
-    val deltaBands = TextOps.x13Bands(d.filter(col("doc_id") > thrOld))
-    val allBands = TextOps.x13Bands(d)
+    val allBands = TextOps.x13Bands(d).localCheckpoint(true)
+    val deltaBands = allBands.filter(col("doc_id") > thrOld)
     val incRoute = mergeRouteIndex(Stages.s18IndexFull(spark, dir), deltaBands,
       stickyNew.filter(col("doc_id") > thrOld))
     val incLabel = mergeLabelIndex(Stages.s21IndexFull(spark, dir), deltaBands,
@@ -2090,7 +2102,10 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x63_split_assign" -> x63SplitAssign,
     "x66_split_audit" -> x66SplitAudit,
-    "x68_split_stable" -> x68SplitStable,
+    // registered key serves the shared stage (r19 opt — x69 and x78
+    // read the same assignment; [[Stages.x68Assign]])
+    "x68_split_stable" -> ((s: SparkSession, d: String) =>
+      Stages.x68Assign(s, d).orderBy("doc_id")),
     "x69_route_agreement" -> x69RouteAgreement,
     "x65_budget_select" -> x65BudgetSelect,
     "x39_shuffle_order" -> x39ShuffleOrder,
@@ -2106,7 +2121,11 @@ object PipelineOps {
     "x52_pii_scan" -> x52PiiScan,
     "x23_simhash_neardup" -> x23SimhashNeardup,
     "x24_dedup_clusters" -> x24DedupClusters,
-    "x75_inc_labels" -> x75IncLabels,
+    // the registered key serves the shared stage (r19 opt — x76 reads
+    // the same frame; [[Stages.x75Labels]]); the engine below stays the
+    // canonical producer and BenchScaling's x75_marginal leg
+    "x75_inc_labels" -> ((s: SparkSession, d: String) =>
+      Stages.x75Labels(s, d).orderBy("doc_id")),
     "x76_label_agreement" -> x76LabelAgreement,
     "x78_index_refreeze" -> x78IndexRefreeze,
     "x25_boilerplate" -> x25Boilerplate,
@@ -2464,7 +2483,7 @@ object PipelineOps {
     * tiny groupBy over ≤ 3×3 origin cells — map-side combinable, output
     * bounded by construction. */
   def x69RouteAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val batch = x68SplitStable(spark, dir)
+    val batch = Stages.x68Assign(spark, dir)
       .filter(col("origin") =!= "held")
       .select(col("doc_id"), col("split").as("batch_split"),
         col("origin").as("batch_origin"))
@@ -2561,7 +2580,7 @@ object PipelineOps {
     val thr = documents(spark, dir)
       .agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val batch = x75IncLabels(spark, dir)
+    val batch = Stages.x75Labels(spark, dir)
       .filter(col("doc_id") > thr)
       .select(col("doc_id"), col("cluster_id").as("batch_label"))
     val routed = labelRouteDecisions(spark, dir)

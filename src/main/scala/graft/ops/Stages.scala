@@ -356,6 +356,28 @@ object Stages {
   def x9Scores(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x9_scores")(TextOps.x9QualityUnsorted(spark, dir))
 
+  /** x75's maintenance output (doc_id, seed_id, cluster_id, changed —
+    * one row per doc, two labels and a flag) — read by the x75 query
+    * itself AND x76's label-agreement audit. Before this stage (r19
+    * opt) each consumer re-ran the arrival star contraction at
+    * construction: the fixpoint loop executes EAGERLY (per-round
+    * localCheckpoint + convergence probe), so x76 paid x75's whole
+    * contraction again on every invocation. BenchScaling's
+    * `x75_marginal` leg keeps calling the engine directly — its point
+    * is to time exactly that contraction. */
+  def x75Labels(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x75_labels")(PipelineOps.x75IncLabels(spark, dir))
+
+  /** x68's sticky split assignment (doc_id, cluster_id, split, origin —
+    * one row per doc) — read by the x68 query itself, x69's route
+    * agreement, and x78's re-freeze proof (its new-generation sticky).
+    * One shared materialization instead of three independent
+    * splitStableOn plan executions per session (r19 opt; the engine
+    * [[PipelineOps.x68SplitStable]] stays canonical — SplitStableSpec
+    * pins ITS plan, and BenchScaling times it directly). */
+  def x68Assign(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x68_assign")(PipelineOps.x68SplitStable(spark, dir))
+
   /** x62's trained BPE merge table (round, l, r, n_pair — k rows, the
     * tokenizer artifact) — read by x62 itself and REPLAYED by x67's
     * encode pass, so train-then-apply runs the k training rounds

@@ -780,8 +780,18 @@ object TextOps {
             element_at(col("w"), i + 1).as("r")))).as("p"), col("freq"))
         .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n_pair"))
-    var seqs = seqs0
-    var prevCkpt: Option[DataFrame] = None // superseded checkpoints, unpersisted promptly
+    // r19 opt (guide §1.2 "don't compute things twice"): materialize the
+    // INPUT sequence frame once — every round's pair-count action
+    // re-executes its full input lineage (scan + tokenize for x62, the
+    // corpus type aggregate for a lazy x62b input), so k rounds paid k
+    // input derivations on top of the stacked replaces. One eager
+    // checkpoint up front makes round j cost exactly its j % cp replaces
+    // over materialized rows — the same corpus-sized-block budget the
+    // checkpointEvery knob already accepts, released like every other
+    // superseded checkpoint below.
+    val ckpt0 = seqs0.localCheckpoint(true)
+    var seqs = ckpt0
+    var prevCkpt: Option[DataFrame] = Some(ckpt0) // superseded checkpoints, unpersisted promptly
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -854,12 +864,10 @@ object TextOps {
       .select(explode(toks(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      // vocab-sized, eagerly materialized: every training round's action
-      // re-executes its input lineage, so a LAZY type table would pay the
-      // corpus count k times over — exactly the cost this operator exists
-      // to avoid (the 256× audit measured the lazy form at 29× the 64×
-      // leg before this landed). One corpus pass, then k vocab passes.
-      .localCheckpoint(true)
+    // the one-corpus-pass-then-k-vocab-passes property (the 256× audit
+    // measured the lazy form at 29× the 64× leg) is now enforced by
+    // [[bpeTrainSeqs]]'s entry checkpoint — a second eager checkpoint
+    // here would just materialize the same vocab-sized frame twice
     bpeTrainSeqs(spark, types.select(
       concat(lit(" "), array_join(split(col("tok"), ""), "  "), lit(" ")).as("s"),
       col("freq")), rounds)
