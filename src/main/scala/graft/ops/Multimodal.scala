@@ -150,6 +150,30 @@ object Multimodal {
     }
   }
 
+  /** The `javax.sound.sampled` SPI reader set, loaded without
+    * AudioSystem's globally synchronized JDK13Services lookup — one
+    * ServiceLoader pass per task (see [[decodeAudio]]). */
+  private def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** AudioSystem.getAudioInputStream's probe contract over a resolved
+    * reader list: first reader that doesn't reject the stream wins;
+    * none → UnsupportedAudioFileException (the decoded=false path). */
+  private def openAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    readers.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** REAL audio decode over any media table: `javax.sound.sampled`
     * readers (WAV/AIFF/AU ship with the JDK) on the payload bytes,
     * per-partition batches — the audio twin of [[decodeImages]]. Yields
@@ -159,9 +183,18 @@ object Multimodal {
   def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // SPI readers resolved ONCE per task (r19 opt): every
+      // AudioSystem.getAudioInputStream call funnels through
+      // JDK13Services.getProviders — a GLOBALLY SYNCHRONIZED provider
+      // lookup, so 32 decode threads serialize on one class lock per
+      // row. ServiceLoader yields the same javax.sound.sampled readers
+      // (WAVE/AU/AIFF ship with the JDK) without the global lock; the
+      // probe loop below is exactly AudioSystem's own contract
+      // (first reader that doesn't throw UnsupportedAudioFileException).
+      val readers = audioReaders()
       rows.map { r =>
         try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val in = openAudio(readers,
             new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.payload)))
           try {
             val fmt = in.getFormat
@@ -293,12 +326,27 @@ object Multimodal {
     * the oracle can recompute the decoded byte stream arithmetically
     * while the engine side round-trips genuine `javax.sound.sampled`
     * WAVE bytes. */
+  /** The WAVE-capable SPI writer, resolved without AudioSystem's
+    * globally synchronized lookup (the [[audioReaders]] rationale on
+    * the write side — AudioSystem.write takes the same class lock per
+    * call, serializing 32 writer tasks). */
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAVE AudioFileWriter on this JDK")
+  }
+
   def wavCorpus(spark: SparkSession, dir: String): String =
     mediaCache.getOrElseUpdate((spark, dir, "wav"), {
       val out = java.nio.file.Files.createTempDirectory("graft_wav_corpus_").toString
       import spark.implicits._
       documents(spark, dir).select(col("doc_id")).as[Long]
         .foreachPartition { (ids: Iterator[Long]) =>
+          val writer = wavWriter() // once per task, not per row
           ids.foreach { d =>
             val fmt = new javax.sound.sampled.AudioFormat(
               wavRate(d), 16, wavChannels(d), true, false) // 16-bit signed LE PCM
@@ -307,7 +355,7 @@ object Multimodal {
             while (j < pcm.length) { pcm(j) = ((5 * d + 13 * j) % 256).toByte; j += 1 }
             val ais = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, wavFrames(d).toLong)
-            try javax.sound.sampled.AudioSystem.write(ais,
+            try writer.write(ais,
               javax.sound.sampled.AudioFileFormat.Type.WAVE,
               new java.io.File(out, s"snd_$d.wav"))
             finally ais.close()
