@@ -67,6 +67,10 @@ object Bench {
       "stage:x49_grams" -> (() => { graft.ops.Stages.x49Grams(spark, sfDir); () }),
       "stage:grams5" -> (() => { graft.ops.Stages.grams5(spark, sfDir); () }),
       "stage:x2_pairs" -> (() => { graft.ops.Stages.x2Pairs(spark, sfDir); () }),
+      // the corpus banding every x13-lineage consumer slices (r20: one
+      // shingle→minhash→band pass per session) — BEFORE x13_pairs, its
+      // first consumer, so each line carries only its own build
+      "stage:x13_bands" -> (() => { graft.ops.Stages.x13BandsAll(spark, sfDir); () }),
       "stage:x13_pairs" -> (() => { graft.ops.Stages.x13Pairs(spark, sfDir); () }),
       "stage:x24_labels" -> (() => { graft.ops.Stages.x24Labels(spark, sfDir); () }),
       "stage:x75_seed" -> (() => { graft.ops.Stages.x75Seed(spark, sfDir); () }),
@@ -105,15 +109,48 @@ object Bench {
       // s16's embeddings replay feed
       "stage:gate_emb_feed" ->
         (() => { graft.streaming.StreamGate.sharedEmbFeed(spark, sfDir); () }))
+    // Per-query stall evidence, ALWAYS captured (r20, VERDICT item 1):
+    // the r19 driver bench had three contiguous wall-clock windows where
+    // unchanged code inflated 4–18× (host stalls — the same keys read
+    // normal isolated minutes later), and the single-run artifact carried
+    // nothing to adjudicate it. Process-CPU-vs-wall and the GC delta are
+    // a few MXBean reads per attempt (no tmpdir walk — that stays behind
+    // SPARK_GRAFT_BENCH_DIAG): a query whose attempt burned ~0 process
+    // CPU across a multi-second wall is a host stall, not a plan change.
+    // Reported per query in bench_results.json ("queries_diag") and as a
+    // bounded "stall_suspect" list on the driver-parsed compact line.
+    def procCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    def totalGcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    // per query: summed wall/CPU/GC over attempts — cpu is "cores busy"
+    // (CPU sec per wall sec); a healthy multi-second query at local[N]
+    // reads well above 1, a stalled one collapses toward 0
+    val diagAcc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Long)] // wall s, cpu s, gc ms
+    def timedWithDiag(name: String)(body: => Unit): Double = {
+      val (gc0, cpu0, t0) = (totalGcMs(), procCpuNs(), System.nanoTime())
+      val ok = try { body; true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (wallP, cpuP, gcP) = diagAcc.getOrElse(name, (0.0, 0.0, 0L))
+      diagAcc(name) = (wallP + sec,
+        cpuP + math.max(procCpuNs() - cpu0, 0L) / 1e9,
+        gcP + math.max(totalGcMs() - gc0, 0L))
+      if (ok) sec else -1.0
+    }
     // skipped under BENCH_ONLY: an isolated line should carry everything
     // it triggers (including a shared build) — that's the point of
     // isolating it. partial_total already marks the regime.
     val stageResults =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty[(String, Double)]
       else stageBuilds.map { case (name, build) =>
-        val t0 = System.nanoTime()
-        val ok = try { build(); true } catch { case _: Throwable => false }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = timedWithDiag(name)(build())
         // stage lines get the same per-attempt diag rows as queries —
         // a regressed stage build (the r16 x68_sticky/x16_centroids
         // watch) needs GC/heap/scratch context to adjudicate band vs code
@@ -171,15 +208,10 @@ object Bench {
         var failed = false
         var attempt = 0
         while (attempt < repeat && !failed) {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            runs += (System.nanoTime() - t0) / 1e9
-            diag(name, runs.last)
-          } catch { case _: Throwable =>
-            failed = true
-            diag(name, -1.0)
-          }
+          val sec = timedWithDiag(name)(
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          if (sec >= 0) runs += sec else failed = true
+          diag(name, sec)
           attempt += 1
         }
         if (failed) (name, -1.0, -1.0)
@@ -209,7 +241,22 @@ object Bench {
           .mkString("{", ",", "}")
         s""","repeat":$repeat,"queries_min":$mins"""
       } else ""
-    val line = s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}$repeatField}"""
+    // stall evidence (r20): per-query CPU-cores-busy + GC delta on the
+    // full line; keys whose summed attempts burned <1 CPU-core across a
+    // ≥2 s wall are named on the compact line (bounded list) so the
+    // driver's single-run artifact self-labels host-stall contamination
+    val diagField = {
+      val d = results.flatMap { case (k, _) => diagAcc.get(k).map { case (w, c, g) =>
+        Json.quote(k) + s""":{"cpu":${f"${if (w > 0) c / w else -1.0}%.2f"},"gc_ms":$g}"""
+      } }.mkString("{", ",", "}")
+      s""","queries_diag":$d"""
+    }
+    val stallSuspects = results.collect { case (k, v)
+      if v >= 2.0 && diagAcc.get(k).exists { case (w, c, _) => w > 0 && c / w < 1.0 } => k }
+    val stallField =
+      if (stallSuspects.isEmpty) ""
+      else s""","stall_suspect":${stallSuspects.take(8).map(Json.quote).mkString("[", ",", "]")}"""
+    val line = s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}$repeatField$diagField}"""
     println(line)
     // The driver ingests only the LAST ~2000 characters of stdout; the
     // full line above is ~3× that, so its head is cut off and the driver
@@ -232,7 +279,7 @@ object Bench {
       s"""{"metric":${Json.quote(metric)},"value":${fmt(total)},"unit":"sec","queries":$tq,""" +
         s""""sf":${Json.quote(sfDir)},"compact":true,"n_queries":${results.size},""" +
         s""""elided":${results.size - top.size},"full":"bench_results.json"${
-          if (repeat > 1) s""","repeat":$repeat""" else ""}}"""
+          if (repeat > 1) s""","repeat":$repeat""" else ""}$stallField}"""
     }
     var k = results.size
     var compact = compactLine(k)

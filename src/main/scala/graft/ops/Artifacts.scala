@@ -191,6 +191,12 @@ object Artifacts {
     val norm = normPath(spark, path)
     Stages.invalidateStamped(norm)
     manifestCache.keys.filter(_._2 == norm).foreach(manifestCache.remove)
+    // ...and the STAGES built from reads of this artifact (r20, ADVICE
+    // fix): the memoized x75_labels/x68_assign/s18_index/... frames were
+    // derived from the pre-overwrite store generation — without this,
+    // an in-session re-persist left them serving stale results while
+    // the direct store reads re-validated
+    Stages.invalidateStoreDerived(artifact)
   }
 
   /** Read a stamped artifact, failing loudly (with the mismatch named)

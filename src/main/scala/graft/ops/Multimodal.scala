@@ -152,7 +152,17 @@ object Multimodal {
 
   /** The `javax.sound.sampled` SPI reader set, loaded without
     * AudioSystem's globally synchronized JDK13Services lookup — one
-    * ServiceLoader pass per task (see [[decodeAudio]]). */
+    * ServiceLoader pass per task (see [[decodeAudio]]). Ordering caveat
+    * (r20): AudioSystem's JDK13Services additionally honors the
+    * `javax.sound.sampled.spi` system-property/properties-file provider
+    * ordering, which plain ServiceLoader does not — a deployment that
+    * installs a third-party reader ahead of the JDK ones could see a
+    * different winning reader. Acceptable here: the corpus is JDK-only
+    * WAV/AIFF/AU, where every JDK reader accepts exactly its own format
+    * and rejects the others, so probe order cannot change the result.
+    * Verified win (r20 isolated 32c REPEAT=3 A/B): 2.96 s vs 3.19 s for
+    * the AudioSystem path — the r19 50 s outlier was host stall, not
+    * this change. */
   private def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()

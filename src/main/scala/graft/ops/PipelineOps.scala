@@ -1567,13 +1567,15 @@ object PipelineOps {
     * graph — see [[histStickyOn]]; the full fixpoint is already paid for
     * (staged, shared with x24/x63/x68's phase 2), so the history pass
     * adds only the residual propagation over arrival-touching clusters. */
-  private[graft] def stickySplitsUnstaged(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"))
-    val thr = docs.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
-      .collect()(0).getLong(0) // 1 row — the installment boundary
-    histStickyOn(Stages.x13Pairs(spark, dir).select(col("d1"), col("d2")),
-      Stages.x24Labels(spark, dir), thr)
-  }
+  private[graft] def stickySplitsUnstaged(spark: SparkSession, dir: String): DataFrame =
+    // r20 (§2.4): the sticky table IS the split-hash projection of the
+    // history labeling [[Stages.x75Seed]] serves — both were
+    // histLabelsOn(x13Pairs, x24Labels, thr) with identical thr, so the
+    // two stages paid the residual star-contraction fixpoint twice per
+    // session. One fixpoint now feeds both; [[histStickyOn]] stays the
+    // canonical engine (SplitStableSpec drives it directly).
+    Stages.x75Seed(spark, dir)
+      .select(col("doc_id"), splitOf(col("cluster_id")).as("split_old"))
 
   /** History-slice components from the FULL fixpoint plus a residual
     * propagation — the r14 verdict's seeding lever, made sound: history
@@ -1855,11 +1857,10 @@ object PipelineOps {
     require(thrNew >= thrOld,
       s"route-index refreeze: sticky generation $thrNew is behind the stored index $thrOld — " +
         "roll the sticky store forward first (persistStickySplitsIncremental)")
-    val deltaDocs = documents(spark, dir)
+    val deltaBands = Stages.x13BandsAll(spark, dir)
       .filter(col("doc_id") > thrOld && col("doc_id") <= thrNew)
-      .select(col("doc_id"), col("text"))
     Artifacts.writeStamped(spark,
-      mergeRouteIndex(oldIdx, TextOps.x13Bands(deltaDocs),
+      mergeRouteIndex(oldIdx, deltaBands,
         sticky.filter(col("doc_id") > thrOld)
           .select(col("doc_id"), col("split_old").as("split"))),
       path, "s18_index",
@@ -1897,11 +1898,10 @@ object PipelineOps {
     require(missing == 0L,
       s"label-index refreeze: $missing stored labels are absent from the current seed " +
         s"generation — the index at $fromPath was frozen over a different corpus")
-    val deltaDocs = documents(spark, dir)
+    val deltaBands = Stages.x13BandsAll(spark, dir)
       .filter(col("doc_id") > thrOld && col("doc_id") <= thrNew)
-      .select(col("doc_id"), col("text"))
     Artifacts.writeStamped(spark,
-      mergeLabelIndex(oldIdx, TextOps.x13Bands(deltaDocs),
+      mergeLabelIndex(oldIdx, deltaBands,
         seedNew.filter(col("doc_id") > thrOld), renameTo),
       path, "s21_index",
       Map("thr" -> thrNew.toString, "merged_from_thr" -> thrOld.toString))
@@ -1984,7 +1984,10 @@ object PipelineOps {
     // per side; see plans/r19/x78_index_refreeze_*.txt.
     val stickyNew = Stages.x68Assign(spark, dir).select(col("doc_id"), col("split"))
     val seedNew = Stages.x24Labels(spark, dir)
-    val allBands = TextOps.x13Bands(d).localCheckpoint(true)
+    // r20: the banding is the shared [[Stages.x13BandsAll]] stage (one
+    // corpus pass per session, released via Stages.clear/evictSession)
+    // instead of an inline localCheckpoint that was never released
+    val allBands = Stages.x13BandsAll(spark, dir)
     val deltaBands = allBands.filter(col("doc_id") > thrOld)
     val incRoute = mergeRouteIndex(Stages.s18IndexFull(spark, dir), deltaBands,
       stickyNew.filter(col("doc_id") > thrOld))
@@ -2395,9 +2398,11 @@ object PipelineOps {
     * boundary ([[stickyGeneration]]), so a configured store and the
     * banded slice can never disagree. */
   private[graft] def routeIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val (sticky, thr) = stickyGeneration(spark, dir)
-    routeIndexOn(TextOps.x13Bands(d.filter(col("doc_id") <= thr)),
+    // history slice of the staged corpus banding (r20, §2.4) — banding
+    // is doc-local, so the filter of the shared frame is the banding of
+    // the filtered docs
+    routeIndexOn(Stages.x13BandsAll(spark, dir).filter(col("doc_id") <= thr),
       sticky.select(col("doc_id"), col("split_old").as("split")))
   }
 
@@ -2408,10 +2413,10 @@ object PipelineOps {
     * from), distinct member labels per bucket. Consumers read the
     * served min-label projection through [[Stages.s21Index]]. */
   private[graft] def labelIndexUnstaged(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documents(spark, dir).select(col("doc_id"))
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    labelIndexOn(TextOps.x13Bands(d.filter(col("doc_id") <= thr)),
+    labelIndexOn(Stages.x13BandsAll(spark, dir).filter(col("doc_id") <= thr),
       Stages.x75Seed(spark, dir))
   }
 
@@ -2424,7 +2429,7 @@ object PipelineOps {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val hit = TextOps.x13Bands(d.filter(col("doc_id") > thr))
+    val hit = Stages.x13BandsAll(spark, dir).filter(col("doc_id") > thr)
       .join(Stages.s21Index(spark, dir), Seq("band", "h"))
       .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
     d.filter(col("doc_id") > thr).select(col("doc_id"))
@@ -2453,7 +2458,7 @@ object PipelineOps {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val thr = d.agg(fdiv(lit(9L) * max(col("doc_id")), lit(10L)))
       .collect()(0).getLong(0)
-    val arrBits = TextOps.x13Bands(d.filter(col("doc_id") > thr))
+    val arrBits = Stages.x13BandsAll(spark, dir).filter(col("doc_id") > thr)
       .join(Stages.s18Index(spark, dir), Seq("band", "h"))
       .groupBy(col("doc_id")).agg(bit_or(col("bits")).as("bits"))
     val withBits = d.filter(col("doc_id") > thr).select(col("doc_id"))

@@ -105,6 +105,49 @@ object Stages {
   private[graft] def invalidateStamped(norm: String): Unit =
     stampedCache.keys.filter(_._2 == norm).foreach(stampedCache.remove)
 
+  /** Stage entries whose BUILD reads a stamped store (directly or
+    * transitively through another stage), keyed by the artifact whose
+    * overwrite makes them stale. The r19 shared-stage optimization
+    * opened a staleness hole the stampedCache eviction alone does not
+    * cover (r20, ADVICE fix): after an in-session re-persist of e.g. the
+    * labels store, `Stages.x75Labels` kept serving the frame derived
+    * from the PRE-persist generation. Stages that never read a store
+    * (the in-session x24_labels fixpoint, s17's store-blind trainer, the
+    * banding/pair stages) cannot go stale and are deliberately absent. */
+  private val storeDerivedStages: Map[String, Seq[String]] = {
+    // readers of the labels store (x24_labels), directly or via x75Seed:
+    // x75_seed (seeds from Stages.x24Labels), x75_labels (reads the
+    // store's max_id + frame), x68_sticky (projection of x75_seed),
+    // x68_assign (splitStableOn over x68Sticky + x24Labels), s18_index
+    // (bands the sticky generation), s21_index (bands over x75_seed)
+    val labelReaders = Seq("x75_seed", "x75_labels", "x68_sticky",
+      "x68_assign", "s18_index", "s21_index")
+    Map(
+      "x24_labels" -> labelReaders,
+      "x68_sticky" -> Seq("x68_assign", "s18_index"),
+      // a manifest overwrite can repoint EVERY store knob at once
+      "store_manifest" -> labelReaders)
+  }
+
+  /** Drop every stage entry derived from stores of `artifact` — called
+    * by [[Artifacts.writeStamped]] after the overwrite, alongside
+    * [[invalidateStamped]]. Conservative across sessions and sfDirs:
+    * eviction is cheap (consumers rebuild on next ask and then resolve
+    * the CURRENT store generation), staleness is a correctness defect.
+    * The checkpoint blocks are NOT force-released here: frames
+    * constructed BEFORE the persist legitimately keep serving their
+    * construction-time generation (the StoreLifecycleSpec running-stream
+    * contract) and still reference the blocks — dropping our handle
+    * makes them ContextCleaner-reclaimable once those frames go. */
+  private[graft] def invalidateStoreDerived(artifact: String): Unit = synchronized {
+    val names = storeDerivedStages.getOrElse(artifact, Seq.empty).toSet
+    if (names.nonEmpty)
+      (cache.keySet ++ pinnedRdds.keySet).filter(k => names(k._3)).foreach { k =>
+        cache.remove(k)
+        pinnedRdds.remove(k)
+      }
+  }
+
   /** The RDD handles whose blocks a localCheckpoint-mode stage pins.
     * `Dataset.unpersist` only uncaches CacheManager entries — it does NOT
     * release a checkpoint's blocks — so release goes through these
@@ -289,6 +332,24 @@ object Stages {
     * jac_s4), unsorted. */
   def x2Pairs(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "x2_pairs")(TextOps.x2PairsUnsorted(spark, dir))
+
+  /** The x13 MinHash band table over the FULL corpus (doc_id, band, h —
+    * ≤4 rows per doc, three longs; the bounded banding artifact). One
+    * corpus shingle→minhash→band pass per session (r20, guide §2.4):
+    * before this stage the banding re-ran per consumer — x13's pair
+    * stage, the s18/s21 frozen-index builds (history slice), the
+    * router/label arrival probes (arrival slice), and x78's re-freeze
+    * proof (full + delta) each paid their own corpus scan + shingle
+    * explode + minhash aggregate. Banding is doc-local, so every slice
+    * is a doc-id filter of this one frame (filter-then-band ≡
+    * band-then-filter — x78's r19 argument, applied everywhere). Also
+    * retires x78's inline localCheckpoint, which was never released
+    * (r19 ADVICE): the stage's blocks are released by [[clear]] /
+    * [[evictSession]] like every other stage's. */
+  def x13BandsAll(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "x13_bands")(
+      TextOps.x13Bands(graft.model.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))))
 
   /** x13's MinHash-LSH candidate pairs (d1, d2, n_shared_bands),
     * unsorted. */

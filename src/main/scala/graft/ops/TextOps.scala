@@ -408,7 +408,7 @@ object TextOps {
     * connected components, must not pay a range exchange for an ordering
     * they immediately destroy). */
   private[graft] def x13Pairs(spark: SparkSession, dir: String): DataFrame =
-    x13PairsOnBands(x13Bands(documents(spark, dir)))
+    x13PairsOnBands(Stages.x13BandsAll(spark, dir))
 
   /** The x13 MinHash band table (doc_id, band, h) over any (doc_id,
     * text) frame — split out of [[x13Pairs]] so the s18 routing gate can

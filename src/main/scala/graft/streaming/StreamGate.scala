@@ -227,16 +227,19 @@ object StreamGate {
     * operators open one state store per shuffle partition per
     * micro-batch, so a 32-partition bench session pays 32 RocksDB
     * instances × batch for a verify-scale feed — harness overhead, not
-    * operator cost. A CAP, not a pin: a session already below it (e.g.
-    * DeterminismSpec's 1/3/17 sweep) keeps its own setting, so the sweep
-    * still varies the stateful fold's partitioning. 2, not 4 (r19 opt):
-    * the smallest width that still exercises cross-partition state
-    * merging (every gate output is partition-count-invariant — the
-    * determinism contract DeterminismSpec sweeps); halving the store
-    * count took ~17% off every gate line at sf0.1. Production streams
-    * size their own shuffle partitions; this cap only bounds the
-    * verify/bench harness. */
-  private val gatePartitionCap = 2
+    * operator cost. A CAP, not a pin: a session already below it keeps
+    * its own setting. Note the cap DOES narrow DeterminismSpec's 1/3/17
+    * sweep to an effective 1/3/4 — the 17-partition leg runs capped;
+    * the 1- and 3-partition legs still vary the stateful fold's
+    * partitioning. Back at 4 (r20, VERDICT item 3): the r19 2-cap was a
+    * timed-region harness tune, not engine speed — it halved the store
+    * count only at benchmark scale (at 100 TB you want MORE state
+    * partitions, not 2) and polluted the gate A/B numbers. The real r19
+    * gate win (RocksDB changelog checkpointing + numKeys tracking off,
+    * [[withRocksDB]]) is kept. Production streams size their own
+    * shuffle partitions; this cap only bounds the verify/bench
+    * harness. */
+  private val gatePartitionCap = 4
 
   private def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
     val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }

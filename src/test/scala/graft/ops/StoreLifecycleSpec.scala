@@ -182,4 +182,37 @@ class StoreLifecycleSpec extends SparkTestBase {
         s"restarted query must serve the flipped generation: $restarted")
     } finally serving.conf.unset("spark.graft.storeManifest")
   }
+
+  test("store-derived stages are evicted on re-persist: Stages.x75Labels serves the new labels generation") {
+    // the r19 shared-stage memoization opened a staleness hole the
+    // stampedCache eviction alone did not cover: Stages.x75Labels
+    // (x75 + x76's shared frame) was built from a read of the labels
+    // store, and an in-session re-persist of that store evicted only the
+    // memoized READ — the derived stage kept serving the pre-persist
+    // generation. Pinned here via an observably different generation 2.
+    val tmp = Files.createTempDirectory("graft_stage_evict_").toString
+    val labelsPath = s"$tmp/labels"
+    PipelineOps.persistLabels(spark, sf0001, labelsPath)
+    val serving = spark.newSession()
+    serving.conf.set("spark.graft.labelsPath", labelsPath)
+    try {
+      val before = Stages.x75Labels(serving, sf0001)
+        .filter(col("cluster_id") =!= col("doc_id")).count()
+      assert(before > 0L,
+        "need ≥1 non-singleton cluster for the generation flip to be observable")
+      // generation 2, doctored observably: every doc its own label
+      // (all singletons), frozen at the full corpus boundary — under it
+      // x75 has no arrivals and every maintained label equals the doc id
+      val mxFull = graft.model.Tables.documents(spark, sf0001)
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      Artifacts.writeStamped(serving,
+        graft.model.Tables.documents(serving, sf0001)
+          .select(col("doc_id"), col("doc_id").as("cluster_id")),
+        labelsPath, "x24_labels", Map("max_id" -> mxFull.toString))
+      val after = Stages.x75Labels(serving, sf0001)
+        .filter(col("cluster_id") =!= col("doc_id")).count()
+      assert(after == 0L,
+        s"Stages.x75Labels still serves the pre-persist generation ($after non-singleton rows)")
+    } finally serving.conf.unset("spark.graft.labelsPath")
+  }
 }
