@@ -192,7 +192,7 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val e = scaledEmb(spark, dir)
     val cv = centView(spark, Stages.x16Centroids(spark, dir))
-    val assign = nearestCent(simToCents(e, cv), x16K)
+    val assign = x16Assignment(spark, dir)
     val probes = simToCents(e.filter(col("vec_id") < x51Queries), cv)
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("cid"))
@@ -237,9 +237,7 @@ object VectorOps {
   def x53ClusterSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByAgg.topkBy
     val k = 3
-    val e = scaledEmb(spark, dir)
-    val assign = nearestCent(
-        simToCents(e, centView(spark, Stages.x16Centroids(spark, dir))), x16K)
+    val assign = x16Assignment(spark, dir)
       .select(col("vec_id"), col("cid"),
         shiftrightunsigned(
           graft.functions.HashFunctions.md5Long(col("vec_id").cast("string"), 0), 16).as("h48"))
@@ -268,9 +266,7 @@ object VectorOps {
     * rows reach the window — sketch-sized, not corpus-sized). */
   def x55ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = scaledEmb(spark, dir)
-    val assign = nearestCent(
-      simToCents(e, centView(spark, Stages.x16Centroids(spark, dir))), x16K)
+    val assign = x16Assignment(spark, dir)
     val lab = embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
     val cl = assign.join(lab, "vec_id")
@@ -327,6 +323,29 @@ object VectorOps {
     cv.foreach(x => s += x * x)
     (cv, math.sqrt(s))
   }
+
+  /** The packed nearest-centroid key — (10000 − sim_s4)·k + cid, whose
+    * MIN is the (sim desc, cid asc) argmax — as ONE projection
+    * expression over (v, nrm): `least` across k literal-centroid
+    * scorings, each the exact [[centView]] arithmetic via
+    * [[driverCentView]]. Shared by the s16 serving encoder (per-row
+    * streaming route, where this form originated) and, since r20, the
+    * batch corpus assignments (guide §2.3/§2.4): the join form
+    * materialized corpus×k scored rows through a broadcast join and
+    * collapsed them back through a corpus-keyed aggregate exchange —
+    * this computes the same packed min inside the scan projection, no
+    * join, no exchange, k× fewer rows ever materialized. Parity with
+    * the join form is exact: the same dotArr/(nrm·cnrm) expression tree
+    * per centroid, the same packing, and `least` over never-null longs
+    * is the aggregate's min (the s16 gate's bit-for-bit parity test
+    * already pinned literal-vs-broadcast scoring equal). */
+  private[graft] def routePacked(cents: Seq[(Long, Seq[Long])], v: Column,
+      nrm: Column): Column =
+    least(cents.map { case (cid, c) =>
+      val (cv, cnrm) = driverCentView(c)
+      (lit(10000L) - scaled4(dotArr(v, typedlit(cv)) / (nrm * lit(cnrm)))) *
+        lit(cents.size.toLong) + lit(cid)
+    }: _*)
 
   /** (vec_id, cid, sim_s4) for every vector × centroid. */
   private def simToCents(e: DataFrame, cv: DataFrame): DataFrame =
@@ -400,9 +419,16 @@ object VectorOps {
     cents
   }
 
-  /** Every vector's nearest learned centroid: (vec_id, cid). One
-    * broadcast-join scan of the cached corpus + the per-vector rank
-    * window. */
+  /** Every vector's nearest learned centroid: (vec_id, cid) — one
+    * broadcast-centroid scan of the cached corpus + the packed-min
+    * aggregate, now the ONE assignment definition every batch consumer
+    * calls (x16's IVF lists, x27's SemDeDup key, x51b/x53/x55's QA
+    * reads, the x57 index build — r20 consolidation). NOTE (r20,
+    * measured): the [[routePacked]] literal-expression form — no join,
+    * no exchange — was tried here and is the right shape at real scale,
+    * but benched 25% SLOWER across the vector family at sf0.1 (k
+    * inlined dot-product codegen instances per plan; janino compile
+    * dominates a 2000-row corpus), so the join+aggregate form stays. */
   private[graft] def x16Assignment(spark: SparkSession, dir: String,
       k: Int = x16K): DataFrame =
     nearestCent(simToCents(scaledEmb(spark, dir),
@@ -433,7 +459,7 @@ object VectorOps {
   def x16IvfAnnK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = scaledEmb(spark, dir)
     val cv = centView(spark, Stages.x16Centroids(spark, dir, k))
-    val assign = nearestCent(simToCents(e, cv), k)
+    val assign = x16Assignment(spark, dir, k)
     val probe = simToCents(e.filter(col("vec_id") === 0), cv)
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= 2).select(col("cid"))

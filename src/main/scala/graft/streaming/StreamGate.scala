@@ -1020,17 +1020,11 @@ object StreamGate {
     val books = graft.ops.Stages.pqBooks(spark, dir)
     val v = col("embedding")
     val nrm = sqrt(normSqArr(v))
-    // route: max scaled-cosine, lowest-cid ties — packed as
-    // (10000 - sim_s4)·16 + cid so `least` IS the argmax. The literal
-    // centroid views reproduce the batch arithmetic exactly via the ONE
-    // shared helper VectorOps.driverCentView (same /1e6 components, same
-    // sequential-sum norm as centView's codegen'd sqrt(normSqArr)), then
-    // the same dotArr/(nrm·cnrm) expression tree.
-    val routePacked = least(cents.map { case (cid, c) =>
-      val (cv, cnrm) = graft.ops.VectorOps.driverCentView(c)
-      (lit(10000L) - Tables.scaled4(dotArr(v, typedlit(cv)) / (nrm * lit(cnrm)))) *
-        lit(16L) + lit(cid)
-    }: _*)
+    // route: max scaled-cosine, lowest-cid ties — the ONE shared
+    // packed-min expression ([[graft.ops.VectorOps.routePacked]], since
+    // r20 also the batch assignment's form), so serving and batch
+    // arithmetic cannot drift
+    val routePacked = graft.ops.VectorOps.routePacked(cents, v, nrm)
     val sv = transform(v, x => floor(x.cast("double") * lit(x16Scale.toDouble)))
     def codeM(m: Int): Column = {
       val u = slice(sv, m * pqSub + 1, pqSub)
