@@ -747,7 +747,10 @@ object StreamGate {
     graft.ops.Analytics.docBigrams(docs)
       .select(col("lang"),
         pmod(xxhash64(col("bg")), lit(s10Slots.toLong)).cast("int").as("slot"),
-        col("bg"))
+        // UTF-8 bytes, not String (r20): the processor keys its summary
+        // by UTF8String, so the cast is a no-op reslice while a String
+        // field paid decode+re-encode per token
+        col("bg").cast("binary").as("bg"))
       .as[FreqToken]
   }
 
@@ -760,7 +763,7 @@ object StreamGate {
       .partitionBy(col("lang"), col("slot")).orderBy(col("upd").desc)
     val cand = emissions
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("lang"), explode(map_keys(col("cand"))).as("bg"))
+      .select(col("lang"), explode(col("cand")).as("bg"))
     // exact twin from the shared stage (same lineage as q27c's verdict)
     graft.ops.Stages.q27cHitters(spark, dir)
       .join(cand.withColumn("in_sketch", lit(1L)), Seq("lang", "bg"), "left")

@@ -177,13 +177,20 @@ class BudgetAdmitProcessor(shardBudget: Long)
   * DETERMINISTIC hash of the token (`pmod(xxhash64(bg), P)`), so one
   * token always lands in one slot — the per-(lang, slot) summaries
   * partition the token space disjointly, and "merging" them back is a
-  * plain union. */
-case class FreqToken(lang: String, slot: Int, bg: String)
+  * plain union. `bg` rides as UTF-8 BYTES (r20): the summary is keyed
+  * by UTF8String, so a String field forced a per-token decode at the
+  * Dataset boundary plus a re-encode at `add` — the bytes pass through
+  * untouched now. */
+case class FreqToken(lang: String, slot: Int, bg: Array[Byte])
 
 /** One per-batch emission of a (lang, slot) summary: `upd` is the
   * key's update ordinal (the gate keeps the row with the max), `cand`
-  * the current Misra–Gries candidates with effective counts. */
-case class FreqSummaryEmit(lang: String, slot: Int, upd: Long, cand: Map[String, Long])
+  * the current Misra–Gries candidate SET. r20: the effective counts
+  * were dropped from the emission — no consumer ever read them (the
+  * verdict is exact-count-from-batch + membership, the q27 family
+  * posture), and encoding k·|keys| map entries into every micro-batch's
+  * sink rows was the gate's single largest avoidable cost. */
+case class FreqSummaryEmit(lang: String, slot: Int, upd: Long, cand: Seq[String])
 
 /** S10 state machine: one [[graft.functions.MGSummary]] per (lang, slot),
   * carried across micro-batches as its serialized form (the same bytes
@@ -209,11 +216,11 @@ class FreqStreamProcessor(k: Int)
     val m =
       if (summary.exists()) graft.functions.MGSummary.deserialize(k, summary.get())
       else new graft.functions.MGSummary(k)
-    rows.foreach(t => m.add(org.apache.spark.unsafe.types.UTF8String.fromString(t.bg)))
+    rows.foreach(t => m.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(t.bg)))
     summary.update(m.serialize())
     val upd = (if (updates.exists()) updates.get() else 0L) + 1L
     updates.update(upd)
-    val cand = m.counts.map { case (s, c) => s.toString -> (c - m.debt) }.toMap
+    val cand = m.counts.map(_._1.toString).toSeq
     Iterator.single(FreqSummaryEmit(key._1, key._2, upd, cand))
   }
 }
