@@ -201,6 +201,19 @@ class ScaleSpec extends SparkTestBase {
       assert(norm(Skew.saltedEquiJoin(left, col("jk"), right, col("rk"),
         saltFrom = col("id"), buckets = buckets)) == plain,
         s"salted != plain at seed $seed buckets $buckets")
+      // the hot-scoped variant (r20): same meet-exactly-once contract
+      // with the replication confined to the hot key — including the
+      // degenerate scopings (predicate never / always-on-non-null true)
+      def hotOf(k: org.apache.spark.sql.Column) = (seed.toInt % 3) match {
+        case 0 => k === 7L       // the actual hot key
+        case 1 => k === -1L      // never hot
+        case _ => k.isNotNull    // everything non-null hot
+      }
+      assert(norm(Skew.saltedEquiJoinHot(
+        left, col("jk"), hotOf(col("jk")),
+        right, col("rk"), hotOf(col("rk")),
+        saltFrom = col("id"), buckets = buckets)) == plain,
+        s"hot-scoped salted != plain at seed $seed buckets $buckets")
     }
   }
 
